@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Batch relational surface (SURVEY.md §2.2 B6–B10, B14–B18, B25, B27 and
+  * §7.2 step 7). The reference delegates all relational work to Flink
+  * built-ins; here every query is a declarative DataFrame plan so Catalyst
+  * provides pushdown/pruning/partial-agg/broadcast automatically.
+  *
+  * Cross-engine determinism rules (the driver hash-compares our parquet
+  * against DuckDB output):
+  *  - Money math in DECIMAL: decimal addition is exact and associative, so
+  *    Spark's partial/final aggregation order cannot diverge from DuckDB's
+  *    single-node sum. Doubles are only compared when both engines perform
+  *    the bit-identical operation sequence.
+  *  - Every output is totally ordered (full tie-break) and every computed
+  *    column is explicitly aliased identically to the oracle SQL.
+  *  - Integer outputs normalized to BIGINT (DuckDB's row_number/year/etc.
+  *    return BIGINT where Spark returns INT).
+  */
+object Relational {
+  private val D2 = "decimal(18,2)"
+  private val D4 = "decimal(18,4)"
+  private def dec2(c: Column): Column = c.cast(D2)
+
+  /** Disc price = extendedprice * (1 - discount), computed in exact decimal
+    * identically on both engines. */
+  private def discPrice: Column =
+    (dec2(col("l_extendedprice")) * (lit(1).cast(D2) - dec2(col("l_discount")))).cast(D4)
+
+  /** Q1 — pricing summary (grouped aggregation, partial+final HashAggregate;
+    * reference analogue: windowed sum-reduce B27). */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast(D2).as("sum_base_price"),
+        sum(discPrice).cast(D4).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q2 — selective filter + projection; predicate and column pruning must
+    * reach the parquet scan (B6/B8). */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 10)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        dec2(col("l_extendedprice")).as("price"), col("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q3 — multi-way join with broadcast dims: lineitem ⋈ orders ⋈ customer ⋈
+    * nation, revenue per nation. Dimension sides are broadcast so the only
+    * shuffle is the fact-side join + final agg. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(discPrice).cast(D4).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  /** Q4 — global sort + limit (top-k by totalprice). */
+  def q4SortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("totalprice"))
+      .limit(10)
+
+  /** Q5 — distinct (shuffle dedup). */
+  def q5Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select("c_mktsegment", "c_nationkey").distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** Q6 — left-semi join (EXISTS) + agg. */
+  def q6SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  /** Q7 — left-anti join (NOT EXISTS) + agg: customers who never placed a
+    * high-value order (threshold ≈ p90 of o_totalprice so the result is
+    * non-empty at every scale factor). */
+  def q7AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  /** Q8 — set operations: INTERSECT and EXCEPT of customer vs supplier
+    * nation keys, tagged and unioned. */
+  def q8SetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(col("c_nationkey").as("n"))
+    val sup = Tables.supplier(s, dir).select(col("s_nationkey").as("n"))
+    val inter = c.intersect(sup).withColumn("op", lit("intersect"))
+    val exc = c.except(sup).withColumn("op", lit("except"))
+    inter.unionByName(exc).select("op", "n").orderBy("op", "n")
+  }
+
+  /** Q9 — per-key running sum over event time: the batch oracle of the
+    * reference's keyed running reduce (B10, WindowAllKeyedPoC.java:145-151
+    * emits the running sums per event). */
+  def q9RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("running_sum", sum(dec2(col("value"))).over(w).cast(D2))
+      .select("user_id", "event_id", "running_sum")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q10 — rank/top-N per group (window function + filter). */
+  def q10RankTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), dec2(col("o_totalprice")).as("totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q11 — tumbling 1h window, global (non-keyed windowAll, B14). Spark's
+    * window() grouped agg is naturally parallel partial+final — exactly the
+    * plan the reference hand-built in ParAllWindowedStream (C12). */
+  def q11WindowGlobal(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start"), col("n_events"), col("sum_value"))
+      .orderBy("w_start")
+
+  /** Q12 — tumbling 1h window, keyed, with window metadata (B15/B18:
+    * WindowAgg reads window.maxTimestamp; here window.start/end columns). */
+  def q12WindowKeyed(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .select(
+        unix_micros(col("window.start")).as("w_start"),
+        unix_micros(col("window.end")).as("w_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("w_start", "event_type")
+
+  /** Q13 — keyed count windows of size 2 (B16/B17): bucket each key's
+    * arrival sequence into fixed-size windows; incomplete windows never emit
+    * (WindowAllKeyedPoC.java:99-103 semantics). */
+  def q13CountWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("win_id", expr("(rn - 1) div 2"))
+      .groupBy("user_id", "win_id")
+      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .filter(col("n") === 2)
+      .orderBy("user_id", "win_id")
+  }
+
+  /** TTL used by the sessionization oracle (µs). 30 min of event-time
+    * inactivity resets a key's accumulated state — the batch-queryable
+    * mirror of MapWithStateTTL eviction (C1/B12). */
+  val TtlMicros: Long = 30L * 60 * 1000 * 1000
+
+  /** Q14 — THE flagship oracle: per-key running sum with TTL eviction
+    * (MapWithStateIterPoC.java:310-322 semantics, SURVEY §7.2 slice 0).
+    * A key idle for > TTL restarts its sum from zero; expressed in batch as
+    * gap-sessionization + per-session running sum. */
+  def q14MapWithStateTtl(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val us = unix_micros(col("ts"))
+    val prev = lag(us, 1).over(byUser)
+    val sessioned = Tables.events(s, dir)
+      .withColumn("new_sess",
+        when(prev.isNull || (us - prev) > TtlMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+    val bySess = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessioned
+      .withColumn("running_value", sum(dec2(col("value"))).over(bySess).cast(D2))
+      .select("event_id", "user_id", "session_id", "running_value")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q15 — ROLLUP (grouping sets hierarchy); NULL subtotal labels
+    * normalized to 'ALL' for cross-engine comparison. */
+  def q15Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  /** Q16 — scalar function surface (B6 projection + §2.3): string ops,
+    * conditional, modular arithmetic. All codegen'd Catalyst built-ins. */
+  def q16ScalarFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") % 7).cast("long").as("size_mod"),
+        when(col("p_retailprice") > 1500, "hi").otherwise("lo").as("price_band"),
+        dec2(col("p_retailprice")).as("retail"))
+      .orderBy("p_partkey")
+
+  /** Q17 — conditional aggregation / manual pivot per user. */
+  def q17ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "purchase", dec2(col("value"))).otherwise(lit(0).cast(D2)))
+          .cast(D2).as("purchase_value"))
+      .orderBy("user_id")
+
+  /** Q18 — date/time extraction + agg over orders. */
+  def q18DateAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast(D2).as("sum_price"))
+      .orderBy("y", "m")
+
+  /** All relational queries, keyed as registered in SparkEntry. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_join_agg"       -> (q3JoinAgg _),
+    "q4_sort_limit"     -> (q4SortLimit _),
+    "q5_distinct"       -> (q5Distinct _),
+    "q6_semi_join"      -> (q6SemiJoin _),
+    "q7_anti_join"      -> (q7AntiJoin _),
+    "q8_set_ops"        -> (q8SetOps _),
+    "q9_running_sum"    -> (q9RunningSum _),
+    "q10_rank_topn"     -> (q10RankTopN _),
+    "q11_window_global" -> (q11WindowGlobal _),
+    "q12_window_keyed"  -> (q12WindowKeyed _),
+    "q13_count_window"  -> (q13CountWindow _),
+    "q14_mapwithstate_ttl" -> (q14MapWithStateTtl _),
+    "q15_rollup"        -> (q15Rollup _),
+    "q16_scalar_funcs"  -> (q16ScalarFuncs _),
+    "q17_conditional_agg" -> (q17ConditionalAgg _),
+    "q18_date_agg"      -> (q18DateAgg _),
+  )
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+/** DuckDB-dialect oracle SQL for every query in [[Relational.all]].
+  * The driver registers each parquet table under its bare name and
+  * hash-compares our parquet output with these results, sorting columns by
+  * name — so aliases here match the Spark side exactly, and every query
+  * carries a total ORDER BY.
+  *
+  * NOTE on `events.ts`: the parquet column is TIMESTAMP(NANOS). DuckDB
+  * coerces to µs TIMESTAMP by truncation; our Tables.events does the
+  * identical `ns div 1000` truncation, so epoch_us(ts) agrees with
+  * unix_micros on the Spark side.
+  */
+object RelationalOracles {
+  private val D2 = "DECIMAL(18,2)"
+  private val D4 = "DECIMAL(18,4)"
+  private val discPrice =
+    s"CAST(CAST(l_extendedprice AS $D2) * (CAST(1 AS $D2) - CAST(l_discount AS $D2)) AS $D4)"
+
+  val all: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS $D2)) AS $D2) AS sum_base_price,
+         |  CAST(sum($discPrice) AS $D4) AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS $D2) AS price, l_returnflag
+         |FROM lineitem
+         |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 10
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_agg" ->
+      s"""SELECT n_name, CAST(sum($discPrice) AS $D4) AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q4_sort_limit" ->
+      s"""SELECT o_orderkey, CAST(o_totalprice AS $D2) AS totalprice
+         |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_distinct" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey
+        |FROM customer ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "q6_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q7_anti_join" ->
+      """SELECT c_nationkey, count(*) AS n_customers
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q8_set_ops" ->
+      """SELECT 'intersect' AS op, n FROM
+        |  ((SELECT c_nationkey AS n FROM customer) INTERSECT (SELECT s_nationkey AS n FROM supplier)) t1
+        |UNION ALL
+        |SELECT 'except' AS op, n FROM
+        |  ((SELECT c_nationkey AS n FROM customer) EXCEPT (SELECT s_nationkey AS n FROM supplier)) t2
+        |ORDER BY op, n""".stripMargin,
+
+    "q9_running_sum" ->
+      s"""SELECT user_id, event_id,
+         |  CAST(sum(CAST(value AS $D2)) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS $D2) AS running_sum
+         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q10_rank_topn" ->
+      s"""SELECT o_custkey, rn, o_orderkey, totalprice FROM (
+         |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS $D2) AS totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+         |  FROM orders) t
+         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q11_window_global" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS w_start,
+         |  count(*) AS n_events, CAST(sum(CAST(value AS $D2)) AS $D2) AS sum_value
+         |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
+
+    "q12_window_keyed" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS w_start,
+         |  epoch_us(date_trunc('hour', ts)) + 3600000000 AS w_end,
+         |  event_type, count(*) AS n_events, CAST(sum(CAST(value AS $D2)) AS $D2) AS sum_value
+         |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
+
+    "q13_count_window" ->
+      s"""SELECT user_id, win_id, count(*) AS n, CAST(sum(v) AS $D2) AS sum_value FROM (
+         |  SELECT user_id, CAST(value AS $D2) AS v,
+         |    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 2 AS win_id
+         |  FROM events) t
+         |GROUP BY user_id, win_id HAVING count(*) = 2
+         |ORDER BY user_id, win_id""".stripMargin,
+
+    "q14_mapwithstate_ttl" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(ts) AS us, ts, CAST(value AS $D2) AS v,
+         |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |              > ${Relational.TtlMicros}
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events),
+         |sess AS (
+         |  SELECT event_id, user_id, us, v,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM e)
+         |SELECT event_id, user_id, session_id,
+         |  CAST(sum(v) OVER (PARTITION BY user_id, session_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS $D2) AS running_value
+         |FROM sess ORDER BY user_id, event_id""".stripMargin,
+
+    "q15_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q16_scalar_funcs" ->
+      s"""SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 8) AS name8,
+         |  CAST(length(p_name) AS BIGINT) AS name_len,
+         |  concat_ws('|', p_brand, p_type) AS brand_type,
+         |  CAST(p_size % 7 AS BIGINT) AS size_mod,
+         |  CASE WHEN p_retailprice > 1500 THEN 'hi' ELSE 'lo' END AS price_band,
+         |  CAST(p_retailprice AS $D2) AS retail
+         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q17_conditional_agg" ->
+      s"""SELECT user_id,
+         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS $D2) ELSE CAST(0 AS $D2) END) AS $D2) AS purchase_value
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q18_date_agg" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
+         |  count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS sum_price
+         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+  )
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Smoke + semantics checks for the batch relational surface at sf0.001.
+  * Cross-engine value equality is covered by the DuckDB oracle gate
+  * (tools/selfcheck.py locally, driver Verify per round); these specs pin
+  * the semantics that the oracle can't see (plan shape, invariants).
+  */
+class RelationalSpec extends SparkTestBase {
+
+  test("every registered query runs non-empty on sf0.001 with its declared columns") {
+    Relational.all.foreach { case (name, fn) =>
+      val df = fn(spark, sf0001)
+      val n = df.count()
+      assert(n > 0, s"$name returned no rows")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("oracle SQL exists for every relational query") {
+    val missing = Relational.all.keySet -- operators.RelationalOracles.all.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("q1 groups are complete and counts add up to table size") {
+    val df = Relational.q1Agg(spark, sf0001)
+    val total = df.agg(sum("count_order")).head().getLong(0)
+    val expected = Tables.lineitem(spark, sf0001).count()
+    assert(total == expected)
+  }
+
+  test("q14 TTL sessionization: session restarts begin from the event's own value") {
+    val df = Relational.q14MapWithStateTtl(spark, sf0001).cache()
+    // each (user, session) first row has running_value == that event's value
+    val firsts = df
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "session_id").orderBy("event_id")))
+      .filter(col("rn") === 1)
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("value").cast("decimal(18,2)").as("v"))
+    val bad = firsts.join(ev, "event_id")
+      .filter(col("running_value") =!= col("v")).count()
+    assert(bad == 0, s"$bad session-first rows whose running sum != own value")
+    // sessions actually split (eviction fires on this data)
+    val maxSess = df.agg(max("session_id")).head().getLong(0)
+    assert(maxSess > 1, "TTL never split a session — eviction untested")
+    df.unpersist()
+  }
+
+  test("q13 count windows only emit complete windows of exactly 2") {
+    val df = Relational.q13CountWindow(spark, sf0001)
+    assert(df.filter(col("n") =!= 2).count() == 0)
+  }
+
+  test("q3 plan broadcasts dimension tables and pushes filters to scan") {
+    val plan = Relational.q3JoinAgg(spark, sf0001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  test("q2 pushes predicates into the parquet scan") {
+    val plan = Relational.q2FilterProject(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(plan.contains("l_discount"), "discount predicate not pushed")
+  }
+}
