@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-portable primitives shared by the text/dedup/similarity
+  * operators. Everything here must be computable identically in DuckDB SQL
+  * (for the oracle gate), so hashing goes through md5 — not Spark's
+  * Murmur3 `hash()` or xxhash, which no other engine reproduces.
+  */
+object Portable {
+
+  /** Portable unsigned 32-bit hash: first 8 hex chars of md5. Both engines:
+    * Spark `conv(substring(md5(s),1,8),16,10)`, DuckDB
+    * `cast('0x'||substring(md5(s),1,8) as bigint)`. */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Second independent 32 bits of the same md5 (hex chars 9–16). */
+  def h32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+
+  /** Whitespace tokens of lower-cased text. */
+  def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Word 3-gram shingles; documents shorter than 3 tokens degrade to a
+    * single whole-text shingle (mirrors the DuckDB oracle's guard). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(0), size(toks) - 3), i =>
+        concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
+      .otherwise(array(array_join(toks, " ")))
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * fold h = (h*131 + h32(token)) mod 1e9+7 — order-sensitive, so equal
+    * fingerprints mean equal token sequences (with hash-collision caveat).
+    * Left fold matches DuckDB's `list_reduce` exactly. */
+  def rollingFingerprint(toks: Column): Column =
+    aggregate(
+      transform(toks, t => h32(t)),
+      lit(0L),
+      (acc, h) => pmod(acc * 131 + h, lit(1000000007L)))
+}
