@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Relational, RelationalOracles}
+import graft.operators.{Extensions, ExtensionOracles, Relational, RelationalOracles}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * `queries` is the complete registered operator surface; each key either
@@ -17,12 +17,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q14MapWithStateTtl(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions (§7.4). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.all
+    Relational.all ++ Extensions.all
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOracles.all
+    RelationalOracles.all ++ ExtensionOracles.all
 }

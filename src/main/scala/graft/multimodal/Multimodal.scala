@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Multimodal column handling (builder mandate; SURVEY §7.4): media as
+  * opaque BinaryType with a typed metadata struct, decode/feature-extract
+  * as per-partition batch plumbing.
+  *
+  * The container has no image/audio libraries, so decoding is STUBBED
+  * behind [[FakeDecoder]] — a deterministic fake deriving features from the
+  * md5 of the bytes. Everything around the stub is real Spark plumbing:
+  * binary schema, partition-batched decode via mapPartitions (the Scala
+  * analogue of mapInPandas batch decoding), and expression-level metadata
+  * extraction with a DuckDB oracle.
+  *
+  * Scale design: media bytes never shuffle — metadata extraction projects
+  * doc_id + digests before any wide operation, and mapPartitions keeps
+  * decode zero-copy per partition; real decoders would amortize model/lib
+  * init once per partition exactly like this stub does.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaRow(doc_id: Long, media: Array[Byte], format: String, n_bytes: Long)
+
+  /** Decoded per-media features (deterministic fake values). */
+  case class MediaFeatures(
+      doc_id: Long, format: String, n_bytes: Long,
+      width: Int, height: Int, n_frames: Int)
+
+  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of
+    * the text, format round-robins img/audio/video. */
+  def mediaFromDocuments(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      col("text").cast("binary").as("media"),
+      element_at(
+        array(lit("img"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"))
+
+  /** STUB decoder — stands in for image/audio/video codecs that are not in
+    * this container. Deterministic: features derive from md5(payload), so
+    * the expression-level query and the mapPartitions path agree. A real
+    * deployment replaces `decode` with the actual codec call; the
+    * partition-batch shape stays identical. */
+  object FakeDecoder {
+    /** Same value as the SQL-side `Portable.h32` of the original text
+      * (md5 over the identical UTF-8 bytes). */
+    def h32(bytes: Array[Byte]): Long = {
+      val hex = MessageDigest.getInstance("MD5").digest(bytes)
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+
+    def decode(r: MediaRow): MediaFeatures = {
+      val h = h32(r.media)
+      MediaFeatures(
+        r.doc_id, r.format, r.n_bytes,
+        width = (32 + h % 97).toInt,
+        height = (24 + (h / 97) % 97).toInt,
+        n_frames = if (r.format == "video") (1 + h % 16).toInt else 1)
+    }
+  }
+
+  /** Partition-batched decode: one decoder instantiation per partition
+    * (where a real codec would bind native resources), rows streamed
+    * through it. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init point for a real decoder/native lib
+      rows.map(FakeDecoder.decode)
+    }
+  }
+
+  /** Expression-level metadata + fake-decode features (oracle-checkable
+    * twin of [[decodeFeatures]]). */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("h", Portable.h32(col("text")))
+      .select(
+        col("doc_id"),
+        element_at(
+          array(lit("img"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"),
+        expr("32 + h % 97").as("width"),            // integer ops only —
+        expr("24 + (h div 97) % 97").as("height"))  // match the JVM stub
+      .orderBy("doc_id")
+}

@@ -1,0 +1,210 @@
+package graft.operators
+
+import graft.functions.TextAnalysis
+
+/** DuckDB-dialect oracles for the extension operators. Shared building
+  * blocks are kept in sync with `graft.functions.Portable`:
+  * h32 = first 8 md5 hex chars as unsigned BIGINT; shingles = word
+  * 3-grams of whitespace tokens; folds via list_reduce (left fold, same
+  * order as Spark's `aggregate`).
+  */
+object ExtensionOracles {
+
+  private val toks = """string_split_regex(lower(text), '\s+')"""
+  private def h32(e: String) = s"CAST('0x' || substring(md5($e), 1, 8) AS BIGINT)"
+  private def h32b(e: String) = s"CAST('0x' || substring(md5($e), 9, 8) AS BIGINT)"
+
+  private val shingleExpr =
+    """CASE WHEN len(toks) >= 3
+      |     THEN list_transform(range(len(toks) - 2),
+      |            i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+      |     ELSE [array_to_string(toks, ' ')] END""".stripMargin
+
+  /** Near-dup corpus: documents plus tail-perturbed copies of every 7th. */
+  private val nearCorpus =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' graft near dup tail marker'
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** Distinct (doc_id, shingle) set over the near-dup corpus. */
+  private val nearShingles =
+    s"""tokd AS (SELECT doc_id, $toks AS toks FROM corpus),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest($shingleExpr) AS s FROM tokd) u)""".stripMargin
+
+  private val sizesAndInter =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS i
+      |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def stopList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitExpr(words: Seq[String]) =
+    s"CAST(len(list_filter(toks, x -> list_contains(${stopList(words)}, x))) AS BIGINT)"
+
+  private val langs = TextAnalysis.langMarkers.map(_._1)
+
+  val all: Map[String, String] = Map(
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         |  ${hitExpr(TextAnalysis.langMarkers.head._2)} AS n_stopwords
+         |FROM t)
+         |SELECT doc_id, n_tokens, n_bpe_tokens, n_chars, n_alpha, n_stopwords,
+         |  round(CAST(n_chars AS DOUBLE) / n_tokens, 6) AS avg_token_len,
+         |  round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS stopword_ratio,
+         |  round(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+         |  round(CAST(n_alpha AS DOUBLE) / n_chars + CAST(n_stopwords AS DOUBLE) / n_tokens, 6) AS quality_score
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" -> {
+      val hitCols = TextAnalysis.langMarkers
+        .map { case (l, ws) => s"  ${hitExpr(ws)} AS h_$l" }.mkString(",\n")
+      val cases = langs.init.map { l =>
+        val ge = langs.filter(_ != l).map(o => s"h_$l >= h_$o").mkString(" AND ")
+        s"  WHEN $ge THEN '$l'"
+      }.mkString("\n")
+      val total = langs.map(l => s"h_$l").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, lang AS labeled_lang, $toks AS toks FROM documents),
+         |h AS (SELECT doc_id, labeled_lang,
+         |$hitCols
+         |FROM t)
+         |SELECT doc_id, labeled_lang, $total AS n_marker_hits,
+         |  CASE
+         |$cases
+         |  ELSE '${langs.last}' END AS detected_lang
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT), list_transform(toks, s -> ${h32("s")})),
+         |    (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM corpus GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $nearCorpus,
+         |$nearShingles,
+         |$sizesAndInter
+         |SELECT doc_a, doc_b,
+         |  round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jacc
+         |FROM inter
+         |JOIN sizes sa ON doc_a = sa.doc_id
+         |JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH $nearCorpus,
+         |$nearShingles,
+         |hs AS (SELECT doc_id, ${h32("s")} AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, j,
+         |    min(((2 * j + 1) * h + 1000003 * j + 12345) % 2147483647) AS m
+         |  FROM hs, range(64) t(j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |    sum(m * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS band_hash
+         |  FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |$sizesAndInter
+         |SELECT c.doc_a, c.doc_b,
+         |  round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jacc
+         |FROM cand c
+         |JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+         |JOIN sizes sa ON c.doc_a = sa.doc_id
+         |JOIN sizes sb ON c.doc_b = sb.doc_id
+         |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |$nearShingles,
+         |hh AS (SELECT doc_id, ${h32("s")} AS h1, ${h32b("s")} AS h2 FROM sh),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    sum(CASE WHEN (h1 // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v1,
+         |    sum(CASE WHEN (h2 // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v2
+         |  FROM hh, range(32) t(j) GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  sum(CASE WHEN v2 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash_hi,
+         |  sum(CASE WHEN v1 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash_lo
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnorm FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnorm FROM e),
+        |d AS (
+        |  SELECT qid, cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(qv)), i -> CAST(qv[i+1] AS DOUBLE) * CAST(cv[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b) / (qnorm * cnorm), 6) AS sim
+        |  FROM q, c WHERE qid <> cid),
+        |r AS (SELECT qid, cid, sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "ann_lsh_bucketed" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)) AS nrm,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(8), i -> CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a + b) AS bucket
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnorm, bucket AS qbucket FROM e WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnorm, bucket FROM e),
+        |d AS (
+        |  SELECT qid, cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(qv)), i -> CAST(qv[i+1] AS DOUBLE) * CAST(cv[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b) / (qnorm * cnorm), 6) AS sim
+        |  FROM q JOIN c ON qbucket = bucket AND qid <> cid),
+        |r AS (SELECT qid, cid, sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+
+    "multimodal_meta" ->
+      s"""WITH t AS (SELECT doc_id, text, ${h32("text")} AS h FROM documents)
+         |SELECT doc_id,
+         |  (['img', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  32 + h % 97 AS width,
+         |  24 + (h // 97) % 97 AS height
+         |FROM t ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+
+/** Training-data-pipeline extension operators (builder mandate; SURVEY
+  * §7.4), registered for the driver gate alongside the relational suite.
+  * Every entry has a DuckDB oracle in [[ExtensionOracles]].
+  */
+object Extensions {
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"       -> (TextAnalysis.textStats _),
+    "text_lang_id"     -> (TextAnalysis.langId _),
+    "text_fingerprint" -> (TextAnalysis.fingerprint _),
+    "dedup_exact"      -> (Dedup.dedupExact _),
+    "dedup_jaccard"    -> (Dedup.dedupJaccard _),
+    "dedup_minhash"    -> (Dedup.dedupMinhash _),
+    "dedup_simhash"    -> (Dedup.simhash _),
+    "ann_cosine_topk"  -> (Similarity.annBrute _),
+    "ann_lsh_bucketed" -> (Similarity.annLsh _),
+    "multimodal_meta"  -> (Multimodal.mediaMeta _),
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dedup, Portable, Similarity}
+import graft.multimodal.Multimodal
+import graft.operators.Extensions
+
+/** Semantics of the pipeline extensions beyond the DuckDB value gate:
+  * dedup recall/precision structure, LSH-vs-brute agreement, and the
+  * multimodal stub plumbing equaling its expression-level twin.
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("every extension query runs non-empty on sf0.001 and has an oracle") {
+    Extensions.all.foreach { case (name, fn) =>
+      assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")
+      assert(operators.ExtensionOracles.all.contains(name), s"$name has no oracle")
+    }
+  }
+
+  test("dedup_exact keeps one representative per content and counts copies") {
+    val df = Dedup.dedupExact(spark, sf0001).cache()
+    // every original doc survives as the min-id representative
+    assert(df.count() == 500)
+    // exactly the every-10th docs got a copy
+    assert(df.filter(col("n_copies") === 2).count() == 50)
+    assert(df.filter(col("n_copies") === 2 && col("doc_id") % 10 =!= 0).count() == 0)
+    df.unpersist()
+  }
+
+  test("minhash-LSH candidates recover nearly all true near-dup pairs (recall vs brute force)") {
+    val truth = Dedup.dedupJaccard(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhash(spark, sf0001)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(truth), "LSH produced a pair brute force did not (verification must filter)")
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall (${lsh.size}/${truth.size}) below 0.9")
+    // constructed near-dups: short docs sit near the Jaccard threshold
+    // where a band miss is genuinely probable, so bound recall rather than
+    // demanding full capture
+    val constructed = truth.filter { case (a, b) => b == a + 2000000 }
+    val cRecall = constructed.count(lsh.contains).toDouble / constructed.size
+    assert(constructed.nonEmpty && cRecall >= 0.85,
+      s"constructed near-dup recall $cRecall below 0.85")
+  }
+
+  test("LSH ANN agrees with brute force on shared pairs and stays in-bucket") {
+    val brute = Similarity.annBrute(spark, sf0001)
+      .select("qid", "cid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.annLsh(spark, sf0001)
+      .select("qid", "cid", "sim").collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach { bSim =>
+        assert(bSim == r.getDouble(2), s"sim mismatch for $key")
+      }
+    }
+  }
+
+  test("multimodal mapPartitions decode equals the expression-level metadata query") {
+    val s = spark
+    import s.implicits._
+    val media = Multimodal.mediaFromDocuments(spark, sf0001)
+      .as[Multimodal.MediaRow]
+    val decoded = Multimodal.decodeFeatures(media)
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("width").cast("long"), col("height").cast("long"))
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    val meta = Multimodal.mediaMeta(spark, sf0001)
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(decoded.length == meta.length)
+    decoded.zip(meta).foreach { case (d, m) => assert(d == m, s"stub/expression drift: $d vs $m") }
+  }
+
+  test("rolling fingerprint is order-sensitive and content-deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "spark scan merge join"),
+      (2L, "spark scan merge join"),   // identical content
+      (3L, "join merge scan spark"))   // same tokens, different order
+      .toDF("id", "text")
+      .select(col("id"), Portable.rollingFingerprint(Portable.tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df(1L) == df(2L), "identical token streams must collide")
+    assert(df(1L) != df(3L), "reordered tokens must not collide")
+  }
+}
