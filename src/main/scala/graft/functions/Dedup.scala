@@ -85,37 +85,37 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures: per (doc, permutation j) the min over shingles of
-    * (a_j·h32(s) + b_j) mod p, with a_j = 2j+1, b_j = 1000003·j + 12345. */
-  private def minhashSigs(sh: DataFrame): DataFrame =
+  /** MinHash signatures via the native sketch aggregate: one pass over the
+    * shingle hashes, no 64× explode (see MinHashAgg; the DuckDB oracle
+    * keeps the explode formulation — identical values). */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    import graft.functions.expressions.MinHashAgg
     sh.withColumn("h", h32(col("s")))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(MinhashPerms - 1))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(min(
-        pmod((lit(2L) * col("j") + 1L) * col("h") + lit(1000003L) * col("j") + 12345L,
-          lit(P31))).as("m"))
+      .groupBy("doc_id")
+      .agg(MinHashAgg(col("h")).as("sig"))
+  }
 
-  /** LSH band buckets: 16 bands of 4 rows; the band hash is a positional
-    * weighted sum (commutative, so partial aggregation is safe). */
+  /** LSH band buckets from a signature array: 16 bands of 4 rows; the band
+    * hash is a positional weighted sum of the 4 minima. */
+  private def toBands(sigs: DataFrame): DataFrame =
+    sigs
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(MinhashPerms / BandRows - 1))).as("band"))
+      .withColumn("band_hash", expr(
+        "element_at(sig, band*4 + 1) * 1 + element_at(sig, band*4 + 2) * 31 " +
+          "+ element_at(sig, band*4 + 3) * 961 + element_at(sig, band*4 + 4) * 29791"))
+      .select("doc_id", "band", "band_hash")
+
+  /** LSH band buckets (exposed for inspection/tests). */
   def minhashBands(s: SparkSession, dir: String): DataFrame =
-    minhashSigs(shingleSet(corpusWithNearDupes(s, dir)))
-      .withColumn("band", expr(s"j div $BandRows"))
-      .withColumn("coef",
-        expr("CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END"))
-      .groupBy("doc_id", "band")
-      .agg(sum(col("m") * col("coef")).as("band_hash"))
+    toBands(minhashSigs(shingleSet(corpusWithNearDupes(s, dir))))
       .orderBy("doc_id", "band")
 
   /** Full MinHash-LSH near-dup pipeline: banded candidate pairs, verified
     * by true shingle Jaccard ≥ threshold. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingleSet(corpusWithNearDupes(s, dir)).cache()
-    val bands = minhashSigs(sh)
-      .withColumn("band", expr(s"j div $BandRows"))
-      .withColumn("coef",
-        expr("CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END"))
-      .groupBy("doc_id", "band")
-      .agg(sum(col("m") * col("coef")).as("band_hash"))
+    val bands = toBands(minhashSigs(sh))
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
@@ -141,22 +141,17 @@ object Dedup {
 
   /** SimHash-64 signatures as (hi, lo) 32-bit halves: per bit, majority
     * vote of the shingle hashes' bits (h32 for the low half, h32b for the
-    * high half); ties vote 0. */
+    * high half); ties vote 0. One pass via the native SimHashAgg sketch
+    * aggregate — no 64× row explosion, map-side partial merge (the DuckDB
+    * oracle keeps the explode formulation; results are identical). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(Tables.documents(s, dir).select("doc_id", "text"))
+    import graft.functions.expressions.SimHashAgg
+    shingleSet(Tables.documents(s, dir).select("doc_id", "text"))
       .withColumn("h1", h32(col("s")))
       .withColumn("h2", h32b(col("s")))
-    val bits = sh
-      .select(col("doc_id"), col("h1"), col("h2"), explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(
-        sum(expr("CASE WHEN (h1 div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END")).as("v1"),
-        sum(expr("CASE WHEN (h2 div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END")).as("v2"))
-    bits
       .groupBy("doc_id")
-      .agg(
-        sum(expr("CASE WHEN v1 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END")).as("simhash_lo"),
-        sum(expr("CASE WHEN v2 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END")).as("simhash_hi"))
+      .agg(SimHashAgg(col("h1"), col("h2")).as("sh"))
+      .select(col("doc_id"), col("sh.simhash_hi").as("simhash_hi"), col("sh.simhash_lo").as("simhash_lo"))
       .orderBy("doc_id")
   }
 }

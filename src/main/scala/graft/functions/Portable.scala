@@ -24,13 +24,11 @@ object Portable {
   def tokens(c: Column): Column = split(lower(c), "\\s+")
 
   /** Word 3-gram shingles; documents shorter than 3 tokens degrade to a
-    * single whole-text shingle (mirrors the DuckDB oracle's guard). */
+    * single whole-text shingle (mirrors the DuckDB oracle's guard).
+    * Native expression — the HOF formulation is interpreted and ~10×
+    * slower (see WordShingles). */
   def shingles3(toks: Column): Column =
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ",
-          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3))))
-      .otherwise(array(array_join(toks, " ")))
+    expressions.WordShingles(toks)
 
   /** Rolling polynomial fingerprint over the token stream:
     * fold h = (h*131 + h32(token)) mod 1e9+7 — order-sensitive, so equal

@@ -41,25 +41,29 @@ object Similarity {
   private def ranked(joined: DataFrame): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
     joined
-      .withColumn("sim",
-        round(col("dp") / (col("qnorm") * col("cnorm")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
       .select("qid", "cid", "rank", "sim")
       .orderBy("qid", "rank")
   }
 
+  /** Cosine via the native codegen expression — bit-identical to the
+    * dot/norm higher-order-function fold (same accumulation order), one
+    * fused loop per pair (see CosineSimilarity). */
+  private def sim(q: Column, c: Column): Column =
+    round(expressions.CosineSimilarity(q, c), 6)
+
   /** Brute-force cosine top-k: every query against every other vector. */
   def annBrute(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(
-      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val queries = emb.filter(col("vec_id") < NQueryVectors)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("nrm").as("qnorm"))
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb
+      .filter(col("vec_id") < NQueryVectors)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val cands = emb
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnorm"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val joined = cands
       .join(broadcast(queries), col("qid") =!= col("cid"))
-      .withColumn("dp", dot(col("qv"), col("cv")))
+      .withColumn("sim", sim(col("qv"), col("cv")))
     ranked(joined)
   }
 
@@ -79,18 +83,15 @@ object Similarity {
     * against [[annBrute]]). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(
-      col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), signBucket(col("embedding")).as("bucket"))
+      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
     val queries = emb.filter(col("vec_id") < NQueryVectors)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("nrm").as("qnorm"), col("bucket").as("qbucket"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket").as("qbucket"))
     val cands = emb
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        col("nrm").as("cnorm"), col("bucket"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"))
     val joined = cands
       .join(broadcast(queries),
         col("qbucket") === col("bucket") && col("qid") =!= col("cid"))
-      .withColumn("dp", dot(col("qv"), col("cv")))
+      .withColumn("sim", sim(col("qv"), col("cv")))
     ranked(joined)
   }
 }

@@ -1,0 +1,59 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word 3-gram shingles of a token array as a native expression.
+  *
+  * The declarative formulation — `transform(sequence(0, size-3),
+  * i -> concat_ws(' ', a[i+1], a[i+2], a[i+3]))` — is interpreted
+  * (higher-order functions have no codegen) and profiled at ~8 s for a
+  * 5000-doc scan at sf0.1; this direct loop over ArrayData does the same
+  * work in one virtual call per row. Semantics match the HOF version and
+  * the DuckDB oracle exactly: n-2 space-joined trigrams, or a single
+  * whole-text shingle for documents under 3 tokens.
+  *
+  * (CodegenFallback is fine here: the consumer is always an explode, which
+  * bounds the codegen span anyway; the win is per-element interpretation
+  * overhead, not the span.)
+  */
+case class WordShingles(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private val space = UTF8String.fromString(" ")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n >= 3) {
+      val out = new Array[Any](n - 2)
+      var i = 0
+      while (i < n - 2) {
+        out(i) = UTF8String.concatWs(space,
+          arr.getUTF8String(i), arr.getUTF8String(i + 1), arr.getUTF8String(i + 2))
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val parts = new Array[UTF8String](n)
+      var i = 0
+      while (i < n) { parts(i) = arr.getUTF8String(i); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(space, parts: _*)))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(tokens: Column): Column =
+    ColumnShim.column(WordShingles(ColumnShim.expression(tokens)))
+}

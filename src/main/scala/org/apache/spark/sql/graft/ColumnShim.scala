@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made Expression↔Column conversion `private[sql]`
+  * (ExpressionUtils in the classic module); libraries shipping native
+  * Catalyst expressions expose it through an in-package shim — the
+  * established pattern for Spark extension libraries. */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

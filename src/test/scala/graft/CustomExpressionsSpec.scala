@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Portable, Similarity}
+import graft.functions.expressions.{CosineSimilarity, SimHashAgg}
+
+/** The native Catalyst expressions must be drop-in replacements for their
+  * higher-order-function formulations: bit-identical values (the DuckDB
+  * oracle depends on it) and codegen-friendly plans.
+  */
+class CustomExpressionsSpec extends SparkTestBase {
+
+  test("CosineSimilarity == zip_with/aggregate fold, bit for bit, on real embeddings") {
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val pairs = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(5000)
+      .select(
+        CosineSimilarity(col("a.embedding"), col("b.embedding")).as("native"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding"))
+          / (Similarity.norm(col("a.embedding")) * Similarity.norm(col("b.embedding")))).as("hof"))
+    val diff = pairs.filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff pairs differ between native expression and HOF fold")
+  }
+
+  test("CosineSimilarity stays inside WholeStageCodegen") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = emb.as("a").join(broadcast(emb.as("b")), col("a.vec_id") =!= col("b.vec_id"))
+      .select(CosineSimilarity(col("a.embedding"), col("b.embedding")).as("sim"))
+    df.collect() // AQE finalizes (and codegen-compiles) only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // '*(n)' is the WholeStageCodegen marker in the tree rendering; the
+    // projection computing cosinesimilarity must carry it
+    assert(plan.linesIterator.exists(l =>
+      l.contains("cosinesimilarity") && l.trim.matches("""^\+?-?\s*\*\(\d+\) Project.*""")),
+      s"cosinesimilarity not inside a codegen stage:\n$plan")
+  }
+
+  test("SimHashAgg == 64-way explode formulation") {
+    val sh = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        explode(array_distinct(Portable.shingles3(Portable.tokens(col("text"))))).as("s"))
+      .withColumn("h1", Portable.h32(col("s")))
+      .withColumn("h2", Portable.h32b(col("s")))
+      .cache()
+
+    val native = sh.groupBy("doc_id")
+      .agg(SimHashAgg(col("h1"), col("h2")).as("x"))
+      .select(col("doc_id"), col("x.simhash_hi"), col("x.simhash_lo"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val exploded = sh
+      .select(col("doc_id"), col("h1"), col("h2"), explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(
+        sum(expr("CASE WHEN (h1 div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END")).as("v1"),
+        sum(expr("CASE WHEN (h2 div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END")).as("v2"))
+      .groupBy("doc_id")
+      .agg(
+        sum(expr("CASE WHEN v2 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END")).as("hi"),
+        sum(expr("CASE WHEN v1 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END")).as("lo"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    sh.unpersist()
+    assert(native == exploded, {
+      val bad = exploded.collectFirst { case (k, v) if native.get(k) != Some(v) => (k, v, native.get(k)) }
+      s"simhash drift, e.g. $bad"
+    })
+  }
+
+  test("cosine_sim is SQL-callable once registered (GraftExtensions function builder)") {
+    // the shared test session predates withExtensions, so register through
+    // the same builder the extension injects
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim",
+      exprs => graft.functions.expressions.CosineSimilarity(exprs.head, exprs(1)),
+      "scala_udf")
+    Tables.embeddings(spark, sf0001).createOrReplaceTempView("emb_sql")
+    val n = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS sim
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 3""".stripMargin).count()
+    assert(n > 0)
+  }
+}
