@@ -174,22 +174,13 @@ object Relational {
     * (MapWithStateIterPoC.java:310-322 semantics, SURVEY §7.2 slice 0).
     * A key idle for > TTL restarts its sum from zero; expressed in batch as
     * gap-sessionization + per-session running sum. */
-  def q14MapWithStateTtl(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val us = unix_micros(col("ts"))
-    val prev = lag(us, 1).over(byUser)
-    val sessioned = Tables.events(s, dir)
-      .withColumn("new_sess",
-        when(prev.isNull || (us - prev) > TtlMicros, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_sess")).over(cum))
-    val bySess = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sessioned
-      .withColumn("running_value", sum(dec2(col("value"))).over(bySess).cast(D2))
+  def q14MapWithStateTtl(s: SparkSession, dir: String): DataFrame =
+    Sessionization.runningSumByGap(
+      Tables.events(s, dir),
+      key = "user_id", tsMicros = unix_micros(col("ts")), orderCol = "event_id",
+      value = col("value"), ttlMicros = TtlMicros)
       .select("event_id", "user_id", "session_id", "running_value")
       .orderBy("user_id", "event_id")
-  }
 
   /** Q15 — ROLLUP (grouping sets hierarchy); NULL subtotal labels
     * normalized to 'ALL' for cross-engine comparison. */
