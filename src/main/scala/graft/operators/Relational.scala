@@ -230,6 +230,51 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast(D2).as("sum_price"))
       .orderBy("y", "m")
 
+  /** Q19 — as-of join composed from built-ins (SURVEY §7 preference (a)):
+    * for each purchase, the most recent prior click of the same user.
+    * Spark-first: no join at all — union the tagged event kinds and carry
+    * the last click timestamp forward with an ignore-nulls window, one
+    * shuffle on user_id. (DuckDB oracle uses its native ASOF JOIN.) */
+  def q19AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_click_us").isNotNull)
+      .select("event_id", "user_id", "us", "last_click_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q20 — explicit GROUPING SETS (beyond q15's rollup): by (flag,status),
+    * by flag alone, and by status alone — no grand total. */
+  def q20GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_lineitem_gs")
+    s.sql(
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty, count(*) AS n
+         |FROM graft_lineitem_gs
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+         |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Q21 — native session windows (`session_window`), the capability the
+    * reference's TTL eviction approximates: gap-based sessions per user,
+    * 30-minute inactivity gap — same session boundaries as q14 (asserted
+    * in RelationalSpec). */
+  def q21SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -250,5 +295,8 @@ object Relational {
     "q16_scalar_funcs"  -> (q16ScalarFuncs _),
     "q17_conditional_agg" -> (q17ConditionalAgg _),
     "q18_date_agg"      -> (q18DateAgg _),
+    "q19_asof_join"     -> (q19AsofJoin _),
+    "q20_grouping_sets" -> (q20GroupingSets _),
+    "q21_session_window" -> (q21SessionWindow _),
   )
 }

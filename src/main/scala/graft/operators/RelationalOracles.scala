@@ -144,5 +144,38 @@ object RelationalOracles {
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
          |  count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS sum_price
          |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "q19_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS cus FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.us, c.cus AS last_click_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.us > c.cus
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q20_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty, count(*) AS n
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
+         |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q21_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v,
+        |    -- >= not >: Spark session windows are [ts, ts+gap), so a gap of
+        |    -- exactly the duration starts a new session
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us, v,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM e)
+        |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
+        |  CAST(sum(v) AS DECIMAL(18,2)) AS sum_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
   )
 }

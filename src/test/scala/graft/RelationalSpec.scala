@@ -56,6 +56,14 @@ class RelationalSpec extends SparkTestBase {
     assert(df.filter(col("n") =!= 2).count() == 0)
   }
 
+  test("q21 native session windows produce the same sessions as q14's gap model") {
+    val q14Sessions = Relational.q14MapWithStateTtl(spark, sf0001)
+      .select("user_id", "session_id").distinct().count()
+    val q21Sessions = Relational.q21SessionWindow(spark, sf0001).count()
+    assert(q14Sessions == q21Sessions,
+      s"gap-model sessions $q14Sessions != session_window sessions $q21Sessions")
+  }
+
   test("q3 plan broadcasts dimension tables and pushes filters to scan") {
     val plan = Relational.q3JoinAgg(spark, sf0001).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
