@@ -80,6 +80,47 @@ object Multimodal {
     }
   }
 
+  /** A sampled "frame" of a media payload (payload treated as a stream of
+    * fixed-size frames — the shape a real video pipeline produces). */
+  case class FrameSample(doc_id: Long, frame_idx: Int, n_bytes: Int, checksum: Long)
+
+  val FrameBytes = 256
+
+  /** Frame sampling: every `everyN`-th FrameBytes-sized slice of the
+    * payload, with a deterministic checksum per frame. Real decoders swap
+    * the slicing for codec frame extraction; the partition-batched
+    * pipeline shape (and downstream schema) is the deliverable. */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int): Dataset[FrameSample] = {
+    require(everyN > 0, "everyN must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val nFrames = (r.media.length + FrameBytes - 1) / FrameBytes
+        (0 until nFrames by everyN).iterator.map { i =>
+          val from = i * FrameBytes
+          val until = math.min(from + FrameBytes, r.media.length)
+          var sum = 0L
+          var j = from
+          while (j < until) { sum = (sum * 31 + (r.media(j) & 0xff)) % 1000000007L; j += 1 }
+          FrameSample(r.doc_id, i, until - from, sum)
+        }
+      }
+    }
+  }
+
+  /** Resize stub: recompute fake dimensions to a bounded box, keeping
+    * aspect from the fake decode — placeholder for a real image resize,
+    * same per-partition batch shape. */
+  def resizeFeatures(features: Dataset[MediaFeatures], maxSide: Int): Dataset[MediaFeatures] = {
+    import features.sparkSession.implicits._
+    features.map { f =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(f.width, f.height))
+      f.copy(
+        width = math.max(1, math.floor(f.width * scale).toInt),
+        height = math.max(1, math.floor(f.height * scale).toInt))
+    }
+  }
+
   /** Expression-level metadata + fake-decode features (oracle-checkable
     * twin of [[decodeFeatures]]). */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =
