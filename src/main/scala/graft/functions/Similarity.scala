@@ -94,4 +94,26 @@ object Similarity {
       .withColumn("sim", sim(col("qv"), col("cv")))
     ranked(joined)
   }
+
+  /** Multi-probe LSH: each query also probes every Hamming-1 neighbor of
+    * its sign bucket (9 probes for 8 bits) — the standard recall repair
+    * for bucketed ANN, still bounding the candidate set to probed buckets
+    * (≈ 9/256 of the corpus here) instead of everything. */
+  def annLshMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(
+      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+    val probes = emb.filter(col("vec_id") < NQueryVectors)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket").as("qbucket"))
+      .withColumn("probe_i", explode(sequence(lit(0), lit(SignBucketDims))))
+      .withColumn("probe_bucket",
+        when(col("probe_i") === SignBucketDims, col("qbucket"))
+          .otherwise(expr(s"qbucket ^ shiftleft(1L, probe_i)")))
+    val cands = emb
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"))
+    val joined = cands
+      .join(broadcast(probes),
+        col("probe_bucket") === col("bucket") && col("qid") =!= col("cid"))
+      .withColumn("sim", sim(col("qv"), col("cv")))
+    ranked(joined)
+  }
 }

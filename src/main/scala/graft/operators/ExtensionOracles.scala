@@ -198,6 +198,32 @@ object ExtensionOracles {
         |  FROM d)
         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
 
+    "ann_lsh_multiprobe" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)) AS nrm,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(8), i -> CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, b) -> a + b) AS bucket
+        |  FROM embeddings),
+        |probes AS (
+        |  SELECT vec_id AS qid, embedding AS qv, nrm AS qnorm,
+        |    CASE WHEN i = 8 THEN bucket ELSE xor(bucket, 1 << i) END AS probe_bucket
+        |  FROM e, range(9) t(i) WHERE vec_id < 8),
+        |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnorm, bucket FROM e),
+        |d AS (
+        |  SELECT qid, cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(qv)), i -> CAST(qv[i+1] AS DOUBLE) * CAST(cv[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b) / (qnorm * cnorm), 6) AS sim
+        |  FROM probes JOIN c ON probe_bucket = bucket AND qid <> cid),
+        |r AS (SELECT qid, cid, sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+
     "multimodal_meta" ->
       s"""WITH t AS (SELECT doc_id, text, ${h32("text")} AS h FROM documents)
          |SELECT doc_id,

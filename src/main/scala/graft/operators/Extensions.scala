@@ -20,6 +20,7 @@ object Extensions {
     "dedup_simhash"    -> (Dedup.simhash _),
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),
+    "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
   )
 }

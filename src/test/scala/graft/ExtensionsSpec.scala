@@ -61,6 +61,18 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("multi-probe LSH recovers at least as much of the brute-force top-5 as single-probe") {
+    def top5(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = top5(Similarity.annBrute(spark, sf0001))
+    val single = top5(Similarity.annLsh(spark, sf0001))
+    val multi = top5(Similarity.annLshMultiProbe(spark, sf0001))
+    val rSingle = (single & brute).size.toDouble / brute.size
+    val rMulti = (multi & brute).size.toDouble / brute.size
+    assert(rMulti >= rSingle, s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(multi.size >= single.size, "multi-probe returned fewer results than single-probe")
+  }
+
   test("multimodal mapPartitions decode equals the expression-level metadata query") {
     val s = spark
     import s.implicits._

@@ -39,6 +39,40 @@ class WindowingSpec extends SparkTestBase {
     assert(got.head._1 == startUs / 1000000 * 1000000, "window not aligned to epoch second")
   }
 
+  test("streaming tumbling windows over real events == batch q11 (closed windows)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("value").cast("int").as("v"), col("ts"))
+      .as[TsVal].collect()
+    val maxTs = evs.map(_.ts.getTime).max
+
+    val stream = MemoryStream[TsVal]
+    val agg = stream.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("n"))
+    val query = Sinks.toMemory(agg, "wm_events")
+    try {
+      stream.addData(evs.toIndexedSeq)
+      query.processAllAvailable()
+      // flush event far past the data advances the watermark so every data
+      // window closes; its own window stays open and never emits
+      stream.addData(TsVal(0, new Timestamp(maxTs + 7200000)))
+      query.processAllAvailable()
+      val streaming = Sinks.collected[(Long, Long)](spark, "wm_events").toMap
+      val batch = graft.operators.Relational.q11WindowGlobal(spark, sf0001)
+        .select(col("w_start"), col("n_events"))
+        .as[(Long, Long)].collect().toMap
+      assert(streaming == batch,
+        s"${streaming.size} streaming windows vs ${batch.size} batch; " +
+          s"diff: ${batch.collectFirst { case (k, v) if streaming.get(k) != Some(v) => (k, v, streaming.get(k)) }}")
+    } finally query.stop()
+  }
+
   test("streaming windowed agg: watermark retains in-order data and drops too-late data") {
     val s = spark
     import s.implicits._
