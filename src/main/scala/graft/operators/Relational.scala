@@ -275,6 +275,54 @@ object Relational {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start_us")
 
+  /** Q22 — sliding event-time windows (1h window, 15min slide): a
+    * capability the reference explicitly lacks (SURVEY §0 absences).
+    * Each event lands in exactly 4 epoch-aligned windows. */
+  def q22SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start"), col("n_events"), col("sum_value"))
+      .orderBy("w_start")
+
+  /** Q23 — interval (range) join: per purchase, clicks by the same user in
+    * the strictly-preceding hour. The reference has no joins at all; this
+    * is the time-bounded enrichment shape of stream-stream joins. */
+  def q23IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+    p.join(c,
+        col("user_id") === col("c_user")
+          && col("c_us") < col("us") && col("c_us") >= col("us") - 3600L * 1000000,
+        "left")
+      .groupBy("event_id", "user_id", "us")
+      .agg(count(col("c_us")).as("n_clicks_1h"))
+      .select("event_id", "user_id", "n_clicks_1h")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q24 — order-sensitive aggregation done deterministically (SURVEY §5:
+    * the reference's label concat was arrival-order nondeterministic):
+    * first 3 event ids per type in (ts, event_id) order, joined by '-'. */
+  def q24OrderedLabel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("event_type")
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("rn").as("rn"), col("event_id").cast("string").as("eid")))),
+            x => x.getField("eid")),
+          "-").as("label"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -298,5 +346,8 @@ object Relational {
     "q19_asof_join"     -> (q19AsofJoin _),
     "q20_grouping_sets" -> (q20GroupingSets _),
     "q21_session_window" -> (q21SessionWindow _),
+    "q22_sliding_window" -> (q22SlidingWindow _),
+    "q23_interval_join"  -> (q23IntervalJoin _),
+    "q24_ordered_label"  -> (q24OrderedLabel _),
   )
 }

@@ -177,5 +177,34 @@ object RelationalOracles {
         |  CAST(sum(v) AS DECIMAL(18,2)) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q22_sliding_window" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS us, CAST(value AS $D2) AS v FROM events),
+         |w AS (
+         |  -- 1h window / 15min slide: each event is in exactly 4
+         |  -- epoch-aligned windows, starts (us//slide - i)*slide, i=0..3
+         |  SELECT ((us // 900000000) - i) * 900000000 AS w_start, v
+         |  FROM e, range(4) t(i))
+         |SELECT w_start, count(*) AS n_events, CAST(sum(v) AS $D2) AS sum_value
+         |FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
+
+    "q23_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS c_user, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, count(c.c_us) AS n_clicks_1h
+        |FROM p LEFT JOIN c
+        |  ON p.user_id = c.c_user AND c.c_us < p.us AND c.c_us >= p.us - 3600000000
+        |GROUP BY p.event_id, p.user_id, p.us
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q24_ordered_label" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  string_agg(CAST(event_id AS VARCHAR), '-' ORDER BY rn) AS label,
+        |  count(*) AS n
+        |FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
