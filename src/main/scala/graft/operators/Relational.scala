@@ -323,6 +323,30 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q25 — correlated scalar subquery (Catalyst decorrelates it into an
+    * aggregate + join; reference has no subquery capability at all). */
+  def q25ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_customer_sq")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_orders_sq")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST((SELECT max(o_totalprice) FROM graft_orders_sq WHERE o_custkey = c_custkey)
+        |       AS DECIMAL(18,2)) AS max_order
+        |FROM graft_customer_sq
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Q26 — CUBE over (returnflag, linestatus): all four grouping sets. */
+  def q26Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -349,5 +373,7 @@ object Relational {
     "q22_sliding_window" -> (q22SlidingWindow _),
     "q23_interval_join"  -> (q23IntervalJoin _),
     "q24_ordered_label"  -> (q24OrderedLabel _),
+    "q25_scalar_subquery" -> (q25ScalarSubquery _),
+    "q26_cube"           -> (q26Cube _),
   )
 }

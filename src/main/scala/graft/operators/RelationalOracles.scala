@@ -206,5 +206,17 @@ object RelationalOracles {
         |  string_agg(CAST(event_id AS VARCHAR), '-' ORDER BY rn) AS label,
         |  count(*) AS n
         |FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q25_scalar_subquery" ->
+      s"""SELECT c_custkey, c_mktsegment,
+         |  CAST((SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS $D2) AS max_order
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q26_cube" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         |  coalesce(l_linestatus, 'ALL') AS linestatus,
+         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty, count(*) AS n
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
   )
 }

@@ -73,6 +73,47 @@ class WindowingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming session_window over real events == batch q21 (closed sessions)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("value").cast("int").as("v"), col("ts"))
+      .as[TsVal].collect()
+    val maxTs = evs.map(_.ts.getTime).max
+    val flushUser = -1 // synthetic key whose open session we exclude
+
+    val stream = MemoryStream[Ev]
+    val agg = stream.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"), col("n_events"))
+    val query = Sinks.toMemory(agg, "session_stream")
+    try {
+      val rows = graft.Tables.events(spark, sf0001)
+        .selectExpr("event_id", "user_id", "ts", "0L as cents").as[Ev].collect()
+      stream.addData(rows.toIndexedSeq)
+      query.processAllAvailable()
+      // far-future flush event closes every data session
+      stream.addData(Ev(-1, flushUser, new Timestamp(maxTs + 86400000), 0))
+      query.processAllAvailable()
+
+      val streaming = Sinks.collected[(Long, Long, Long)](spark, "session_stream")
+        .filter(_._1 != flushUser)
+        .map { case (u, st, n) => (u, st) -> n }.toMap
+      val batch = graft.operators.Relational.q21SessionWindow(spark, sf0001)
+        .select(col("user_id"), col("session_start_us"), col("n_events"))
+        .as[(Long, Long, Long)].collect()
+        .map { case (u, st, n) => (u, st) -> n }.toMap
+      assert(streaming == batch,
+        s"${streaming.size} streaming sessions vs ${batch.size} batch; diff: " +
+          batch.collectFirst { case (k, v) if streaming.get(k) != Some(v) => (k, v, streaming.get(k)) })
+    } finally query.stop()
+  }
+
   test("streaming windowed agg: watermark retains in-order data and drops too-late data") {
     val s = spark
     import s.implicits._
