@@ -139,6 +139,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Keep/drop decision from the MinHash-LSH pipeline: for every verified
+    * near-dup pair (a < b), the higher id is dropped — the one-hop
+    * representative rule training pipelines apply when full connected
+    * components (an iterative computation) aren't warranted. */
+  def dedupDropList(s: SparkSession, dir: String): DataFrame = {
+    val drops = dedupMinhash(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    corpusWithNearDupes(s, dir)
+      .select("doc_id")
+      .join(drops.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hit").isNotNull, "drop").otherwise("keep").as("action"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic hash-based stratified sampling — the data-selection
+    * primitive of training pipelines (reproducible across runs/engines,
+    * unlike rand()): keep documents whose content hash lands in the first
+    * `pct` of 100 buckets. */
+  def sampleByHash(s: SparkSession, dir: String, pct: Int = 10): DataFrame =
+    graft.Tables.documents(s, dir)
+      .filter(pmod(h32(col("text")), lit(100L)) < pct)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
   /** SimHash-64 signatures as (hi, lo) 32-bit halves: per bit, majority
     * vote of the shingle hashes' bits (h32 for the low half, h32b for the
     * high half); ties vote 0. One pass via the native SimHashAgg sketch

@@ -141,6 +141,39 @@ object ExtensionOracles {
          |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
+    "dedup_drop_list" ->
+      s"""WITH $nearCorpus,
+         |$nearShingles,
+         |hs AS (SELECT doc_id, ${h32("s")} AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, j,
+         |    min(((2 * j + 1) * h + 1000003 * j + 12345) % 2147483647) AS m
+         |  FROM hs, range(64) t(j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |    sum(m * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS band_hash
+         |  FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |$sizesAndInter,
+         |verified AS (
+         |  SELECT c.doc_b
+         |  FROM cand c
+         |  JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+         |  JOIN sizes sa ON c.doc_a = sa.doc_id
+         |  JOIN sizes sb ON c.doc_b = sb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id IN (SELECT doc_b FROM verified) THEN 'drop' ELSE 'keep' END AS action
+         |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "sample_by_hash" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${h32("text")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |$nearShingles,

@@ -18,6 +18,8 @@ object Extensions {
     "dedup_jaccard"    -> (Dedup.dedupJaccard _),
     "dedup_minhash"    -> (Dedup.dedupMinhash _),
     "dedup_simhash"    -> (Dedup.simhash _),
+    "dedup_drop_list"  -> (Dedup.dedupDropList _),
+    "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),

@@ -73,6 +73,22 @@ class ExtensionsSpec extends SparkTestBase {
     assert(multi.size >= single.size, "multi-probe returned fewer results than single-probe")
   }
 
+  test("dedup drop list: drops are exactly the distinct higher-ids of verified pairs") {
+    val pairs = Dedup.dedupMinhash(spark, sf0001)
+      .select("doc_b").distinct().count()
+    val drops = Dedup.dedupDropList(spark, sf0001)
+      .filter(col("action") === "drop").count()
+    assert(drops == pairs, s"$drops drops vs $pairs distinct doc_b")
+  }
+
+  test("hash sampling is reproducible and lands near the target rate") {
+    val a = Dedup.sampleByHash(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    val b = Dedup.sampleByHash(spark, sf0001).collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash sampling must be run-to-run identical")
+    val rate = a.size / 500.0
+    assert(rate > 0.04 && rate < 0.2, s"sample rate $rate implausible for pct=10")
+  }
+
   test("multimodal mapPartitions decode equals the expression-level metadata query") {
     val s = spark
     import s.implicits._
