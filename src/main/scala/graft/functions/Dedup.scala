@@ -30,7 +30,6 @@ object Dedup {
 
   val MinhashPerms = 64
   val BandRows = 4 // 16 bands x 4 rows
-  val P31: Long = 2147483647L
   val JaccardThreshold = 0.5
 
   /** documents ∪ exact copies of every 10th doc (id +1,000,000). */
