@@ -347,6 +347,33 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy("returnflag", "linestatus")
 
+  /** Q27 — unpivot/melt (wide → long), a standard preprocessing reshape;
+    * oracle uses the portable UNION ALL formulation. */
+  def q27Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retailprice"))
+      .unpivot(
+        ids = Array(col("p_partkey")),
+        values = Array(col("size"), col("retailprice")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .select(col("p_partkey"), col("measure"), col("value").cast("decimal(18,2)").as("value"))
+      .orderBy("p_partkey", "measure")
+
+  /** Q28 — exact interpolated percentiles (median + quartiles): Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the linear
+    * interpolation definition, verified value-exact by the gate. */
+  def q28Percentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("round(percentile(l_extendedprice, 0.25), 4)").as("p25_price"),
+        expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75_price"))
+      .orderBy("l_returnflag")
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -375,5 +402,7 @@ object Relational {
     "q24_ordered_label"  -> (q24OrderedLabel _),
     "q25_scalar_subquery" -> (q25ScalarSubquery _),
     "q26_cube"           -> (q26Cube _),
+    "q27_unpivot"        -> (q27Unpivot _),
+    "q28_percentile"     -> (q28Percentile _),
   )
 }

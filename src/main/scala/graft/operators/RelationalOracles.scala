@@ -218,5 +218,19 @@ object RelationalOracles {
          |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q27_unpivot" ->
+      s"""SELECT p_partkey, measure, CAST(value AS $D2) AS value FROM (
+         |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+         |  UNION ALL
+         |  SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part) u
+         |ORDER BY p_partkey, measure""".stripMargin,
+
+    "q28_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
