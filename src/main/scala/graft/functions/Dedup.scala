@@ -117,12 +117,28 @@ object Dedup {
     * `dedupDropList`) — the materialize-shared-intermediates pattern a
     * production pipeline uses instead of re-deriving per query. */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Unpersist and forget the memoized pipeline for (s, dir). Returns true
+    * if an entry existed. Long-lived sessions (and Bench, which wants a
+    * cold-build line item) use this to bound the cache — without it the
+    * cached intermediates live for the life of the process. */
+  def evictSharedPipeline(s: SparkSession, dir: String): Boolean =
+    pairCache.remove((s, dir)) match {
+      case Some((sh, pairs)) =>
+        sh.unpersist(blocking = false); pairs.unpersist(blocking = false); true
+      case None => false
+    }
 
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((s, dir), {
       val sh = shingleSet(corpusWithNearDupes(s, dir)).cache()
       val bands = toBands(minhashSigs(sh))
+      val pairs = buildPairs(sh, bands)
+      (sh, pairs)
+    })._2
+
+  private def buildPairs(sh: DataFrame, bands: DataFrame): DataFrame = {
       val candidates = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
@@ -144,7 +160,7 @@ object Dedup {
         .filter(col("jacc") >= JaccardThreshold)
         .select("doc_a", "doc_b", "jacc")
         .cache()
-    })
+  }
 
   /** Full MinHash-LSH near-dup pipeline: banded candidate pairs, verified
     * by true shingle Jaccard ≥ threshold. */

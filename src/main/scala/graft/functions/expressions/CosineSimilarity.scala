@@ -1,11 +1,12 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnShim
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Cosine similarity of two float vectors as a native Catalyst expression
   * with whole-stage codegen — one fused loop over both arrays instead of
@@ -25,8 +26,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // inputs must be array<float>; AbstractDataType (ExpectsInputTypes) is
-  // private[sql] in Spark 4, so resolution relies on call sites
+  // private[sql] in Spark 4, so enforcement goes through the public
+  // checkInputDataTypes hook instead — without it, SQL callers passing
+  // array<double> would silently get garbage from getFloat reads
   override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -184,8 +184,8 @@ object ExtensionOracles {
          |    sum(CASE WHEN (h2 // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v2
          |  FROM hh, range(32) t(j) GROUP BY doc_id, j)
          |SELECT doc_id,
-         |  sum(CASE WHEN v2 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash_hi,
-         |  sum(CASE WHEN v1 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash_lo
+         |  CAST(sum(CASE WHEN v2 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi,
+         |  CAST(sum(CASE WHEN v1 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ann_cosine_topk" ->

@@ -27,6 +27,18 @@ object Relational {
   private val D4 = "decimal(18,4)"
   private def dec2(c: Column): Column = c.cast(D2)
 
+  /** Final-output money column: exact decimal math internally, DOUBLE at
+    * the output boundary. Decimal→double is correctly rounded in both
+    * Spark (BigDecimal.doubleValue) and DuckDB (exact int / exact power
+    * of ten, IEEE-rounded) while the unscaled value < 2^53, so the two
+    * engines emit bit-identical doubles — and double is the one numeric
+    * type whose representation survives every reader (pyarrow, duckdb,
+    * pandas) unchanged, which the driver's hash compare requires.
+    * (Round-1 lesson: DECIMAL outputs are value-exact but render as
+    * Decimal('24851.00') via pyarrow vs 24851.0 via duckdb → hash miss.) */
+  private def outD2(c: Column): Column = c.cast(D2).cast("double")
+  private def outD4(c: Column): Column = c.cast(D4).cast("double")
+
   /** Disc price = extendedprice * (1 - discount), computed in exact decimal
     * identically on both engines. */
   private def discPrice: Column =
@@ -38,9 +50,9 @@ object Relational {
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast(D2).as("sum_base_price"),
-        sum(discPrice).cast(D4).as("sum_disc_price"),
+        outD2(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        outD2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        outD4(sum(discPrice)).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -51,7 +63,7 @@ object Relational {
       .filter(col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 10)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        dec2(col("l_extendedprice")).as("price"), col("l_returnflag"))
+        outD2(col("l_extendedprice")).as("price"), col("l_returnflag"))
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Q3 — multi-way join with broadcast dims: lineitem ⋈ orders ⋈ customer ⋈
@@ -63,14 +75,14 @@ object Relational {
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(discPrice).cast(D4).as("revenue"), count(lit(1)).as("n_items"))
+      .agg(outD4(sum(discPrice)).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy("n_name")
 
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      .select(col("o_orderkey"), dec2(col("o_totalprice")).as("totalprice"))
+      .select(col("o_orderkey"), outD2(col("o_totalprice")).as("totalprice"))
       .limit(10)
 
   /** Q5 — distinct (shuffle dedup). */
@@ -114,7 +126,7 @@ object Relational {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
-      .withColumn("running_sum", sum(dec2(col("value"))).over(w).cast(D2))
+      .withColumn("running_sum", outD2(sum(dec2(col("value"))).over(w)))
       .select("user_id", "event_id", "running_sum")
       .orderBy("user_id", "event_id")
   }
@@ -125,7 +137,7 @@ object Relational {
     Tables.orders(s, dir)
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("rn"), col("o_orderkey"), dec2(col("o_totalprice")).as("totalprice"))
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), outD2(col("o_totalprice")).as("totalprice"))
       .orderBy("o_custkey", "rn")
   }
 
@@ -135,7 +147,7 @@ object Relational {
   def q11WindowGlobal(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), outD2(sum(dec2(col("value")))).as("sum_value"))
       .select(unix_micros(col("window.start")).as("w_start"), col("n_events"), col("sum_value"))
       .orderBy("w_start")
 
@@ -144,7 +156,7 @@ object Relational {
   def q12WindowKeyed(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"), window(col("ts"), "1 hour"))
-      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), outD2(sum(dec2(col("value")))).as("sum_value"))
       .select(
         unix_micros(col("window.start")).as("w_start"),
         unix_micros(col("window.end")).as("w_end"),
@@ -160,7 +172,7 @@ object Relational {
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("win_id", expr("(rn - 1) div 2"))
       .groupBy("user_id", "win_id")
-      .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), outD2(sum(dec2(col("value")))).as("sum_value"))
       .filter(col("n") === 2)
       .orderBy("user_id", "win_id")
   }
@@ -179,7 +191,8 @@ object Relational {
       Tables.events(s, dir),
       key = "user_id", tsMicros = unix_micros(col("ts")), orderCol = "event_id",
       value = col("value"), ttlMicros = TtlMicros)
-      .select("event_id", "user_id", "session_id", "running_value")
+      .select(col("event_id"), col("user_id"), col("session_id"),
+        col("running_value").cast("double").as("running_value"))
       .orderBy("user_id", "event_id")
 
   /** Q15 — ROLLUP (grouping sets hierarchy); NULL subtotal labels
@@ -187,7 +200,7 @@ object Relational {
   def q15Rollup(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .rollup("l_returnflag", "l_linestatus")
-      .agg(sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(outD2(sum(dec2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -206,7 +219,7 @@ object Relational {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         (col("p_size") % 7).cast("long").as("size_mod"),
         when(col("p_retailprice") > 1500, "hi").otherwise("lo").as("price_band"),
-        dec2(col("p_retailprice")).as("retail"))
+        outD2(col("p_retailprice")).as("retail"))
       .orderBy("p_partkey")
 
   /** Q17 — conditional aggregation / manual pivot per user. */
@@ -217,8 +230,8 @@ object Relational {
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
-        sum(when(col("event_type") === "purchase", dec2(col("value"))).otherwise(lit(0).cast(D2)))
-          .cast(D2).as("purchase_value"))
+        outD2(sum(when(col("event_type") === "purchase", dec2(col("value"))).otherwise(lit(0).cast(D2))))
+          .as("purchase_value"))
       .orderBy("user_id")
 
   /** Q18 — date/time extraction + agg over orders. */
@@ -227,7 +240,7 @@ object Relational {
       .groupBy(
         year(col("o_orderdate")).cast("long").as("y"),
         month(col("o_orderdate")).cast("long").as("m"))
-      .agg(count(lit(1)).as("n_orders"), sum(dec2(col("o_totalprice"))).cast(D2).as("sum_price"))
+      .agg(count(lit(1)).as("n_orders"), outD2(sum(dec2(col("o_totalprice")))).as("sum_price"))
       .orderBy("y", "m")
 
   /** Q19 — as-of join composed from built-ins (SURVEY §7 preference (a)):
@@ -239,8 +252,14 @@ object Relational {
     val ev = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // RANGE frame on us alone, upper bound -1: only strictly-earlier rows
+    // are visible, matching ASOF JOIN's p.us > c.cus. (A ROWS frame over
+    // (us, event_id) would admit a click at the *same* microsecond with a
+    // lower event_id — a real risk given the ns→µs truncation in
+    // Tables.events.) Ties among visible clicks are harmless: the value
+    // carried is `us` itself, identical across tied rows.
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(Window.unboundedPreceding, -1)
     ev.withColumn("last_click_us",
         last(when(col("event_type") === "click", col("us")), ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase" && col("last_click_us").isNotNull)
@@ -255,7 +274,7 @@ object Relational {
     s.sql(
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          |  coalesce(l_linestatus, 'ALL') AS linestatus,
-         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty, count(*) AS n
+         |  CAST(CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS DOUBLE) AS sum_qty, count(*) AS n
          |FROM graft_lineitem_gs
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
          |ORDER BY returnflag, linestatus""".stripMargin)
@@ -268,7 +287,7 @@ object Relational {
   def q21SessionWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), outD2(sum(dec2(col("value")))).as("sum_value"))
       .select(
         col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
@@ -281,7 +300,7 @@ object Relational {
   def q22SlidingWindow(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-      .agg(count(lit(1)).as("n_events"), sum(dec2(col("value"))).cast(D2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), outD2(sum(dec2(col("value")))).as("sum_value"))
       .select(unix_micros(col("window.start")).as("w_start"), col("n_events"), col("sum_value"))
       .orderBy("w_start")
 
@@ -330,8 +349,8 @@ object Relational {
     Tables.orders(s, dir).createOrReplaceTempView("graft_orders_sq")
     s.sql(
       """SELECT c_custkey, c_mktsegment,
-        |  CAST((SELECT max(o_totalprice) FROM graft_orders_sq WHERE o_custkey = c_custkey)
-        |       AS DECIMAL(18,2)) AS max_order
+        |  CAST(CAST((SELECT max(o_totalprice) FROM graft_orders_sq WHERE o_custkey = c_custkey)
+        |       AS DECIMAL(18,2)) AS DOUBLE) AS max_order
         |FROM graft_customer_sq
         |ORDER BY c_custkey""".stripMargin)
   }
@@ -340,7 +359,7 @@ object Relational {
   def q26Cube(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .cube("l_returnflag", "l_linestatus")
-      .agg(sum(dec2(col("l_quantity"))).cast(D2).as("sum_qty"), count(lit(1)).as("n"))
+      .agg(outD2(sum(dec2(col("l_quantity")))).as("sum_qty"), count(lit(1)).as("n"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -359,7 +378,7 @@ object Relational {
         values = Array(col("size"), col("retailprice")),
         variableColumnName = "measure",
         valueColumnName = "value")
-      .select(col("p_partkey"), col("measure"), col("value").cast("decimal(18,2)").as("value"))
+      .select(col("p_partkey"), col("measure"), outD2(col("value")).as("value"))
       .orderBy("p_partkey", "measure")
 
   /** Q28 — exact interpolated percentiles (median + quartiles): Spark's

@@ -20,20 +20,20 @@ object RelationalOracles {
   val all: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS $D2)) AS $D2) AS sum_base_price,
-         |  CAST(sum($discPrice) AS $D4) AS sum_disc_price,
+         |  CAST(CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS DOUBLE) AS sum_qty,
+         |  CAST(CAST(sum(CAST(l_extendedprice AS $D2)) AS $D2) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(sum($discPrice) AS $D4) AS DOUBLE) AS sum_disc_price,
          |  count(*) AS count_order
          |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q2_filter_project" ->
-      s"""SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS $D2) AS price, l_returnflag
+      s"""SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS $D2) AS DOUBLE) AS price, l_returnflag
          |FROM lineitem
          |WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 10
          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q3_join_agg" ->
-      s"""SELECT n_name, CAST(sum($discPrice) AS $D4) AS revenue, count(*) AS n_items
+      s"""SELECT n_name, CAST(CAST(sum($discPrice) AS $D4) AS DOUBLE) AS revenue, count(*) AS n_items
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -41,7 +41,7 @@ object RelationalOracles {
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q4_sort_limit" ->
-      s"""SELECT o_orderkey, CAST(o_totalprice AS $D2) AS totalprice
+      s"""SELECT o_orderkey, CAST(CAST(o_totalprice AS $D2) AS DOUBLE) AS totalprice
          |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
 
     "q5_distinct" ->
@@ -70,30 +70,30 @@ object RelationalOracles {
 
     "q9_running_sum" ->
       s"""SELECT user_id, event_id,
-         |  CAST(sum(CAST(value AS $D2)) OVER
-         |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS $D2) AS running_sum
+         |  CAST(CAST(sum(CAST(value AS $D2)) OVER
+         |    (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS $D2) AS DOUBLE) AS running_sum
          |FROM events ORDER BY user_id, event_id""".stripMargin,
 
     "q10_rank_topn" ->
       s"""SELECT o_custkey, rn, o_orderkey, totalprice FROM (
-         |  SELECT o_custkey, o_orderkey, CAST(o_totalprice AS $D2) AS totalprice,
+         |  SELECT o_custkey, o_orderkey, CAST(CAST(o_totalprice AS $D2) AS DOUBLE) AS totalprice,
          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
          |  FROM orders) t
          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
     "q11_window_global" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS w_start,
-         |  count(*) AS n_events, CAST(sum(CAST(value AS $D2)) AS $D2) AS sum_value
+         |  count(*) AS n_events, CAST(CAST(sum(CAST(value AS $D2)) AS $D2) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1 ORDER BY w_start""".stripMargin,
 
     "q12_window_keyed" ->
       s"""SELECT epoch_us(date_trunc('hour', ts)) AS w_start,
          |  epoch_us(date_trunc('hour', ts)) + 3600000000 AS w_end,
-         |  event_type, count(*) AS n_events, CAST(sum(CAST(value AS $D2)) AS $D2) AS sum_value
+         |  event_type, count(*) AS n_events, CAST(CAST(sum(CAST(value AS $D2)) AS $D2) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type""".stripMargin,
 
     "q13_count_window" ->
-      s"""SELECT user_id, win_id, count(*) AS n, CAST(sum(v) AS $D2) AS sum_value FROM (
+      s"""SELECT user_id, win_id, count(*) AS n, CAST(CAST(sum(v) AS $D2) AS DOUBLE) AS sum_value FROM (
          |  SELECT user_id, CAST(value AS $D2) AS v,
          |    (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 2 AS win_id
          |  FROM events) t
@@ -112,14 +112,14 @@ object RelationalOracles {
          |  SELECT event_id, user_id, us, v,
          |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
          |  FROM e)
-         |SELECT event_id, user_id, session_id,
-         |  CAST(sum(v) OVER (PARTITION BY user_id, session_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS $D2) AS running_value
+         |SELECT event_id, user_id, CAST(session_id AS BIGINT) AS session_id,
+         |  CAST(CAST(sum(v) OVER (PARTITION BY user_id, session_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS $D2) AS DOUBLE) AS running_value
          |FROM sess ORDER BY user_id, event_id""".stripMargin,
 
     "q15_rollup" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          |  coalesce(l_linestatus, 'ALL') AS linestatus,
-         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty, count(*) AS n
+         |  CAST(CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS DOUBLE) AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
 
@@ -129,20 +129,20 @@ object RelationalOracles {
          |  concat_ws('|', p_brand, p_type) AS brand_type,
          |  CAST(p_size % 7 AS BIGINT) AS size_mod,
          |  CASE WHEN p_retailprice > 1500 THEN 'hi' ELSE 'lo' END AS price_band,
-         |  CAST(p_retailprice AS $D2) AS retail
+         |  CAST(CAST(p_retailprice AS $D2) AS DOUBLE) AS retail
          |FROM part ORDER BY p_partkey""".stripMargin,
 
     "q17_conditional_agg" ->
       s"""SELECT user_id,
-         |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS $D2) ELSE CAST(0 AS $D2) END) AS $D2) AS purchase_value
+         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |  CAST(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS $D2) ELSE CAST(0 AS $D2) END) AS $D2) AS DOUBLE) AS purchase_value
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q18_date_agg" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m,
-         |  count(*) AS n_orders, CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS sum_price
+         |  count(*) AS n_orders, CAST(CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS DOUBLE) AS sum_price
          |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
 
     "q19_asof_join" ->
@@ -155,7 +155,7 @@ object RelationalOracles {
     "q20_grouping_sets" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          |  coalesce(l_linestatus, 'ALL') AS linestatus,
-         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty, count(*) AS n
+         |  CAST(CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS DOUBLE) AS sum_qty, count(*) AS n
          |FROM lineitem
          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))
          |ORDER BY returnflag, linestatus""".stripMargin,
@@ -174,7 +174,7 @@ object RelationalOracles {
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM e)
         |SELECT user_id, min(us) AS session_start_us, count(*) AS n_events,
-        |  CAST(sum(v) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(sum(v) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin,
 
@@ -185,7 +185,7 @@ object RelationalOracles {
          |  -- epoch-aligned windows, starts (us//slide - i)*slide, i=0..3
          |  SELECT ((us // 900000000) - i) * 900000000 AS w_start, v
          |  FROM e, range(4) t(i))
-         |SELECT w_start, count(*) AS n_events, CAST(sum(v) AS $D2) AS sum_value
+         |SELECT w_start, count(*) AS n_events, CAST(CAST(sum(v) AS $D2) AS DOUBLE) AS sum_value
          |FROM w GROUP BY w_start ORDER BY w_start""".stripMargin,
 
     "q23_interval_join" ->
@@ -209,18 +209,18 @@ object RelationalOracles {
 
     "q25_scalar_subquery" ->
       s"""SELECT c_custkey, c_mktsegment,
-         |  CAST((SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS $D2) AS max_order
+         |  CAST(CAST((SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS $D2) AS DOUBLE) AS max_order
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q26_cube" ->
       s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
          |  coalesce(l_linestatus, 'ALL') AS linestatus,
-         |  CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS sum_qty, count(*) AS n
+         |  CAST(CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS DOUBLE) AS sum_qty, count(*) AS n
          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q27_unpivot" ->
-      s"""SELECT p_partkey, measure, CAST(value AS $D2) AS value FROM (
+      s"""SELECT p_partkey, measure, CAST(CAST(value AS $D2) AS DOUBLE) AS value FROM (
          |  SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
          |  UNION ALL
          |  SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part) u

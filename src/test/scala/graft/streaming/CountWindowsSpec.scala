@@ -77,7 +77,7 @@ class CountWindowsSpec extends SparkTestBase {
       val streaming = Sinks.collected[(Long, Long)](spark, "cw_vs_batch")
         .sorted
       val batch = Relational.q13CountWindow(spark, sf0001)
-        .select(col("user_id"), (col("sum_value") * 100).cast("long"))
+        .select(col("user_id"), round(col("sum_value") * 100).cast("long"))
         .as[(Long, Long)].collect().toSeq.sorted
       assert(streaming == batch, s"sizes ${streaming.size} vs ${batch.size}; " +
         s"first diff: ${streaming.zip(batch).find(p => p._1 != p._2)}")

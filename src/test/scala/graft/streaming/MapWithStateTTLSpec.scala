@@ -89,7 +89,7 @@ class MapWithStateTTLSpec extends SparkTestBase {
         .map { case (eventId, _, cents) => eventId -> cents }.toMap
 
       val batch = Relational.q14MapWithStateTtl(spark, sf0001)
-        .select(col("event_id"), (col("running_value") * 100).cast("long"))
+        .select(col("event_id"), round(col("running_value") * 100).cast("long"))
         .as[(Long, Long)].collect().toMap
 
       assert(streaming.size == batch.size, s"${streaming.size} streaming rows vs ${batch.size} batch rows")

@@ -53,7 +53,7 @@ class RunningReduceSpec extends SparkTestBase {
       val streaming = Sinks.collected[(Long, (Long, Long))](spark, "rr_vs_batch")
         .map { case (_, (eventId, cents)) => eventId -> cents }.toMap
       val batch = Relational.q9RunningSum(spark, sf0001)
-        .select(col("event_id"), (col("running_sum") * 100).cast("long"))
+        .select(col("event_id"), round(col("running_sum") * 100).cast("long"))
         .as[(Long, Long)].collect().toMap
       assert(streaming == batch,
         s"sizes ${streaming.size} vs ${batch.size}; sample diff: " +
