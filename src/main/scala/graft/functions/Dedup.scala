@@ -59,20 +59,34 @@ object Dedup {
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
 
-  /** Distinct (doc_id, shingle) pairs of the near-dup corpus. */
-  private def shingleSet(docs: DataFrame): DataFrame =
+  /** (doc_id, shingles) with the per-document DISTINCT shingle array —
+    * the one map-side pass every downstream consumer (sizes, signatures,
+    * hash pairs) derives from without re-tokenizing. */
+  private def withShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(array_distinct(shingles3(tokens(col("text"))))).as("s"))
+      array_distinct(shingles3(tokens(col("text")))).as("shingles"))
 
-  /** Pairwise Jaccard ≥ threshold via shingle-equality join — the exact
-    * ground truth (quadratic in hot shingles; small-scale oracle only). */
-  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleSet(corpusWithNearDupes(s, dir)).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("p")
-      .join(sh.as("q"), col("p.s") === col("q.s") && col("p.doc_id") < col("q.doc_id"))
-      .groupBy(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+  /** Per-document distinct-shingle count — `size` of the array, no
+    * explode+groupBy shuffle. */
+  private def shingleSizes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+
+  /** Exploded (doc_id, h1, h2) md5 hash pairs — the 16-byte keys the
+    * pairwise-intersection join shuffles instead of full shingle strings
+    * (~2× less shuffle bytes; the oracle joins the identical keys, so any
+    * 128-bit collision — probability ~2^-64 per pair — is seen the same
+    * way by both engines and cannot cause a gate divergence). */
+  private def hashPairs(docs: DataFrame): DataFrame = {
+    import graft.functions.expressions.ShingleHashPairs
+    docs.select(col("doc_id"), explode(ShingleHashPairs(col("shingles"))).as("hp"))
+      .select(col("doc_id"), col("hp.h1").as("h1"), col("hp.h2").as("h2"))
+  }
+
+  /** Pairwise true-Jaccard of candidate (or all) document pairs from the
+    * shared shingle pass: intersection via the hash-pair equality join,
+    * sizes via array length. */
+  private def jaccardOfPairs(docs: DataFrame, inter: DataFrame): DataFrame = {
+    val sizes = shingleSizes(docs)
     inter
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -81,17 +95,32 @@ object Dedup {
           / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
       .filter(col("jacc") >= JaccardThreshold)
       .select("doc_a", "doc_b", "jacc")
+  }
+
+  private def intersections(hp: DataFrame): DataFrame =
+    hp.as("p")
+      .join(hp.as("q"),
+        col("p.h1") === col("q.h1") && col("p.h2") === col("q.h2")
+          && col("p.doc_id") < col("q.doc_id"))
+      .groupBy(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+  /** Pairwise Jaccard ≥ threshold via the hash-pair equality join — the
+    * exact ground truth (quadratic in hot shingles; small-scale oracle
+    * only — LSH below is the scale path). */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = withShingles(corpusWithNearDupes(s, dir)).cache()
+    jaccardOfPairs(docs, intersections(hashPairs(docs)))
       .orderBy("doc_a", "doc_b")
   }
 
-  /** MinHash signatures via the native sketch aggregate: one pass over the
-    * shingle hashes, no 64× explode (see MinHashAgg; the DuckDB oracle
-    * keeps the explode formulation — identical values). */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
-    import graft.functions.expressions.MinHashAgg
-    sh.withColumn("h", h32(col("s")))
-      .groupBy("doc_id")
-      .agg(MinHashAgg(col("h")).as("sig"))
+  /** MinHash signatures as a per-row native expression over the distinct
+    * shingle array — signatures are a pure per-document function, so no
+    * explode+groupBy shuffle exists in this path at all (see MinHash64;
+    * the DuckDB oracle keeps the explode formulation — identical values). */
+  private def minhashSigs(docs: DataFrame): DataFrame = {
+    import graft.functions.expressions.MinHash64
+    docs.select(col("doc_id"), MinHash64(col("shingles")).as("sig"))
   }
 
   /** LSH band buckets from a signature array: 16 bands of 4 rows; the band
@@ -107,7 +136,7 @@ object Dedup {
 
   /** LSH band buckets (exposed for inspection/tests). */
   def minhashBands(s: SparkSession, dir: String): DataFrame =
-    toBands(minhashSigs(shingleSet(corpusWithNearDupes(s, dir))))
+    toBands(minhashSigs(withShingles(corpusWithNearDupes(s, dir))))
       .orderBy("doc_id", "band")
 
   /** Verified near-dup pairs, memoized per (session, dir): the LSH
@@ -132,35 +161,23 @@ object Dedup {
 
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((s, dir), {
-      val sh = shingleSet(corpusWithNearDupes(s, dir)).cache()
-      val bands = toBands(minhashSigs(sh))
-      val pairs = buildPairs(sh, bands)
-      (sh, pairs)
-    })._2
-
-  private def buildPairs(sh: DataFrame, bands: DataFrame): DataFrame = {
+      val docs = withShingles(corpusWithNearDupes(s, dir)).cache()
+      val bands = toBands(minhashSigs(docs))
       val candidates = bands.as("x")
         .join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("p")
-        .join(sh.as("q"), col("p.s") === col("q.s") && col("p.doc_id") < col("q.doc_id"))
-        .groupBy(col("p.doc_id").as("doc_a"), col("q.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      candidates
-        .join(inter, Seq("doc_a", "doc_b"))
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .withColumn("jacc", round(
-          col("inter").cast("double")
-            / (col("sa.n") + col("sb.n") - col("inter")).cast("double"), 6))
-        .filter(col("jacc") >= JaccardThreshold)
-        .select("doc_a", "doc_b", "jacc")
+      // verification intersects only LSH candidates, but the hash-pair
+      // self-join computes all intersecting pairs anyway (hot-shingle
+      // quadratic — same shape as the oracle); the semi-join keeps it
+      // honest to the candidate set
+      val inter = intersections(hashPairs(docs))
+      val pairs = jaccardOfPairs(docs, candidates.join(inter, Seq("doc_a", "doc_b")))
         .cache()
-  }
+      (docs, pairs)
+    })._2
 
   /** Full MinHash-LSH near-dup pipeline: banded candidate pairs, verified
     * by true shingle Jaccard ≥ threshold. */
@@ -193,16 +210,15 @@ object Dedup {
 
   /** SimHash-64 signatures as (hi, lo) 32-bit halves: per bit, majority
     * vote of the shingle hashes' bits (h32 for the low half, h32b for the
-    * high half); ties vote 0. One pass via the native SimHashAgg sketch
-    * aggregate — no 64× row explosion, map-side partial merge (the DuckDB
-    * oracle keeps the explode formulation; results are identical). */
+    * high half); ties vote 0. Pure per-row expression (SimHash64): the
+    * signature depends only on the document's own shingles, so there is
+    * no explode, no aggregation, and no shuffle at all — a 100 TB corpus
+    * sketches at scan speed (the DuckDB oracle keeps the explode
+    * formulation; results are identical). */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.expressions.SimHashAgg
-    shingleSet(Tables.documents(s, dir).select("doc_id", "text"))
-      .withColumn("h1", h32(col("s")))
-      .withColumn("h2", h32b(col("s")))
-      .groupBy("doc_id")
-      .agg(SimHashAgg(col("h1"), col("h2")).as("sh"))
+    import graft.functions.expressions.SimHash64
+    withShingles(Tables.documents(s, dir).select("doc_id", "text"))
+      .select(col("doc_id"), SimHash64(col("shingles")).as("sh"))
       .select(col("doc_id"), col("sh.simhash_hi").as("simhash_hi"), col("sh.simhash_lo").as("simhash_lo"))
       .orderBy("doc_id")
   }

@@ -33,8 +33,15 @@ object Portable {
   /** Rolling polynomial fingerprint over the token stream:
     * fold h = (h*131 + h32(token)) mod 1e9+7 — order-sensitive, so equal
     * fingerprints mean equal token sequences (with hash-collision caveat).
-    * Left fold matches DuckDB's `list_reduce` exactly. */
+    * Left fold matches DuckDB's `list_reduce` exactly. Native expression;
+    * the HOF formulation below is kept as the cross-check for the spec. */
   def rollingFingerprint(toks: Column): Column =
+    expressions.RollingFingerprint(toks)
+
+  /** Interpreted HOF formulation of [[rollingFingerprint]] — value-
+    * identical (CustomExpressionsSpec asserts it), ~20× slower under
+    * memory pressure; exists only as the independent reference. */
+  def rollingFingerprintHof(toks: Column): Column =
     aggregate(
       transform(toks, t => h32(t)),
       lit(0L),

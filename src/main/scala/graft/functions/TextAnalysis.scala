@@ -30,7 +30,7 @@ object TextAnalysis {
   private val enStop = langMarkers.head._2
 
   private def hitCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t))).cast("long")
+    expressions.MarkerHits(toks, words)
 
   /** token + quality stats per document: exact counts and deterministic
     * ratio columns. */

@@ -35,12 +35,16 @@ object ExtensionOracles {
        |  SELECT DISTINCT doc_id, s FROM (
        |    SELECT doc_id, unnest($shingleExpr) AS s FROM tokd) u)""".stripMargin
 
+  // intersection join on (h32, h32b) md5 pairs, not shingle strings —
+  // mirrors the Spark side's 16-byte join keys (Dedup.hashPairs); both
+  // engines see any 128-bit collision identically
   private val sizesAndInter =
-    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      |inter AS (
-      |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS i
-      |  FROM sh p JOIN sh q ON p.s = q.s AND p.doc_id < q.doc_id
-      |  GROUP BY 1, 2)""".stripMargin
+    s"""sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |hp AS (SELECT doc_id, ${h32("s")} AS h1, ${h32b("s")} AS h2 FROM sh),
+       |inter AS (
+       |  SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, count(*) AS i
+       |  FROM hp p JOIN hp q ON p.h1 = q.h1 AND p.h2 = q.h2 AND p.doc_id < q.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   private def stopList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Portable, Similarity}
-import graft.functions.expressions.{CosineSimilarity, SimHashAgg}
+import graft.functions.expressions.{CosineSimilarity, MarkerHits, MinHash64,
+  MinHashAgg, RollingFingerprint, ShingleHashPairs, SimHash64, SimHashAgg}
 
 /** The native Catalyst expressions must be drop-in replacements for their
   * higher-order-function formulations: bit-identical values (the DuckDB
@@ -66,6 +67,89 @@ class CustomExpressionsSpec extends SparkTestBase {
       val bad = exploded.collectFirst { case (k, v) if native.get(k) != Some(v) => (k, v, native.get(k)) }
       s"simhash drift, e.g. $bad"
     })
+  }
+
+  test("RollingFingerprint == interpreted HOF fold on real documents") {
+    val d = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+    val diff = d.select(
+        RollingFingerprint(col("toks")).as("native"),
+        Portable.rollingFingerprintHof(col("toks")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0, s"$diff fingerprints differ between native and HOF fold")
+  }
+
+  test("SimHash64 per-row expression == SimHashAgg explode+groupBy pipeline") {
+    val base = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        array_distinct(Portable.shingles3(Portable.tokens(col("text")))).as("shingles"))
+      .cache()
+    val native = base
+      .select(col("doc_id"), SimHash64(col("shingles")).as("x"))
+      .select(col("doc_id"), col("x.simhash_hi"), col("x.simhash_lo"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val agg = base
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h1", Portable.h32(col("s")))
+      .withColumn("h2", Portable.h32b(col("s")))
+      .groupBy("doc_id").agg(SimHashAgg(col("h1"), col("h2")).as("x"))
+      .select(col("doc_id"), col("x.simhash_hi"), col("x.simhash_lo"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    base.unpersist()
+    assert(native == agg)
+  }
+
+  test("MinHash64 per-row expression == MinHashAgg explode+groupBy pipeline") {
+    val base = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        array_distinct(Portable.shingles3(Portable.tokens(col("text")))).as("shingles"))
+      .cache()
+    val native = base
+      .select(col("doc_id"), MinHash64(col("shingles")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val agg = base
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .withColumn("h", Portable.h32(col("s")))
+      .groupBy("doc_id").agg(MinHashAgg(col("h")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    base.unpersist()
+    assert(native == agg)
+  }
+
+  test("ShingleHashPairs == (h32, h32b) column pair") {
+    val d = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        array_distinct(Portable.shingles3(Portable.tokens(col("text")))).as("shingles"))
+    val fromExpr = d
+      .select(col("doc_id"), explode(ShingleHashPairs(col("shingles"))).as("hp"))
+      .select(col("doc_id"), col("hp.h1"), col("hp.h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromCols = d
+      .select(col("doc_id"), explode(col("shingles")).as("s"))
+      .select(col("doc_id"), Portable.h32(col("s")), Portable.h32b(col("s")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromExpr == fromCols)
+  }
+
+  test("MarkerHits == interpreted filter/array_contains count") {
+    val words = graft.functions.TextAnalysis.langMarkers.head._2
+    val d = Tables.documents(spark, sf0001)
+      .select(Portable.tokens(col("text")).as("toks"))
+    val diff = d.select(
+        MarkerHits(col("toks"), words).as("native"),
+        size(filter(col("toks"),
+          t => array_contains(array(words.map(lit): _*), t))).cast("long").as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("native type checks reject wrong input types") {
+    val e = intercept[Exception] {
+      Tables.embeddings(spark, sf0001)
+        .select(RollingFingerprint(col("embedding"))).collect()
+    }
+    assert(e.getMessage.contains("array<string>")
+      || e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
   }
 
   test("cosine_sim is SQL-callable once registered (GraftExtensions function builder)") {
