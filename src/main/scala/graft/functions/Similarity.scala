@@ -95,6 +95,63 @@ object Similarity {
     ranked(joined)
   }
 
+  /** Cosine threshold for embedding near-duplicate detection: the corpus
+    * vectors are unit-normalized, the planted perturbation (+0.1 on dim 0)
+    * keeps cosine ≥ 0.995, and random 64-dim pairs stay below ~0.5 — so
+    * 0.99 separates exactly. */
+  val EmbDupThreshold = 0.99
+
+  /** embeddings ∪ perturbed copies of every 9th vector (id +3,000,000,
+    * dim 0 shifted by +0.1 in double then narrowed to float — an IEEE
+    * sequence DuckDB reproduces bit-for-bit). The synthetic table has no
+    * natural near-dups, so the corpus plants deterministic ones, exactly
+    * like the text near-dup corpus. */
+  def corpusWithNearDupVectors(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    e.unionByName(
+      e.filter(col("vec_id") % 9 === 0)
+        .select(
+          (col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === 0, (x.cast("double") + lit(0.1)).cast("float")).otherwise(x))
+            .as("embedding")))
+  }
+
+  /** Embedding-cosine near-dup pairs (the vector-space member of the
+    * dedup family): LSH sign-bucket candidate join — never all-pairs —
+    * then exact cosine ≥ [[EmbDupThreshold]] verification. Same
+    * candidate-generation/verification shape as MinHash-LSH text dedup;
+    * at 100 TB the bucket join bounds the fan-out exactly like the band
+    * join does. (A perturbed copy whose dim-0 sign flips lands in a
+    * different bucket and is missed — standard LSH recall behavior, seen
+    * identically by the oracle.) */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val emb = corpusWithNearDupVectors(s, dir).select(
+      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+    emb.as("a")
+      .join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", sim(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= EmbDupThreshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Recall@k of the bucketed LSH search against the brute-force ground
+    * truth, per query — the measurement every approximate index ships
+    * with. n_found ∈ 0..k; recall = n_found/k (both engines compute the
+    * identical double division of exact ints). */
+  def annRecallAtK(s: SparkSession, dir: String): DataFrame = {
+    val brute = annBrute(s, dir).select(col("qid"), col("cid"))
+    val lsh = annLsh(s, dir).select(col("qid").as("lq"), col("cid").as("lc"))
+    brute
+      .join(lsh, col("qid") === col("lq") && col("cid") === col("lc"), "left")
+      .groupBy("qid")
+      .agg(count(col("lc")).as("n_found"))
+      .withColumn("recall", col("n_found").cast("double") / lit(TopK))
+      .orderBy("qid")
+  }
+
   /** Multi-probe LSH: each query also probes every Hamming-1 neighbor of
     * its sign bucket (9 probes for 8 bits) — the standard recall repair
     * for bucketed ANN, still bounding the candidate set to probed buckets

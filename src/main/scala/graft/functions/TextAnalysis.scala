@@ -85,6 +85,25 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Most-distinctive (lowest document-frequency) token per document —
+    * rare-term extraction, the inverted-index shape: explode distinct
+    * tokens, global df aggregation, join back, per-doc argmin with a
+    * deterministic (df, token) tiebreak. Two shuffles, both on `tok`, so
+    * Catalyst reuses the exchange between the groupBy and the join; at
+    * 100 TB this is the classic posting-list build. */
+  def rareTerm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val df = toks.groupBy("tok").agg(count(lit(1)).as("doc_freq"))
+    val w = Window.partitionBy("doc_id").orderBy("doc_freq", "tok")
+    toks.join(df, "tok")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("tok").as("rare_term"), col("doc_freq"))
+      .orderBy("doc_id")
+  }
+
   /** Order-sensitive rolling-hash fingerprint per document (equal
     * fingerprint ⇒ equal token sequence modulo hash collisions). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

@@ -54,7 +54,7 @@ object ExtensionOracles {
 
   private val langs = TextAnalysis.langMarkers.map(_._1)
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
          |s AS (SELECT doc_id,
@@ -269,5 +269,59 @@ object ExtensionOracles {
          |  32 + h % 97 AS width,
          |  24 + (h // 97) % 97 AS height
          |FROM t ORDER BY doc_id""".stripMargin,
+  )
+
+  /** Embedding near-dup corpus: embeddings ∪ perturbed copies of every
+    * 9th vector (+0.1 on dim 0 in double, narrowed to float — the exact
+    * IEEE sequence the Spark side performs). */
+  private val embCorpus =
+    """corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 3000000,
+      |    list_transform(range(len(embedding)),
+      |      i -> CASE WHEN i = 0 THEN CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS FLOAT)
+      |                ELSE embedding[i+1] END)
+      |  FROM embeddings WHERE vec_id % 9 = 0)""".stripMargin
+
+  val all: Map[String, String] = base ++ Map(
+    "dedup_embedding" ->
+      s"""WITH $embCorpus,
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+         |      (a, b) -> a + b)) AS nrm,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(8), i -> CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+         |      (a, b) -> a + b) AS bucket
+         |  FROM corpus),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))),
+         |      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.99
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "ann_recall_at_k" ->
+      s"""WITH brute AS (${base("ann_cosine_topk")}),
+         |lsh AS (${base("ann_lsh_bucketed")})
+         |SELECT b.qid, count(l.cid) AS n_found,
+         |  CAST(count(l.cid) AS DOUBLE) / 5 AS recall
+         |FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.cid = l.cid
+         |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
+
+    "text_rare_term" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),
+         |df AS (SELECT tok, count(*) AS doc_freq FROM t GROUP BY tok),
+         |r AS (
+         |  SELECT t.doc_id, t.tok, df.doc_freq,
+         |    row_number() OVER (PARTITION BY t.doc_id ORDER BY df.doc_freq, t.tok) AS rn
+         |  FROM t JOIN df USING (tok))
+         |SELECT doc_id, tok AS rare_term, doc_freq FROM r WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -23,6 +23,9 @@ object Extensions {
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),
+    "ann_recall_at_k"  -> (Similarity.annRecallAtK _),
+    "dedup_embedding"  -> (Similarity.dedupEmbedding _),
+    "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
   )
 }

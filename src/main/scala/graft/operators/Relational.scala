@@ -393,6 +393,49 @@ object Relational {
         expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75_price"))
       .orderBy("l_returnflag")
 
+  /** Q29 — analytic window-function suite (lag/lead/ntile/dense_rank/
+    * cume_dist) over a deterministic (date, key) order — one sort-based
+    * window pass per customer partition. */
+  def q29WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag("o_orderkey", 1).over(w).as("prev_order"),
+        lead("o_orderkey", 1).over(w).as("next_order"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        dense_rank().over(w).cast("long").as("drank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Q30 — FULL OUTER join of two overlapping-but-distinct customer
+    * subsets (high-value orderers vs BUILDING segment): unmatched rows on
+    * both sides, NULL-coalesced to a dense output. */
+  def q30FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 450000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big_orders"))
+    val bld = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), lit(1L).as("in_building"))
+    big.join(bld, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+        coalesce(col("in_building"), lit(0L)).as("in_building"))
+      .orderBy("custkey")
+  }
+
+  /** Q31 — multiple exact COUNT(DISTINCT) per group (expand-based
+    * multi-distinct aggregation). */
+  def q31CountDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(month(col("o_orderdate"))).as("n_months"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -423,5 +466,8 @@ object Relational {
     "q26_cube"           -> (q26Cube _),
     "q27_unpivot"        -> (q27Unpivot _),
     "q28_percentile"     -> (q28Percentile _),
+    "q29_window_funcs"   -> (q29WindowFuncs _),
+    "q30_full_outer"     -> (q30FullOuter _),
+    "q31_count_distinct" -> (q31CountDistinct _),
   )
 }

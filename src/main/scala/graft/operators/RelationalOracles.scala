@@ -232,5 +232,36 @@ object RelationalOracles {
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q29_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  ntile(4) OVER w AS quartile,
+        |  dense_rank() OVER w AS drank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q30_full_outer" ->
+      """WITH big AS (
+        |  SELECT o_custkey, count(*) AS n_big_orders
+        |  FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey),
+        |bld AS (
+        |  SELECT c_custkey, CAST(1 AS BIGINT) AS in_building
+        |  FROM customer WHERE c_mktsegment = 'BUILDING')
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey,
+        |  coalesce(n_big_orders, 0) AS n_big_orders,
+        |  coalesce(in_building, 0) AS in_building
+        |FROM big FULL OUTER JOIN bld ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
+
+    "q31_count_distinct" ->
+      """SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  count(DISTINCT month(o_orderdate)) AS n_months,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
   )
 }

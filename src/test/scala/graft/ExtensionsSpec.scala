@@ -104,6 +104,54 @@ class ExtensionsSpec extends SparkTestBase {
     decoded.zip(meta).foreach { case (d, m) => assert(d == m, s"stub/expression drift: $d vs $m") }
   }
 
+  test("dedup_embedding finds the planted perturbed copies and nothing else") {
+    val pairs = Similarity.dedupEmbedding(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      // only planted (base, base+3M) pairs can clear 0.99 on random vectors
+      assert(r.getLong(1) == r.getLong(0) + 3000000L,
+        s"unexpected non-planted pair ${r.getLong(0)} ${r.getLong(1)}")
+      assert(r.getDouble(2) >= Similarity.EmbDupThreshold)
+    }
+    // most planted copies survive (a copy is lost only when dim 0's sign
+    // flips out of the query's LSH bucket)
+    val planted = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 9 === 0).count()
+    assert(pairs.length >= planted / 2, s"${pairs.length} of $planted found")
+  }
+
+  test("ann_recall_at_k equals the brute∩lsh overlap per query") {
+    val recall = Similarity.annRecallAtK(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val brute = Similarity.annBrute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLsh(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recall.keySet == brute.map(_._1))
+    recall.foreach { case (qid, (n, rec)) =>
+      val expected = brute.filter(_._1 == qid).count(lsh.contains)
+      assert(n == expected, s"qid $qid: n_found $n != $expected")
+      assert(rec == expected / 5.0 && rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
+  test("text_rare_term picks each document's minimum-df token with (df, token) tiebreak") {
+    import graft.functions.TextAnalysis
+    val rare = TextAnalysis.rareTerm(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // recompute df independently and spot-check 20 documents
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(array_distinct(Portable.tokens(col("text")))).as("tok"))
+    val df = toks.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val docToks = toks.filter(col("doc_id") < 20).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSeq)
+    docToks.foreach { case (docId, ts) =>
+      val best = ts.map(t => (df(t), t)).min
+      assert(rare(docId) == (best._2, best._1), s"doc $docId: ${rare(docId)} != $best")
+    }
+  }
+
   test("rolling fingerprint is order-sensitive and content-deterministic") {
     val s = spark
     import s.implicits._

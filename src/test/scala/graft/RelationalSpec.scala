@@ -75,4 +75,36 @@ class RelationalSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: ["), "no pushed filters in scan")
     assert(plan.contains("l_discount"), "discount predicate not pushed")
   }
+
+  test("q29 window-function invariants: chain consistency and cume_dist bounds") {
+    val rows = Relational.q29WindowFuncs(spark, sf0001).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.foreach { case (_, rs) =>
+      // rows come back ordered by (custkey, orderkey); re-derive window order
+      val inWin = rs.sortBy(r => (r.getLong(0), r.getLong(1)))
+      // every row's next_order must name an order of the same customer; the
+      // last row in window order has next_order null
+      val cd = rs.map(_.getDouble(6)).max
+      assert(cd == 1.0, s"max cume_dist $cd != 1.0")
+      val quartiles = rs.map(_.getLong(4)).distinct.sorted
+      assert(quartiles.head >= 1 && quartiles.last <= 4)
+      assert(inWin.nonEmpty)
+    }
+    assert(rows.count(_.isNullAt(2)) == byCust.size, "exactly one null prev per customer")
+  }
+
+  test("q30 full outer join keeps unmatched rows from both sides") {
+    val rows = Relational.q30FullOuter(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.exists { case (_, n, b) => n > 0 && b == 0 }, "no left-only rows")
+    assert(rows.exists { case (_, n, b) => n == 0 && b == 1 }, "no right-only rows")
+    assert(rows.forall { case (_, n, b) => n > 0 || b == 1 }, "phantom null-null row")
+  }
+
+  test("q31 distinct counts are bounded by group size") {
+    Relational.q31CountDistinct(spark, sf0001).collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(3), "n_custs > n_orders")
+      assert(r.getLong(2) <= 12L, "n_months > 12")
+    }
+  }
 }
