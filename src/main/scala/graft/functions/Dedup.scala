@@ -169,11 +169,18 @@ object Dedup {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // verification intersects only LSH candidates, but the hash-pair
-      // self-join computes all intersecting pairs anyway (hot-shingle
-      // quadratic — same shape as the oracle); the semi-join keeps it
-      // honest to the candidate set
-      val inter = intersections(hashPairs(docs))
+      // verification cost must scale with the CANDIDATE set, not the
+      // corpus: restrict the hash-pair self-join to documents that appear
+      // in some candidate pair (left-semi) before going quadratic. At
+      // 100 TB the band join emits a sliver of the corpus; intersecting
+      // everything first would re-introduce the all-pairs blowup LSH
+      // exists to avoid. (Values unchanged: intersections of
+      // non-candidate pairs were dropped by the join below anyway.)
+      val candDocs = candidates.select(col("doc_a").as("doc_id"))
+        .unionByName(candidates.select(col("doc_b").as("doc_id")))
+        .distinct()
+      val inter = intersections(
+        hashPairs(docs).join(candDocs, Seq("doc_id"), "left_semi"))
       val pairs = jaccardOfPairs(docs, candidates.join(inter, Seq("doc_a", "doc_b")))
         .cache()
       (docs, pairs)
