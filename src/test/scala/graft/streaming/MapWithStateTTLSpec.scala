@@ -22,8 +22,10 @@ class MapWithStateTTLSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
 
     // generous ttl vs batch cadence (SURVEY §7.3: virtual-time control is
-    // impossible for ProcessingTimeTimeout; margins make it deterministic)
-    val ttl = 5.seconds
+    // impossible for ProcessingTimeTimeout; margins make it deterministic.
+    // 15 s ttl: a mis-eviction now needs a 15 s stall between consecutive
+    // micro-batches — observed flake at 5 s under concurrent-JVM load)
+    val ttl = 15.seconds
     val stream = MemoryStream[KV]
     val out = MapWithStateTTL.processingTime(
       stream.toDS(), ttl, defaultState = 0)(_.k) {
@@ -41,7 +43,7 @@ class MapWithStateTTLSpec extends SparkTestBase {
         .addElem(KV("a", 1)).addElem(KV("b", 2))
         .addGap(100.millis)
         .addElem(KV("a", 3))          // within ttl: a accumulates 1+3=4
-        .addGap(7.seconds)            // > ttl: both keys evicted
+        .addGap(20.seconds)           // > ttl: both keys evicted
         .addElem(KV("a", 5))          // fresh cycle: a restarts at 5
         .addElem(KV("b", 1))          // fresh cycle: b restarts at 1
         .playByCount(stream, spark, "ttl_trace")
