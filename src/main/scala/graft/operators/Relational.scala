@@ -381,17 +381,51 @@ object Relational {
       .select(col("p_partkey"), col("measure"), outD2(col("value")).as("value"))
       .orderBy("p_partkey", "measure")
 
-  /** Q28 — exact interpolated percentiles (median + quartiles): Spark's
-    * `percentile` and DuckDB's `quantile_cont` share the linear
-    * interpolation definition, verified value-exact by the gate. */
-  def q28Percentile(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_quantity, 0.5)").as("median_qty"),
-        expr("round(percentile(l_extendedprice, 0.25), 4)").as("p25_price"),
-        expr("round(percentile(l_extendedprice, 0.75), 4)").as("p75_price"))
+  /** Exact interpolated percentiles of one value column per group via
+    * sort + rank arithmetic: pos = (n−1)·q, answer = v_lo + (v_hi−v_lo)·
+    * frac over the floor/ceil rank rows. This is the 100 TB formulation:
+    * a window sort that spills like any other, where the built-in
+    * `percentile()` accumulates every distinct value of a group into one
+    * reducer's in-memory map. Interpolation matches `quantile_cont`
+    * (identical at frac 0/0.5; elsewhere compared under round-4). */
+  private def sortedPercentiles(
+      df: DataFrame, g: String, v: String, qs: Seq[(String, Double)]): DataFrame = {
+    val byG = Window.partitionBy(g)
+    val w = byG.orderBy(v)
+    val r = df
+      .withColumn("rn", (row_number().over(w) - 1).cast("double"))
+      .withColumn("n", count(lit(1)).over(byG).cast("double"))
+    val aggs = qs.flatMap { case (name, q) =>
+      val pos = (col("n") - 1) * lit(q)
+      Seq(
+        sum(when(col("rn") === floor(pos), col(v))).as(s"${name}_lo"),
+        sum(when(col("rn") === ceil(pos), col(v))).as(s"${name}_hi"),
+        max(pos - floor(pos)).as(s"${name}_frac"))
+    }
+    val folded = r.groupBy(g).agg(aggs.head, aggs.tail: _*)
+    qs.foldLeft(folded) { case (d, (name, _)) =>
+      d.withColumn(name,
+        col(s"${name}_lo") + (col(s"${name}_hi") - col(s"${name}_lo")) * col(s"${name}_frac"))
+    }.select(col(g) +: qs.map(q => col(q._1)): _*)
+  }
+
+  /** Q28 — exact interpolated percentiles (median + quartiles), computed
+    * sort-based (see [[sortedPercentiles]]) and value-matched against
+    * DuckDB's `quantile_cont`. */
+  def q28Percentile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val qty = sortedPercentiles(
+      li.select(col("l_returnflag"), col("l_quantity")),
+      "l_returnflag", "l_quantity", Seq(("median_qty", 0.5)))
+    val price = sortedPercentiles(
+      li.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", Seq(("p25", 0.25), ("p75", 0.75)))
+      .select(col("l_returnflag"),
+        round(col("p25"), 4).as("p25_price"), round(col("p75"), 4).as("p75_price"))
+    qty.join(price, "l_returnflag")
+      .select("l_returnflag", "median_qty", "p25_price", "p75_price")
       .orderBy("l_returnflag")
+  }
 
   /** Q29 — analytic window-function suite (lag/lead/ntile/dense_rank/
     * cume_dist) over a deterministic (date, key) order — one sort-based
