@@ -4,20 +4,35 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions._
 
 /** SparkSessionExtensions hook exposing graft's native expressions to SQL:
   *
   * {{{
   * SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
   * spark.sql("SELECT cosine_sim(a.embedding, b.embedding) FROM ...")
+  * spark.sql("SELECT simhash64(word_shingles(split(lower(text), '\\s+'))) FROM docs")
   * }}}
   *
   * (or `spark.sql.extensions=graft.plans.GraftExtensions`). The reference
   * has no SQL surface at all; this is the Spark-idiomatic way a library
   * ships operators into the SQL dialect without forking the parser.
+  * Every registered expression overrides `checkInputDataTypes`, so a
+  * wrong-typed SQL call is an analysis error, not silent garbage.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def unary(
+      e: SparkSessionExtensions, name: String, usage: String)(
+      build: Expression => Expression): Unit =
+    e.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(getClass.getName, null, name, usage, ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"$name requires exactly 1 argument, got ${exprs.length}")
+        build(exprs.head)
+      }))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
@@ -29,5 +44,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim requires exactly 2 arguments (array<float>, array<float>), got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    unary(e, "word_shingles",
+      "word_shingles(tokens) - word 3-gram shingles of a token array")(WordShingles(_))
+    unary(e, "simhash64",
+      "simhash64(shingles) - struct(simhash_hi, simhash_lo) SimHash-64 of a string array")(SimHash64(_))
+    unary(e, "minhash64",
+      "minhash64(shingles) - 64-lane MinHash signature of a string array")(MinHash64(_))
+    unary(e, "rolling_fingerprint",
+      "rolling_fingerprint(tokens) - order-sensitive md5 polynomial fold mod 1e9+7")(RollingFingerprint(_))
+    unary(e, "shingle_hash_pairs",
+      "shingle_hash_pairs(shingles) - array of (h32, h32b) md5 pairs")(ShingleHashPairs(_))
   }
 }

@@ -152,6 +152,35 @@ class CustomExpressionsSpec extends SparkTestBase {
       || e.getMessage.toLowerCase.contains("data type mismatch"), e.getMessage)
   }
 
+  test("GraftExtensions injects the full SQL function surface into a new session") {
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // same SparkContext, new session state with the extension applied —
+    // do NOT stop it (that would stop the shared context)
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    try {
+      assert(s2 ne prev)
+      Tables.documents(s2, sf0001).limit(50).createOrReplaceTempView("docs_ext")
+      val r = s2.sql(
+        """SELECT doc_id,
+          |  simhash64(word_shingles(split(lower(text), '\s+'))).simhash_lo AS lo,
+          |  minhash64(word_shingles(split(lower(text), '\s+')))[0] AS m0,
+          |  rolling_fingerprint(split(lower(text), '\s+')) AS fp,
+          |  size(shingle_hash_pairs(word_shingles(split(lower(text), '\s+')))) AS nh
+          |FROM docs_ext""".stripMargin).collect()
+      assert(r.length == 50 && r.forall(row => !row.anyNull))
+      // wrong-typed call is an analysis error, not silent garbage
+      val err = intercept[Exception](
+        s2.sql("SELECT rolling_fingerprint(doc_id) FROM docs_ext").collect())
+      assert(err.getMessage.toLowerCase.contains("array<string>")
+        || err.getMessage.toLowerCase.contains("data type mismatch"), err.getMessage)
+    } finally {
+      SparkSession.setActiveSession(prev); SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("cosine_sim is SQL-callable once registered (GraftExtensions function builder)") {
     // the shared test session predates withExtensions, so register through
     // the same builder the extension injects
