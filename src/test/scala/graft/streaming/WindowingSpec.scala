@@ -114,6 +114,40 @@ class WindowingSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming sliding windows over real events == batch q22 (closed windows)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val evs = graft.Tables.events(spark, sf0001)
+      .select(col("value").cast("int").as("v"), col("ts"))
+      .as[TsVal].collect()
+    val maxTs = evs.map(_.ts.getTime).max
+
+    val stream = MemoryStream[TsVal]
+    val agg = stream.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("ws"), col("n"))
+    val query = Sinks.toMemory(agg, "slide_events")
+    try {
+      stream.addData(evs.toIndexedSeq)
+      query.processAllAvailable()
+      // flush far past the data: every one of the 4 overlapping windows
+      // per event closes; the flush's own windows stay open
+      stream.addData(TsVal(0, new Timestamp(maxTs + 7200000)))
+      query.processAllAvailable()
+      val streaming = Sinks.collected[(Long, Long)](spark, "slide_events").toMap
+      val batch = graft.operators.Relational.q22SlidingWindow(spark, sf0001)
+        .select(col("w_start"), col("n_events"))
+        .as[(Long, Long)].collect().toMap
+      assert(streaming == batch,
+        s"${streaming.size} streaming windows vs ${batch.size} batch; " +
+          s"diff: ${batch.collectFirst { case (k, v) if streaming.get(k) != Some(v) => (k, v, streaming.get(k)) }}")
+    } finally query.stop()
+  }
+
   test("streaming windowed agg: watermark retains in-order data and drops too-late data") {
     val s = spark
     import s.implicits._
