@@ -121,6 +121,25 @@ object Multimodal {
     }
   }
 
+  /** Every-2nd-frame sampling over the synthesized media table through
+    * the real mapPartitions pipeline ([[sampleFrames]]), as a gate query:
+    * the DuckDB oracle recomputes the identical 256-byte slicing and
+    * rolling checksum character-wise (the corpus is pure ASCII, so byte
+    * positions == character positions). This pins the full plumbing —
+    * binary synthesis, partition-batched flatMap, frame schema — not
+    * just expression-level metadata. */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = mediaFromDocuments(s, dir).as[MediaRow]
+    sampleFrames(media, everyN = 2).toDF()
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("checksum"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Expression-level metadata + fake-decode features (oracle-checkable
     * twin of [[decodeFeatures]]). */
   def mediaMeta(s: SparkSession, dir: String): DataFrame =

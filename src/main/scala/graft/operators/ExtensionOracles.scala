@@ -313,6 +313,25 @@ object ExtensionOracles {
          |FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.cid = l.cid
          |GROUP BY b.qid ORDER BY b.qid""".stripMargin,
 
+    "multimodal_frames" ->
+      """WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, n,
+        |    unnest(list_filter(range(CAST(ceil(CAST(n AS DOUBLE) / 256) AS BIGINT)),
+        |                       i -> i % 2 = 0)) AS i
+        |  FROM t),
+        |fr AS (
+        |  SELECT doc_id, i AS frame_idx,
+        |    least(256, n - i*256) AS n_bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(least(256, n - i*256)),
+        |          j -> CAST(ord(substring(text, CAST(i*256 + j + 1 AS INT), 1)) AS BIGINT))),
+        |      (a, b) -> (a*31 + b) % 1000000007) AS checksum
+        |  FROM f)
+        |SELECT doc_id, frame_idx, n_bytes, checksum FROM fr
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     "text_rare_term" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),

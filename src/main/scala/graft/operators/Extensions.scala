@@ -27,5 +27,6 @@ object Extensions {
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
+    "multimodal_frames" -> (Multimodal.mediaFrames _),
   )
 }
