@@ -470,6 +470,23 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Q32 — the NATIVE as-of join operator (custom LogicalPlan + Strategy
+    * + merge-join SparkPlan, graft.plans.AsOfJoin): last view strictly
+    * before each purchase per user. Same semantic family as q19 but a
+    * whole-operator implementation — one hash shuffle per side declared
+    * via ClusteredDistribution, streaming O(1)-state per-partition
+    * merge — instead of a window-function composition. */
+  def q32AsofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("view_us"))
+    graft.plans.AsOfJoin.asof(p, v, "user_id", "v_user", "us", "view_us")
+      .select("event_id", "user_id", "us", "view_us")
+      .orderBy("user_id", "event_id")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -503,5 +520,6 @@ object Relational {
     "q29_window_funcs"   -> (q29WindowFuncs _),
     "q30_full_outer"     -> (q30FullOuter _),
     "q31_count_distinct" -> (q31CountDistinct _),
+    "q32_asof_native"    -> (q32AsofNative _),
   )
 }

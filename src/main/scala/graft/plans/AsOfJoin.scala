@@ -1,0 +1,156 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.classic.Strategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types.LongType
+
+/** Native as-of join through the full Catalyst stack (SURVEY §7 preference
+  * (c): custom LogicalPlan + Strategy + SparkPlan) — the whole-operator
+  * form of what q19 composes from window functions.
+  *
+  * Semantics: INNER as-of — for each left row, the right row with the
+  * same key and the greatest right-time STRICTLY LESS than the left
+  * time; left rows with no prior right row are dropped. Identical to
+  * DuckDB `ASOF JOIN ... ON l.key = r.key AND l.t > r.t`.
+  *
+  * Scale shape: the exec declares `ClusteredDistribution(key)` and
+  * per-partition `(key, time)` ordering as REQUIREMENTS and lets
+  * EnsureRequirements plan the exchanges/sorts — one hash shuffle per
+  * side, then a streaming per-partition merge with O(1) state (the
+  * current candidate row), never materializing a window buffer. That is
+  * exactly the plan a 1000-executor as-of over 100 TB wants, and the
+  * requirements compose with AQE like any built-in join.
+  */
+object AsOfJoin {
+
+  /** Logical node. `leftTime`/`rightTime` must be LongType (epoch micros
+    * convention used across graft); keys equi-compare. */
+  case class AsOfJoinPlan(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      leftKey: Expression,
+      rightKey: Expression,
+      leftTime: Expression,
+      rightTime: Expression)
+      extends BinaryNode {
+    override def output: Seq[Attribute] = left.output ++ right.output
+    override lazy val resolved: Boolean =
+      childrenResolved && Seq(leftKey, rightKey, leftTime, rightTime).forall(_.resolved)
+    override protected def withNewChildrenInternal(
+        newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Physical merge as-of join. Children arrive hash-clustered by key and
+    * sorted by (key, time) — guaranteed by the declared requirements. */
+  case class AsOfJoinExec(
+      leftKey: Expression,
+      rightKey: Expression,
+      leftTime: Expression,
+      rightTime: Expression,
+      left: SparkPlan,
+      right: SparkPlan)
+      extends BinaryExecNode {
+
+    override def output: Seq[Attribute] = left.output ++ right.output
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+    override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+    override def outputPartitioning: Partitioning = left.outputPartitioning
+
+    override def outputOrdering: Seq[SortOrder] =
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val lKey = BindReferences.bindReference(leftKey, left.output)
+      val rKey = BindReferences.bindReference(rightKey, right.output)
+      val lTime = BindReferences.bindReference(leftTime, left.output)
+      val rTime = BindReferences.bindReference(rightTime, right.output)
+      val outputAttrs = output
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val rBuf = rIter.buffered
+        val joined = new JoinedRow
+        val project = UnsafeProjection.create(outputAttrs, outputAttrs)
+        // O(1) merge state: the latest right row whose (key, time) has
+        // been passed by the left cursor, i.e. the as-of candidate
+        var candKey = 0L
+        var hasCand = false
+        var cand: InternalRow = null
+        lIter.flatMap { lRow =>
+          val lk = lKey.eval(lRow).asInstanceOf[Long]
+          val lt = lTime.eval(lRow).asInstanceOf[Long]
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rk = rKey.eval(head).asInstanceOf[Long]
+            val rt = rTime.eval(head).asInstanceOf[Long]
+            if (rk < lk || (rk == lk && rt < lt)) {
+              val consumed = rBuf.next()
+              if (rk == lk) { cand = consumed.copy(); candKey = rk; hasCand = true }
+            } else advancing = false
+          }
+          if (hasCand && candKey == lk) Iterator.single(project(joined(lRow, cand)))
+          else Iterator.empty
+        }
+      }
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Planner strategy mapping the logical node to the exec. Injected by
+    * [[GraftExtensions]]; [[asof]] also self-registers it via
+    * `experimental.extraStrategies` so the operator works in any session. */
+  object AsOfJoinStrategy extends Strategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      case _ => Nil
+    }
+  }
+
+  private def ensureStrategy(s: SparkSession): Unit =
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Public API: `AsOfJoin.asof(purchases, clicks, "user_id", "us")` —
+    * for each left row, append the matching right row (same key,
+    * greatest right time strictly before the left time); inner
+    * semantics. Key and time columns must be LongType and must not
+    * collide by name across the two sides. */
+  def asof(
+      left: DataFrame, right: DataFrame,
+      leftKeyCol: String, rightKeyCol: String,
+      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = ColumnShim.logicalPlan(left)
+    val rPlan = ColumnShim.logicalPlan(right)
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
+    val (lk, rk) = (attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol))
+    val (lt, rt) = (attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
+    require(Seq(lk, rk, lt, rt).forall(_.dataType == LongType),
+      "as-of key/time columns must be LongType (epoch micros convention)")
+    ColumnShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
+  }
+}

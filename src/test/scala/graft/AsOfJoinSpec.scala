@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.plans.AsOfJoin
+
+/** The native as-of join operator (custom LogicalPlan + Strategy +
+  * merge SparkPlan): semantics pinned against a tiny hand-computed case,
+  * the window-function formulation on real data, and the physical plan
+  * shape (AsOfJoinExec present, exactly one shuffle per side).
+  */
+class AsOfJoinSpec extends SparkTestBase {
+
+  test("strictly-earlier semantics on a hand-built case, incl. ties and no-match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, "p1"), // matches right t=5 (t=10 excluded: strict)
+      (1L, 3L, "p0"),  // no prior right row -> dropped
+      (2L, 50L, "p2"), // key 2 has no right rows at all -> dropped
+      (1L, 20L, "p3")  // matches t=12
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, 5L), (1L, 10L), (1L, 12L)
+    ).toDF("rk", "rt")
+    val got = AsOfJoin.asof(left, right, "k", "rk", "t", "rt")
+      .select("tag", "rt").as[(String, Long)].collect().toMap
+    assert(got == Map("p1" -> 5L, "p3" -> 12L), s"got $got")
+  }
+
+  test("native as-of == window-function formulation on real events (views before purchases)") {
+    val ev = Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val windowed = ev
+      .withColumn("last_view_us",
+        last(when(col("event_type") === "view", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" && col("last_view_us").isNotNull)
+      .select(col("event_id"), col("last_view_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val native = Relational.q32AsofNative(spark, sf0001)
+      .select(col("event_id"), col("view_us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == windowed,
+      s"${native.size} native vs ${windowed.size} windowed; diff: " +
+        windowed.collectFirst { case (k, v) if native.get(k) != Some(v) => (k, v, native.get(k)) })
+  }
+
+  test("physical plan: AsOfJoinExec with one hash exchange per side") {
+    val df = Relational.q32AsofNative(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan renders the node name with the Exec suffix stripped
+    assert(plan.contains("AsOfJoin "), s"native exec not planned:\n$plan")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges == 2, s"expected 2 hash exchanges (one per side), got $exchanges:\n$plan")
+  }
+}
