@@ -30,6 +30,30 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == Map("p1" -> 5L, "p3" -> 12L), s"got $got")
   }
 
+  test("empty right side yields empty result; empty left side too") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val emptyR = Seq.empty[(Long, Long)].toDF("rk", "rt")
+    assert(AsOfJoin.asof(left, emptyR, "k", "rk", "t", "rt").count() == 0)
+    val emptyL = Seq.empty[(Long, Long)].toDF("k", "t")
+    val right = Seq((1L, 5L)).toDF("rk", "rt")
+    assert(AsOfJoin.asof(emptyL, right, "k", "rk", "t", "rt").count() == 0)
+  }
+
+  test("many keys across partitions: per-key candidates never leak across keys") {
+    val s = spark
+    import s.implicits._
+    // 200 keys, left at t=100 and t=5; right rows at t=1, t=50, t=99 per
+    // key — every key's t=100 purchase must match ITS OWN t=99 row
+    val left = (0L until 200L).flatMap(k => Seq((k, 100L), (k, 5L))).toDF("k", "t")
+    val right = (0L until 200L).flatMap(k => Seq((k, 1L), (k, 50L), (k, 99L))).toDF("rk", "rt")
+    val got = AsOfJoin.asof(left, right, "k", "rk", "t", "rt")
+      .select("k", "t", "rt").as[(Long, Long, Long)].collect().toSet
+    val expected = (0L until 200L).flatMap(k => Seq((k, 100L, 99L), (k, 5L, 1L))).toSet
+    assert(got == expected, s"diff: ${(expected -- got).take(3)} missing, ${(got -- expected).take(3)} extra")
+  }
+
   test("native as-of == window-function formulation on real events (views before purchases)") {
     val ev = Tables.events(spark, sf0001)
       .filter(col("event_type").isin("view", "purchase"))
