@@ -152,6 +152,39 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Deterministic IVF centroid stride: vectors whose id divides by this
+    * form the coarse codebook (a deterministic stand-in for k-means —
+    * both engines derive the identical codebook from the data itself). */
+  val IvfCentroidStride = 53
+
+  /** IVF-style ANN (the mandate's alternative to LSH bucketing): a coarse
+    * codebook partitions the corpus into cells (every vector assigned to
+    * its nearest centroid by cosine, ties to the lowest centroid id);
+    * queries probe only their own cell (nprobe=1). At a billion vectors
+    * the assignment is the classic one-broadcast-join pass and search
+    * fan-out is bounded by cell population — the same shape FAISS-style
+    * IVF gives, minus the learned codebook (k-means is not
+    * cross-engine-reproducible; the deterministic codebook keeps the
+    * operator oracle-checkable while the join/rank skeleton is identical). */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val assignW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("csim", sim(col("embedding"), col("cv")))
+      .withColumn("arn", row_number().over(assignW))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val queries = assigned.filter(col("vec_id") < NQueryVectors)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell").as("qcell"))
+    val joined = assigned
+      .join(broadcast(queries), col("qcell") === col("cell") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("embedding").as("cv"))
+      .withColumn("sim", sim(col("qv"), col("cv")))
+    ranked(joined)
+  }
+
   /** Multi-probe LSH: each query also probes every Hamming-1 neighbor of
     * its sign bucket (9 probes for 8 bits) — the standard recall repair
     * for bucketed ANN, still bounding the candidate set to probed buckets

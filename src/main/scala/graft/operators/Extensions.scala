@@ -24,6 +24,7 @@ object Extensions {
     "ann_lsh_bucketed" -> (Similarity.annLsh _),
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),
     "ann_recall_at_k"  -> (Similarity.annRecallAtK _),
+    "ann_ivf"          -> (Similarity.annIvf _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),

@@ -487,6 +487,21 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Q33 — explicit salted join (SkewJoin.saltedInner): the skew-handling
+    * form for hot keys AQE can't see. The salt only routes rows — result
+    * multiplicity is untouched — so the oracle is the PLAIN join: the
+    * gate proves salting is semantically invisible. */
+  def q33SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val probe = Tables.orders(s, dir)
+      .select(col("o_custkey").as("custkey"), dec2(col("o_totalprice")).as("price"))
+    val build = Tables.customer(s, dir)
+      .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+    SkewJoin.saltedInner(probe, build, "custkey", buckets = 4)
+      .groupBy("c_mktsegment")
+      .agg(outD2(sum(col("price"))).as("sum_price"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -521,5 +536,6 @@ object Relational {
     "q30_full_outer"     -> (q30FullOuter _),
     "q31_count_distinct" -> (q31CountDistinct _),
     "q32_asof_native"    -> (q32AsofNative _),
+    "q33_salted_join"    -> (q33SaltedJoin _),
   )
 }

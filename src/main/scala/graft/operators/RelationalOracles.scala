@@ -270,5 +270,14 @@ object RelationalOracles {
         |SELECT p.event_id, p.user_id, p.us, v.view_us
         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.us > v.view_us
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    // the PLAIN join: proves the Spark side's salting is semantically
+    // invisible (salt only routes rows across reducers)
+    "q33_salted_join" ->
+      s"""SELECT c_mktsegment,
+         |  CAST(CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS DOUBLE) AS sum_price,
+         |  count(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }
