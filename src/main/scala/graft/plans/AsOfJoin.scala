@@ -126,9 +126,39 @@ object AsOfJoin {
     }
   }
 
-  private def ensureStrategy(s: SparkSession): Unit =
+  /** Optimizer rule: push filter conjuncts that reference only LEFT
+    * columns below the as-of join, so they reach the left scan
+    * (Catalyst's own PushPredicateThroughJoin doesn't know this node).
+    * Sound for inner as-of because each output row corresponds to
+    * exactly one left row — dropping left rows early never affects other
+    * rows' matches. RIGHT-side conjuncts must NOT push: removing right
+    * rows can promote an older row to as-of candidate and change
+    * results, the same reason filters don't push below the preserved
+    * side of an outer join. */
+  object PushFilterThroughAsOfJoin
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+      with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    import org.apache.spark.sql.catalyst.expressions.And
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case f @ Filter(cond, aj: AsOfJoinPlan) =>
+        val (push, keep) = splitConjunctivePredicates(cond)
+          .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+        if (push.isEmpty) f
+        else {
+          val pushed = aj.copy(left = Filter(push.reduce(And), aj.left))
+          keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+    }
+  }
+
+  private def ensureStrategy(s: SparkSession): Unit = {
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!s.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+  }
 
   /** Public API: `AsOfJoin.asof(purchases, clicks, "user_id", "us")` —
     * for each left row, append the matching right row (same key,

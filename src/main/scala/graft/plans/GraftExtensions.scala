@@ -35,6 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoin.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => AsOfJoin.PushFilterThroughAsOfJoin)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

@@ -74,6 +74,36 @@ class AsOfJoinSpec extends SparkTestBase {
         windowed.collectFirst { case (k, v) if native.get(k) != Some(v) => (k, v, native.get(k)) })
   }
 
+  test("optimizer rule pushes left-only filters below the as-of join; right filters stay") {
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("view_us"))
+    val joined = AsOfJoin.asof(p, v, "user_id", "v_user", "us", "view_us")
+
+    // left-side filter: must sit BELOW AsOfJoinPlan after optimization
+    val leftFiltered = joined.filter(col("event_id") % 2 === 0)
+    val opt = leftFiltered.queryExecution.optimizedPlan.toString
+    val joinLine = opt.linesIterator.indexWhere(_.contains("AsOfJoin"))
+    val filterLine = opt.linesIterator.indexWhere(l => l.contains("Filter") && l.contains("event_id"))
+    assert(joinLine >= 0 && filterLine > joinLine,
+      s"left filter not pushed below the join:\n$opt")
+    // and the filtered result equals filter-before-join semantics
+    val expected = AsOfJoin.asof(
+        p.filter(col("event_id") % 2 === 0), v, "user_id", "v_user", "us", "view_us")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(leftFiltered.collect().map(_.getLong(0)).sorted.toSeq == expected)
+
+    // right-side filter: must NOT be pushed (it would change candidates)
+    val rightFiltered = joined.filter(col("view_us") % 2 === 0)
+    val opt2 = rightFiltered.queryExecution.optimizedPlan.toString
+    val joinLine2 = opt2.linesIterator.indexWhere(_.contains("AsOfJoin"))
+    val filterLine2 = opt2.linesIterator.indexWhere(l => l.contains("Filter") && l.contains("view_us"))
+    assert(filterLine2 >= 0 && filterLine2 < joinLine2,
+      s"right filter was pushed below the join (unsound):\n$opt2")
+  }
+
   test("physical plan: AsOfJoinExec with one hash exchange per side") {
     val df = Relational.q32AsofNative(spark, sf0001)
     df.collect()
