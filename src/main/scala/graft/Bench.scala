@@ -68,7 +68,15 @@ object Bench {
       graft.functions.Dedup.dedupMinhash(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     })
-    val all = results :+ coldDedup
+    // Streaming line item: the FLAGSHIP operator (TTL-evicted keyed
+    // stateful map) timed end-to-end through Structured Streaming —
+    // every event of the SF pushed through MemoryStream →
+    // flatMapGroupsWithState(EventTimeTimeout) → memory sink. The
+    // reference never published throughput; this records ours per round.
+    val streamingTtl = "streaming_ttl_pipeline" ->
+      timeOnce("streaming_ttl_pipeline", () => StreamingBench.ttlPipeline(spark, sfDir))
+
+    val all = results :+ coldDedup :+ streamingTtl
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
