@@ -104,6 +104,19 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary head: top-k tokens by global term frequency (ties by
+    * token), with document frequency alongside — the vocabulary-building
+    * pass of a tokenizer pipeline. One shuffle on `tok` computes both
+    * aggregates; the top-k is a TakeOrdered, not a full sort. */
+  def topTerms(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    toks.groupBy("tok")
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(k)
+  }
+
   /** Order-sensitive rolling-hash fingerprint per document (equal
     * fingerprint ⇒ equal token sequence modulo hash collisions). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

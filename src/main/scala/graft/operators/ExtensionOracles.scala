@@ -363,6 +363,12 @@ object ExtensionOracles {
         |SELECT doc_id, frame_idx, n_bytes, checksum FROM fr
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    "text_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toks) AS tok FROM documents)
+         |SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS df
+         |FROM t GROUP BY tok
+         |ORDER BY freq DESC, tok ASC LIMIT 20""".stripMargin,
+
     "text_rare_term" ->
       s"""WITH t AS (
          |  SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM documents),

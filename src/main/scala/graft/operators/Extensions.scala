@@ -27,6 +27,7 @@ object Extensions {
     "ann_ivf"          -> (Similarity.annIvf _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
+    "text_top_terms"   -> ((s: SparkSession, dir: String) => TextAnalysis.topTerms(s, dir)),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> (Multimodal.mediaFrames _),
   )
