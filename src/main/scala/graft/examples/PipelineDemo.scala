@@ -1,0 +1,78 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{Dedup, TextAnalysis}
+
+/** End-to-end training-data curation pipeline — the composition story:
+  * every stage is one of the library's operators, chained as plain
+  * DataFrame transforms so Catalyst optimizes across stage boundaries
+  * (filters merge, column pruning reaches the scan, shared shuffles
+  * reuse).
+  *
+  *   raw documents
+  *     → quality gate   (TextAnalysis.textStats: alpha ratio, stopwords)
+  *     → language gate  (TextAnalysis.langId: keep detected English)
+  *     → exact dedup    (Dedup digest grouping: keep first copy)
+  *     → near-dup gate  (Dedup.dedupDropList: drop LSH-verified dupes)
+  *     → reproducible 10% sample (Dedup.sampleByHash)
+  *     → fingerprint    (TextAnalysis.fingerprint: provenance id)
+  *
+  * Run: sbt "runMain graft.examples.PipelineDemo [sfDir]"
+  */
+object PipelineDemo {
+
+  /** The curated corpus for `sfDir`, with per-stage counts. */
+  def curate(spark: SparkSession, sfDir: String): (DataFrame, Seq[(String, Long)]) = {
+    val raw = Tables.documents(spark, sfDir)
+
+    val quality = TextAnalysis.textStats(spark, sfDir)
+      .filter(col("alpha_ratio") >= 0.6 && col("n_tokens") >= 10)
+      .select("doc_id")
+    val english = TextAnalysis.langId(spark, sfDir)
+      .filter(col("detected_lang") === "en")
+      .select("doc_id")
+
+    val exactKeep = Dedup.dedupExact(spark, sfDir).select("doc_id")
+    val nearKeep = Dedup.dedupDropList(spark, sfDir)
+      .filter(col("action") === "keep").select("doc_id")
+
+    val sampled = Dedup.sampleByHash(spark, sfDir).select("doc_id")
+
+    val curated = raw
+      .join(quality, "doc_id")
+      .join(english, "doc_id")
+      .join(exactKeep, "doc_id")
+      .join(nearKeep, "doc_id")
+      .join(sampled, "doc_id")
+      .join(TextAnalysis.fingerprint(spark, sfDir).select("doc_id", "fingerprint"), "doc_id")
+      .select("doc_id", "lang", "source", "fingerprint", "text")
+
+    val counts = Seq(
+      "raw" -> raw.count(),
+      "quality" -> quality.count(),
+      "english" -> english.count(),
+      "exact_keep" -> exactKeep.count(),
+      "near_keep" -> nearKeep.count(),
+      "sampled_10pct" -> sampled.count(),
+      "curated" -> curated.count())
+    (curated, counts)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (curated, counts) = curate(spark, sfDir)
+    counts.foreach { case (stage, n) => println(f"$stage%-14s $n%7d") }
+    curated.show(5, truncate = 40)
+    spark.stop()
+  }
+}

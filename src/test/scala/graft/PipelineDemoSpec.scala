@@ -1,0 +1,28 @@
+package graft
+
+import graft.examples.PipelineDemo
+import graft.functions.Dedup
+
+/** The composed curation pipeline: stage gates only remove rows, the
+  * final corpus respects every gate, and the run is reproducible. */
+class PipelineDemoSpec extends SparkTestBase {
+
+  test("curation pipeline composes the operator gates consistently") {
+    val (curated, counts) = PipelineDemo.curate(spark, sf0001)
+    val m = counts.toMap
+    assert(m("curated") > 0, "pipeline curated nothing")
+    assert(m("curated") <= m("sampled_10pct"))
+    assert(m("curated") <= m("near_keep"))
+    assert(m("raw") == 500)
+
+    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val sampled = Dedup.sampleByHash(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(sampled), "curated docs outside the reproducible sample")
+
+    // deterministic: a second run produces the identical corpus
+    val (curated2, _) = PipelineDemo.curate(spark, sf0001)
+    val ids2 = curated2.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == ids2)
+  }
+}
