@@ -181,6 +181,9 @@ object AsOfJoin {
     val (lt, rt) = (attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
     require(Seq(lk, rk, lt, rt).forall(_.dataType == LongType),
       "as-of key/time columns must be LongType (epoch micros convention)")
+    val overlap = lPlan.output.map(_.name).toSet intersect rPlan.output.map(_.name).toSet
+    require(overlap.isEmpty,
+      s"as-of output keeps both sides' columns; rename the overlapping ones first: ${overlap.mkString(", ")}")
     ColumnShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
   }
 }
