@@ -152,12 +152,37 @@ object AsOfJoin {
     }
   }
 
+  /** Optimizer rule: column pruning through the as-of join. Catalyst's
+    * ColumnPruning doesn't know this node, so without the rule a
+    * `asof(fatLeft, fatRight, ...).select(two columns)` would shuffle
+    * every column of both sides. Projects each child down to the columns
+    * the parent Project references plus the join's own key/time
+    * attributes; fires only when it strictly shrinks a side. */
+  object PruneAsOfJoinColumns
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.AttributeSet
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case p @ Project(projectList, aj: AsOfJoinPlan) =>
+        val needed = AttributeSet(projectList.flatMap(_.references)) ++
+          AttributeSet(Seq(aj.leftKey, aj.rightKey, aj.leftTime, aj.rightTime)
+            .flatMap(_.references))
+        val newLeft = aj.left.output.filter(needed.contains)
+        val newRight = aj.right.output.filter(needed.contains)
+        if (newLeft.size == aj.left.output.size && newRight.size == aj.right.output.size) p
+        else p.copy(child = aj.copy(
+          left = if (newLeft.size == aj.left.output.size) aj.left else Project(newLeft, aj.left),
+          right = if (newRight.size == aj.right.output.size) aj.right else Project(newRight, aj.right)))
+    }
+  }
+
   private def ensureStrategy(s: SparkSession): Unit = {
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfJoinStrategy
-    if (!s.experimental.extraOptimizations.contains(PushFilterThroughAsOfJoin))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+    Seq(PushFilterThroughAsOfJoin, PruneAsOfJoinColumns).foreach { r =>
+      if (!s.experimental.extraOptimizations.contains(r))
+        s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ r
+    }
   }
 
   /** Public API: `AsOfJoin.asof(purchases, clicks, "user_id", "us")` —

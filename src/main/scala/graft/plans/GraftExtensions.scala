@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoin.AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AsOfJoin.PushFilterThroughAsOfJoin)
+    e.injectOptimizerRule(_ => AsOfJoin.PruneAsOfJoinColumns)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(

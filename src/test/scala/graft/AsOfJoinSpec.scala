@@ -104,6 +104,29 @@ class AsOfJoinSpec extends SparkTestBase {
       s"right filter was pushed below the join (unsound):\n$opt2")
   }
 
+  test("column pruning reaches both scans through the as-of join") {
+    val ev = Tables.events(spark, sf0001)
+    // deliberately fat sides: props and event_type come along
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("props"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("view_us"),
+        col("props").as("v_props"))
+    val slim = AsOfJoin.asof(p, v, "user_id", "v_user", "us", "view_us")
+      .select("event_id", "view_us")
+    slim.collect()
+    val plan = slim.queryExecution.executedPlan.toString
+    // neither props column may survive to either scan's ReadSchema
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("props"), s"props not pruned from scans:\n$plan")
+    // and values are unaffected by pruning
+    val expected = Relational.q32AsofNative(spark, sf0001)
+      .select(col("event_id"), col("view_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(slim.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
+  }
+
   test("physical plan: AsOfJoinExec with one hash exchange per side") {
     val df = Relational.q32AsofNative(spark, sf0001)
     df.collect()
