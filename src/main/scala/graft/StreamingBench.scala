@@ -32,10 +32,14 @@ object StreamingBench {
       .as[BEv].collect()
 
     val stream = MemoryStream[BEv]
+    // exact epoch µs: Timestamp.getTime is ms-truncated, sub-ms lives in
+    // getNanos — matches q14's unix_micros arithmetic exactly
+    def micros(ts: java.sql.Timestamp): Long =
+      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
     val out = MapWithStateTTL.eventTime(
       stream.toDS().withWatermark("ts", "0 seconds"),
       ttl = 30.minutes, defaultState = 0L)(
-      _.user_id, e => e.ts.getTime * 1000)(
+      _.user_id, e => micros(e.ts))(
       (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) })
     val sinkName = s"bench_ttl_${System.nanoTime()}"
     val query = out.writeStream.format("memory").queryName(sinkName)

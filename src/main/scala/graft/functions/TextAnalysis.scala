@@ -88,9 +88,10 @@ object TextAnalysis {
   /** Most-distinctive (lowest document-frequency) token per document —
     * rare-term extraction, the inverted-index shape: explode distinct
     * tokens, global df aggregation, join back, per-doc argmin with a
-    * deterministic (df, token) tiebreak. Two shuffles, both on `tok`, so
-    * Catalyst reuses the exchange between the groupBy and the join; at
-    * 100 TB this is the classic posting-list build. */
+    * deterministic (df, token) tiebreak. Three shuffles: the df groupBy
+    * and the join both hash on `tok` (Catalyst reuses that exchange), and
+    * the per-doc argmin window re-hashes on `doc_id`; at 100 TB this is
+    * the classic posting-list build. */
   def rareTerm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, dir)

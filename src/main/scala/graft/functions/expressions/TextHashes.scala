@@ -68,6 +68,9 @@ case class RollingFingerprint(child: Expression)
     extends UnaryExpression with CodegenFallback with RequiresStringArray {
 
   override def dataType: DataType = LongType
+  // a NULL array element nulls the whole fold, exactly like the HOF
+  // aggregate() formulation this replaces
+  override def nullable: Boolean = true
 
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
@@ -75,6 +78,7 @@ case class RollingFingerprint(child: Expression)
     var h = 0L
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val (h32, _) = Md5Hash.hashPair(arr.getUTF8String(i))
       h = (h * 131 + h32) % 1000000007L
       i += 1
@@ -112,12 +116,15 @@ case class SimHash64(child: Expression)
     StructField("simhash_hi", LongType, nullable = false),
     StructField("simhash_lo", LongType, nullable = false)))
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val (h1, h2) = Md5Hash.hashPair(arr.getUTF8String(i))
       var j = 0
       while (j < 32) {
@@ -167,12 +174,15 @@ case class MinHash64(child: Expression)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sig = Array.fill(Perms)(Mod)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val (h, _) = Md5Hash.hashPair(arr.getUTF8String(i))
       var j = 0
       while (j < Perms) {
@@ -208,12 +218,15 @@ case class ShingleHashPairs(child: Expression)
       StructField("h2", LongType, nullable = false))),
     containsNull = false)
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val out = new Array[Any](n)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val (h1, h2) = Md5Hash.hashPair(arr.getUTF8String(i))
       out(i) = InternalRow(h1, h2)
       i += 1
@@ -253,7 +266,9 @@ case class MarkerHits(child: Expression, words: Seq[String])
     var c = 0L
     var i = 0
     while (i < n) {
-      if (set.contains(arr.getUTF8String(i))) c += 1
+      // null elements don't count — same as the HOF filter() formulation,
+      // where array_contains(words, NULL) is NULL and filter drops the row
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
       i += 1
     }
     c

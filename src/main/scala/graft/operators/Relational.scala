@@ -392,7 +392,9 @@ object Relational {
       df: DataFrame, g: String, v: String, qs: Seq[(String, Double)]): DataFrame = {
     val byG = Window.partitionBy(g)
     val w = byG.orderBy(v)
-    val r = df
+    // percentile()/quantile_cont ignore NULLs; the rank arithmetic must
+    // therefore never see them (NULLs would rank first and shift pos)
+    val r = df.filter(col(v).isNotNull)
       .withColumn("rn", (row_number().over(w) - 1).cast("double"))
       .withColumn("n", count(lit(1)).over(byG).cast("double"))
     val aggs = qs.flatMap { case (name, q) =>

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
   UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
-  ClusteredDistribution, Distribution, Partitioning, PartitioningCollection}
+  ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types.LongType
@@ -194,10 +194,18 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
       leftTimeCol: String, rightTimeCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
     ensureStrategy(spark)
-    val lPlan = ColumnShim.logicalPlan(left)
-    val rPlan = ColumnShim.logicalPlan(right)
+    // NULL keys/times never match in as-of semantics (DuckDB ASOF emits
+    // nothing for them) — and the merge exec reads key/time as primitive
+    // longs, so nulls MUST be filtered here: a null would unbox to 0 and
+    // both fabricate matches against key 0 and break the sorted-merge
+    // invariant (NULLS FIRST ordering vs 0 in comparisons)
+    val lPlan = ColumnShim.logicalPlan(
+      left.filter(col(leftKeyCol).isNotNull && col(leftTimeCol).isNotNull))
+    val rPlan = ColumnShim.logicalPlan(
+      right.filter(col(rightKeyCol).isNotNull && col(rightTimeCol).isNotNull))
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

@@ -30,6 +30,29 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == Map("p1" -> 5L, "p3" -> 12L), s"got $got")
   }
 
+  test("NULL keys and times never match (and never corrupt the merge)") {
+    val s = spark
+    import s.implicits._
+    // negative keys after a null would read as key-decreasing (null→0)
+    // without the null filter — this data catches both the spurious-match
+    // and the broken-invariant failure modes
+    val left = Seq(
+      (Some(-5L), Some(10L), "neg"),
+      (Some(0L), Some(10L), "zero"),
+      (Option.empty[Long], Some(10L), "nullkey"),
+      (Some(1L), Option.empty[Long], "nulltime")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (Some(-5L), Some(1L)),
+      (Some(0L), Some(2L)),
+      (Option.empty[Long], Some(3L)),
+      (Some(0L), Option.empty[Long])
+    ).toDF("rk", "rt")
+    val got = AsOfJoin.asof(left, right, "k", "rk", "t", "rt")
+      .select("tag", "rt").as[(String, Long)].collect().toMap
+    assert(got == Map("neg" -> 1L, "zero" -> 2L), s"got $got")
+  }
+
   test("empty right side yields empty result; empty left side too") {
     val s = spark
     import s.implicits._
