@@ -118,6 +118,21 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Approximate vocabulary head via the SpaceSaving sketch aggregate —
+    * O(capacity) state per partial instead of the full-vocabulary
+    * shuffle of [[topTerms]]; the 100 TB form. No DuckDB oracle (sketch
+    * contents are merge-order-dependent); the frequency guarantee and
+    * count bounds are pinned against exact counts in TopKSketchSpec, and
+    * the driver records a rows-only check. */
+  def approxTopTerms(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    import graft.functions.expressions.TopKSketchAgg
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(TopKSketchAgg(col("tok"), capacity = 256, k = k).as("top"))
+      .selectExpr("inline(top)")
+      .orderBy(col("count_hi").desc, col("item").asc)
+  }
+
   /** Order-sensitive rolling-hash fingerprint per document (equal
     * fingerprint ⇒ equal token sequence modulo hash collisions). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =

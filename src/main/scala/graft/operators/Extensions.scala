@@ -28,6 +28,9 @@ object Extensions {
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "text_top_terms"   -> ((s: SparkSession, dir: String) => TextAnalysis.topTerms(s, dir)),
+    // sketch-based: no oracle (merge-order-dependent contents); driver
+    // records rows-only, guarantees pinned in TopKSketchSpec
+    "approx_top_terms" -> ((s: SparkSession, dir: String) => TextAnalysis.approxTopTerms(s, dir)),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> (Multimodal.mediaFrames _),
   )

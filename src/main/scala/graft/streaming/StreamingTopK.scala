@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.sketch.SpaceSaving
+
+/** Streaming frequent-items: a SpaceSaving sketch as keyed
+  * `GroupState`, re-emitting each group's current top-k snapshot every
+  * micro-batch (update semantics via Append of versioned snapshots).
+  *
+  * Parallel form: items are pre-hashed into `groups` substreams (the
+  * reference's `hashCode % parallelism` re-key trick, C13/C14); each
+  * group maintains an independent sketch, and a reader merges the final
+  * snapshots — the same partial/final split the batch aggregate
+  * (TopKSketchAgg) gets from Catalyst. State is O(capacity) per group,
+  * forever, no matter how many distinct items stream past — the
+  * bounded-state property that is this library's headline theme.
+  */
+object StreamingTopK {
+
+  case class Snapshot(group: Int, batch: Long, item: String, count_lo: Long, count_hi: Long)
+
+  /** items → per-group top-k snapshots, one set per micro-batch. */
+  def topK(
+      items: Dataset[String],
+      groups: Int,
+      capacity: Int,
+      k: Int): Dataset[Snapshot] = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items
+      .groupByKey(s => math.floorMod(s.hashCode, groups))
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (group: Int, it: Iterator[String], state: GroupState[Array[Byte]]) =>
+          val sketch = state.getOption
+            .map(SpaceSaving.deserialize)
+            .getOrElse(new SpaceSaving(capacity))
+          it.foreach(sketch.add(_))
+          state.update(sketch.serialized)
+          val batch = state.getCurrentProcessingTimeMs()
+          sketch.topK(k).iterator.map { case (item, lo, hi) =>
+            Snapshot(group, batch, item, lo, hi)
+          }
+      }
+  }
+
+  /** Merge the LATEST snapshot of every group into a single top-k view
+    * (driver-side; snapshots are tiny — k rows per group). */
+  def mergedLatest(snapshots: Seq[Snapshot], k: Int): Seq[(String, Long, Long)] = {
+    val latest = snapshots.groupBy(_.group).values.flatMap { snaps =>
+      val lastBatch = snaps.map(_.batch).max
+      snaps.filter(_.batch == lastBatch)
+    }
+    latest
+      .groupBy(_.item).map { case (item, rows) =>
+        (item, rows.map(_.count_lo).sum, rows.map(_.count_hi).sum)
+      }
+      .toSeq.sortBy { case (item, _, hi) => (-hi, item) }
+      .take(k)
+  }
+}

@@ -13,9 +13,13 @@ import graft.operators.Extensions
 class ExtensionsSpec extends SparkTestBase {
 
   test("every extension query runs non-empty on sf0.001 and has an oracle") {
+    // sketch-based queries are deliberately rows-only: their contents are
+    // merge-order-dependent, guarantees are spec-pinned instead
+    val rowsOnly = Set("approx_top_terms")
     Extensions.all.foreach { case (name, fn) =>
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")
-      assert(operators.ExtensionOracles.all.contains(name), s"$name has no oracle")
+      assert(rowsOnly(name) || operators.ExtensionOracles.all.contains(name),
+        s"$name has no oracle")
     }
   }
 
