@@ -9,12 +9,22 @@ import scala.collection.mutable
   * error.
   *
   * Guarantees (n = total weight observed):
-  *  - any item with true count > n / capacity is in the sketch;
+  *  - any item with true count > n / capacity is TRACKED (among the
+  *    capacity counters — not necessarily in the top-k of estimates,
+  *    since evict-inheritors can overestimate past it);
   *  - for every tracked item: est − err ≤ true count ≤ est.
-  * Merging two sketches (pairwise sum, then re-truncate) preserves both
-  * bounds with summed errors — which is what makes the aggregate form
+  *
+  * Merge follows the standard merged-SS rule: an item absent from one
+  * side may have been counted and evicted there up to that side's
+  * minimum counter, so the absent side contributes its min estimate to
+  * BOTH est and err — keeping est an upper bound and est−err a lower
+  * bound after any merge tree, which is what makes the aggregate form
   * partial-aggregable (map-side combine) and the streaming form
   * cross-batch correct.
+  *
+  * Eviction uses a TreeMap bucket index (est → items, insertion-ordered
+  * within a bucket): O(log capacity) per update instead of a linear
+  * min-scan — this sits in the per-token hot loop of TopKSketchAgg.
   *
   * Exact top-k over 100 TB of tokens needs a full vocabulary shuffle;
   * this sketch needs O(capacity) state per partition/group and one
@@ -24,67 +34,100 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
   require(capacity > 0, "capacity must be positive")
 
   /** item -> (estimated count, overestimation error) */
-  private val counters = mutable.LinkedHashMap.empty[String, (Long, Long)]
+  private val counters = mutable.HashMap.empty[String, (Long, Long)]
+  /** est -> items at that estimate, insertion-ordered (deterministic victim) */
+  private val buckets = new java.util.TreeMap[Long, mutable.LinkedHashSet[String]]
   private var totalWeight = 0L
 
   def n: Long = totalWeight
   def size: Int = counters.size
 
+  private def bucketAdd(est: Long, item: String): Unit = {
+    var set = buckets.get(est)
+    if (set == null) { set = mutable.LinkedHashSet.empty[String]; buckets.put(est, set) }
+    set.add(item)
+  }
+
+  private def bucketRemove(est: Long, item: String): Unit = {
+    val set = buckets.get(est)
+    set.remove(item)
+    if (set.isEmpty) buckets.remove(est)
+  }
+
   def add(item: String, weight: Long = 1L): Unit = {
     require(weight >= 0)
     totalWeight += weight
     counters.get(item) match {
-      case Some((est, err)) => counters.update(item, (est + weight, err))
+      case Some((est, err)) =>
+        counters.update(item, (est + weight, err))
+        bucketRemove(est, item); bucketAdd(est + weight, item)
       case None if counters.size < capacity =>
         counters.update(item, (weight, 0L))
+        bucketAdd(weight, item)
       case None =>
-        // evict the minimum counter; the newcomer inherits its count as error
-        val (minItem, (minEst, _)) = counters.minBy(_._2._1)
-        counters.remove(minItem)
+        // evict the (deterministic) minimum counter; the newcomer
+        // inherits its count as overestimation error
+        val minEst = buckets.firstKey()
+        val victim = buckets.firstEntry().getValue.head
+        bucketRemove(minEst, victim)
+        counters.remove(victim)
         counters.update(item, (minEst + weight, minEst))
+        bucketAdd(minEst + weight, item)
     }
   }
 
-  /** Merge `other` into this sketch (pairwise sum, re-truncate to
-    * capacity keeping the largest estimates). */
+  /** This sketch's floor for untracked items: anything not in the
+    * counters has true count ≤ this. */
+  private def minEstimateFloor: Long =
+    if (counters.size >= capacity) buckets.firstKey() else 0L
+
+  /** Merge `other` into this sketch (standard merged-SS: absent side
+    * contributes its min-estimate floor to est AND err), re-truncating
+    * to capacity by largest estimate with a deterministic tiebreak. */
   def merge(other: SpaceSaving): SpaceSaving = {
     require(other.capacity == capacity, "capacity mismatch")
-    totalWeight += other.totalWeight
-    // items in both: sum est and err; items in one: the absent sketch may
-    // have counted it up to its own min estimate — that bound is kept
-    // conservative by leaving err unchanged (standard merged-SS variant)
-    other.counters.foreach { case (item, (est, err)) =>
-      counters.get(item) match {
-        case Some((e0, r0)) => counters.update(item, (e0 + est, r0 + err))
-        case None => counters.update(item, (est, err))
+    val myFloor = minEstimateFloor
+    val otherFloor = other.minEstimateFloor
+    val merged = mutable.HashMap.empty[String, (Long, Long)]
+    counters.foreach { case (item, (est, err)) =>
+      other.counters.get(item) match {
+        case Some((oEst, oErr)) => merged.update(item, (est + oEst, err + oErr))
+        case None => merged.update(item, (est + otherFloor, err + otherFloor))
       }
     }
-    if (counters.size > capacity) {
-      val keep = counters.toSeq.sortBy { case (item, (est, _)) => (-est, item) }
-        .take(capacity)
-      counters.clear()
-      keep.foreach { case (item, v) => counters.update(item, v) }
+    other.counters.foreach { case (item, (oEst, oErr)) =>
+      if (!counters.contains(item))
+        merged.update(item, (oEst + myFloor, oErr + myFloor))
+    }
+    totalWeight += other.totalWeight
+    val kept = merged.toSeq.sortBy { case (item, (est, _)) => (-est, item) }.take(capacity)
+    counters.clear(); buckets.clear()
+    kept.foreach { case (item, (est, err)) =>
+      counters.update(item, (est, err)); bucketAdd(est, item)
     }
     this
   }
 
   /** Top-k by estimated count (ties by item), with (lower, upper) count
-    * bounds: upper = est, lower = est − err. */
+    * bounds: upper = est, lower = est − err. Pass `capacity` to list
+    * every tracked item (the set the frequency guarantee covers). */
   def topK(k: Int): Seq[(String, Long, Long)] =
     counters.toSeq
       .sortBy { case (item, (est, _)) => (-est, item) }
       .take(k)
       .map { case (item, (est, err)) => (item, est - err, est) }
 
-  private[sketch] def restore(item: String, est: Long, err: Long): Unit =
-    counters.update(item, (est, err))
+  private[sketch] def restore(item: String, est: Long, err: Long): Unit = {
+    counters.update(item, (est, err)); bucketAdd(est, item)
+  }
   private[sketch] def restoreTotal(t: Long): Unit = totalWeight = t
 
   def serialized: Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(capacity); out.writeLong(totalWeight); out.writeInt(counters.size)
-    counters.foreach { case (item, (est, err)) =>
+    // sorted order: deterministic bytes for identical sketch contents
+    counters.toSeq.sortBy(_._1).foreach { case (item, (est, err)) =>
       val b = item.getBytes("UTF-8")
       out.writeInt(b.length); out.write(b); out.writeLong(est); out.writeLong(err)
     }

@@ -21,7 +21,10 @@ object StreamingTopK {
 
   case class Snapshot(group: Int, batch: Long, item: String, count_lo: Long, count_hi: Long)
 
-  /** items → per-group top-k snapshots, one set per micro-batch. */
+  /** items → per-group top-k snapshots, one set per micro-batch. The
+    * snapshot version is a monotonic per-group counter held in state —
+    * NOT a wall-clock read, which could collide across two fast
+    * micro-batches and make [[mergedLatest]] double-count. */
   def topK(
       items: Dataset[String],
       groups: Int,
@@ -33,15 +36,15 @@ object StreamingTopK {
       .groupByKey(s => math.floorMod(s.hashCode, groups))
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (group: Int, it: Iterator[String], state: GroupState[Array[Byte]]) =>
-          val sketch = state.getOption
-            .map(SpaceSaving.deserialize)
-            .getOrElse(new SpaceSaving(capacity))
+        (group: Int, it: Iterator[String], state: GroupState[(Long, Array[Byte])]) =>
+          val (version, sketch) = state.getOption
+            .map { case (v, bytes) => (v, SpaceSaving.deserialize(bytes)) }
+            .getOrElse((0L, new SpaceSaving(capacity)))
           it.foreach(sketch.add(_))
-          state.update(sketch.serialized)
-          val batch = state.getCurrentProcessingTimeMs()
+          val nextVersion = version + 1
+          state.update((nextVersion, sketch.serialized))
           sketch.topK(k).iterator.map { case (item, lo, hi) =>
-            Snapshot(group, batch, item, lo, hi)
+            Snapshot(group, nextVersion, item, lo, hi)
           }
       }
   }
