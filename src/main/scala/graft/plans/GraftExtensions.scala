@@ -57,5 +57,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "rolling_fingerprint(tokens) - order-sensitive md5 polynomial fold mod 1e9+7")(RollingFingerprint(_))
     unary(e, "shingle_hash_pairs",
       "shingle_hash_pairs(shingles) - array of (h32, h32b) md5 pairs")(ShingleHashPairs(_))
+    e.injectFunction((
+      new FunctionIdentifier("topk_sketch"),
+      new ExpressionInfo(
+        classOf[TopKSketchAgg].getName, null, "topk_sketch",
+        "topk_sketch(items, capacity, k) - SpaceSaving heavy-hitters aggregate: " +
+          "array<struct<item, count_lo, count_hi>>", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"topk_sketch requires (column, capacity, k), got ${exprs.length} arguments")
+        def intLit(e: Expression, name: String): Int = {
+          require(e.foldable, s"topk_sketch $name must be a literal")
+          e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"topk_sketch $name must be an integer literal, got $other")
+          }
+        }
+        TopKSketchAgg(
+          exprs.head,
+          intLit(exprs(1), "capacity"),
+          intLit(exprs(2), "k")).toAggregateExpression()
+      }))
   }
 }

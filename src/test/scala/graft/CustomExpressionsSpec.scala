@@ -171,6 +171,12 @@ class CustomExpressionsSpec extends SparkTestBase {
           |  size(shingle_hash_pairs(word_shingles(split(lower(text), '\s+')))) AS nh
           |FROM docs_ext""".stripMargin).collect()
       assert(r.length == 50 && r.forall(row => !row.anyNull))
+      // aggregate registration: SpaceSaving top-k through SQL
+      val agg = s2.sql(
+        """SELECT inline(topk_sketch(tok, 64, 5)) FROM (
+          |  SELECT explode(split(lower(text), '\s+')) AS tok FROM docs_ext)""".stripMargin)
+        .collect()
+      assert(agg.length == 5 && agg.forall(row => row.getLong(1) <= row.getLong(2)))
       // wrong-typed call is an analysis error, not silent garbage
       val err = intercept[Exception](
         s2.sql("SELECT rolling_fingerprint(doc_id) FROM docs_ext").collect())
