@@ -39,7 +39,7 @@ object StreamingBench {
     val out = MapWithStateTTL.eventTime(
       stream.toDS().withWatermark("ts", "0 seconds"),
       ttl = 30.minutes, defaultState = 0L)(
-      _.user_id, e => micros(e.ts))(
+      _.user_id, e => micros(e.ts), _.event_id)(
       (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) })
     val sinkName = s"bench_ttl_${System.nanoTime()}"
     val query = out.writeStream.format("memory").queryName(sinkName)

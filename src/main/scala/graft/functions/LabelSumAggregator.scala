@@ -27,8 +27,12 @@ object LabelSumAggregator extends Aggregator[(String, Int), (Vector[String], Lon
   override def finish(r: (Vector[String], Long)): (String, Long) =
     (r._1.sorted.mkString("-"), r._2)
 
+  // product encoder, NOT javaSerialization: the buffer crosses the
+  // partial-aggregate exchange on every row, and Java-serializing a
+  // growing Vector there would dominate the aggregate's cost (and tie
+  // the shuffle bytes to Scala's serialization format)
   override def bufferEncoder: Encoder[(Vector[String], Long)] =
-    Encoders.tuple(Encoders.javaSerialization[Vector[String]], Encoders.scalaLong)
+    Encoders.product[(Vector[String], Long)]
 
   override def outputEncoder: Encoder[(String, Long)] =
     Encoders.tuple(Encoders.STRING, Encoders.scalaLong)

@@ -24,17 +24,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * (the dominant cost of the HOF `conv(substring(md5(..)))` chain after
   * interpretation overhead).
   */
-private[expressions] object Md5Hash {
+private[graft] object Md5Hash {
   private val md = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
   /** (h32, h32b) of a UTF8String's bytes: digest bytes 0–3 and 4–7 as
     * unsigned big-endian 32-bit values. */
-  def hashPair(s: UTF8String): (Long, Long) = {
+  def hashPair(s: UTF8String): (Long, Long) = hashPair(s.getBytes)
+
+  /** Same over raw bytes (used by the multimodal decoder stub). */
+  def hashPair(raw: Array[Byte]): (Long, Long) = {
     val d = md.get()
     d.reset()
-    val bytes = d.digest(s.getBytes)
+    val bytes = d.digest(raw)
     (be32(bytes, 0), be32(bytes, 4))
   }
 

@@ -1,6 +1,5 @@
 package graft.multimodal
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -52,12 +51,11 @@ object Multimodal {
     * partition-batch shape stays identical. */
   object FakeDecoder {
     /** Same value as the SQL-side `Portable.h32` of the original text
-      * (md5 over the identical UTF-8 bytes). */
-    def h32(bytes: Array[Byte]): Long = {
-      val hex = MessageDigest.getInstance("MD5").digest(bytes)
-        .take(4).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16)
-    }
+      * (md5 over the identical UTF-8 bytes, first 4 digest bytes read
+      * big-endian — hex round-trip elided; ThreadLocal digest via
+      * Md5Hash instead of a per-row getInstance). */
+    def h32(bytes: Array[Byte]): Long =
+      graft.functions.expressions.Md5Hash.hashPair(bytes)._1
 
     def decode(r: MediaRow): MediaFeatures = {
       val h = h32(r.media)

@@ -45,12 +45,18 @@ object CountWindows {
           val out = Vector.newBuilder[Out]
           it.toVector.sortBy(orderOf).foreach { in =>
             buf = buf :+ in
-            if (buf.size == size) {
-              out += agg(key, buf)
-              buf = Vector.empty
+            // >= (a drain), not ==: a restart from a checkpoint written
+            // under a larger `size` must not skip past the threshold and
+            // buffer forever
+            while (buf.size >= size) {
+              out += agg(key, buf.take(size))
+              buf = buf.drop(size)
             }
           }
-          state.update(Buffered(buf))
+          // empty buffer ⇒ no state at all: with NoTimeout, a retained
+          // empty Buffered would pin every completed-window key in the
+          // StateStore forever (state must track in-flight windows only)
+          if (buf.isEmpty) state.remove() else state.update(Buffered(buf))
           out.result().iterator
       }
   }

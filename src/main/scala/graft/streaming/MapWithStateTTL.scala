@@ -26,10 +26,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Faithfulness detail: Spark fires a key's timeout only when a batch runs
   * and only if that key received no data in it. If a key sits idle past the
   * TTL and then receives data in the very next batch, the timeout callback
-  * never fires for it — so, like the reference (which checks
-  * `now − lastAccess ≥ ttl` on every tombstone, MapWithState.java:361), we
-  * also check elapsed time on the data path and reset to `defaultState`
-  * when the key had expired. The [[TimeStamped]] envelope mirrors the
+  * never fires for it — so, like the reference (which checks elapsed time
+  * on every tombstone, MapWithState.java:361), we also check elapsed time
+  * on the data path and reset to `defaultState` when the key had expired.
+  * Boundary convention: this library resets on gap STRICTLY GREATER than
+  * ttl (keep at ==), matching the batch oracle (q14's `gap > ttl` new-
+  * session rule) — the binding contract here; the reference's tombstone
+  * check evicted at `≥ ttl` (one-boundary divergence, intentional and
+  * documented rather than silently inconsistent with the oracle).
+  * The [[TimeStamped]] envelope mirrors the
   * reference's `TimeStampedValue` (MapWithState.java:232-263); here the
   * timestamp comes from the batch clock, not a wall-clock read per record,
   * so results are deterministic within a batch.
@@ -111,7 +116,8 @@ object MapWithStateTTL {
       ttl: FiniteDuration,
       defaultState: S)(
       keyOf: In => K,
-      eventTimeMicros: In => Long)(
+      eventTimeMicros: In => Long,
+      tiebreak: In => Long = (_: In) => 0L)(
       f: (K, In, S) => (Out, S))(
       implicit kEnc: Encoder[K],
       sEnc: Encoder[TimeStamped[S]],
@@ -124,7 +130,11 @@ object MapWithStateTTL {
             state.remove()
             Iterator.empty
           } else {
-            val events = it.toVector.sortBy(eventTimeMicros)
+            // total order within the batch: event time, then the caller's
+            // tiebreak — without it, equal-timestamp events fold in
+            // arbitrary post-shuffle order and the streaming/batch
+            // equivalence (whose oracle orders by (ts, event_id)) breaks
+            val events = it.toVector.sortBy(in => (eventTimeMicros(in), tiebreak(in)))
             var (s, lastUs) = state.getOption
               .map(t => (t.value, t.lastAccessMs))
               .getOrElse((defaultState, Long.MinValue))
@@ -137,10 +147,13 @@ object MapWithStateTTL {
               o
             }
             state.update(TimeStamped(s, lastUs))
-            // cleanup once the watermark passes last event + ttl; must stay
-            // ahead of the current watermark or Spark rejects the timestamp
+            // cleanup once the watermark passes last event + ttl; round UP
+            // to the next ms (the truncated lastUs/1000 + ttlMs could fire
+            // up to ~1 ms before the true lastUs + ttl boundary and evict a
+            // session the data-path rule would have continued); must also
+            // stay ahead of the current watermark or Spark rejects it
             val timeoutMs = math.max(
-              lastUs / 1000 + ttl.toMillis,
+              (lastUs + ttlUs) / 1000 + 1,
               state.getCurrentWatermarkMs() + 1)
             state.setTimeoutTimestamp(timeoutMs)
             out.iterator

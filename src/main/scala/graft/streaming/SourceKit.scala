@@ -94,7 +94,7 @@ object SourceKit {
         startMicros: Long,
         elems: Seq[Elem[T]])(
         implicit enc: Encoder[(T, Long)]): DataFrame = {
-      val rows = elems.map(e => (e.value, startMicros + e.delay.toMillis * 1000))
+      val rows = elems.map(e => (e.value, startMicros + e.delay.toMicros))
       spark.createDataset(rows)
         .withColumnRenamed("_1", "value")
         .withColumn("ts", timestamp_micros(col("_2")))

@@ -76,7 +76,7 @@ class MapWithStateTTLSpec extends SparkTestBase {
     val ttl = (Relational.TtlMicros / 1000).toInt.millis // 30 min, as in the oracle
     val out = MapWithStateTTL.eventTime(
       withWm, ttl, defaultState = 0L)(
-      _.user_id, e => TsUtil.micros(e.ts))(
+      _.user_id, e => TsUtil.micros(e.ts), _.event_id)(
       (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) })
     val query = Sinks.toMemory(out, "ttl_stream_vs_batch")
 
