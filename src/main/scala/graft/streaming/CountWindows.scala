@@ -32,7 +32,8 @@ object CountWindows {
       ds: Dataset[In],
       size: Int)(
       keyOf: In => K,
-      orderOf: In => Long)(
+      orderOf: In => Long,
+      tiebreak: In => Long = (_: In) => 0L)(
       agg: (K, Seq[In]) => Out)(
       implicit kEnc: Encoder[K],
       bEnc: Encoder[Buffered[In]],
@@ -43,7 +44,7 @@ object CountWindows {
         (key: K, it: Iterator[In], state: GroupState[Buffered[In]]) =>
           var buf = state.getOption.map(_.items.toVector).getOrElse(Vector.empty[In])
           val out = Vector.newBuilder[Out]
-          it.toVector.sortBy(orderOf).foreach { in =>
+          it.toVector.sortBy(in => (orderOf(in), tiebreak(in))).foreach { in =>
             buf = buf :+ in
             // >= (a drain), not ==: a restart from a checkpoint written
             // under a larger `size` must not skip past the threshold and
@@ -67,10 +68,11 @@ object CountWindows {
   def global[In, Out](
       ds: Dataset[In],
       size: Int)(
-      orderOf: In => Long)(
+      orderOf: In => Long,
+      tiebreak: In => Long = (_: In) => 0L)(
       agg: Seq[In] => Out)(
       implicit iEnc: Encoder[Int],
       bEnc: Encoder[Buffered[In]],
       outEnc: Encoder[Out]): Dataset[Out] =
-    keyed[In, Int, Out](ds, size)(_ => 0, orderOf)((_, items) => agg(items))
+    keyed[In, Int, Out](ds, size)(_ => 0, orderOf, tiebreak)((_, items) => agg(items))
 }

@@ -17,11 +17,16 @@ object RunningReduce {
 
   case class Acc[S](value: S)
 
+  /** @param tiebreak total-order tiebreak for equal `orderOf` values —
+    *                  without it, tied events fold in arbitrary
+    *                  post-shuffle order while the batch oracle (q9)
+    *                  orders by (ts, event_id) */
   def keyed[In, K, S](
       ds: Dataset[In],
       zero: S)(
       keyOf: In => K,
-      orderOf: In => Long)(
+      orderOf: In => Long,
+      tiebreak: In => Long = (_: In) => 0L)(
       reduce: (S, In) => S)(
       implicit kEnc: Encoder[K],
       aEnc: Encoder[Acc[S]],
@@ -30,7 +35,7 @@ object RunningReduce {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[In], state: GroupState[Acc[S]]) =>
           var acc = state.getOption.map(_.value).getOrElse(zero)
-          val out = it.toVector.sortBy(orderOf).map { in =>
+          val out = it.toVector.sortBy(in => (orderOf(in), tiebreak(in))).map { in =>
             acc = reduce(acc, in)
             (key, acc)
           }

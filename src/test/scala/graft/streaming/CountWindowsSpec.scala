@@ -65,10 +65,8 @@ class CountWindowsSpec extends SparkTestBase {
 
     val stream = MemoryStream[Ev]
     // order within key by (ts, event_id) — exactly the oracle's window order
-    // order within key by µs timestamp — the oracle's window order
-    // (timestamps are unique at µs resolution in this data)
     val out = CountWindows.keyed(stream.toDS(), size = 2)(
-      _.user_id, e => TsUtil.micros(e.ts))(
+      _.user_id, e => TsUtil.micros(e.ts), _.event_id)(
       (k, items) => (k, items.map(_.cents).sum))
     val query = Sinks.toMemory(out, "cw_vs_batch")
     try {

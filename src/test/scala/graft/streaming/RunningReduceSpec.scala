@@ -44,7 +44,7 @@ class RunningReduceSpec extends SparkTestBase {
 
     val stream = MemoryStream[Ev]
     val out = RunningReduce.keyed(stream.toDS(), zero = (0L, 0L))(
-      _.user_id, e => TsUtil.micros(e.ts))(
+      _.user_id, e => TsUtil.micros(e.ts), _.event_id)(
       (acc, in) => (in.event_id, acc._2 + in.cents))
     val query = Sinks.toMemory(out, "rr_vs_batch")
     try {
