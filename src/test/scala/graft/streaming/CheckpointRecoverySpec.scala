@@ -61,8 +61,49 @@ class CheckpointRecoverySpec extends SparkTestBase {
         s"state lost across restart: expected (a,8) continuing 1+2+5, got $got2")
     } finally q2.stop()
   }
+
+  test("StreamingTopK sketch state survives stop/restart via checkpointLocation") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft_ckpt_topk").toString
+    val stream = MemoryStream[String]
+    def plan = StreamingTopK.topK(stream.toDS(), groups = 1, capacity = 8, k = 8)
+
+    def start() = plan.writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[StreamingTopK.Snapshot], _: Long) =>
+        val rows = batch.collect()
+        CheckpointRecoverySpec.snapshots.synchronized {
+          CheckpointRecoverySpec.snapshots ++= rows
+        }
+        ()
+      }.start()
+
+    val q1 = start()
+    try {
+      stream.addData("x", "x", "y")
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      stream.addData("x", "z")
+      q2.processAllAvailable()
+      val latest = CheckpointRecoverySpec.snapshots.synchronized {
+        StreamingTopK.mergedLatest(CheckpointRecoverySpec.snapshots.toList, 8)
+      }.map(t => t._1 -> t._3).toMap
+      // x must be 3 (2 before restart + 1 after): the sketch bytes were
+      // restored from the StateStore, not restarted from empty. The
+      // version counter also resumes (monotonic across restart).
+      assert(latest.get("x").contains(3L), s"sketch state lost across restart: $latest")
+      assert(latest.get("y").contains(1L) && latest.get("z").contains(1L), latest.toString)
+    } finally q2.stop()
+  }
 }
 
 object CheckpointRecoverySpec {
   val results: mutable.ListBuffer[(String, Int)] = mutable.ListBuffer.empty
+  val snapshots: mutable.ListBuffer[StreamingTopK.Snapshot] = mutable.ListBuffer.empty
 }
