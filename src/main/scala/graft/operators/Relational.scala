@@ -504,6 +504,22 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Q34 — FORWARD as-of through the native operator: first view
+    * strictly after each purchase per user (post-purchase behavior
+    * attribution — the time-reversed twin of q32). Oracle: DuckDB
+    * ASOF JOIN with the `<` comparator. */
+  def q34AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("view_us"))
+    graft.plans.AsOfJoin.asof(p, v, "user_id", "v_user", "us", "view_us",
+        direction = graft.plans.AsOfJoin.Forward)
+      .select("event_id", "user_id", "us", "view_us")
+      .orderBy("user_id", "event_id")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -539,5 +555,6 @@ object Relational {
     "q31_count_distinct" -> (q31CountDistinct _),
     "q32_asof_native"    -> (q32AsofNative _),
     "q33_salted_join"    -> (q33SaltedJoin _),
+    "q34_asof_forward"   -> (q34AsofForward _),
   )
 }

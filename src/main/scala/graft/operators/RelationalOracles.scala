@@ -279,5 +279,12 @@ object RelationalOracles {
          |  count(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q34_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.us, v.view_us
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.us < v.view_us
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
   )
 }

@@ -18,10 +18,11 @@ import org.apache.spark.sql.types.LongType
   * (c): custom LogicalPlan + Strategy + SparkPlan) — the whole-operator
   * form of what q19 composes from window functions.
   *
-  * Semantics: INNER as-of — for each left row, the right row with the
-  * same key and the greatest right-time STRICTLY LESS than the left
-  * time; left rows with no prior right row are dropped. Identical to
-  * DuckDB `ASOF JOIN ... ON l.key = r.key AND l.t > r.t`.
+  * Semantics: INNER as-of — for each left row, the matching right row
+  * of the same key is the greatest right-time strictly BEFORE the left
+  * time ([[Backward]], DuckDB `l.t > r.t`) or the smallest strictly
+  * AFTER it ([[Forward]], DuckDB `l.t < r.t`); left rows with no match
+  * are dropped.
   *
   * Scale shape: the exec declares `ClusteredDistribution(key)` and
   * per-partition `(key, time)` ordering as REQUIREMENTS and lets
@@ -33,6 +34,13 @@ import org.apache.spark.sql.types.LongType
   */
 object AsOfJoin {
 
+  /** Match direction: Backward = greatest right time strictly BEFORE the
+    * left time (DuckDB `l.t > r.t`); Forward = smallest right time
+    * strictly AFTER it (DuckDB `l.t < r.t`). */
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+
   /** Logical node. `leftTime`/`rightTime` must be LongType (epoch micros
     * convention used across graft); keys equi-compare. */
   case class AsOfJoinPlan(
@@ -41,7 +49,8 @@ object AsOfJoin {
       leftKey: Expression,
       rightKey: Expression,
       leftTime: Expression,
-      rightTime: Expression)
+      rightTime: Expression,
+      direction: Direction = Backward)
       extends BinaryNode {
     override def output: Seq[Attribute] = left.output ++ right.output
     override lazy val resolved: Boolean =
@@ -58,6 +67,7 @@ object AsOfJoin {
       rightKey: Expression,
       leftTime: Expression,
       rightTime: Expression,
+      direction: Direction,
       left: SparkPlan,
       right: SparkPlan)
       extends BinaryExecNode {
@@ -82,30 +92,57 @@ object AsOfJoin {
       val lTime = BindReferences.bindReference(leftTime, left.output)
       val rTime = BindReferences.bindReference(rightTime, right.output)
       val outputAttrs = output
+      val dir = direction
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val rBuf = rIter.buffered
         val joined = new JoinedRow
         val project = UnsafeProjection.create(outputAttrs, outputAttrs)
-        // O(1) merge state: the latest right row whose (key, time) has
-        // been passed by the left cursor, i.e. the as-of candidate
-        var candKey = 0L
-        var hasCand = false
-        var cand: InternalRow = null
-        lIter.flatMap { lRow =>
-          val lk = lKey.eval(lRow).asInstanceOf[Long]
-          val lt = lTime.eval(lRow).asInstanceOf[Long]
-          var advancing = true
-          while (advancing && rBuf.hasNext) {
-            val head = rBuf.head
-            val rk = rKey.eval(head).asInstanceOf[Long]
-            val rt = rTime.eval(head).asInstanceOf[Long]
-            if (rk < lk || (rk == lk && rt < lt)) {
-              val consumed = rBuf.next()
-              if (rk == lk) { cand = consumed.copy(); candKey = rk; hasCand = true }
-            } else advancing = false
-          }
-          if (hasCand && candKey == lk) Iterator.single(project(joined(lRow, cand)))
-          else Iterator.empty
+        dir match {
+          case Backward =>
+            // O(1) merge state: the latest right row whose (key, time)
+            // has been passed by the left cursor — the as-of candidate
+            var candKey = 0L
+            var hasCand = false
+            var cand: InternalRow = null
+            lIter.flatMap { lRow =>
+              val lk = lKey.eval(lRow).asInstanceOf[Long]
+              val lt = lTime.eval(lRow).asInstanceOf[Long]
+              var advancing = true
+              while (advancing && rBuf.hasNext) {
+                val head = rBuf.head
+                val rk = rKey.eval(head).asInstanceOf[Long]
+                val rt = rTime.eval(head).asInstanceOf[Long]
+                if (rk < lk || (rk == lk && rt < lt)) {
+                  val consumed = rBuf.next()
+                  if (rk == lk) { cand = consumed.copy(); candKey = rk; hasCand = true }
+                } else advancing = false
+              }
+              if (hasCand && candKey == lk) Iterator.single(project(joined(lRow, cand)))
+              else Iterator.empty
+            }
+          case Forward =>
+            // forward match is the PEEK, not trailing state: discard
+            // rights at or before the left time, then the head (if the
+            // same key) is the smallest strictly-later right — and may
+            // serve several left rows, so it is never consumed on match
+            lIter.flatMap { lRow =>
+              val lk = lKey.eval(lRow).asInstanceOf[Long]
+              val lt = lTime.eval(lRow).asInstanceOf[Long]
+              var advancing = true
+              while (advancing && rBuf.hasNext) {
+                val head = rBuf.head
+                val rk = rKey.eval(head).asInstanceOf[Long]
+                val rt = rTime.eval(head).asInstanceOf[Long]
+                if (rk < lk || (rk == lk && rt <= lt)) { rBuf.next(); () }
+                else advancing = false
+              }
+              if (rBuf.hasNext) {
+                val head = rBuf.head
+                val rk = rKey.eval(head).asInstanceOf[Long]
+                if (rk == lk) Iterator.single(project(joined(lRow, head)))
+                else Iterator.empty
+              } else Iterator.empty
+            }
         }
       }
     }
@@ -120,8 +157,8 @@ object AsOfJoin {
     * `experimental.extraStrategies` so the operator works in any session. */
   object AsOfJoinStrategy extends Strategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-        AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+      case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir) =>
+        AsOfJoinExec(lk, rk, lt, rt, dir, planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
   }
@@ -193,7 +230,8 @@ object AsOfJoin {
   def asof(
       left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
-      leftTimeCol: String, rightTimeCol: String): DataFrame = {
+      leftTimeCol: String, rightTimeCol: String,
+      direction: Direction = Backward): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
     ensureStrategy(spark)
@@ -217,6 +255,6 @@ object AsOfJoin {
     val overlap = lPlan.output.map(_.name).toSet intersect rPlan.output.map(_.name).toSet
     require(overlap.isEmpty,
       s"as-of output keeps both sides' columns; rename the overlapping ones first: ${overlap.mkString(", ")}")
-    ColumnShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt))
+    ColumnShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, direction))
   }
 }

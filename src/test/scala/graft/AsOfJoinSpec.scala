@@ -30,6 +30,22 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == Map("p1" -> 5L, "p3" -> 12L), s"got $got")
   }
 
+  test("forward direction: smallest strictly-later right; shared across lefts") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, "p1"), // next right after 10 is 12
+      (1L, 3L, "p0"),  // next right after 3 is 5
+      (1L, 5L, "pEq"), // rt=5 excluded (strict), matches 12
+      (1L, 20L, "pNone"), // nothing after 20
+      (2L, 1L, "p2")   // key 2 has no rights
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L), (1L, 12L)).toDF("rk", "rt")
+    val got = AsOfJoin.asof(left, right, "k", "rk", "t", "rt", AsOfJoin.Forward)
+      .select("tag", "rt").as[(String, Long)].collect().toMap
+    assert(got == Map("p0" -> 5L, "p1" -> 12L, "pEq" -> 12L), s"got $got")
+  }
+
   test("NULL keys and times never match (and never corrupt the merge)") {
     val s = spark
     import s.implicits._
