@@ -32,22 +32,30 @@ object Dedup {
   val BandRows = 4 // 16 bands x 4 rows
   val JaccardThreshold = 0.5
 
-  /** documents ∪ exact copies of every 10th doc (id +1,000,000). */
+  /** Planted-duplicate id offsets. 10^15-scale so real ids can never
+    * collide with planted ones even for ~10^11-document corpora (a
+    * million-range offset would overlap real ids at sf≥20, silently
+    * corrupting keep/drop decisions while the oracle — which constructs
+    * the identical corpus — kept passing). */
+  val ExactDupOffset = 1000000000000000L
+  val NearDupOffset = 2000000000000000L
+
+  /** documents ∪ exact copies of every 10th doc (id +ExactDupOffset). */
   def corpusWithExactDupes(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + ExactDupOffset).as("doc_id"), col("text")))
   }
 
-  /** documents ∪ near copies of every 7th doc (id +2,000,000, text with an
-    * appended marker tail ⇒ shingle Jaccard ≈ 0.9). */
+  /** documents ∪ near copies of every 7th doc (id +NearDupOffset, text with
+    * an appended marker tail ⇒ shingle Jaccard ≈ 0.9). */
   def corpusWithNearDupes(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     d.unionByName(
       d.filter(col("doc_id") % 7 === 0)
         .select(
-          (col("doc_id") + 2000000L).as("doc_id"),
+          (col("doc_id") + NearDupOffset).as("doc_id"),
           concat(col("text"), lit(" graft near dup tail marker")).as("text")))
   }
 
@@ -109,7 +117,10 @@ object Dedup {
     * exact ground truth (quadratic in hot shingles; small-scale oracle
     * only — LSH below is the scale path). */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = withShingles(corpusWithNearDupes(s, dir)).cache()
+    // shares the memoized cached corpus with the LSH pipeline, so
+    // evictSharedPipeline releases this query's intermediate too (a
+    // privately-cached copy here had no release path at all)
+    val docs = entryFor(s, dir).docs
     jaccardOfPairs(docs, intersections(hashPairs(docs)))
       .orderBy("doc_a", "doc_b")
   }
@@ -130,8 +141,11 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(MinhashPerms / BandRows - 1))).as("band"))
       .withColumn("band_hash", expr(
-        "element_at(sig, band*4 + 1) * 1 + element_at(sig, band*4 + 2) * 31 " +
-          "+ element_at(sig, band*4 + 3) * 961 + element_at(sig, band*4 + 4) * 29791"))
+        // positional 31^k weighted sum of the band's BandRows minima —
+        // derived from BandRows so the constants cannot silently drift
+        (0 until BandRows)
+          .map(k => s"element_at(sig, band*$BandRows + ${k + 1}) * ${math.pow(31, k).toLong}")
+          .mkString(" + ")))
       .select("doc_id", "band", "band_hash")
 
   /** LSH band buckets (exposed for inspection/tests). */
@@ -139,29 +153,62 @@ object Dedup {
     toBands(minhashSigs(withShingles(corpusWithNearDupes(s, dir))))
       .orderBy("doc_id", "band")
 
-  /** Verified near-dup pairs, memoized per (session, dir): the LSH
-    * pipeline's expensive intermediates (shingle set, signatures, banded
-    * candidates, Jaccard verification) are computed once and the result
-    * cached, then shared by every consumer (`dedupMinhash`,
-    * `dedupDropList`) — the materialize-shared-intermediates pattern a
-    * production pipeline uses instead of re-deriving per query. */
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  /** Memoized shared intermediates per (session, dir): the cached
+    * shingled corpus plus the lazily-built verified-pairs result —
+    * shared by `dedupJaccard`, `dedupMinhash`, and `dedupDropList`
+    * (the materialize-shared-intermediates pattern a production
+    * pipeline uses instead of re-deriving per query). */
+  private final class PipelineCache(val docs: DataFrame) {
+    @volatile var pairs: Option[DataFrame] = None
+  }
+
+  /** Sessions are WEAK keys: a stopped/discarded SparkSession must not
+    * be pinned for the process lifetime by its memoized plans (the
+    * previous strong-keyed map retained dead sessions forever). */
+  private val sessionCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, PipelineCache]]())
+
+  private def entryFor(s: SparkSession, dir: String): PipelineCache = {
+    val m = sessionCaches.synchronized {
+      var inner = sessionCaches.get(s)
+      if (inner == null) {
+        inner = scala.collection.concurrent.TrieMap.empty[String, PipelineCache]
+        sessionCaches.put(s, inner)
+      }
+      inner
+    }
+    m.getOrElseUpdate(dir,
+      new PipelineCache(withShingles(corpusWithNearDupes(s, dir)).cache()))
+  }
 
   /** Unpersist and forget the memoized pipeline for (s, dir). Returns true
     * if an entry existed. Long-lived sessions (and Bench, which wants a
-    * cold-build line item) use this to bound the cache — without it the
-    * cached intermediates live for the life of the process. */
-  def evictSharedPipeline(s: SparkSession, dir: String): Boolean =
-    pairCache.remove((s, dir)) match {
-      case Some((sh, pairs)) =>
-        sh.unpersist(blocking = false); pairs.unpersist(blocking = false); true
+    * cold-build line item) use this to bound the cache. */
+  def evictSharedPipeline(s: SparkSession, dir: String): Boolean = {
+    val m = sessionCaches.get(s)
+    if (m == null) false
+    else m.remove(dir) match {
+      case Some(e) =>
+        e.docs.unpersist(blocking = false)
+        e.pairs.foreach(_.unpersist(blocking = false))
+        true
       case None => false
     }
+  }
 
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir), {
-      val docs = withShingles(corpusWithNearDupes(s, dir)).cache()
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val entry = entryFor(s, dir)
+    entry.synchronized {
+      entry.pairs.getOrElse {
+        val pairs = buildVerifiedPairs(entry.docs)
+        entry.pairs = Some(pairs)
+        pairs
+      }
+    }
+  }
+
+  private def buildVerifiedPairs(docs: DataFrame): DataFrame = {
       val bands = toBands(minhashSigs(docs))
       val candidates = bands.as("x")
         .join(bands.as("y"),
@@ -181,10 +228,9 @@ object Dedup {
         .distinct()
       val inter = intersections(
         hashPairs(docs).join(candDocs, Seq("doc_id"), "left_semi"))
-      val pairs = jaccardOfPairs(docs, candidates.join(inter, Seq("doc_a", "doc_b")))
+      jaccardOfPairs(docs, candidates.join(inter, Seq("doc_a", "doc_b")))
         .cache()
-      (docs, pairs)
-    })._2
+  }
 
   /** Full MinHash-LSH near-dup pipeline: banded candidate pairs, verified
     * by true shingle Jaccard ≥ threshold. */

@@ -101,7 +101,8 @@ object Similarity {
     * 0.99 separates exactly. */
   val EmbDupThreshold = 0.99
 
-  /** embeddings ∪ perturbed copies of every 9th vector (id +3,000,000,
+  /** embeddings ∪ perturbed copies of every 9th vector (id +3·10^15 —
+    * collision-proof against real ids at any realistic corpus size,
     * dim 0 shifted by +0.1 in double then narrowed to float — an IEEE
     * sequence DuckDB reproduces bit-for-bit). The synthetic table has no
     * natural near-dups, so the corpus plants deterministic ones, exactly
@@ -111,7 +112,7 @@ object Similarity {
     e.unionByName(
       e.filter(col("vec_id") % 9 === 0)
         .select(
-          (col("vec_id") + 3000000L).as("vec_id"),
+          (col("vec_id") + 3000000000000000L).as("vec_id"),
           transform(col("embedding"), (x, i) =>
             when(i === 0, (x.cast("double") + lit(0.1)).cast("float")).otherwise(x))
             .as("embedding")))

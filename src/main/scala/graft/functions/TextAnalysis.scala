@@ -35,17 +35,21 @@ object TextAnalysis {
   /** token + quality stats per document: exact counts and deterministic
     * ratio columns. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokens projected ONCE: the MarkerHits consumer is CodegenFallback,
+    // so inlining tokens(text) into both size() and hitCount would run
+    // the regex split twice per row (CollapseProject keeps a separate
+    // projection for non-cheap expressions used more than once)
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
-        size(toks).cast("long").as("n_tokens"),
+        size(col("toks")).cast("long").as("n_tokens"),
         // BPE-ish regex token count: letter runs, digit runs, single punct
         regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
           .as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars"),
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_alpha"),
-        hitCount(toks, enStop).as("n_stopwords"))
+        hitCount(col("toks"), enStop).as("n_stopwords"))
       .withColumn("avg_token_len",
         round(col("n_chars").cast("double") / col("n_tokens"), 6))
       .withColumn("stopword_ratio",
@@ -80,7 +84,7 @@ object TextAnalysis {
     withHits
       .select(
         col("doc_id"), col("labeled_lang"),
-        (col("h_en") + col("h_de") + col("h_fr") + col("h_es") + col("h_zh")).as("n_marker_hits"),
+        langs.map(l => col(s"h_$l")).reduce(_ + _).as("n_marker_hits"),
         detected.as("detected_lang"))
       .orderBy("doc_id")
   }
@@ -137,9 +141,10 @@ object TextAnalysis {
     * fingerprint ⇒ equal token sequence modulo hash collisions). */
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
-        rollingFingerprint(tokens(col("text"))).as("fingerprint"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        rollingFingerprint(col("toks")).as("fingerprint"),
+        size(col("toks")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 }

@@ -25,7 +25,7 @@ object ExtensionOracles {
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 2000000, text || ' graft near dup tail marker'
+      |  SELECT doc_id + 2000000000000000, text || ' graft near dup tail marker'
       |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
 
   /** Distinct (doc_id, shingle) set over the near-dup corpus. */
@@ -103,7 +103,7 @@ object ExtensionOracles {
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+        |  SELECT doc_id + 1000000000000000, text FROM documents WHERE doc_id % 10 = 0)
         |SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM corpus GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
 
@@ -278,7 +278,7 @@ object ExtensionOracles {
     """corpus AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 3000000,
+      |  SELECT vec_id + 3000000000000000,
       |    list_transform(range(len(embedding)),
       |      i -> CASE WHEN i = 0 THEN CAST(CAST(embedding[1] AS DOUBLE) + 0.1 AS FLOAT)
       |                ELSE embedding[i+1] END)

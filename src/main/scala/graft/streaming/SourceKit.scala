@@ -55,11 +55,23 @@ object SourceKit {
         rowsPerElem: Int = 1,
         timeoutMs: Long = 60000): Unit = {
       var sent = 0
+      // surface a dead query's real exception instead of burying it
+      // under a misleading "sink stuck" timeout
+      def failIfQueryDead(): Unit =
+        spark.streams.active.foreach { q =>
+          q.exception.foreach(e => throw new IllegalStateException(
+            s"streaming query ${q.name} failed while script waited", e))
+        }
       def waitRows(n: Long): Unit = {
         val deadline = System.currentTimeMillis + timeoutMs
-        while (spark.table(sinkTable).count() < n && System.currentTimeMillis < deadline)
+        var rows = spark.table(sinkTable).count()
+        while (rows < n && System.currentTimeMillis < deadline) {
+          failIfQueryDead()
           Thread.sleep(50)
-        require(spark.table(sinkTable).count() >= n, s"sink $sinkTable stuck below $n rows")
+          rows = spark.table(sinkTable).count()
+        }
+        failIfQueryDead()
+        require(rows >= n, s"sink $sinkTable stuck below $n rows (got $rows)")
       }
       steps.foreach {
         case Left(e) =>

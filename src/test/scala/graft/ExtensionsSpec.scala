@@ -44,7 +44,7 @@ class ExtensionsSpec extends SparkTestBase {
     // constructed near-dups: short docs sit near the Jaccard threshold
     // where a band miss is genuinely probable, so bound recall rather than
     // demanding full capture
-    val constructed = truth.filter { case (a, b) => b == a + 2000000 }
+    val constructed = truth.filter { case (a, b) => b == a + graft.functions.Dedup.NearDupOffset }
     val cRecall = constructed.count(lsh.contains).toDouble / constructed.size
     assert(constructed.nonEmpty && cRecall >= 0.85,
       s"constructed near-dup recall $cRecall below 0.85")
@@ -113,7 +113,7 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs.nonEmpty)
     pairs.foreach { r =>
       // only planted (base, base+3M) pairs can clear 0.99 on random vectors
-      assert(r.getLong(1) == r.getLong(0) + 3000000L,
+      assert(r.getLong(1) == r.getLong(0) + 3000000000000000L,
         s"unexpected non-planted pair ${r.getLong(0)} ${r.getLong(1)}")
       assert(r.getDouble(2) >= Similarity.EmbDupThreshold)
     }
