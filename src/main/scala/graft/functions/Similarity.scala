@@ -186,6 +186,29 @@ object Similarity {
     ranked(joined)
   }
 
+  /** IVF with nprobe=2: each query searches its own cell AND its
+    * second-nearest centroid's cell — the standard IVF recall repair
+    * (a query near a cell boundary finds neighbors assigned to the
+    * adjacent cell). Candidates stay bounded to two cell populations. */
+  def annIvfProbe2(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") % IvfCentroidStride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val assignW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
+    val rankedCells = emb.join(broadcast(cents))
+      .withColumn("csim", sim(col("embedding"), col("cv")))
+      .withColumn("arn", row_number().over(assignW))
+    val assigned = rankedCells.filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val probes = rankedCells.filter(col("arn") <= 2 && col("vec_id") < NQueryVectors)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cent_id").as("probe_cell"))
+    val joined = assigned
+      .join(broadcast(probes), col("probe_cell") === col("cell") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("embedding").as("cv"))
+      .withColumn("sim", sim(col("qv"), col("cv")))
+    ranked(joined)
+  }
+
   /** Multi-probe LSH: each query also probes every Hamming-1 neighbor of
     * its sign bucket (9 probes for 8 bits) — the standard recall repair
     * for bucketed ANN, still bounding the candidate set to probed buckets

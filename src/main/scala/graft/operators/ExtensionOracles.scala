@@ -336,6 +336,38 @@ object ExtensionOracles {
         |  FROM d)
         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
 
+    "ann_ivf_probe2" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e WHERE vec_id % 53 = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cv[i+1] AS DOUBLE))),
+        |      (x, y) -> x + y) / (e.nrm * c.cnrm), 6) AS csim
+        |  FROM e, c),
+        |a AS (
+        |  SELECT vec_id, embedding, nrm, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |  FROM ac),
+        |asg AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM a WHERE arn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnrm, cent_id AS probe_cell
+        |      FROM a WHERE arn <= 2 AND vec_id < 8),
+        |d AS (
+        |  SELECT qid, asg.vec_id AS cid,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(qv)), i -> CAST(qv[i+1] AS DOUBLE) * CAST(asg.embedding[i+1] AS DOUBLE))),
+        |      (x, y) -> x + y) / (qnrm * asg.nrm), 6) AS sim
+        |  FROM q JOIN asg ON probe_cell = asg.cell AND qid <> asg.vec_id),
+        |r AS (SELECT qid, cid, sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
+
     "ann_recall_at_k" ->
       s"""WITH brute AS (${base("ann_cosine_topk")}),
          |lsh AS (${base("ann_lsh_bucketed")})

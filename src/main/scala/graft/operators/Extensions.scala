@@ -25,6 +25,7 @@ object Extensions {
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),
     "ann_recall_at_k"  -> (Similarity.annRecallAtK _),
     "ann_ivf"          -> (Similarity.annIvf _),
+    "ann_ivf_probe2"   -> (Similarity.annIvfProbe2 _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "text_top_terms"   -> ((s: SparkSession, dir: String) => TextAnalysis.topTerms(s, dir)),
