@@ -251,6 +251,74 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Undirected connected components over an edge list (doc_a, doc_b)
+    * by min-label propagation: every node's label converges to the
+    * smallest doc_id in its component. Returns (doc_id, component) for
+    * every node that appears in an edge.
+    *
+    * Scale shape: each round is one hash join (edges ⋈ labels, both
+    * sides partitioned by the join key) + one min-aggregation — the
+    * classic BSP step. Rounds = component diameter, bounded by
+    * `maxIters`; each round is `localCheckpoint`ed, so the logical plan
+    * and lineage stay O(1) per round instead of growing with the
+    * iteration count (on a real cluster with executor churn, swap for
+    * reliable `checkpoint` to a cluster store — same shape). For
+    * graphs with giant/high-diameter components the
+    * large-star/small-star alternation (Kiveris et al., "Connected
+    * components in MapReduce and beyond", SoCC 2014) reaches fixpoint
+    * in O(log n) rounds with the same per-round join shape; near-dup
+    * graphs are overwhelmingly tiny star components, where plain
+    * min-propagation converges in 2-3 rounds and skips the extra
+    * per-round edge rewrite. */
+  def components(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("component"))
+      .localCheckpoint()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val msgs = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy("doc_id")
+        .agg(min("component").as("component"))
+        .localCheckpoint()
+      // labels only ever decrease, so "no label shrank" == fixpoint
+      val changed = next.withColumnRenamed("component", "next_c")
+        .join(labels, "doc_id")
+        .filter(col("next_c") < col("component"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iters += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Keep/drop decision with TRANSITIVE closure: connected components
+    * over the verified near-dup pairs, keeping exactly one document
+    * (the smallest id) per component — the production drop rule.
+    * Closes the one-hop gap of [[dedupDropList]]: with pairs A~B and
+    * B~C but not A~C, one-hop drops B yet keeps C; here B and C both
+    * collapse into A's component. */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val comp = components(verifiedPairs(s, dir))
+    corpusWithNearDupes(s, dir)
+      .select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("action",
+        when(col("component") === col("doc_id"), "keep").otherwise("drop"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic hash-based stratified sampling — the data-selection
     * primitive of training pipelines (reproducible across runs/engines,
     * unlike rand()): keep documents whose content hash lands in the first

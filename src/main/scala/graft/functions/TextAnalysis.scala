@@ -124,15 +124,22 @@ object TextAnalysis {
 
   /** Approximate vocabulary head via the SpaceSaving sketch aggregate —
     * O(capacity) state per partial instead of the full-vocabulary
-    * shuffle of [[topTerms]]; the 100 TB form. No DuckDB oracle (sketch
-    * contents are merge-order-dependent); the frequency guarantee and
-    * count bounds are pinned against exact counts in TopKSketchSpec, and
-    * the driver records a rows-only check. */
-  def approxTopTerms(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    * shuffle of [[topTerms]]; the 100 TB form.
+    *
+    * Gate strategy: with `capacity` ≥ the distinct-token count, no
+    * eviction ever fires, so every estimate is the true count, every
+    * error is 0, and every merge floor is 0 — the sketch is EXACT and
+    * the plain top-k SQL is a valid DuckDB oracle (count_lo = count_hi
+    * = exact frequency). The gate registers capacity 4096 (corpus vocab
+    * is ~31 tokens at every SF); the genuinely-approximate regime
+    * (capacity < vocabulary, evictions, error bounds) is pinned against
+    * exact counts in TopKSketchSpec. */
+  def approxTopTerms(s: SparkSession, dir: String, k: Int = 20,
+      capacity: Int = 4096): DataFrame = {
     import graft.functions.expressions.TopKSketchAgg
     Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("tok"))
-      .agg(TopKSketchAgg(col("tok"), capacity = 256, k = k).as("top"))
+      .agg(TopKSketchAgg(col("tok"), capacity = capacity, k = k).as("top"))
       .selectExpr("inline(top)")
       .orderBy(col("count_hi").desc, col("item").asc)
   }

@@ -173,6 +173,50 @@ object ExtensionOracles {
          |  CASE WHEN doc_id IN (SELECT doc_b FROM verified) THEN 'drop' ELSE 'keep' END AS action
          |FROM corpus ORDER BY doc_id""".stripMargin,
 
+    // transitive closure over the verified pairs: recursive CTE computes
+    // min-reachable id per node == the component label min-propagation
+    // converges to on the Spark side
+    "dedup_components" ->
+      s"""WITH RECURSIVE $nearCorpus,
+         |$nearShingles,
+         |hs AS (SELECT doc_id, ${h32("s")} AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, j,
+         |    min(((2 * j + 1) * h + 1000003 * j + 12345) % 2147483647) AS m
+         |  FROM hs, range(64) t(j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |    sum(m * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS band_hash
+         |  FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |$sizesAndInter,
+         |verified AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+         |  JOIN sizes sa ON c.doc_a = sa.doc_id
+         |  JOIN sizes sb ON c.doc_b = sb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM verified
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM verified),
+         |walk(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS component
+         |  FROM walk GROUP BY src)
+         |SELECT c.doc_id,
+         |  coalesce(m.component, c.doc_id) AS component,
+         |  CASE WHEN coalesce(m.component, c.doc_id) = c.doc_id THEN 'keep' ELSE 'drop' END AS action
+         |FROM corpus c LEFT JOIN comp m ON c.doc_id = m.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
     "sample_by_hash" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${h32("text")} % 100 < 10
@@ -400,6 +444,16 @@ object ExtensionOracles {
          |SELECT tok, count(*) AS freq, count(DISTINCT doc_id) AS df
          |FROM t GROUP BY tok
          |ORDER BY freq DESC, tok ASC LIMIT 20""".stripMargin,
+
+    // exact-mode SpaceSaving gate: capacity (4096) >= vocabulary (~31),
+    // so no eviction ever fires and count_lo = count_hi = exact frequency
+    "approx_top_terms" ->
+      s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents)
+         |SELECT tok AS item,
+         |  CAST(count(*) AS BIGINT) AS count_lo,
+         |  CAST(count(*) AS BIGINT) AS count_hi
+         |FROM t GROUP BY tok
+         |ORDER BY count_hi DESC, item ASC LIMIT 20""".stripMargin,
 
     "text_rare_term" ->
       s"""WITH t AS (

@@ -19,6 +19,7 @@ object Extensions {
     "dedup_minhash"    -> (Dedup.dedupMinhash _),
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_drop_list"  -> (Dedup.dedupDropList _),
+    "dedup_components" -> (Dedup.dedupComponents _),
     "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),
@@ -29,8 +30,9 @@ object Extensions {
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "text_top_terms"   -> ((s: SparkSession, dir: String) => TextAnalysis.topTerms(s, dir)),
-    // sketch-based: no oracle (merge-order-dependent contents); driver
-    // records rows-only, guarantees pinned in TopKSketchSpec
+    // exact-mode sketch gate: capacity >= vocabulary makes SpaceSaving
+    // exact, so the plain top-k SQL is a full hash oracle; the
+    // approximate regime is pinned in TopKSketchSpec
     "approx_top_terms" -> ((s: SparkSession, dir: String) => TextAnalysis.approxTopTerms(s, dir)),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> (Multimodal.mediaFrames _),

@@ -520,6 +520,41 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Q35 — LEFT OUTER as-of through the native operator: last view
+    * strictly before each purchase per user, keeping purchases with no
+    * prior view (null view_us) — the default shape of pandas merge_asof
+    * and DuckDB `ASOF LEFT JOIN`. */
+  def q35AsofLeft(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("view_us"))
+    graft.plans.AsOfJoin.asof(p, v, "user_id", "v_user", "us", "view_us",
+        joinType = graft.plans.AsOfJoin.LeftOuter)
+      .select("event_id", "user_id", "us", "view_us")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q36 — as-of with a TOLERANCE bound (merge_asof tolerance= / "within
+    * one hour"): last view strictly before each purchase AND within 1 h
+    * of it; LEFT OUTER so out-of-tolerance purchases surface with null
+    * view_us rather than silently dropping. The as-of match per left row
+    * is unique, so the oracle is ASOF LEFT JOIN with the match nulled
+    * out when it misses the tolerance. */
+  def q36AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), unix_micros(col("ts")).as("view_us"))
+    graft.plans.AsOfJoin.asof(p, v, "user_id", "v_user", "us", "view_us",
+        joinType = graft.plans.AsOfJoin.LeftOuter,
+        within = Some(3600000000L))
+      .select("event_id", "user_id", "us", "view_us")
+      .orderBy("user_id", "event_id")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -556,5 +591,7 @@ object Relational {
     "q32_asof_native"    -> (q32AsofNative _),
     "q33_salted_join"    -> (q33SaltedJoin _),
     "q34_asof_forward"   -> (q34AsofForward _),
+    "q35_asof_left"      -> (q35AsofLeft _),
+    "q36_asof_tolerance" -> (q36AsofTolerance _),
   )
 }

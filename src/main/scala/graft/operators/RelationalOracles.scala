@@ -286,5 +286,23 @@ object RelationalOracles {
         |SELECT p.event_id, p.user_id, p.us, v.view_us
         |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.us < v.view_us
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    "q35_asof_left" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.us, v.view_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us > v.view_us
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    // tolerance: the as-of match per left row is unique, so bounding it
+    // to 1h == ASOF LEFT JOIN with the matched time nulled out when it
+    // misses the tolerance
+    "q36_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS view_us FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, p.us,
+        |  CASE WHEN p.us - v.view_us <= 3600000000 THEN v.view_us END AS view_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us > v.view_us
+        |ORDER BY p.user_id, p.event_id""".stripMargin,
   )
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.classic.Strategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder,
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder,
   UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{
@@ -18,11 +18,14 @@ import org.apache.spark.sql.types.LongType
   * (c): custom LogicalPlan + Strategy + SparkPlan) — the whole-operator
   * form of what q19 composes from window functions.
   *
-  * Semantics: INNER as-of — for each left row, the matching right row
-  * of the same key is the greatest right-time strictly BEFORE the left
-  * time ([[Backward]], DuckDB `l.t > r.t`) or the smallest strictly
-  * AFTER it ([[Forward]], DuckDB `l.t < r.t`); left rows with no match
-  * are dropped.
+  * Semantics: for each left row, the matching right row of the same key
+  * is the greatest right-time strictly BEFORE the left time
+  * ([[Backward]], DuckDB `l.t > r.t`) or the smallest strictly AFTER it
+  * ([[Forward]], DuckDB `l.t < r.t`), optionally constrained to lie
+  * within a tolerance of the left time (`within` µs, pandas
+  * `merge_asof(..., tolerance=...)`). [[Inner]] drops left rows with no
+  * match; [[LeftOuter]] keeps them with a null-filled right side
+  * (DuckDB `ASOF LEFT JOIN` / merge_asof's default).
   *
   * Scale shape: the exec declares `ClusteredDistribution(key)` and
   * per-partition `(key, time)` ordering as REQUIREMENTS and lets
@@ -41,8 +44,24 @@ object AsOfJoin {
   case object Backward extends Direction
   case object Forward extends Direction
 
+  /** Join kind: [[Inner]] drops unmatched left rows; [[LeftOuter]]
+    * keeps them with a null-filled right side (the merge_asof/DuckDB
+    * `ASOF LEFT JOIN` default shape). */
+  sealed trait JoinKind
+  case object Inner extends JoinKind
+  case object LeftOuter extends JoinKind
+
+  private def outputFor(
+      left: Seq[Attribute], right: Seq[Attribute], kind: JoinKind): Seq[Attribute] =
+    left ++ (kind match {
+      case LeftOuter => right.map(_.withNullability(true))
+      case Inner => right
+    })
+
   /** Logical node. `leftTime`/`rightTime` must be LongType (epoch micros
-    * convention used across graft); keys equi-compare. */
+    * convention used across graft); keys equi-compare. `within` is an
+    * optional tolerance in the time unit: a candidate only matches when
+    * |leftTime − rightTime| ≤ within. */
   case class AsOfJoinPlan(
       left: LogicalPlan,
       right: LogicalPlan,
@@ -50,9 +69,11 @@ object AsOfJoin {
       rightKey: Expression,
       leftTime: Expression,
       rightTime: Expression,
-      direction: Direction = Backward)
+      direction: Direction = Backward,
+      joinType: JoinKind = Inner,
+      within: Option[Long] = None)
       extends BinaryNode {
-    override def output: Seq[Attribute] = left.output ++ right.output
+    override def output: Seq[Attribute] = outputFor(left.output, right.output, joinType)
     override lazy val resolved: Boolean =
       childrenResolved && Seq(leftKey, rightKey, leftTime, rightTime).forall(_.resolved)
     override protected def withNewChildrenInternal(
@@ -68,11 +89,13 @@ object AsOfJoin {
       leftTime: Expression,
       rightTime: Expression,
       direction: Direction,
+      joinType: JoinKind,
+      within: Option[Long],
       left: SparkPlan,
       right: SparkPlan)
       extends BinaryExecNode {
 
-    override def output: Seq[Attribute] = left.output ++ right.output
+    override def output: Seq[Attribute] = outputFor(left.output, right.output, joinType)
 
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
@@ -87,38 +110,55 @@ object AsOfJoin {
       Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
     override protected def doExecute(): RDD[InternalRow] = {
-      val lKey = BindReferences.bindReference(leftKey, left.output)
-      val rKey = BindReferences.bindReference(rightKey, right.output)
-      val lTime = BindReferences.bindReference(leftTime, left.output)
-      val rTime = BindReferences.bindReference(rightTime, right.output)
       val outputAttrs = output
+      val leftOut = left.output
+      val rightOut = right.output
+      val lKeyTime = Seq(leftKey, leftTime)
+      val rKeyTime = Seq(rightKey, rightTime)
       val dir = direction
+      val outer = joinType == LeftOuter
+      val tol = within.getOrElse(Long.MaxValue)
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val rBuf = rIter.buffered
         val joined = new JoinedRow
+        // codegen'd (key, time) → UnsafeRow projections: primitive
+        // getLong reads on the merge hot path instead of per-row
+        // boxed Expression.eval (VERDICT r2 item 7)
+        val lProj = UnsafeProjection.create(lKeyTime, leftOut)
+        val rProj = UnsafeProjection.create(rKeyTime, rightOut)
         val project = UnsafeProjection.create(outputAttrs, outputAttrs)
+        // all-null right side for unmatched LEFT OUTER rows
+        val nullRight: InternalRow = new GenericInternalRow(rightOut.size)
+        def unmatched(lRow: InternalRow): Iterator[InternalRow] =
+          if (outer) Iterator.single(project(joined(lRow, nullRight)))
+          else Iterator.empty
         dir match {
           case Backward =>
             // O(1) merge state: the latest right row whose (key, time)
             // has been passed by the left cursor — the as-of candidate
             var candKey = 0L
+            var candTime = 0L
             var hasCand = false
             var cand: InternalRow = null
             lIter.flatMap { lRow =>
-              val lk = lKey.eval(lRow).asInstanceOf[Long]
-              val lt = lTime.eval(lRow).asInstanceOf[Long]
+              val lkt = lProj(lRow)
+              val lk = lkt.getLong(0)
+              val lt = lkt.getLong(1)
               var advancing = true
               while (advancing && rBuf.hasNext) {
-                val head = rBuf.head
-                val rk = rKey.eval(head).asInstanceOf[Long]
-                val rt = rTime.eval(head).asInstanceOf[Long]
+                val rkt = rProj(rBuf.head)
+                val rk = rkt.getLong(0)
+                val rt = rkt.getLong(1)
                 if (rk < lk || (rk == lk && rt < lt)) {
                   val consumed = rBuf.next()
-                  if (rk == lk) { cand = consumed.copy(); candKey = rk; hasCand = true }
+                  if (rk == lk) {
+                    cand = consumed.copy(); candKey = rk; candTime = rt; hasCand = true
+                  }
                 } else advancing = false
               }
-              if (hasCand && candKey == lk) Iterator.single(project(joined(lRow, cand)))
-              else Iterator.empty
+              if (hasCand && candKey == lk && lt - candTime <= tol)
+                Iterator.single(project(joined(lRow, cand)))
+              else unmatched(lRow)
             }
           case Forward =>
             // forward match is the PEEK, not trailing state: discard
@@ -126,22 +166,24 @@ object AsOfJoin {
             // same key) is the smallest strictly-later right — and may
             // serve several left rows, so it is never consumed on match
             lIter.flatMap { lRow =>
-              val lk = lKey.eval(lRow).asInstanceOf[Long]
-              val lt = lTime.eval(lRow).asInstanceOf[Long]
+              val lkt = lProj(lRow)
+              val lk = lkt.getLong(0)
+              val lt = lkt.getLong(1)
               var advancing = true
               while (advancing && rBuf.hasNext) {
-                val head = rBuf.head
-                val rk = rKey.eval(head).asInstanceOf[Long]
-                val rt = rTime.eval(head).asInstanceOf[Long]
+                val rkt = rProj(rBuf.head)
+                val rk = rkt.getLong(0)
+                val rt = rkt.getLong(1)
                 if (rk < lk || (rk == lk && rt <= lt)) { rBuf.next(); () }
                 else advancing = false
               }
               if (rBuf.hasNext) {
                 val head = rBuf.head
-                val rk = rKey.eval(head).asInstanceOf[Long]
-                if (rk == lk) Iterator.single(project(joined(lRow, head)))
-                else Iterator.empty
-              } else Iterator.empty
+                val rkt = rProj(head)
+                if (rkt.getLong(0) == lk && rkt.getLong(1) - lt <= tol)
+                  Iterator.single(project(joined(lRow, head)))
+                else unmatched(lRow)
+              } else unmatched(lRow)
             }
         }
       }
@@ -157,8 +199,8 @@ object AsOfJoin {
     * `experimental.extraStrategies` so the operator works in any session. */
   object AsOfJoinStrategy extends Strategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir) =>
-        AsOfJoinExec(lk, rk, lt, rt, dir, planLater(l), planLater(r)) :: Nil
+      case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, kind, tol) =>
+        AsOfJoinExec(lk, rk, lt, rt, dir, kind, tol, planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
   }
@@ -166,12 +208,12 @@ object AsOfJoin {
   /** Optimizer rule: push filter conjuncts that reference only LEFT
     * columns below the as-of join, so they reach the left scan
     * (Catalyst's own PushPredicateThroughJoin doesn't know this node).
-    * Sound for inner as-of because each output row corresponds to
+    * Sound for BOTH join kinds because each output row corresponds to
     * exactly one left row — dropping left rows early never affects other
-    * rows' matches. RIGHT-side conjuncts must NOT push: removing right
-    * rows can promote an older row to as-of candidate and change
-    * results, the same reason filters don't push below the preserved
-    * side of an outer join. */
+    * rows' matches (the left side is the preserved side). RIGHT-side
+    * conjuncts must NOT push: removing right rows can promote an older
+    * row to as-of candidate and change results, the same reason filters
+    * don't push below the null-supplying side of an outer join. */
   object PushFilterThroughAsOfJoin
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
       with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
@@ -213,7 +255,18 @@ object AsOfJoin {
     }
   }
 
-  private def ensureStrategy(s: SparkSession): Unit = {
+  /** Convenience self-registration via `experimental.extraStrategies`.
+    * NOTE (ADVICE r2): the PRIMARY registration mechanism is
+    * [[GraftExtensions]] through `spark.sql.extensions` — rules injected
+    * there run inside the main optimizer batches and compose with
+    * datasource pushdown (pushed filters/projects reach the scan).
+    * Rules added here land in the post-optimizer "User Provided
+    * Optimizers" batch: still correct, but filters pushed below the
+    * as-of node after the main batches won't further fold into
+    * `PushedFilters` of a parquet scan. Synchronized on the session:
+    * check-then-append on the shared mutable lists was racy under
+    * concurrent first use. */
+  private def ensureStrategy(s: SparkSession): Unit = s.synchronized {
     if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
       s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfJoinStrategy
     Seq(PushFilterThroughAsOfJoin, PruneAsOfJoinColumns).foreach { r =>
@@ -224,15 +277,21 @@ object AsOfJoin {
 
   /** Public API: `AsOfJoin.asof(purchases, clicks, "user_id", "us")` —
     * for each left row, append the matching right row (same key,
-    * greatest right time strictly before the left time); inner
-    * semantics. Key and time columns must be LongType and must not
-    * collide by name across the two sides. */
+    * greatest right time strictly before the left time — or strictly
+    * after with [[Forward]]). `joinType = LeftOuter` keeps unmatched
+    * left rows with a null-filled right side; `within = Some(µs)`
+    * bounds the match to a tolerance of the left time. Key and time
+    * columns must be LongType and must not collide by name across the
+    * two sides. */
   def asof(
       left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
       leftTimeCol: String, rightTimeCol: String,
-      direction: Direction = Backward): DataFrame = {
+      direction: Direction = Backward,
+      joinType: JoinKind = Inner,
+      within: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
+    require(within.forall(_ >= 0L), "as-of tolerance must be non-negative")
     val spark = left.sparkSession
     ensureStrategy(spark)
     // NULL keys/times never match in as-of semantics (DuckDB ASOF emits
@@ -255,6 +314,7 @@ object AsOfJoin {
     val overlap = lPlan.output.map(_.name).toSet intersect rPlan.output.map(_.name).toSet
     require(overlap.isEmpty,
       s"as-of output keeps both sides' columns; rename the overlapping ones first: ${overlap.mkString(", ")}")
-    ColumnShim.ofRows(spark, AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, direction))
+    ColumnShim.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, direction, joinType, within))
   }
 }

@@ -46,6 +46,54 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == Map("p0" -> 5L, "p1" -> 12L, "pEq" -> 12L), s"got $got")
   }
 
+  test("LEFT OUTER keeps unmatched lefts with null right side (both directions)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, "p1"), // matches 5 backward, 12 forward
+      (1L, 3L, "p0"),  // no prior right -> null backward; 5 forward
+      (2L, 50L, "p2"), // key 2 has no rights -> null both ways
+      (1L, 20L, "p3")  // matches 12 backward; nothing later -> null forward
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L), (1L, 12L)).toDF("rk", "rt")
+    def run(dir: AsOfJoin.Direction) =
+      AsOfJoin.asof(left, right, "k", "rk", "t", "rt", dir,
+          joinType = AsOfJoin.LeftOuter)
+        .select("tag", "rt").collect()
+        .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(run(AsOfJoin.Backward) == Map(
+      "p1" -> Some(5L), "p0" -> None, "p2" -> None, "p3" -> Some(12L)))
+    assert(run(AsOfJoin.Forward) == Map(
+      "p1" -> Some(12L), "p0" -> Some(5L), "p2" -> None, "p3" -> None))
+  }
+
+  test("tolerance bounds the match; out-of-tolerance behaves as no-match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 10L, "near"),  // candidate rt=8, delta 2 <= 3 -> match
+      (1L, 50L, "far"),   // candidate rt=12, delta 38 > 3 -> no match
+      (1L, 13L, "edge")   // candidate rt=12, delta 1 <= 3 -> match
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, 8L), (1L, 12L)).toDF("rk", "rt")
+    val inner = AsOfJoin.asof(left, right, "k", "rk", "t", "rt",
+        within = Some(3L))
+      .select("tag", "rt").as[(String, Long)].collect().toMap
+    assert(inner == Map("near" -> 8L, "edge" -> 12L), s"got $inner")
+    // LEFT OUTER + tolerance: 'far' surfaces with a null right
+    val outer = AsOfJoin.asof(left, right, "k", "rk", "t", "rt",
+        joinType = AsOfJoin.LeftOuter, within = Some(3L))
+      .select("tag", "rt").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(outer == Map("near" -> Some(8L), "far" -> None, "edge" -> Some(12L)))
+    // forward tolerance: next-later right within the bound only
+    val fwd = AsOfJoin.asof(left, right, "k", "rk", "t", "rt",
+        AsOfJoin.Forward, within = Some(3L))
+      .select("tag", "rt").as[(String, Long)].collect().toMap
+    // near(10): next later is 12, delta 2 <= 3; far(50)/edge(13): none later in bound
+    assert(fwd == Map("near" -> 12L), s"got $fwd")
+  }
+
   test("NULL keys and times never match (and never corrupt the merge)") {
     val s = spark
     import s.implicits._

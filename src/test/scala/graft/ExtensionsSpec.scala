@@ -13,14 +13,43 @@ import graft.operators.Extensions
 class ExtensionsSpec extends SparkTestBase {
 
   test("every extension query runs non-empty on sf0.001 and has an oracle") {
-    // sketch-based queries are deliberately rows-only: their contents are
-    // merge-order-dependent, guarantees are spec-pinned instead
-    val rowsOnly = Set("approx_top_terms")
     Extensions.all.foreach { case (name, fn) =>
       assert(fn(spark, sf0001).count() > 0, s"$name returned no rows")
-      assert(rowsOnly(name) || operators.ExtensionOracles.all.contains(name),
+      assert(operators.ExtensionOracles.all.contains(name),
         s"$name has no oracle")
     }
+  }
+
+  test("connected components close transitive chains the one-hop rule misses") {
+    val s = spark
+    import s.implicits._
+    // A~B, B~C (no A~C edge), plus an isolated pair and a 4-cycle
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),          // chain: all -> 1
+      (10L, 11L),                  // pair: 11 -> 10
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L) // cycle: all -> 20
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L), s"got $got")
+  }
+
+  test("dedup_components keeps exactly one doc per component; drops superset of one-hop drops") {
+    val comp = Dedup.dedupComponents(spark, sf0001).cache()
+    val byComponent = comp.groupBy("component")
+      .agg(sum(when(col("action") === "keep", 1).otherwise(0)).as("n_keep"))
+    assert(byComponent.filter(col("n_keep") =!= 1).count() == 0,
+      "every component must keep exactly one representative")
+    // transitive closure can only drop MORE than the one-hop rule
+    val oneHop = Dedup.dedupDropList(spark, sf0001)
+      .filter(col("action") === "drop").select("doc_id")
+    val closure = comp.filter(col("action") === "drop").select("doc_id")
+    assert(oneHop.except(closure).count() == 0,
+      "one-hop drops must be a subset of component drops")
+    comp.unpersist()
   }
 
   test("dedup_exact keeps one representative per content and counts copies") {
