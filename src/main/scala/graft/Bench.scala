@@ -38,6 +38,10 @@ object Bench {
     // low-noise estimator of a query's actual cost. A failed run records
     // -1 (never elapsed-until-crash) and lands in the errors map, so a
     // query that regresses to throwing shrinks nothing silently.
+    // The two runs are INTERLEAVED as full passes (A..Z, A..Z), not
+    // back-to-back (A,A,B,B): BENCH_r02's false regression came from one
+    // load spike hitting both adjacent samples of the same queries;
+    // spacing a query's two samples a whole pass apart decorrelates them.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(name: String, thunk: () => Unit): Double = {
       val t0 = System.nanoTime()
@@ -49,15 +53,16 @@ object Bench {
           -1.0
       }
     }
-    def minOf2(name: String, thunk: () => Unit): Double = {
-      val a = timeOnce(name, thunk); val b = timeOnce(name, thunk)
-      if (a < 0 || b < 0) -1.0 else math.min(a, b)
-    }
     def runQ(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): () => Unit =
       () => fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> minOf2(name, runQ(fn))
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Map[String, Double] =
+      ordered.map { case (name, fn) => name -> timeOnce(name, runQ(fn)) }.toMap
+    val (pass1, pass2) = (pass(), pass())
+    val results = ordered.map { case (name, _) =>
+      val (a, b) = (pass1(name), pass2(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // Cold-build line item: the dedup consumers above share a memoized
     // LSH pipeline, so their per-query numbers are warm-intermediate

@@ -162,22 +162,31 @@ object Dedup {
     @volatile var pairs: Option[DataFrame] = None
   }
 
-  /** Sessions are WEAK keys: a stopped/discarded SparkSession must not
-    * be pinned for the process lifetime by its memoized plans (the
-    * previous strong-keyed map retained dead sessions forever). */
-  private val sessionCaches = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, PipelineCache]]())
+  /** Keyed by `sessionUUID`, NOT the session object: the cached
+    * DataFrame values strongly reference their SparkSession, so a
+    * weak-keyed map could never reclaim anything (values kept keys
+    * reachable — ADVICE r2). Lifecycle is explicit via
+    * [[evictSharedPipeline]]; as a backstop, a listener registered at
+    * first use drops a session's entries when its SparkContext ends,
+    * so no entry outlives the app even if eviction is never called. */
+  private val sessionCaches =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      scala.collection.concurrent.TrieMap[String, PipelineCache]]()
+
+  private def uuidOf(s: SparkSession): String =
+    org.apache.spark.sql.graft.ColumnShim.sessionUuid(s)
 
   private def entryFor(s: SparkSession, dir: String): PipelineCache = {
-    val m = sessionCaches.synchronized {
-      var inner = sessionCaches.get(s)
-      if (inner == null) {
-        inner = scala.collection.concurrent.TrieMap.empty[String, PipelineCache]
-        sessionCaches.put(s, inner)
-      }
-      inner
-    }
+    val uuid = uuidOf(s)
+    val m = sessionCaches.computeIfAbsent(uuid, _ => {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          sessionCaches.remove(uuid)
+        }
+      })
+      scala.collection.concurrent.TrieMap.empty[String, PipelineCache]
+    })
     m.getOrElseUpdate(dir,
       new PipelineCache(withShingles(corpusWithNearDupes(s, dir)).cache()))
   }
@@ -186,7 +195,7 @@ object Dedup {
     * if an entry existed. Long-lived sessions (and Bench, which wants a
     * cold-build line item) use this to bound the cache. */
   def evictSharedPipeline(s: SparkSession, dir: String): Boolean = {
-    val m = sessionCaches.get(s)
+    val m = sessionCaches.get(uuidOf(s))
     if (m == null) false
     else m.remove(dir) match {
       case Some(e) =>

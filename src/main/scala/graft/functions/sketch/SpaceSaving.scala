@@ -126,10 +126,21 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(capacity); out.writeLong(totalWeight); out.writeInt(counters.size)
-    // sorted order: deterministic bytes for identical sketch contents
-    counters.toSeq.sortBy(_._1).foreach { case (item, (est, err)) =>
-      val b = item.getBytes("UTF-8")
-      out.writeInt(b.length); out.write(b); out.writeLong(est); out.writeLong(err)
+    // BUCKET order (ascending estimate; insertion order within a
+    // bucket), NOT item-sorted: restore() replays adds in read order,
+    // so this reproduces every bucket's LinkedHashSet insertion order
+    // exactly and the deterministic-victim eviction tiebreak survives
+    // serialize/deserialize (checkpoint restore, partial-agg shuffle)
+    // — an item-sorted dump silently re-ordered the tiebreak (ADVICE r2)
+    val it = buckets.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val est = e.getKey
+      e.getValue.foreach { item =>
+        val err = counters(item)._2
+        val b = item.getBytes("UTF-8")
+        out.writeInt(b.length); out.write(b); out.writeLong(est); out.writeLong(err)
+      }
     }
     out.flush(); bos.toByteArray
   }

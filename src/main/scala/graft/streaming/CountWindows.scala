@@ -23,7 +23,10 @@ object CountWindows {
 
   /** Keyed count window (B17). `orderOf` fixes intra-batch processing
     * order so results are deterministic (the reference relies on
-    * single-task arrival order; a shuffled Dataset has none).
+    * single-task arrival order; a shuffled Dataset has none). The sort
+    * buffers one key's slice of one micro-batch on the heap (see the
+    * memory-bound note in RunningReduce.keyed; cross-batch state stays
+    * at `size - 1` elements).
     *
     * @param agg fold of one complete window, e.g. sum/label — the
     *            reference's `WindowAgg` surface (WindowAllKeyedPoC.java:20-33)

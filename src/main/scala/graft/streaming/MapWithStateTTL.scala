@@ -133,7 +133,13 @@ object MapWithStateTTL {
             // total order within the batch: event time, then the caller's
             // tiebreak — without it, equal-timestamp events fold in
             // arbitrary post-shuffle order and the streaming/batch
-            // equivalence (whose oracle orders by (ts, event_id)) breaks
+            // equivalence (whose oracle orders by (ts, event_id)) breaks.
+            // MEMORY BOUND: this buffers ONE KEY'S slice of ONE
+            // micro-batch on the heap (hot-key spec: 100k-event key at
+            // default heap in RunningReduceSpec). flatMapGroupsWithState
+            // exposes no secondary-sort contract, so a spill-free fold
+            // needs this sort; a hotter key needs the batch bounded
+            // upstream (maxOffsetsPerTrigger / source rate limits).
             val events = it.toVector.sortBy(in => (eventTimeMicros(in), tiebreak(in)))
             var (s, lastUs) = state.getOption
               .map(t => (t.value, t.lastAccessMs))

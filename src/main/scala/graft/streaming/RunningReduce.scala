@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.concurrent.duration.FiniteDuration
+
 import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -20,7 +22,13 @@ object RunningReduce {
   /** @param tiebreak total-order tiebreak for equal `orderOf` values —
     *                  without it, tied events fold in arbitrary
     *                  post-shuffle order while the batch oracle (q9)
-    *                  orders by (ts, event_id) */
+    *                  orders by (ts, event_id)
+    *
+    * Memory bound: the deterministic sort buffers one key's slice of one
+    * micro-batch on the heap (pinned by the hot-key spec at 100k events
+    * for a single key). Spark's flatMapGroupsWithState has no
+    * secondary-sort contract to lean on; bound a hotter key's batch
+    * upstream with source rate limits (maxOffsetsPerTrigger). */
   def keyed[In, K, S](
       ds: Dataset[In],
       zero: S)(
@@ -42,4 +50,50 @@ object RunningReduce {
           state.update(Acc(acc))
           out.iterator
       }
+
+  /** [[keyed]] with BOUNDED state: keys idle past `ttl` are physically
+    * evicted (ProcessingTimeTimeout + `state.remove()`) and restart from
+    * `zero` on their next event — the same refresh-on-access /
+    * data-path-expiry composition as MapWithStateTTL.processingTime.
+    * The un-TTL'd [[keyed]] is semantically faithful to the reference's
+    * `keyBy(0).reduce` (state per key, forever); this is the form a
+    * library whose headline theme is bounded state should hand to a
+    * churning 100 TB keyspace. */
+  def keyedWithTtl[In, K, S](
+      ds: Dataset[In],
+      zero: S,
+      ttl: FiniteDuration)(
+      keyOf: In => K,
+      orderOf: In => Long,
+      tiebreak: In => Long = (_: In) => 0L)(
+      reduce: (S, In) => S)(
+      implicit kEnc: Encoder[K],
+      tsEnc: Encoder[MapWithStateTTL.TimeStamped[S]],
+      outEnc: Encoder[(K, S)]): Dataset[(K, S)] = {
+    val ttlMs = ttl.toMillis
+    ds.groupByKey(keyOf)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: K, it: Iterator[In], state: GroupState[MapWithStateTTL.TimeStamped[S]]) =>
+          if (state.hasTimedOut) {
+            state.remove() // eviction: idle key leaves the StateStore
+            Iterator.empty
+          } else {
+            val nowMs = state.getCurrentProcessingTimeMs()
+            // data-path expiry: a key that sat idle past ttl but got new
+            // data before its timeout fired restarts from zero
+            var acc = state.getOption match {
+              case Some(ts) if nowMs - ts.lastAccessMs <= ttlMs => ts.value
+              case _ => zero
+            }
+            val out = it.toVector.sortBy(in => (orderOf(in), tiebreak(in))).map { in =>
+              acc = reduce(acc, in)
+              (key, acc)
+            }
+            state.update(MapWithStateTTL.TimeStamped(acc, nowMs))
+            state.setTimeoutDuration(ttlMs) // refresh-on-access
+            out.iterator
+          }
+      }
+  }
 }

@@ -23,7 +23,17 @@ object SourceKit {
     * into the current micro-batch; each gap flushes the batch
     * (`processAllAvailable`) and then advances wall-clock time by
     * sleeping, which is what arms processing-time TTL timeouts.
-    */
+    *
+    * Checkpoint fidelity note: the reference's source checkpoints its
+    * REMAINING SCRIPT and resumes playback mid-script after a restart
+    * (ElementsWithGapsSource.java:165-172, the snapshotState/
+    * restoreState pair). This replay rides MemoryStream, which is not
+    * recoverable across a restart — a test that kills the query
+    * mid-script must replay from the top. OPERATOR state recovery (the
+    * thing the source feeds) is covered by CheckpointRecoverySpec via
+    * foreachBatch + checkpointLocation; a restart-recoverable scripted
+    * source would need a file-backed source with offset tracking,
+    * machinery the test surface doesn't warrant. */
   final case class Script[T](steps: Vector[Either[T, FiniteDuration]]) {
     def addElem(e: T): Script[T] = copy(steps :+ Left(e))
     def addGap(d: FiniteDuration): Script[T] = copy(steps :+ Right(d))

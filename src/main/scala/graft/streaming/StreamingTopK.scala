@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.concurrent.duration.FiniteDuration
+
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -24,27 +26,43 @@ object StreamingTopK {
   /** items → per-group top-k snapshots, one set per micro-batch. The
     * snapshot version is a monotonic per-group counter held in state —
     * NOT a wall-clock read, which could collide across two fast
-    * micro-batches and make [[mergedLatest]] double-count. */
+    * micro-batches and make [[mergedLatest]] double-count.
+    *
+    * `idleTimeout`: groups that receive no items for the given
+    * processing-time span are physically evicted (sketch dropped from
+    * the StateStore) and restart cold — including the snapshot version,
+    * so a reader can tell a restarted group apart. State without it is
+    * O(capacity) per group forever; with it, idle substreams release
+    * even that. */
   def topK(
       items: Dataset[String],
       groups: Int,
       capacity: Int,
-      k: Int): Dataset[Snapshot] = {
+      k: Int,
+      idleTimeout: Option[FiniteDuration] = None): Dataset[Snapshot] = {
     val spark = items.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout()
     items
       .groupByKey(s => math.floorMod(s.hashCode, groups))
-      .flatMapGroupsWithState(
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (group: Int, it: Iterator[String], state: GroupState[(Long, Array[Byte])]) =>
-          val (version, sketch) = state.getOption
-            .map { case (v, bytes) => (v, SpaceSaving.deserialize(bytes)) }
-            .getOrElse((0L, new SpaceSaving(capacity)))
-          it.foreach(sketch.add(_))
-          val nextVersion = version + 1
-          state.update((nextVersion, sketch.serialized))
-          sketch.topK(k).iterator.map { case (item, lo, hi) =>
-            Snapshot(group, nextVersion, item, lo, hi)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (version, sketch) = state.getOption
+              .map { case (v, bytes) => (v, SpaceSaving.deserialize(bytes)) }
+              .getOrElse((0L, new SpaceSaving(capacity)))
+            it.foreach(sketch.add(_))
+            val nextVersion = version + 1
+            state.update((nextVersion, sketch.serialized))
+            idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))
+            sketch.topK(k).iterator.map { case (item, lo, hi) =>
+              Snapshot(group, nextVersion, item, lo, hi)
+            }
           }
       }
   }

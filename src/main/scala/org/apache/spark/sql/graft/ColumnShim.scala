@@ -20,4 +20,10 @@ object ColumnShim {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Stable per-session identity (`sessionUUID` is `private[sql]`) —
+    * used as a cache key where holding the session object itself would
+    * pin it (see graft.functions.Dedup's pipeline cache). */
+  def sessionUuid(s: SparkSession): String =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
 }

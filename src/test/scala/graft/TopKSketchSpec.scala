@@ -63,6 +63,18 @@ class TopKSketchSpec extends SparkTestBase {
     }
   }
 
+  test("eviction tiebreak is stable across serialize/deserialize") {
+    // insertion order y,x (NOT item order): an item-sorted dump would
+    // restore x,y and flip the deterministic victim after a round-trip
+    val a = new SpaceSaving(2)
+    Seq("y", "x").foreach(a.add(_)) // both est=1, bucket order [y, x]
+    val b = SpaceSaving.deserialize(a.serialized)
+    a.add("z"); b.add("z") // evicts the min-bucket HEAD — must agree
+    val (ta, tb) = (a.topK(2), b.topK(2))
+    assert(ta == tb, s"round-trip diverged: $ta vs $tb")
+    assert(!ta.map(_._1).contains("y"), s"expected y evicted first, got $ta")
+  }
+
   test("batch aggregate: partial+final merged sketch keeps the guarantees") {
     val exact = exactCounts
     val got = Tables.documents(spark, sf0001)
@@ -102,6 +114,33 @@ class TopKSketchSpec extends SparkTestBase {
       // per-slice guarantee is strictly stronger than one global sketch
       val merged = StreamingTopK.mergedLatest(snaps, Capacity * 4)
       assertGuarantees(merged, exact)
+    } finally query.stop()
+  }
+
+  test("idleTimeout: idle group's sketch is evicted and restarts cold") {
+    import scala.concurrent.duration._
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[String]
+    val out = StreamingTopK.topK(stream.toDS(), groups = 1, capacity = 8, k = 8,
+      idleTimeout = Some(15.seconds))
+    val query = streaming.SourceKit.Sinks.toMemory(out, "topk_ttl",
+      triggerInterval = Some("100 milliseconds"))
+    try {
+      streaming.SourceKit.Script.empty[String]
+        .addElem("x")
+        .addGap(20.seconds) // > idleTimeout: the group's sketch is dropped
+        .addElem("x")
+        .playByCount(stream, spark, "topk_ttl")
+      val snaps = spark.table("topk_ttl")
+        .as[StreamingTopK.Snapshot].collect().toSeq.sortBy(_.batch)
+      // both snapshots are version 1 with count 1: the second burst saw a
+      // COLD sketch (un-evicted state would emit version 2, count 2)
+      assert(snaps.map(sn => (sn.batch, sn.item, sn.count_hi)) ==
+        Seq((1L, "x", 1L), (1L, "x", 1L)), s"got $snaps")
+      val rows = streaming.StateProbe.awaitStateRows(query, _ == 1L)
+      assert(rows == 1, s"expected 1 state row, got $rows")
     } finally query.stop()
   }
 }
