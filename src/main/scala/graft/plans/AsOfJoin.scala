@@ -97,6 +97,10 @@ object AsOfJoin {
 
     override def output: Seq[Attribute] = outputFor(left.output, right.output, joinType)
 
+    override lazy val metrics = Map(
+      "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+        .createMetric(sparkContext, "number of output rows"))
+
     override def requiredChildDistribution: Seq[Distribution] =
       ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
@@ -118,6 +122,7 @@ object AsOfJoin {
       val dir = direction
       val outer = joinType == LeftOuter
       val tol = within.getOrElse(Long.MaxValue)
+      val numOutputRows = longMetric("numOutputRows")
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val rBuf = rIter.buffered
         val joined = new JoinedRow
@@ -130,8 +135,12 @@ object AsOfJoin {
         // all-null right side for unmatched LEFT OUTER rows
         val nullRight: InternalRow = new GenericInternalRow(rightOut.size)
         def unmatched(lRow: InternalRow): Iterator[InternalRow] =
-          if (outer) Iterator.single(project(joined(lRow, nullRight)))
+          if (outer) { numOutputRows += 1; Iterator.single(project(joined(lRow, nullRight))) }
           else Iterator.empty
+        def matched(lRow: InternalRow, rRow: InternalRow): Iterator[InternalRow] = {
+          numOutputRows += 1
+          Iterator.single(project(joined(lRow, rRow)))
+        }
         dir match {
           case Backward =>
             // O(1) merge state: the latest right row whose (key, time)
@@ -156,8 +165,7 @@ object AsOfJoin {
                   }
                 } else advancing = false
               }
-              if (hasCand && candKey == lk && lt - candTime <= tol)
-                Iterator.single(project(joined(lRow, cand)))
+              if (hasCand && candKey == lk && lt - candTime <= tol) matched(lRow, cand)
               else unmatched(lRow)
             }
           case Forward =>
@@ -180,8 +188,7 @@ object AsOfJoin {
               if (rBuf.hasNext) {
                 val head = rBuf.head
                 val rkt = rProj(head)
-                if (rkt.getLong(0) == lk && rkt.getLong(1) - lt <= tol)
-                  Iterator.single(project(joined(lRow, head)))
+                if (rkt.getLong(0) == lk && rkt.getLong(1) - lt <= tol) matched(lRow, head)
                 else unmatched(lRow)
               } else unmatched(lRow)
             }
