@@ -287,6 +287,14 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component"))
       .localCheckpoint()
+    // convergence probe: labels only ever DECREASE and the node set is
+    // fixed, so the exact DECIMAL(38,0) sum of labels strictly decreases
+    // until fixpoint — one cheap aggregate per round instead of a
+    // prev-vs-next join (halves the per-round job count)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -297,13 +305,10 @@ object Dedup {
         .groupBy("doc_id")
         .agg(min("component").as("component"))
         .localCheckpoint()
-      // labels only ever decrease, so "no label shrank" == fixpoint
-      val changed = next.withColumnRenamed("component", "next_c")
-        .join(labels, "doc_id")
-        .filter(col("next_c") < col("component"))
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iters += 1
     }
     edges.unpersist(blocking = false)

@@ -189,6 +189,21 @@ class AsOfJoinSpec extends SparkTestBase {
     val filterLine2 = opt2.linesIterator.indexWhere(l => l.contains("Filter") && l.contains("view_us"))
     assert(filterLine2 >= 0 && filterLine2 < joinLine2,
       s"right filter was pushed below the join (unsound):\n$opt2")
+
+    // LEFT OUTER: left-side pushdown is equally sound (preserved side)
+    val outer = AsOfJoin.asof(p, v, "user_id", "v_user", "us", "view_us",
+      joinType = AsOfJoin.LeftOuter)
+    val outerFiltered = outer.filter(col("event_id") % 2 === 0)
+    val opt3 = outerFiltered.queryExecution.optimizedPlan.toString
+    val joinLine3 = opt3.linesIterator.indexWhere(_.contains("AsOfJoin"))
+    val filterLine3 = opt3.linesIterator.indexWhere(l => l.contains("Filter") && l.contains("event_id"))
+    assert(joinLine3 >= 0 && filterLine3 > joinLine3,
+      s"left filter not pushed below the LEFT OUTER join:\n$opt3")
+    val outerExpected = AsOfJoin.asof(
+        p.filter(col("event_id") % 2 === 0), v, "user_id", "v_user", "us", "view_us",
+        joinType = AsOfJoin.LeftOuter)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(outerFiltered.collect().map(_.getLong(0)).sorted.toSeq == outerExpected)
   }
 
   test("column pruning reaches both scans through the as-of join") {
