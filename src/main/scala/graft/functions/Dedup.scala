@@ -292,7 +292,10 @@ object Dedup {
     // until fixpoint — one cheap aggregate per round instead of a
     // prev-vs-next join (halves the per-round job count)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")).as("s"))
+      // coalesce: sum over zero rows is SQL NULL (empty edge set must
+      // converge on round one, not NPE in the comparison)
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
     var prevSum = labelSum(labels)
     var iters = 0

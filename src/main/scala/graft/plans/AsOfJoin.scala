@@ -121,6 +121,7 @@ object AsOfJoin {
       val rKeyTime = Seq(rightKey, rightTime)
       val dir = direction
       val outer = joinType == LeftOuter
+      val noTol = within.isEmpty
       val tol = within.getOrElse(Long.MaxValue)
       val numOutputRows = longMetric("numOutputRows")
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -141,6 +142,19 @@ object AsOfJoin {
           numOutputRows += 1
           Iterator.single(project(joined(lRow, rRow)))
         }
+        // tolerance check, overflow-safe: the match rule guarantees the
+        // candidate is STRICTLY on the correct side, so the true delta
+        // lies in (0, 2^64) and the wrapped 64-bit difference equals it
+        // as an UNSIGNED value — a signed `delta <= tol` admits a bogus
+        // match when a sentinel time (e.g. Long.MinValue) overflows the
+        // subtraction to negative
+        def withinTol(later: Long, earlier: Long): Boolean =
+          noTol || java.lang.Long.compareUnsigned(later - earlier, tol) <= 0
+        // LEFT OUTER keeps left rows with NULL key/time (they can never
+        // match, like DuckDB ASOF LEFT JOIN); they sort NULLS FIRST so
+        // emitting them before touching the right cursor is safe. Inner
+        // never sees them — asof() pre-filters that case.
+        def leftNull(lkt: InternalRow): Boolean = lkt.isNullAt(0) || lkt.isNullAt(1)
         dir match {
           case Backward =>
             // O(1) merge state: the latest right row whose (key, time)
@@ -151,22 +165,25 @@ object AsOfJoin {
             var cand: InternalRow = null
             lIter.flatMap { lRow =>
               val lkt = lProj(lRow)
-              val lk = lkt.getLong(0)
-              val lt = lkt.getLong(1)
-              var advancing = true
-              while (advancing && rBuf.hasNext) {
-                val rkt = rProj(rBuf.head)
-                val rk = rkt.getLong(0)
-                val rt = rkt.getLong(1)
-                if (rk < lk || (rk == lk && rt < lt)) {
-                  val consumed = rBuf.next()
-                  if (rk == lk) {
-                    cand = consumed.copy(); candKey = rk; candTime = rt; hasCand = true
-                  }
-                } else advancing = false
+              if (leftNull(lkt)) unmatched(lRow)
+              else {
+                val lk = lkt.getLong(0)
+                val lt = lkt.getLong(1)
+                var advancing = true
+                while (advancing && rBuf.hasNext) {
+                  val rkt = rProj(rBuf.head)
+                  val rk = rkt.getLong(0)
+                  val rt = rkt.getLong(1)
+                  if (rk < lk || (rk == lk && rt < lt)) {
+                    val consumed = rBuf.next()
+                    if (rk == lk) {
+                      cand = consumed.copy(); candKey = rk; candTime = rt; hasCand = true
+                    }
+                  } else advancing = false
+                }
+                if (hasCand && candKey == lk && withinTol(lt, candTime)) matched(lRow, cand)
+                else unmatched(lRow)
               }
-              if (hasCand && candKey == lk && lt - candTime <= tol) matched(lRow, cand)
-              else unmatched(lRow)
             }
           case Forward =>
             // forward match is the PEEK, not trailing state: discard
@@ -175,22 +192,25 @@ object AsOfJoin {
             // serve several left rows, so it is never consumed on match
             lIter.flatMap { lRow =>
               val lkt = lProj(lRow)
-              val lk = lkt.getLong(0)
-              val lt = lkt.getLong(1)
-              var advancing = true
-              while (advancing && rBuf.hasNext) {
-                val rkt = rProj(rBuf.head)
-                val rk = rkt.getLong(0)
-                val rt = rkt.getLong(1)
-                if (rk < lk || (rk == lk && rt <= lt)) { rBuf.next(); () }
-                else advancing = false
+              if (leftNull(lkt)) unmatched(lRow)
+              else {
+                val lk = lkt.getLong(0)
+                val lt = lkt.getLong(1)
+                var advancing = true
+                while (advancing && rBuf.hasNext) {
+                  val rkt = rProj(rBuf.head)
+                  val rk = rkt.getLong(0)
+                  val rt = rkt.getLong(1)
+                  if (rk < lk || (rk == lk && rt <= lt)) { rBuf.next(); () }
+                  else advancing = false
+                }
+                if (rBuf.hasNext) {
+                  val head = rBuf.head
+                  val rkt = rProj(head)
+                  if (rkt.getLong(0) == lk && withinTol(rkt.getLong(1), lt)) matched(lRow, head)
+                  else unmatched(lRow)
+                } else unmatched(lRow)
               }
-              if (rBuf.hasNext) {
-                val head = rBuf.head
-                val rkt = rProj(head)
-                if (rkt.getLong(0) == lk && rkt.getLong(1) - lt <= tol) matched(lRow, head)
-                else unmatched(lRow)
-              } else unmatched(lRow)
             }
         }
       }
@@ -301,13 +321,19 @@ object AsOfJoin {
     require(within.forall(_ >= 0L), "as-of tolerance must be non-negative")
     val spark = left.sparkSession
     ensureStrategy(spark)
-    // NULL keys/times never match in as-of semantics (DuckDB ASOF emits
-    // nothing for them) — and the merge exec reads key/time as primitive
-    // longs, so nulls MUST be filtered here: a null would unbox to 0 and
-    // both fabricate matches against key 0 and break the sorted-merge
-    // invariant (NULLS FIRST ordering vs 0 in comparisons)
-    val lPlan = ColumnShim.logicalPlan(
-      left.filter(col(leftKeyCol).isNotNull && col(leftTimeCol).isNotNull))
+    // NULL keys/times never match in as-of semantics. The RIGHT side
+    // always filters them (a null candidate is meaningless, and the
+    // merge reads primitive longs — an unboxed null would fabricate
+    // matches against key 0 and break the sorted-merge invariant).
+    // The LEFT side filters only under Inner: LEFT OUTER preserves
+    // null-key/time left rows with a null-filled right side (DuckDB
+    // ASOF LEFT JOIN behavior) — the exec checks isNullAt before
+    // reading the primitives and emits them unmatched.
+    val lFiltered =
+      if (joinType == Inner)
+        left.filter(col(leftKeyCol).isNotNull && col(leftTimeCol).isNotNull)
+      else left
+    val lPlan = ColumnShim.logicalPlan(lFiltered)
     val rPlan = ColumnShim.logicalPlan(
       right.filter(col(rightKeyCol).isNotNull && col(rightTimeCol).isNotNull))
     def attr(p: LogicalPlan, name: String): Attribute =

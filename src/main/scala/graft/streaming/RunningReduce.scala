@@ -19,6 +19,21 @@ object RunningReduce {
 
   case class Acc[S](value: S)
 
+  /** Shared deterministic batch fold: one key's micro-batch slice,
+    * sorted by (orderOf, tiebreak), folded from `start`, emitting the
+    * running value per event. Returns (emissions, final accumulator). */
+  private def foldSorted[In, K, S](
+      key: K, it: Iterator[In], start: S,
+      orderOf: In => Long, tiebreak: In => Long,
+      reduce: (S, In) => S): (Vector[(K, S)], S) = {
+    var acc = start
+    val out = it.toVector.sortBy(in => (orderOf(in), tiebreak(in))).map { in =>
+      acc = reduce(acc, in)
+      (key, acc)
+    }
+    (out, acc)
+  }
+
   /** @param tiebreak total-order tiebreak for equal `orderOf` values —
     *                  without it, tied events fold in arbitrary
     *                  post-shuffle order while the batch oracle (q9)
@@ -42,11 +57,9 @@ object RunningReduce {
     ds.groupByKey(keyOf)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key: K, it: Iterator[In], state: GroupState[Acc[S]]) =>
-          var acc = state.getOption.map(_.value).getOrElse(zero)
-          val out = it.toVector.sortBy(in => (orderOf(in), tiebreak(in))).map { in =>
-            acc = reduce(acc, in)
-            (key, acc)
-          }
+          val (out, acc) = foldSorted(
+            key, it, state.getOption.map(_.value).getOrElse(zero),
+            orderOf, tiebreak, reduce)
           state.update(Acc(acc))
           out.iterator
       }
@@ -82,14 +95,11 @@ object RunningReduce {
             val nowMs = state.getCurrentProcessingTimeMs()
             // data-path expiry: a key that sat idle past ttl but got new
             // data before its timeout fired restarts from zero
-            var acc = state.getOption match {
+            val start = state.getOption match {
               case Some(ts) if nowMs - ts.lastAccessMs <= ttlMs => ts.value
               case _ => zero
             }
-            val out = it.toVector.sortBy(in => (orderOf(in), tiebreak(in))).map { in =>
-              acc = reduce(acc, in)
-              (key, acc)
-            }
+            val (out, acc) = foldSorted(key, it, start, orderOf, tiebreak, reduce)
             state.update(MapWithStateTTL.TimeStamped(acc, nowMs))
             state.setTimeoutDuration(ttlMs) // refresh-on-access
             out.iterator

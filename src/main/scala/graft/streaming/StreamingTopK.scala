@@ -28,12 +28,16 @@ object StreamingTopK {
     * NOT a wall-clock read, which could collide across two fast
     * micro-batches and make [[mergedLatest]] double-count.
     *
-    * `idleTimeout`: groups that receive no items for the given
-    * processing-time span are physically evicted (sketch dropped from
-    * the StateStore) and restart cold — including the snapshot version,
-    * so a reader can tell a restarted group apart. State without it is
-    * O(capacity) per group forever; with it, idle substreams release
-    * even that. */
+    * `idleTimeout`: a group that receives no items for the given
+    * processing-time span has its SKETCH evicted (the O(capacity)
+    * payload drops to an O(1) tombstone holding only the version
+    * counter) and restarts cold on its next item. The version
+    * deliberately SURVIVES eviction: [[mergedLatest]] selects each
+    * group's latest snapshot by version, so a counter that reset would
+    * make stale pre-eviction snapshots outrank (or collide with) the
+    * restarted group's output. State rows themselves are bounded by
+    * `groups` regardless — the sketch payload is what eviction
+    * reclaims. */
   def topK(
       items: Dataset[String],
       groups: Int,
@@ -50,11 +54,16 @@ object StreamingTopK {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
         (group: Int, it: Iterator[String], state: GroupState[(Long, Array[Byte])]) =>
           if (state.hasTimedOut) {
-            state.remove()
+            // evict the sketch, keep the version tombstone (no new
+            // timeout armed: the tombstone persists until next data)
+            state.update((state.get._1, Array.emptyByteArray))
             Iterator.empty
           } else {
             val (version, sketch) = state.getOption
-              .map { case (v, bytes) => (v, SpaceSaving.deserialize(bytes)) }
+              .map { case (v, bytes) =>
+                (v, if (bytes.isEmpty) new SpaceSaving(capacity)
+                    else SpaceSaving.deserialize(bytes))
+              }
               .getOrElse((0L, new SpaceSaving(capacity)))
             it.foreach(sketch.add(_))
             val nextVersion = version + 1

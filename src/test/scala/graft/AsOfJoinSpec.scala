@@ -94,6 +94,39 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(fwd == Map("near" -> 12L), s"got $fwd")
   }
 
+  test("LEFT OUTER preserves null-key/time left rows (DuckDB ASOF LEFT JOIN shape)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (Some(1L), Some(10L), "match"),
+      (Option.empty[Long], Some(10L), "nullkey"),
+      (Some(1L), Option.empty[Long], "nulltime")
+    ).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L)).toDF("rk", "rt")
+    val got = AsOfJoin.asof(left, right, "k", "rk", "t", "rt",
+        joinType = AsOfJoin.LeftOuter)
+      .select("tag", "rt").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // inner drops the null rows; LEFT OUTER must keep them, null-filled
+    assert(got == Map(
+      "match" -> Some(5L), "nullkey" -> None, "nulltime" -> None), s"got $got")
+  }
+
+  test("tolerance is overflow-safe against sentinel times") {
+    val s = spark
+    import s.implicits._
+    // candidate at Long.MinValue: lt - candTime overflows a signed long;
+    // an unsigned comparison must reject the match, not admit it
+    val left = Seq((1L, 100L, "p")).toDF("k", "t", "tag")
+    val right = Seq((1L, Long.MinValue)).toDF("rk", "rt")
+    val bounded = AsOfJoin.asof(left, right, "k", "rk", "t", "rt",
+        within = Some(3600L))
+    assert(bounded.count() == 0, "overflowed delta admitted a bogus match")
+    // without a tolerance the sentinel still matches (plain backward as-of)
+    val unbounded = AsOfJoin.asof(left, right, "k", "rk", "t", "rt")
+    assert(unbounded.count() == 1)
+  }
+
   test("NULL keys and times never match (and never corrupt the merge)") {
     val s = spark
     import s.implicits._

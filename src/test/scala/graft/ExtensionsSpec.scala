@@ -35,6 +35,9 @@ class ExtensionsSpec extends SparkTestBase {
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L), s"got $got")
+    // empty edge set: converges immediately to an empty labeling
+    assert(Dedup.components(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .count() == 0)
   }
 
   test("dedup_components keeps exactly one doc per component; drops superset of one-hop drops") {

@@ -135,10 +135,14 @@ class TopKSketchSpec extends SparkTestBase {
         .playByCount(stream, spark, "topk_ttl")
       val snaps = spark.table("topk_ttl")
         .as[StreamingTopK.Snapshot].collect().toSeq.sortBy(_.batch)
-      // both snapshots are version 1 with count 1: the second burst saw a
-      // COLD sketch (un-evicted state would emit version 2, count 2)
+      // count restarts at 1 (COLD sketch — un-evicted state would show 2)
+      // but the version advances to 2: the counter survives eviction so
+      // mergedLatest can still rank the restarted snapshot as latest
       assert(snaps.map(sn => (sn.batch, sn.item, sn.count_hi)) ==
-        Seq((1L, "x", 1L), (1L, "x", 1L)), s"got $snaps")
+        Seq((1L, "x", 1L), (2L, "x", 1L)), s"got $snaps")
+      // and the merged view reflects the post-eviction sketch, with no
+      // double-count from the equal-version collision a reset would cause
+      assert(StreamingTopK.mergedLatest(snaps, 8) == Seq(("x", 1L, 1L)))
       val rows = streaming.StateProbe.awaitStateRows(query, _ == 1L)
       assert(rows == 1, s"expected 1 state row, got $rows")
     } finally query.stop()
