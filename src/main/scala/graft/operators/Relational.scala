@@ -555,6 +555,27 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Q37 — MULTI-KEY as-of through the native operator: for each event,
+    * the time of the previous event with the same (user_id, event_type)
+    * — equality on a Long AND a String key before the time inequality,
+    * the DuckDB `ASOF JOIN ... ON k1 = k1' AND k2 = k2' AND t > t'`
+    * shape. Proves the operator's keys are general orderable
+    * expressions, not just a single Long. Only the matched TIME is
+    * output, so same-timestamp ties within a key hash identically
+    * regardless of which tied row either engine picked. */
+  def q37AsofMultiKey(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val l = ev.select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val r = ev.select(col("user_id").as("r_user"), col("event_type").as("r_type"),
+      unix_micros(col("ts")).as("prev_us"))
+    graft.plans.AsOfJoin.asofMulti(l, r,
+        Seq("user_id", "event_type"), Seq("r_user", "r_type"), "us", "prev_us",
+        joinType = graft.plans.AsOfJoin.LeftOuter)
+      .select("event_id", "user_id", "event_type", "us", "prev_us")
+      .orderBy("user_id", "event_id")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -593,5 +614,6 @@ object Relational {
     "q34_asof_forward"   -> (q34AsofForward _),
     "q35_asof_left"      -> (q35AsofLeft _),
     "q36_asof_tolerance" -> (q36AsofTolerance _),
+    "q37_asof_multikey"  -> (q37AsofMultiKey _),
   )
 }

@@ -304,5 +304,16 @@ object RelationalOracles {
         |  CASE WHEN p.us - v.view_us <= 3600000000 THEN v.view_us END AS view_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us > v.view_us
         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    // multi-key: equality on (user_id, event_type) before the time
+    // inequality; only the matched TIME is selected so same-timestamp
+    // ties hash identically whichever tied row each engine picked
+    "q37_asof_multikey" ->
+      """WITH l AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |r AS (SELECT user_id AS r_user, event_type AS r_type, epoch_us(ts) AS prev_us FROM events)
+        |SELECT l.event_id, l.user_id, l.event_type, l.us, r.prev_us
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.r_user AND l.event_type = r.r_type AND l.us > r.prev_us
+        |ORDER BY l.user_id, l.event_id""".stripMargin,
   )
 }

@@ -59,14 +59,16 @@ object AsOfJoin {
     })
 
   /** Logical node. `leftTime`/`rightTime` must be LongType (epoch micros
-    * convention used across graft); keys equi-compare. `within` is an
-    * optional tolerance in the time unit: a candidate only matches when
-    * |leftTime − rightTime| ≤ within. */
+    * convention used across graft); keys are one or more expressions per
+    * side, pairwise type-matched and orderable — they equi-compare like
+    * DuckDB `ASOF JOIN ... ON k1 = k1' AND k2 = k2' AND t > t'`.
+    * `within` is an optional tolerance in the time unit: a candidate
+    * only matches when |leftTime − rightTime| ≤ within. */
   case class AsOfJoinPlan(
       left: LogicalPlan,
       right: LogicalPlan,
-      leftKey: Expression,
-      rightKey: Expression,
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
       leftTime: Expression,
       rightTime: Expression,
       direction: Direction = Backward,
@@ -75,7 +77,8 @@ object AsOfJoin {
       extends BinaryNode {
     override def output: Seq[Attribute] = outputFor(left.output, right.output, joinType)
     override lazy val resolved: Boolean =
-      childrenResolved && Seq(leftKey, rightKey, leftTime, rightTime).forall(_.resolved)
+      childrenResolved &&
+        (leftKeys ++ rightKeys ++ Seq(leftTime, rightTime)).forall(_.resolved)
     override protected def withNewChildrenInternal(
         newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
       copy(left = newLeft, right = newRight)
@@ -84,8 +87,8 @@ object AsOfJoin {
   /** Physical merge as-of join. Children arrive hash-clustered by key and
     * sorted by (key, time) — guaranteed by the declared requirements. */
   case class AsOfJoinExec(
-      leftKey: Expression,
-      rightKey: Expression,
+      leftKeys: Seq[Expression],
+      rightKeys: Seq[Expression],
       leftTime: Expression,
       rightTime: Expression,
       direction: Direction,
@@ -102,23 +105,28 @@ object AsOfJoin {
         .createMetric(sparkContext, "number of output rows"))
 
     override def requiredChildDistribution: Seq[Distribution] =
-      ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+      ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
 
     override def outputPartitioning: Partitioning = left.outputPartitioning
 
     override def outputOrdering: Seq[SortOrder] =
-      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+      leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
     override protected def doExecute(): RDD[InternalRow] = {
       val outputAttrs = output
       val leftOut = left.output
       val rightOut = right.output
-      val lKeyTime = Seq(leftKey, leftTime)
-      val rKeyTime = Seq(rightKey, rightTime)
+      val lKeys = leftKeys
+      val rKeys = rightKeys
+      val lTime = leftTime
+      val rTime = rightTime
+      val keySchema = org.apache.spark.sql.types.StructType(lKeys.zipWithIndex.map {
+        case (e, i) => org.apache.spark.sql.types.StructField(s"k$i", e.dataType, e.nullable)
+      })
       val dir = direction
       val outer = joinType == LeftOuter
       val noTol = within.isEmpty
@@ -127,11 +135,16 @@ object AsOfJoin {
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val rBuf = rIter.buffered
         val joined = new JoinedRow
-        // codegen'd (key, time) → UnsafeRow projections: primitive
-        // getLong reads on the merge hot path instead of per-row
-        // boxed Expression.eval (VERDICT r2 item 7)
-        val lProj = UnsafeProjection.create(lKeyTime, leftOut)
-        val rProj = UnsafeProjection.create(rKeyTime, rightOut)
+        // codegen'd key/time → UnsafeRow projections: primitive reads on
+        // the merge hot path instead of per-row boxed Expression.eval
+        // (VERDICT r2 item 7); keys compare through a codegen'd ordering
+        // over the projected key rows, so any orderable key types work
+        val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+        val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+        val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
+        val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
+        val keyOrd = org.apache.spark.sql.catalyst.expressions.codegen
+          .GenerateOrdering.create(keySchema)
         val project = UnsafeProjection.create(outputAttrs, outputAttrs)
         // all-null right side for unmatched LEFT OUTER rows
         val nullRight: InternalRow = new GenericInternalRow(rightOut.size)
@@ -150,38 +163,40 @@ object AsOfJoin {
         // subtraction to negative
         def withinTol(later: Long, earlier: Long): Boolean =
           noTol || java.lang.Long.compareUnsigned(later - earlier, tol) <= 0
-        // LEFT OUTER keeps left rows with NULL key/time (they can never
-        // match, like DuckDB ASOF LEFT JOIN); they sort NULLS FIRST so
-        // emitting them before touching the right cursor is safe. Inner
-        // never sees them — asof() pre-filters that case.
-        def leftNull(lkt: InternalRow): Boolean = lkt.isNullAt(0) || lkt.isNullAt(1)
         dir match {
           case Backward =>
             // O(1) merge state: the latest right row whose (key, time)
             // has been passed by the left cursor — the as-of candidate
-            var candKey = 0L
+            var candKey: InternalRow = null // copied key row
             var candTime = 0L
             var hasCand = false
             var cand: InternalRow = null
             lIter.flatMap { lRow =>
-              val lkt = lProj(lRow)
-              if (leftNull(lkt)) unmatched(lRow)
+              val lKeyRow = lKeyProj(lRow)
+              val lTimeRow = lTimeProj(lRow)
+              // LEFT OUTER keeps left rows with NULL key/time (they can
+              // never match, like DuckDB ASOF LEFT JOIN); they sort
+              // NULLS FIRST so emitting them before touching the right
+              // cursor is safe. Inner never sees them — asof()
+              // pre-filters that case.
+              if (lKeyRow.anyNull || lTimeRow.isNullAt(0)) unmatched(lRow)
               else {
-                val lk = lkt.getLong(0)
-                val lt = lkt.getLong(1)
+                val lt = lTimeRow.getLong(0)
                 var advancing = true
                 while (advancing && rBuf.hasNext) {
-                  val rkt = rProj(rBuf.head)
-                  val rk = rkt.getLong(0)
-                  val rt = rkt.getLong(1)
-                  if (rk < lk || (rk == lk && rt < lt)) {
+                  val head = rBuf.head
+                  val cmp = keyOrd.compare(rKeyProj(head), lKeyRow)
+                  val rt = rTimeProj(head).getLong(0)
+                  if (cmp < 0 || (cmp == 0 && rt < lt)) {
                     val consumed = rBuf.next()
-                    if (rk == lk) {
-                      cand = consumed.copy(); candKey = rk; candTime = rt; hasCand = true
+                    if (cmp == 0) {
+                      cand = consumed.copy(); candKey = rKeyProj(consumed).copy()
+                      candTime = rt; hasCand = true
                     }
                   } else advancing = false
                 }
-                if (hasCand && candKey == lk && withinTol(lt, candTime)) matched(lRow, cand)
+                if (hasCand && keyOrd.compare(candKey, lKeyRow) == 0 &&
+                    withinTol(lt, candTime)) matched(lRow, cand)
                 else unmatched(lRow)
               }
             }
@@ -191,23 +206,23 @@ object AsOfJoin {
             // same key) is the smallest strictly-later right — and may
             // serve several left rows, so it is never consumed on match
             lIter.flatMap { lRow =>
-              val lkt = lProj(lRow)
-              if (leftNull(lkt)) unmatched(lRow)
+              val lKeyRow = lKeyProj(lRow)
+              val lTimeRow = lTimeProj(lRow)
+              if (lKeyRow.anyNull || lTimeRow.isNullAt(0)) unmatched(lRow)
               else {
-                val lk = lkt.getLong(0)
-                val lt = lkt.getLong(1)
+                val lt = lTimeRow.getLong(0)
                 var advancing = true
                 while (advancing && rBuf.hasNext) {
-                  val rkt = rProj(rBuf.head)
-                  val rk = rkt.getLong(0)
-                  val rt = rkt.getLong(1)
-                  if (rk < lk || (rk == lk && rt <= lt)) { rBuf.next(); () }
+                  val head = rBuf.head
+                  val cmp = keyOrd.compare(rKeyProj(head), lKeyRow)
+                  val rt = rTimeProj(head).getLong(0)
+                  if (cmp < 0 || (cmp == 0 && rt <= lt)) { rBuf.next(); () }
                   else advancing = false
                 }
                 if (rBuf.hasNext) {
                   val head = rBuf.head
-                  val rkt = rProj(head)
-                  if (rkt.getLong(0) == lk && withinTol(rkt.getLong(1), lt)) matched(lRow, head)
+                  if (keyOrd.compare(rKeyProj(head), lKeyRow) == 0 &&
+                      withinTol(rTimeProj(head).getLong(0), lt)) matched(lRow, head)
                   else unmatched(lRow)
                 } else unmatched(lRow)
               }
@@ -226,8 +241,8 @@ object AsOfJoin {
     * `experimental.extraStrategies` so the operator works in any session. */
   object AsOfJoinStrategy extends Strategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, kind, tol) =>
-        AsOfJoinExec(lk, rk, lt, rt, dir, kind, tol, planLater(l), planLater(r)) :: Nil
+      case AsOfJoinPlan(l, r, lks, rks, lt, rt, dir, kind, tol) =>
+        AsOfJoinExec(lks, rks, lt, rt, dir, kind, tol, planLater(l), planLater(r)) :: Nil
       case _ => Nil
     }
   }
@@ -271,7 +286,7 @@ object AsOfJoin {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case p @ Project(projectList, aj: AsOfJoinPlan) =>
         val needed = AttributeSet(projectList.flatMap(_.references)) ++
-          AttributeSet(Seq(aj.leftKey, aj.rightKey, aj.leftTime, aj.rightTime)
+          AttributeSet((aj.leftKeys ++ aj.rightKeys ++ Seq(aj.leftTime, aj.rightTime))
             .flatMap(_.references))
         val newLeft = aj.left.output.filter(needed.contains)
         val newRight = aj.right.output.filter(needed.contains)
@@ -307,47 +322,71 @@ object AsOfJoin {
     * greatest right time strictly before the left time — or strictly
     * after with [[Forward]]). `joinType = LeftOuter` keeps unmatched
     * left rows with a null-filled right side; `within = Some(µs)`
-    * bounds the match to a tolerance of the left time. Key and time
-    * columns must be LongType and must not collide by name across the
-    * two sides. */
+    * bounds the match to a tolerance of the left time. Time columns
+    * must be LongType; column names must not collide across sides. */
   def asof(
       left: DataFrame, right: DataFrame,
       leftKeyCol: String, rightKeyCol: String,
       leftTimeCol: String, rightTimeCol: String,
       direction: Direction = Backward,
       joinType: JoinKind = Inner,
+      within: Option[Long] = None): DataFrame =
+    asofMulti(left, right, Seq(leftKeyCol), Seq(rightKeyCol),
+      leftTimeCol, rightTimeCol, direction, joinType, within)
+
+  /** Multi-key as-of: equality on one or more key columns per side
+    * (pairwise type-matched, any orderable type — the DuckDB
+    * `ASOF JOIN ... ON k1 = k1' AND k2 = k2' AND t > t'` shape), then
+    * the as-of match on the LongType time columns. Same plan shape as
+    * the single-key form: the keys hash-cluster both sides together
+    * and prefix the per-partition sort. */
+  def asofMulti(
+      left: DataFrame, right: DataFrame,
+      leftKeyCols: Seq[String], rightKeyCols: Seq[String],
+      leftTimeCol: String, rightTimeCol: String,
+      direction: Direction = Backward,
+      joinType: JoinKind = Inner,
       within: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     require(within.forall(_ >= 0L), "as-of tolerance must be non-negative")
+    require(leftKeyCols.nonEmpty && leftKeyCols.size == rightKeyCols.size,
+      "as-of needs at least one key column and the same count on both sides")
     val spark = left.sparkSession
     ensureStrategy(spark)
     // NULL keys/times never match in as-of semantics. The RIGHT side
     // always filters them (a null candidate is meaningless, and the
-    // merge reads primitive longs — an unboxed null would fabricate
-    // matches against key 0 and break the sorted-merge invariant).
+    // merge reads projected primitives — an unboxed null would
+    // fabricate matches and break the sorted-merge invariant).
     // The LEFT side filters only under Inner: LEFT OUTER preserves
     // null-key/time left rows with a null-filled right side (DuckDB
-    // ASOF LEFT JOIN behavior) — the exec checks isNullAt before
+    // ASOF LEFT JOIN behavior) — the exec checks null slots before
     // reading the primitives and emits them unmatched.
     val lFiltered =
       if (joinType == Inner)
-        left.filter(col(leftKeyCol).isNotNull && col(leftTimeCol).isNotNull)
+        left.filter((leftKeyCols :+ leftTimeCol).map(col(_).isNotNull).reduce(_ && _))
       else left
     val lPlan = ColumnShim.logicalPlan(lFiltered)
     val rPlan = ColumnShim.logicalPlan(
-      right.filter(col(rightKeyCol).isNotNull && col(rightTimeCol).isNotNull))
+      right.filter((rightKeyCols :+ rightTimeCol).map(col(_).isNotNull).reduce(_ && _)))
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not found in ${p.output.map(_.name).mkString(", ")}"))
-    val (lk, rk) = (attr(lPlan, leftKeyCol), attr(rPlan, rightKeyCol))
+    val lks = leftKeyCols.map(attr(lPlan, _))
+    val rks = rightKeyCols.map(attr(rPlan, _))
     val (lt, rt) = (attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol))
-    require(Seq(lk, rk, lt, rt).forall(_.dataType == LongType),
-      "as-of key/time columns must be LongType (epoch micros convention)")
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      "as-of time columns must be LongType (epoch micros convention)")
+    lks.zip(rks).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key type mismatch: ${a.name}: ${a.dataType.simpleString} vs ${b.name}: ${b.dataType.simpleString}")
+      require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType),
+        s"as-of key ${a.name} has unorderable type ${a.dataType.simpleString}")
+    }
     val overlap = lPlan.output.map(_.name).toSet intersect rPlan.output.map(_.name).toSet
     require(overlap.isEmpty,
       s"as-of output keeps both sides' columns; rename the overlapping ones first: ${overlap.mkString(", ")}")
     ColumnShim.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, direction, joinType, within))
+      AsOfJoinPlan(lPlan, rPlan, lks, rks, lt, rt, direction, joinType, within))
   }
 }

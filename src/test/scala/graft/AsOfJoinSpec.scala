@@ -262,6 +262,56 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(slim.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == expected)
   }
 
+  test("multi-key as-of: equality on (long, string) keys before the time match") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, "a", 10L, "l1"), // matches (1,a) rt=5, NOT (1,b) rt=9
+      (1L, "b", 10L, "l2"), // matches (1,b) rt=9
+      (1L, "c", 10L, "l3"), // no (1,c) rights -> dropped under Inner
+      (2L, "a", 10L, "l4")  // matches (2,a) rt=7
+    ).toDF("k1", "k2", "t", "tag")
+    val right = Seq(
+      (1L, "a", 5L), (1L, "b", 9L), (2L, "a", 7L), (2L, "b", 8L)
+    ).toDF("rk1", "rk2", "rt")
+    val inner = AsOfJoin.asofMulti(left, right,
+        Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt")
+      .select("tag", "rt").as[(String, Long)].collect().toMap
+    assert(inner == Map("l1" -> 5L, "l2" -> 9L, "l4" -> 7L), s"got $inner")
+    // LEFT OUTER keeps l3 null-filled; a null in EITHER key slot never matches
+    val leftWithNull = left.union(Seq(
+      (Option.empty[Long], Some("a"), Some(10L), "nullk1"),
+      (Some(1L), Option.empty[String], Some(10L), "nullk2")
+    ).toDF("k1", "k2", "t", "tag"))
+    val outer = AsOfJoin.asofMulti(leftWithNull, right,
+        Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt",
+        joinType = AsOfJoin.LeftOuter)
+      .select("tag", "rt").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(outer == Map(
+      "l1" -> Some(5L), "l2" -> Some(9L), "l3" -> None, "l4" -> Some(7L),
+      "nullk1" -> None, "nullk2" -> None), s"got $outer")
+  }
+
+  test("multi-key as-of == window formulation on real events (prev same-type event)") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    // rangeBetween(..., -1) on us excludes same-timestamp rows — the
+    // same strictness as the as-of `>` comparator
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val windowed = ev.withColumn("prev_us", max("us").over(w))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    val native = Relational.q37AsofMultiKey(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(native == windowed,
+      s"${native.size} native vs ${windowed.size} windowed; first diff: " +
+        windowed.collectFirst { case (k, v) if native.get(k) != Some(v) => (k, v, native.get(k)) })
+  }
+
   test("physical plan: AsOfJoinExec with one hash exchange per side") {
     val df = Relational.q32AsofNative(spark, sf0001)
     df.collect()

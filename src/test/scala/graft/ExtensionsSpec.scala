@@ -40,6 +40,32 @@ class ExtensionsSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("components == driver-side union-find on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 40 + trial * 20
+      val pairs = Seq.fill(n * 3 / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // reference: classic union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val minOfRoot = nodes.groupBy(id => find(id.toInt))
+        .map { case (r, ids) => r -> ids.min }
+      val expected = nodes.map(id => id -> minOfRoot(find(id.toInt))).toMap
+      val got = Dedup.components(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"trial $trial (n=$n, ${pairs.size} edges) diverged: " +
+        expected.collectFirst { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) })
+    }
+  }
+
   test("dedup_components keeps exactly one doc per component; drops superset of one-hop drops") {
     val comp = Dedup.dedupComponents(spark, sf0001).cache()
     val byComponent = comp.groupBy("component")
