@@ -318,14 +318,109 @@ object Dedup {
     labels
   }
 
+  /** Undirected connected components by LARGE-STAR / SMALL-STAR
+    * alternation (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii —
+    * "Connected components in MapReduce and beyond", SoCC 2014):
+    * reaches the star-forest fixpoint (every node linked directly to
+    * its component minimum) in O(log n) rounds on ANY graph — the
+    * scale answer for adversarial high-diameter components, where
+    * [[components]]' min-label propagation needs diameter rounds.
+    * Same output contract as [[components]]: (doc_id, component) for
+    * every node that appears in an edge.
+    *
+    * Per round (all edge sets kept CANONICAL: src > dst, distinct,
+    * no self-loops):
+    *  - large-star(u): with m = min(Γ(u) ∪ {u}) over the bidirectional
+    *    neighborhood, emit (v, m) for every neighbor v > u — one
+    *    groupBy(min) + one hash join + distinct;
+    *  - small-star(u): over larger-to-smaller edges grouped by the
+    *    larger endpoint u with m = min(Γ<(u)), emit (v, m) for the
+    *    non-min smaller neighbors plus (u, m) — same shape.
+    * Fixpoint when the edge set stops changing (both sets are distinct
+    * canonical, so |next| = |cur| plus an empty next∖cur anti-join is
+    * set equality — exact, no hash-probe collision risk). Each round
+    * `localCheckpoint`s like [[components]] (reliable `checkpoint` on a
+    * real cluster). The per-round edge rewrite roughly doubles round
+    * cost vs min-label on star-dominated near-dup graphs, which is why
+    * [[dedupComponents]] defaults to min-label; this is the drop-in for
+    * graphs with long chains / giant components. */
+  def componentsStar(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    componentsStarWithRounds(pairs, maxIters)._1
+
+  private[graft] def componentsStarWithRounds(
+      pairs: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    val nodes = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .localCheckpoint()
+    def canonical(df: DataFrame): DataFrame = df
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = e.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(e.select(col("dst").as("u"), col("src").as("v")))
+      val m = b.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      b.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical (src > dst): group by the larger endpoint
+      val m = e.groupBy("src").agg(min("dst").as("m"))
+      val relink = e.join(m, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+      val center = m.select(col("src"), col("m").as("dst"))
+      relink.unionByName(center)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+    var e = canonical(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // exact set equality: both sides distinct ⇒ equal counts + empty
+      // one-sided difference suffice
+      converged = next.count() == e.count() &&
+        next.exceptAll(e).isEmpty
+      e = next
+      rounds += 1
+    }
+    // star forest: every non-root points straight at its component min
+    // (min-agg is an at-fixpoint no-op — one edge per non-root — kept so
+    // a maxIters-truncated run still yields one row per node)
+    val labels = nodes.join(e.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("dst"), col("doc_id"))).as("component"))
+    (labels, rounds)
+  }
+
   /** Keep/drop decision with TRANSITIVE closure: connected components
     * over the verified near-dup pairs, keeping exactly one document
     * (the smallest id) per component — the production drop rule.
     * Closes the one-hop gap of [[dedupDropList]]: with pairs A~B and
     * B~C but not A~C, one-hop drops B yet keeps C; here B and C both
     * collapse into A's component. */
-  def dedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val comp = components(verifiedPairs(s, dir))
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    keepDropByComponent(s, dir, components(verifiedPairs(s, dir)))
+
+  /** [[dedupComponents]] computed through the O(log n) large-star/
+    * small-star CC ([[componentsStar]]) instead of min-label
+    * propagation — identical result by construction, gate-checked
+    * against the same recursive-CTE transitive-closure oracle. */
+  def dedupComponentsStar(s: SparkSession, dir: String): DataFrame =
+    keepDropByComponent(s, dir, componentsStar(verifiedPairs(s, dir)))
+
+  private def keepDropByComponent(
+      s: SparkSession, dir: String, comp: DataFrame): DataFrame =
     corpusWithNearDupes(s, dir)
       .select("doc_id")
       .join(comp, Seq("doc_id"), "left")
@@ -334,7 +429,6 @@ object Dedup {
       .withColumn("action",
         when(col("component") === col("doc_id"), "keep").otherwise("drop"))
       .orderBy("doc_id")
-  }
 
   /** Deterministic hash-based stratified sampling — the data-selection
     * primitive of training pipelines (reproducible across runs/engines,

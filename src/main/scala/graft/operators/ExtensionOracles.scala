@@ -329,6 +329,9 @@ object ExtensionOracles {
       |  FROM embeddings WHERE vec_id % 9 = 0)""".stripMargin
 
   val all: Map[String, String] = base ++ Map(
+    // the star-contraction CC computes the same transitive closure as
+    // min-label propagation — one oracle serves both gate queries
+    "dedup_components_star" -> base("dedup_components"),
     "dedup_embedding" ->
       s"""WITH $embCorpus,
          |e AS (

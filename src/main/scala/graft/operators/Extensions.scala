@@ -20,6 +20,7 @@ object Extensions {
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_drop_list"  -> (Dedup.dedupDropList _),
     "dedup_components" -> (Dedup.dedupComponents _),
+    "dedup_components_star" -> (Dedup.dedupComponentsStar _),
     "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),

@@ -63,7 +63,36 @@ class ExtensionsSpec extends SparkTestBase {
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"trial $trial (n=$n, ${pairs.size} edges) diverged: " +
         expected.collectFirst { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) })
+      // the star-contraction alternative must agree exactly
+      val gotStar = Dedup.componentsStar(pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotStar == expected, s"trial $trial componentsStar diverged: " +
+        expected.collectFirst { case (k, v) if gotStar.get(k) != Some(v) => (k, v, gotStar.get(k)) })
     }
+  }
+
+  test("componentsStar: O(log n) rounds on a long path where min-label needs diameter") {
+    val s = spark
+    import s.implicits._
+    // a 256-node path is the adversarial case: min-label propagation
+    // moves the min one hop per round (needs ~255 rounds); the
+    // large-star/small-star alternation must close it in O(log n)
+    val path = (1L until 256L).map(i => (i, i + 1L)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.componentsStarWithRounds(path, maxIters = 30)
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (1L to 256L).map(_ -> 1L).toMap,
+      s"path not fully collapsed: ${got.filter(_._2 != 1L).take(5)}")
+    assert(rounds <= 16, s"expected O(log 256)=~8+slack rounds, took $rounds")
+    // empty edge set: converges immediately to an empty labeling
+    assert(Dedup.componentsStar(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .count() == 0)
+    // and the hand-built chain/pair/cycle case matches components()
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (20L, 23L)
+    ).toDF("doc_a", "doc_b")
+    assert(Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap ==
+      Dedup.components(pairs).as[(Long, Long)].collect().toMap)
   }
 
   test("dedup_components keeps exactly one doc per component; drops superset of one-hop drops") {
