@@ -300,21 +300,28 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iters = 0
     var converged = false
-    while (!converged && iters < maxIters) {
-      val msgs = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst").as("doc_id"), col("component"))
-      val next = labels.unionByName(msgs)
-        .groupBy("doc_id")
-        .agg(min("component").as("component"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      iters += 1
+    try {
+      while (!converged && iters < maxIters) {
+        val msgs = edges
+          .join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .select(col("dst").as("doc_id"), col("component"))
+        val next = labels.unionByName(msgs)
+          .groupBy("doc_id")
+          .agg(min("component").as("component"))
+          .localCheckpoint()
+        val nextSum = labelSum(next)
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        iters += 1
+      }
+    } finally {
+      // unpersist on ALL exits — a mid-loop failure must not leak the
+      // cached edge set for the session's lifetime (prior rounds'
+      // localCheckpoint RDDs are reclaimed by ContextCleaner once
+      // unreferenced; an explicit cache() is not)
+      edges.unpersist(blocking = false)
     }
-    edges.unpersist(blocking = false)
     labels
   }
 

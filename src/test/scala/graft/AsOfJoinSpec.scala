@@ -312,6 +312,59 @@ class AsOfJoinSpec extends SparkTestBase {
         windowed.collectFirst { case (k, v) if native.get(k) != Some(v) => (k, v, native.get(k)) })
   }
 
+  test("property: all mode combos match a driver-side brute force on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 2) {
+      // few keys (forced collisions), coarse times (forced ties), plus
+      // null keys/times sprinkled on the left
+      val nL = 150 + rnd.nextInt(100)
+      val nR = 150 + rnd.nextInt(100)
+      val leftRows = (0 until nL).map { id =>
+        val k = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(7).toLong)
+        val t = if (rnd.nextInt(20) == 0) None else Some(rnd.nextInt(50).toLong)
+        (id.toLong, k, t)
+      }
+      val rightRows = (0 until nR).map { _ =>
+        (rnd.nextInt(7).toLong, rnd.nextInt(50).toLong)
+      }
+      val left = leftRows.toDF("id", "k", "t")
+      val right = rightRows.toDF("rk", "rt")
+      for {
+        dir <- Seq(AsOfJoin.Backward, AsOfJoin.Forward)
+        kind <- Seq(AsOfJoin.Inner, AsOfJoin.LeftOuter)
+        tol <- Seq(None, Some(5L))
+      } {
+        // brute force: the matched right TIME per left id (the matched
+        // row among same-(key,time) ties is unspecified; its time isn't)
+        val expected: Map[Long, Option[Long]] = leftRows.flatMap {
+          case (id, kOpt, tOpt) =>
+            val m = for {
+              k <- kOpt; t <- tOpt
+              cands = rightRows.collect {
+                case (rk, rt) if rk == k &&
+                  (if (dir == AsOfJoin.Backward) rt < t else rt > t) &&
+                  tol.forall(w => math.abs(t - rt) <= w) => rt
+              }
+              best <- if (cands.isEmpty) None
+                      else Some(if (dir == AsOfJoin.Backward) cands.max else cands.min)
+            } yield best
+            if (m.isEmpty && kind == AsOfJoin.Inner) None else Some(id -> m)
+        }.toMap
+        val got = AsOfJoin.asof(left, right, "k", "rk", "t", "rt", dir, kind, tol)
+          .select("id", "rt").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        assert(got == expected,
+          s"trial $trial $dir/$kind/tol=$tol: ${got.size} got vs ${expected.size} expected; " +
+            s"first diff: ${expected.collectFirst {
+              case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k))
+            }}")
+      }
+    }
+  }
+
   test("physical plan: AsOfJoinExec with one hash exchange per side") {
     val df = Relational.q32AsofNative(spark, sf0001)
     df.collect()
