@@ -284,9 +284,12 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // LAZY localCheckpoint: the convergence probe right below is the
+    // first action, so it materializes the checkpoint — one job per
+    // round instead of an eager-checkpoint job PLUS the probe job
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("component"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // convergence probe: labels only ever DECREASE and the node set is
     // fixed, so the exact DECIMAL(38,0) sum of labels strictly decreases
     // until fixpoint — one cheap aggregate per round instead of a
@@ -308,8 +311,8 @@ object Dedup {
         val next = labels.unionByName(msgs)
           .groupBy("doc_id")
           .agg(min("component").as("component"))
-          .localCheckpoint()
-        val nextSum = labelSum(next)
+          .localCheckpoint(eager = false)
+        val nextSum = labelSum(next) // materializes the lazy checkpoint
         labels = next
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
@@ -389,13 +392,14 @@ object Dedup {
     }
     var e = canonical(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var rounds = 0
     var converged = e.isEmpty
     while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       // exact set equality: both sides distinct ⇒ equal counts + empty
-      // one-sided difference suffice
+      // one-sided difference suffice; count() doubles as the lazy
+      // checkpoint's materializing action
       converged = next.count() == e.count() &&
         next.exceptAll(e).isEmpty
       e = next
