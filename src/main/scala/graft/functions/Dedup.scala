@@ -300,10 +300,12 @@ object Dedup {
       df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
           lit(0).cast("decimal(38,0)")).as("s"))
         .collect()(0).getDecimal(0)
-    var prevSum = labelSum(labels)
     var iters = 0
     var converged = false
     try {
+      // inside the try: the FIRST probe can already fail (bad input
+      // path surfaces at the first action) and must still unpersist
+      var prevSum = labelSum(labels)
       while (!converged && iters < maxIters) {
         val msgs = edges
           .join(labels.withColumnRenamed("doc_id", "src"), "src")
@@ -359,10 +361,12 @@ object Dedup {
 
   private[graft] def componentsStarWithRounds(
       pairs: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    // lazy: only consumed by the final label join after the loop — an
+    // eager checkpoint would run an extra upfront job over the pairs
     val nodes = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def canonical(df: DataFrame): DataFrame = df
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
@@ -394,15 +398,19 @@ object Dedup {
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .localCheckpoint(eager = false)
     var rounds = 0
-    var converged = e.isEmpty
+    // the materializing count also carries across rounds: |e| is known
+    // when the next round compares against it (no per-round recount)
+    var eCount = e.count()
+    var converged = eCount == 0L
     while (!converged && rounds < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
       // exact set equality: both sides distinct ⇒ equal counts + empty
       // one-sided difference suffice; count() doubles as the lazy
       // checkpoint's materializing action
-      converged = next.count() == e.count() &&
-        next.exceptAll(e).isEmpty
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.exceptAll(e).isEmpty
       e = next
+      eCount = nextCount
       rounds += 1
     }
     // star forest: every non-root points straight at its component min

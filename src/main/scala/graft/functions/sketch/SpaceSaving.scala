@@ -103,6 +103,13 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
             else locate(b.next, if (b.items.isEmpty) b.prev else b, newEst)
           target.items.add(item)
           index.update(item, (target, err))
+        } else {
+          // weight 0: estimate unchanged, but the touch still refreshes
+          // the item's position within its bucket (remove + re-append),
+          // exactly as the previous remove/re-add index did — keeps the
+          // deterministic eviction tiebreak identical across versions
+          b.items.remove(item)
+          b.items.add(item)
         }
       case None if index.size < capacity =>
         val target = locate(null, null, weight)

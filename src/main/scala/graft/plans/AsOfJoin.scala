@@ -174,25 +174,31 @@ object AsOfJoin {
             lIter.flatMap { lRow =>
               val lKeyRow = lKeyProj(lRow)
               val lTimeRow = lTimeProj(lRow)
-              // LEFT OUTER keeps left rows with NULL key/time (they can
-              // never match, like DuckDB ASOF LEFT JOIN); they sort
-              // NULLS FIRST so emitting them before touching the right
-              // cursor is safe. Inner never sees them — asof()
-              // pre-filters that case.
+              // LEFT OUTER keeps left rows with a NULL key slot or time
+              // (they can never match, like DuckDB ASOF LEFT JOIN).
+              // Emitting them WITHOUT touching the right cursor is
+              // sound regardless of where nulls sort — skipping a left
+              // row never invalidates the candidate state or the
+              // cursor position for later left rows. Inner never sees
+              // them — asof() pre-filters that case.
               if (lKeyRow.anyNull || lTimeRow.isNullAt(0)) unmatched(lRow)
               else {
                 val lt = lTimeRow.getLong(0)
                 var advancing = true
                 while (advancing && rBuf.hasNext) {
                   val head = rBuf.head
-                  val cmp = keyOrd.compare(rKeyProj(head), lKeyRow)
-                  val rt = rTimeProj(head).getLong(0)
-                  if (cmp < 0 || (cmp == 0 && rt < lt)) {
-                    val consumed = rBuf.next()
-                    if (cmp == 0) {
-                      cand = consumed.copy(); candKey = rKeyProj(consumed).copy()
+                  val rKeyRow = rKeyProj(head) // one projection per right row
+                  val cmp = keyOrd.compare(rKeyRow, lKeyRow)
+                  if (cmp < 0) { rBuf.next(); () }
+                  else if (cmp == 0) {
+                    // time projected only on key match — skipped rows
+                    // of other keys never pay it
+                    val rt = rTimeProj(head).getLong(0)
+                    if (rt < lt) {
+                      val consumed = rBuf.next()
+                      cand = consumed.copy(); candKey = rKeyRow.copy()
                       candTime = rt; hasCand = true
-                    }
+                    } else advancing = false
                   } else advancing = false
                 }
                 if (hasCand && keyOrd.compare(candKey, lKeyRow) == 0 &&
@@ -211,20 +217,23 @@ object AsOfJoin {
               if (lKeyRow.anyNull || lTimeRow.isNullAt(0)) unmatched(lRow)
               else {
                 val lt = lTimeRow.getLong(0)
-                var advancing = true
-                while (advancing && rBuf.hasNext) {
+                // advance and decide in ONE pass: the loop exits with
+                // the head's key-compare and time already evaluated, so
+                // no re-projection after the advance (and skipped rows
+                // of other keys never project their time at all)
+                var out: Iterator[InternalRow] = null
+                while (out == null && rBuf.hasNext) {
                   val head = rBuf.head
                   val cmp = keyOrd.compare(rKeyProj(head), lKeyRow)
-                  val rt = rTimeProj(head).getLong(0)
-                  if (cmp < 0 || (cmp == 0 && rt <= lt)) { rBuf.next(); () }
-                  else advancing = false
+                  if (cmp < 0) { rBuf.next(); () }
+                  else if (cmp == 0) {
+                    val rt = rTimeProj(head).getLong(0)
+                    if (rt <= lt) { rBuf.next(); () }
+                    else out = if (withinTol(rt, lt)) matched(lRow, head)
+                               else unmatched(lRow)
+                  } else out = unmatched(lRow)
                 }
-                if (rBuf.hasNext) {
-                  val head = rBuf.head
-                  if (keyOrd.compare(rKeyProj(head), lKeyRow) == 0 &&
-                      withinTol(rTimeProj(head).getLong(0), lt)) matched(lRow, head)
-                  else unmatched(lRow)
-                } else unmatched(lRow)
+                if (out == null) unmatched(lRow) else out
               }
             }
         }

@@ -75,6 +75,18 @@ class TopKSketchSpec extends SparkTestBase {
     assert(!ta.map(_._1).contains("y"), s"expected y evicted first, got $ta")
   }
 
+  test("a zero-weight add refreshes the item's eviction position") {
+    // add(item, 0) leaves the estimate alone but re-appends the item
+    // within its bucket — the touched item outlives its untouched
+    // bucket-mate under eviction (pre-Stream-Summary behavior, pinned)
+    val s = new SpaceSaving(2)
+    s.add("a"); s.add("b") // est-1 bucket order [a, b]
+    s.add("a", 0L)         // refresh: order becomes [b, a]
+    s.add("c")             // evicts the bucket head — now b, not a
+    val kept = s.topK(2).map(_._1).toSet
+    assert(kept == Set("a", "c"), s"expected refresh to save 'a', got $kept")
+  }
+
   test("batch aggregate: partial+final merged sketch keeps the guarantees") {
     val exact = exactCounts
     val got = Tables.documents(spark, sf0001)
