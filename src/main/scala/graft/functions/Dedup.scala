@@ -459,6 +459,74 @@ object Dedup {
       .select("doc_id", "lang", "source")
       .orderBy("doc_id")
 
+  /** PER-STRATUM deterministic sampling: each language keeps its own
+    * hash-bucket rate (data-mixture control — upsample scarce languages,
+    * downsample dominant ones — with rand()-free reproducibility). Same
+    * scan-speed filter as [[sampleByHash]]: the per-row rate lookup is a
+    * map literal, zero joins, zero shuffles. */
+  def sampleStratified(
+      s: SparkSession, dir: String,
+      rates: Map[String, Int] = Map("en" -> 50, "zh" -> 25),
+      defaultPct: Int = 10): DataFrame = {
+    val rateOf = coalesce(
+      element_at(
+        map(rates.toSeq.sortBy(_._1)
+          .flatMap { case (l, p) => Seq(lit(l), lit(p.toLong)) }: _*),
+        col("lang")),
+      lit(defaultPct.toLong))
+    graft.Tables.documents(s, dir)
+      .filter(pmod(h32(col("text")), lit(100L)) < rateOf)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** Benchmark id offset for [[decontaminate]]'s synthetic eval set
+    * (same collision-proofing rationale as the dup offsets). */
+  val BenchmarkOffset = 4000000000000000L
+
+  /** Synthetic "benchmark" (eval-set) items: the first 8 tokens of every
+    * 13th document — guaranteed contamination sources at every SF, with
+    * the oracle constructing the identical set in SQL. */
+  def benchmarkItems(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + BenchmarkOffset).as("bench_id"),
+        concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("text"))
+
+  /** Train/eval DECONTAMINATION — the overlap check every serious
+    * training pipeline runs before the benchmark suite does: a corpus
+    * document is quarantined when it shares ≥ `minOverlap` distinct word
+    * 3-shingles with ANY benchmark item (the GPT-3/Pile-style n-gram
+    * collision rule). Returns every document with its overlap count and
+    * a keep/quarantine action.
+    *
+    * Scale shape: the benchmark shingle set is tiny (eval suites are
+    * thousands of items) and BROADCASTS; the corpus side never shuffles
+    * its text — only the matched (doc_id, shingle) rows reach the
+    * per-document count, and the final left join redistributes ids, not
+    * documents. A 100 TB corpus decontaminates at scan speed. */
+  def decontaminate(
+      s: SparkSession, dir: String, minOverlap: Int = 4): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val docSh = withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val benchSh = withShingles(
+        benchmarkItems(s, dir).select(col("bench_id").as("doc_id"), col("text")))
+      .select(explode(col("shingles")).as("sh"))
+      .distinct()
+    val overlaps = docSh
+      .join(broadcast(benchSh), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap")) // doc shingles distinct ⇒ count = distinct overlap
+    docs.select("doc_id")
+      .join(overlaps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("action",
+        when(col("n_overlap") >= minOverlap, "quarantine").otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash-64 signatures as (hi, lo) 32-bit halves: per bit, majority
     * vote of the shingle hashes' bits (h32 for the low half, h32b for the
     * high half); ties vote 0. Pure per-row expression (SimHash64): the

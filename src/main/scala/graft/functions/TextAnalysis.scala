@@ -154,4 +154,33 @@ object TextAnalysis {
         rollingFingerprint(col("toks")).as("fingerprint"),
         size(col("toks")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
+
+  /** TOKEN-BUDGET data mixing: per source, admit documents in
+    * deterministic doc_id order until the source's cumulative token
+    * count exceeds `budget` — the quota step of mixture curation ("at
+    * most N tokens of source X in this training run"). A document is
+    * admitted iff the running total INCLUDING it fits the budget;
+    * later documents of an exhausted source overflow (no
+    * skip-and-refill — admission must be a prefix to stay
+    * order-deterministic).
+    *
+    * Scale shape: one shuffle clustering each source, then a spillable
+    * per-partition sort feeding a running-sum window frame — state is
+    * O(1) per row. Sources are the natural unit of admission control,
+    * so the partition count equals the source count; a pathologically
+    * giant single source is a window-skew case (mitigate upstream by
+    * splitting the source id). */
+  def tokenBudgetMix(
+      s: SparkSession, dir: String, budget: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("action",
+        when(col("cum_tokens") <= budget, "admit").otherwise("overflow"))
+      .orderBy("doc_id")
+  }
 }

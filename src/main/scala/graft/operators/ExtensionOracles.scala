@@ -222,6 +222,53 @@ object ExtensionOracles {
          |WHERE ${h32("text")} % 100 < 10
          |ORDER BY doc_id""".stripMargin,
 
+    // per-language rates: en 50%, zh 25%, default 10% (the Spark side's
+    // map-literal lookup rendered as CASE)
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${h32("text")} % 100 <
+         |  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 25 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin,
+
+    // benchmark = first 8 tokens of every 13th doc; a doc is
+    // quarantined when it shares >= 4 distinct 3-shingles with the
+    // benchmark shingle set
+    "decontaminate" ->
+      s"""WITH bench AS (
+         |  SELECT array_to_string(list_slice($toks, 1, 8), ' ') AS text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |btokd AS (SELECT $toks AS toks FROM bench),
+         |bsh AS (SELECT DISTINCT unnest($shingleExpr) AS s FROM btokd),
+         |tokd AS (SELECT doc_id, $toks AS toks FROM documents),
+         |dsh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest($shingleExpr) AS s FROM tokd) u),
+         |ov AS (
+         |  SELECT doc_id, count(*) AS n_overlap
+         |  FROM dsh JOIN bsh USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CASE WHEN coalesce(ov.n_overlap, 0) >= 4
+         |       THEN 'quarantine' ELSE 'keep' END AS action
+         |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // per-source running token total in doc_id order; admit while the
+    // cumulative count including the doc fits the 1000-token budget
+    "token_budget_mix" ->
+      s"""SELECT doc_id, source,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len($toks)) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens,
+         |  CASE WHEN sum(len($toks)) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= 1000
+         |    THEN 'admit' ELSE 'overflow' END AS action
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |$nearShingles,

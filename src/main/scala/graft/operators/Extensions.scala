@@ -22,6 +22,9 @@ object Extensions {
     "dedup_components" -> (Dedup.dedupComponents _),
     "dedup_components_star" -> (Dedup.dedupComponentsStar _),
     "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),
+    "sample_stratified" -> ((s: SparkSession, dir: String) => Dedup.sampleStratified(s, dir)),
+    "decontaminate"    -> ((s: SparkSession, dir: String) => Dedup.decontaminate(s, dir)),
+    "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Dedup, Portable, Similarity}
+import graft.functions.{Dedup, Portable, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 import graft.operators.Extensions
 
@@ -108,6 +108,71 @@ class ExtensionsSpec extends SparkTestBase {
     assert(oneHop.except(closure).count() == 0,
       "one-hop drops must be a subset of component drops")
     comp.unpersist()
+  }
+
+  test("decontaminate == driver-side shingle intersection against the benchmark set") {
+    val s = spark
+    import s.implicits._
+    // mirror of tokens/shingles3: lower + \s+ split, 3-gram shingles
+    // with the short-doc whole-text degrade, distinct
+    def shingles(text: String): Set[String] = {
+      val t = text.toLowerCase.split("\\s+").toSeq
+      (if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq
+       else Seq(t.mkString(" "))).toSet
+    }
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val benchShingles = docs
+      .filter(_._1 % 13 == 0)
+      .map { case (_, text) =>
+        text.toLowerCase.split("\\s+").take(8).mkString(" ") }
+      .flatMap(shingles)
+      .toSet
+    val expected = docs.map { case (id, text) =>
+      val n = (shingles(text) intersect benchShingles).size.toLong
+      id -> ((n, if (n >= 4) "quarantine" else "keep"))
+    }.toMap
+    val got = Dedup.decontaminate(spark, sf0001)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, n, a) => id -> ((n, a)) }.toMap
+    assert(got == expected, s"first diff: ${expected.collectFirst {
+      case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }}")
+    // the synthetic benchmark guarantees quarantines at every SF
+    assert(got.values.count(_._2 == "quarantine") > 0)
+  }
+
+  test("token_budget_mix == driver-side per-source cumulative admission") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "source", "text").as[(Long, String, String)].collect()
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).toSeq.map { case (id, _, text) =>
+        val n = text.toLowerCase.split("\\s+").length.toLong
+        cum += n
+        id -> ((n, cum, if (cum <= 1000L) "admit" else "overflow"))
+      }
+    }.toMap
+    val got = TextAnalysis.tokenBudgetMix(spark, sf0001)
+      .as[(Long, String, Long, Long, String)].collect()
+      .map { case (id, _, n, cum, a) => id -> ((n, cum, a)) }.toMap
+    assert(got == expected, s"first diff: ${expected.collectFirst {
+      case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) }}")
+  }
+
+  test("sample_stratified nests correctly around the flat-rate sample") {
+    val flat = Dedup.sampleByHash(spark, sf0001).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val strat = Dedup.sampleStratified(spark, sf0001).select("doc_id", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // boosted langs (en 50, zh 25) keep a SUPERSET of their 10% buckets;
+    // default langs select the identical set (same hash, same rate)
+    val boosted = Set("en", "zh")
+    assert(flat.filter(d => boosted(d._2)).subsetOf(strat))
+    assert(strat.filterNot(d => boosted(d._2)) == flat.filterNot(d => boosted(d._2)))
+    // and the boost is real: strictly more en docs than the flat rate
+    assert(strat.count(_._2 == "en") > flat.count(_._2 == "en"))
   }
 
   test("dedup_exact keeps one representative per content and counts copies") {
