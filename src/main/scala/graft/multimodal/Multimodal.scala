@@ -33,16 +33,20 @@ object Multimodal {
       doc_id: Long, format: String, n_bytes: Long,
       width: Int, height: Int, n_frames: Int)
 
-  /** Synthesize a media table from `documents`: payload = UTF-8 bytes of
-    * the text, format round-robins img/audio/video. */
-  def mediaFromDocuments(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(
+  /** Synthesize a media table from any (doc_id, text) frame: payload =
+    * UTF-8 bytes of the text, format round-robins img/audio/video. */
+  def mediaFrom(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       col("text").cast("binary").as("media"),
       element_at(
         array(lit("img"), lit("audio"), lit("video")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
       length(col("text").cast("binary")).cast("long").as("n_bytes"))
+
+  /** Synthesize a media table from `documents`. */
+  def mediaFromDocuments(s: SparkSession, dir: String): DataFrame =
+    mediaFrom(Tables.documents(s, dir))
 
   /** STUB decoder — stands in for image/audio/video codecs that are not in
     * this container. Deterministic: features derive from md5(payload), so
@@ -102,6 +106,39 @@ object Multimodal {
           while (j < until) { sum = (sum * 31 + (r.media(j) & 0xff)) % 1000000007L; j += 1 }
           FrameSample(r.doc_id, i, until - from, sum)
         }
+      }
+    }
+  }
+
+  /** A media embedding row — the `Array[Float]` column shape the ANN
+    * operators (graft.functions.Similarity) consume. */
+  case class MediaEmbedding(doc_id: Long, embedding: Array[Float])
+
+  /** STUB media encoder: a deterministic `dim`-float vector folded from
+    * the payload bytes per output slot — stands in for a real
+    * vision/audio encoder (not in this container), while everything
+    * downstream is the real ANN path: per-partition batched encoding
+    * (where a real model would load weights once per partition), an
+    * `Array[Float]` embedding column, sign-LSH bucketing, exact cosine
+    * verification. Identical payloads embed identically, so planted
+    * byte-level duplicates are recoverable by the similarity stack —
+    * the multimodal near-dup loop, end to end. */
+  def embedMedia(media: Dataset[MediaRow], dim: Int = 8): Dataset[MediaEmbedding] = {
+    require(dim > 0, "embedding dim must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init point for real encoder weights
+      rows.map { r =>
+        val v = Array.tabulate(dim) { j =>
+          var h = 1125899906842597L + j * 2654435761L
+          var i = 0
+          while (i < r.media.length) {
+            h = h * 31 + (r.media(i) & 0xff); i += 1
+          }
+          // map to (-1, 1) deterministically
+          ((h % 1000003L).toFloat / 1000003f)
+        }
+        MediaEmbedding(r.doc_id, v)
       }
     }
   }

@@ -63,11 +63,18 @@ class ExtensionsSpec extends SparkTestBase {
         .as[(Long, Long)].collect().toMap
       assert(got == expected, s"trial $trial (n=$n, ${pairs.size} edges) diverged: " +
         expected.collectFirst { case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k)) })
-      // the star-contraction alternative must agree exactly
-      val gotStar = Dedup.componentsStar(pairs.toDF("doc_a", "doc_b"))
+      // the star-contraction alternative must agree exactly — fed a
+      // DIRTY edge list (duplicates, both orientations, self-loops) to
+      // prove the canonicalization step owns input hygiene
+      val dirty = pairs ++ pairs.map(_.swap) ++ pairs.take(5) ++
+        Seq((7L, 7L), (n.toLong - 1, n.toLong - 1))
+      val gotStar = Dedup.componentsStar(dirty.toDF("doc_a", "doc_b"))
         .as[(Long, Long)].collect().toMap
-      assert(gotStar == expected, s"trial $trial componentsStar diverged: " +
-        expected.collectFirst { case (k, v) if gotStar.get(k) != Some(v) => (k, v, gotStar.get(k)) })
+      // self-loop-only nodes form their own singleton components
+      val expectedStar = expected ++
+        Seq(7L, n.toLong - 1).filterNot(expected.contains).map(x => x -> x)
+      assert(gotStar == expectedStar, s"trial $trial componentsStar diverged: " +
+        expectedStar.collectFirst { case (k, v) if gotStar.get(k) != Some(v) => (k, v, gotStar.get(k)) })
     }
   }
 
@@ -258,6 +265,35 @@ class ExtensionsSpec extends SparkTestBase {
       .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
     assert(decoded.length == meta.length)
     decoded.zip(meta).foreach { case (d, m) => assert(d == m, s"stub/expression drift: $d vs $m") }
+  }
+
+  test("multimodal near-dup loop: binary -> embed -> sign-LSH -> cosine finds planted copies") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.expressions.CosineSimilarity
+    // byte-identical media copies of every 10th doc (ExactDupOffset ids)
+    val media = Multimodal.mediaFrom(Dedup.corpusWithExactDupes(spark, sf0001))
+      .as[Multimodal.MediaRow]
+    val emb = Multimodal.embedMedia(media).toDF()
+      .withColumn("bucket", Similarity.signBucket(col("embedding")))
+    // sign-LSH candidates -> exact cosine verify: the full ANN near-dup
+    // path over embeddings that came from BINARY payloads, not the
+    // embeddings table
+    val found = emb.as("x").join(emb.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.doc_id") < col("y.doc_id"))
+      .withColumn("cos",
+        round(CosineSimilarity(col("x.embedding"), col("y.embedding")), 6))
+      .filter(col("cos") === 1.0)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val expected = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0).select("doc_id")
+      .as[Long].collect()
+      .map(id => (id, id + Dedup.ExactDupOffset)).toSet
+    // every planted byte-identical copy is recovered; equal-cosine
+    // accidents would surface as extras and fail loudly
+    assert(found == expected,
+      s"missing: ${(expected -- found).take(3)}, extra: ${(found -- expected).take(3)}")
   }
 
   test("dedup_embedding finds the planted perturbed copies and nothing else") {
