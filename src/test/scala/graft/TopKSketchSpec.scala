@@ -75,6 +75,43 @@ class TopKSketchSpec extends SparkTestBase {
     assert(!ta.map(_._1).contains("y"), s"expected y evicted first, got $ta")
   }
 
+  test("property: guarantees hold on random weighted streams under arbitrary merge trees") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 5) {
+      val cap = 8 + rnd.nextInt(60)
+      val vocab = (0 until cap * (2 + rnd.nextInt(6))).map(i => s"w$i")
+      // zipf-ish weighted stream split across 1-6 "partitions"
+      val nParts = 1 + rnd.nextInt(6)
+      val parts = Vector.fill(nParts)(new SpaceSaving(cap))
+      val exact = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for (_ <- 0 until 3000) {
+        val item = vocab(math.min((math.pow(rnd.nextDouble(), 2) * vocab.size).toInt, vocab.size - 1))
+        val w = 1L + rnd.nextInt(4)
+        exact(item) += w
+        parts(rnd.nextInt(nParts)).add(item, w)
+      }
+      // arbitrary left-leaning merge tree (shuffle merge order)
+      val merged = rnd.shuffle(parts).reduce(_ merge _)
+      val n = exact.values.sum
+      assert(merged.n == n, s"trial $trial: merged n ${merged.n} != $n")
+      assert(merged.size <= cap, s"trial $trial: tracked ${merged.size} > capacity $cap")
+      val got = merged.topK(cap)
+      val tracked = got.map(_._1).toSet
+      exact.filter(_._2 > n / cap).keys.foreach { item =>
+        assert(tracked.contains(item),
+          s"trial $trial (cap=$cap): guaranteed-frequent $item untracked")
+      }
+      got.foreach { case (item, lo, hi) =>
+        val t = exact(item)
+        assert(lo <= t && t <= hi,
+          s"trial $trial (cap=$cap): $item bounds [$lo, $hi] exclude true $t")
+      }
+      // serialize round-trip mid-merge keeps behavior identical
+      val rt = SpaceSaving.deserialize(merged.serialized)
+      assert(rt.topK(cap) == got, s"trial $trial: round-trip changed topK")
+    }
+  }
+
   test("a zero-weight add refreshes the item's eviction position") {
     // add(item, 0) leaves the estimate alone but re-appends the item
     // within its bucket — the touched item outlives its untouched
