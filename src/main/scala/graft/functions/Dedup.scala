@@ -480,17 +480,16 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Benchmark id offset for [[decontaminate]]'s synthetic eval set
-    * (same collision-proofing rationale as the dup offsets). */
-  val BenchmarkOffset = 4000000000000000L
-
   /** Synthetic "benchmark" (eval-set) items: the first 8 tokens of every
     * 13th document — guaranteed contamination sources at every SF, with
-    * the oracle constructing the identical set in SQL. */
+    * the oracle constructing the identical set in SQL. `bench_id` is the
+    * source doc's own id (the benchmark never unions with the corpus, so
+    * no offset is needed; keep the id so callers can report WHICH item
+    * collided). */
   def benchmarkItems(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .filter(col("doc_id") % 13 === 0)
-      .select((col("doc_id") + BenchmarkOffset).as("bench_id"),
+      .select(col("doc_id").as("bench_id"),
         concat_ws(" ", slice(tokens(col("text")), 1, 8)).as("text"))
 
   /** Train/eval DECONTAMINATION — the overlap check every serious

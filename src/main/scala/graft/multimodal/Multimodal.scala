@@ -129,14 +129,16 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init point for real encoder weights
       rows.map { r =>
+        // ONE pass over the payload; per-slot values mix the shared
+        // rolling hash with a slot seed (O(bytes + dim), not O(dim×bytes))
+        var h = 1125899906842597L
+        var i = 0
+        while (i < r.media.length) { h = h * 31 + (r.media(i) & 0xff); i += 1 }
         val v = Array.tabulate(dim) { j =>
-          var h = 1125899906842597L + j * 2654435761L
-          var i = 0
-          while (i < r.media.length) {
-            h = h * 31 + (r.media(i) & 0xff); i += 1
-          }
+          var m = h + j * 2654435761L
+          m ^= (m >>> 33); m *= 0xff51afd7ed558ccdL; m ^= (m >>> 33)
           // map to (-1, 1) deterministically
-          ((h % 1000003L).toFloat / 1000003f)
+          (m % 1000003L).toFloat / 1000003f
         }
         MediaEmbedding(r.doc_id, v)
       }

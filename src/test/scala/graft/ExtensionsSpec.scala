@@ -123,7 +123,8 @@ class ExtensionsSpec extends SparkTestBase {
     // mirror of tokens/shingles3: lower + \s+ split, 3-gram shingles
     // with the short-doc whole-text degrade, distinct
     def shingles(text: String): Set[String] = {
-      val t = text.toLowerCase.split("\\s+").toSeq
+      // split limit -1 keeps trailing empty tokens, like Spark's split()
+      val t = text.toLowerCase.split("\\s+", -1).toSeq
       (if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSeq
        else Seq(t.mkString(" "))).toSet
     }
@@ -132,7 +133,7 @@ class ExtensionsSpec extends SparkTestBase {
     val benchShingles = docs
       .filter(_._1 % 13 == 0)
       .map { case (_, text) =>
-        text.toLowerCase.split("\\s+").take(8).mkString(" ") }
+        text.toLowerCase.split("\\s+", -1).take(8).mkString(" ") }
       .flatMap(shingles)
       .toSet
     val expected = docs.map { case (id, text) =>
@@ -156,7 +157,7 @@ class ExtensionsSpec extends SparkTestBase {
     val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
       var cum = 0L
       rows.sortBy(_._1).toSeq.map { case (id, _, text) =>
-        val n = text.toLowerCase.split("\\s+").length.toLong
+        val n = text.toLowerCase.split("\\s+", -1).length.toLong
         cum += n
         id -> ((n, cum, if (cum <= 1000L) "admit" else "overflow"))
       }
