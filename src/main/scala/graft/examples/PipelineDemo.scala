@@ -17,7 +17,9 @@ import graft.functions.{Dedup, TextAnalysis}
   *     → language gate  (TextAnalysis.langId: keep detected English)
   *     → exact dedup    (Dedup digest grouping: keep first copy)
   *     → near-dup gate  (Dedup.dedupDropList: drop LSH-verified dupes)
+  *     → decontaminate  (Dedup.decontaminate: quarantine eval-set overlap)
   *     → reproducible 10% sample (Dedup.sampleByHash)
+  *     → token budget   (TextAnalysis.tokenBudgetMix: per-source quota)
   *     → fingerprint    (TextAnalysis.fingerprint: provenance id)
   *
   * Run: sbt "runMain graft.examples.PipelineDemo [sfDir]"
@@ -39,14 +41,20 @@ object PipelineDemo {
     val nearKeep = Dedup.dedupDropList(spark, sfDir)
       .filter(col("action") === "keep").select("doc_id")
 
+    val clean = Dedup.decontaminate(spark, sfDir)
+      .filter(col("action") === "keep").select("doc_id")
     val sampled = Dedup.sampleByHash(spark, sfDir).select("doc_id")
+    val admitted = TextAnalysis.tokenBudgetMix(spark, sfDir)
+      .filter(col("action") === "admit").select("doc_id")
 
     val curated = raw
       .join(quality, "doc_id")
       .join(english, "doc_id")
       .join(exactKeep, "doc_id")
       .join(nearKeep, "doc_id")
+      .join(clean, "doc_id")
       .join(sampled, "doc_id")
+      .join(admitted, "doc_id")
       .join(TextAnalysis.fingerprint(spark, sfDir).select("doc_id", "fingerprint"), "doc_id")
       .select("doc_id", "lang", "source", "fingerprint", "text")
 
@@ -56,7 +64,9 @@ object PipelineDemo {
       "english" -> english.count(),
       "exact_keep" -> exactKeep.count(),
       "near_keep" -> nearKeep.count(),
+      "decontaminated" -> clean.count(),
       "sampled_10pct" -> sampled.count(),
+      "budget_admitted" -> admitted.count(),
       "curated" -> curated.count())
     (curated, counts)
   }

@@ -13,7 +13,17 @@ class PipelineDemoSpec extends SparkTestBase {
     assert(m("curated") > 0, "pipeline curated nothing")
     assert(m("curated") <= m("sampled_10pct"))
     assert(m("curated") <= m("near_keep"))
+    assert(m("curated") <= m("decontaminated"))
+    assert(m("curated") <= m("budget_admitted"))
     assert(m("raw") == 500)
+
+    // no quarantined doc survives into the curated corpus
+    val quarantined = Dedup.decontaminate(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("action") === "quarantine")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val curatedIds = curated.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curatedIds.intersect(quarantined).isEmpty,
+      "quarantined docs leaked into the curated corpus")
 
     val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
     val sampled = Dedup.sampleByHash(spark, sf0001)
