@@ -21,6 +21,9 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // keep saveAsTable artifacts (BucketedJoinSpec) out of the repo
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${java.util.UUID.randomUUID()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
