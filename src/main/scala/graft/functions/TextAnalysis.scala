@@ -155,6 +155,27 @@ object TextAnalysis {
         size(col("toks")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
+  /** GPT-2-style BPE PRE-tokenizer pattern, RE2-compatible (no
+    * lookarounds, so DuckDB's regex engine matches Java's exactly):
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, residual whitespace. The real BPE merge table
+    * operates WITHIN these pretokens, so their count is the standard
+    * cheap proxy for BPE token cost (always a lower bound on it). */
+  val BpePretokenPattern =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token-cost estimation per document: whitespace tokens vs BPE-ish
+    * pretokens (the count a tokenizer-budgeted pipeline bills against).
+    * Pure per-row regexp — scan-speed, shuffle-free. */
+  def bpeTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePretokenPattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** TOKEN-BUDGET data mixing: per source, admit documents in
     * deterministic doc_id order until the source's cumulative token
     * count exceeds `budget` — the quota step of mixture curation ("at

@@ -328,6 +328,32 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("BPE pretokenizer splits contractions/digits/punctuation that whitespace hides") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "don't stop, it's 2024 already!!",
+      "hello world",
+      "a1b2c3", // letter/digit runs alternate: 6 pretokens, 1 ws token
+      "  leading and trailing  ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_ws"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.BpePretokenPattern), lit(0))).cast("long").as("n_bpe"))
+    val got = df.as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // driver-side Java mirror of the same pattern
+    val p = TextAnalysis.BpePretokenPattern.r
+    val expected = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> ((t.toLowerCase.split("\\s+", -1).length.toLong,
+        p.findAllIn(t).length.toLong))
+    }.toMap
+    assert(got == expected, s"got $got vs $expected")
+    // and the BPE count genuinely differs where structure exists
+    assert(got(0L)._2 > got(0L)._1, s"contraction/punct text not split: ${got(0L)}")
+    assert(got(2L)._2 > got(2L)._1, s"letter/digit runs not split: ${got(2L)}")
+  }
+
   test("text_rare_term picks each document's minimum-df token with (df, token) tiebreak") {
     import graft.functions.TextAnalysis
     val rare = TextAnalysis.rareTerm(spark, sf0001).collect()
