@@ -1,0 +1,30 @@
+package graft
+
+/** Plan-shape guard over EVERY registered gate query: no accidental
+  * cartesian products, and broadcast nested-loop joins only where the
+  * operator's design calls for one (brute-force ANN baselines and the
+  * K-bounded IVF centroid-assignment cross join — a constant-size
+  * broadcast side by construction). Planning-only (no execution), so a
+  * regression that would explode at scale fails the suite in seconds.
+  */
+class PlanGuardSpec extends SparkTestBase {
+
+  /** Queries whose design REQUIRES an unconditioned broadcast join:
+    * ann_cosine_topk / ann_recall_at_k are the documented brute-force
+    * exactness baselines; ann_ivf* cross-join each vector against the
+    * broadcast centroid codebook (K = const) to pick its cell. */
+  private val bnljByDesign = Set(
+    "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2")
+
+  test("no gate query plans a cartesian product or an unexpected nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name)
+      if (cartesian || bnlj)
+        Some(s"$name: ${if (cartesian) "CartesianProduct " else ""}${if (bnlj) "BroadcastNestedLoopJoin" else ""}")
+      else None
+    }
+    assert(offenders.isEmpty, s"scale-hostile joins crept in:\n${offenders.mkString("\n")}")
+  }
+}
