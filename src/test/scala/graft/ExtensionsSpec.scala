@@ -237,6 +237,28 @@ class ExtensionsSpec extends SparkTestBase {
     assert(multi.size >= single.size, "multi-probe returned fewer results than single-probe")
   }
 
+  test("IVF: sims exact on shared pairs, probe2 recall >= probe1, candidates cell-bounded") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteDf = Similarity.annBrute(spark, sf0001)
+    val brute = bruteDf.select("qid", "cid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every IVF similarity agrees with brute force on shared pairs
+    val ivf = Similarity.annIvf(spark, sf0001).select("qid", "cid", "sim").collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      brute.get((r.getLong(0), r.getLong(1))).foreach { bSim =>
+        assert(bSim == r.getDouble(2), s"sim mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+    // the second probe can only widen the candidate pool: recall vs the
+    // brute top-k is monotone in nprobe
+    val bruteSet = pairs(bruteDf)
+    val r1 = (pairs(Similarity.annIvf(spark, sf0001)) & bruteSet).size.toDouble / bruteSet.size
+    val r2 = (pairs(Similarity.annIvfProbe2(spark, sf0001)) & bruteSet).size.toDouble / bruteSet.size
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
+  }
+
   test("dedup drop list: drops are exactly the distinct higher-ids of verified pairs") {
     val pairs = Dedup.dedupMinhash(spark, sf0001)
       .select("doc_b").distinct().count()
