@@ -22,6 +22,12 @@ import graft.functions.{Dedup, TextAnalysis}
   *     → token budget   (TextAnalysis.tokenBudgetMix: per-source quota)
   *     → fingerprint    (TextAnalysis.fingerprint: provenance id)
   *
+  * Each gate is computed as an INDEPENDENT global decision over the raw
+  * corpus and intersected at the end (so e.g. the token budget is
+  * admission against the full per-source stream, not the survivors —
+  * dropped docs still consume their slot; re-run the budget over the
+  * curated output if strict quota filling is required).
+  *
   * Run: sbt "runMain graft.examples.PipelineDemo [sfDir]"
   */
 object PipelineDemo {

@@ -155,16 +155,21 @@ object TextAnalysis {
         size(col("toks")).cast("long").as("n_tokens"))
       .orderBy("doc_id")
 
-  /** GPT-2-style BPE PRE-tokenizer pattern, RE2-compatible (no
-    * lookarounds, so DuckDB's regex engine matches Java's exactly):
-    * contraction suffixes, space-prefixed letter runs, digit runs,
-    * punctuation runs, residual whitespace. The real BPE merge table
-    * operates WITHIN these pretokens, so their count is the standard
-    * cheap proxy for BPE token cost (always a lower bound on it). */
+  /** GPT-2-style BPE PRE-tokenizer pattern, engine-portable: no
+    * lookarounds (RE2 has none), and whitespace written as the explicit
+    * class [ \t\n\f\r] because Java's \s includes vertical tab while
+    * RE2's does not — the one place the engines' shorthand classes
+    * disagree. Contraction suffixes, space-prefixed letter runs, digit
+    * runs, punctuation runs, residual whitespace. The real BPE merge
+    * table operates WITHIN these pretokens, so their count is the
+    * standard cheap proxy for BPE token cost (always a lower bound).
+    * Distinct from textStats' `n_bpe_tokens` (a simpler lowercased
+    * single-punct count) — this is the pretokenizer form, emitted as
+    * `n_pretokens`. */
   val BpePretokenPattern =
-    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
 
-  /** Token-cost estimation per document: whitespace tokens vs BPE-ish
+  /** Token-cost estimation per document: whitespace tokens vs GPT-2-ish
     * pretokens (the count a tokenizer-budgeted pipeline bills against).
     * Pure per-row regexp — scan-speed, shuffle-free. */
   def bpeTokenCount(s: SparkSession, dir: String): DataFrame =
@@ -173,7 +178,7 @@ object TextAnalysis {
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePretokenPattern), lit(0)))
-          .cast("long").as("n_bpe_tokens"))
+          .cast("long").as("n_pretokens"))
       .orderBy("doc_id")
 
   /** TOKEN-BUDGET data mixing: per source, admit documents in

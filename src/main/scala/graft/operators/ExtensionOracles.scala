@@ -253,14 +253,14 @@ object ExtensionOracles {
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
-    // the same RE2-safe GPT-2-style pretokenizer pattern as the Spark
-    // side (single quotes doubled for SQL)
+    // THE Spark-side pattern, interpolated (engine-portable literal —
+    // single source of truth; quotes doubled for SQL)
     "text_bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(len($toks) AS BIGINT) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(text,
-         |    '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
-         |    AS BIGINT) AS n_bpe_tokens
+         |    '${TextAnalysis.BpePretokenPattern.replace("'", "''")}'))
+         |    AS BIGINT) AS n_pretokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // per-source running token total in doc_id order; admit while the

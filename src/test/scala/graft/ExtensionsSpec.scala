@@ -254,7 +254,8 @@ class ExtensionsSpec extends SparkTestBase {
     // the second probe can only widen the candidate pool: recall vs the
     // brute top-k is monotone in nprobe
     val bruteSet = pairs(bruteDf)
-    val r1 = (pairs(Similarity.annIvf(spark, sf0001)) & bruteSet).size.toDouble / bruteSet.size
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = (ivfPairs & bruteSet).size.toDouble / bruteSet.size
     val r2 = (pairs(Similarity.annIvfProbe2(spark, sf0001)) & bruteSet).size.toDouble / bruteSet.size
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
   }

@@ -25,14 +25,13 @@ class PipelineDemoSpec extends SparkTestBase {
     assert(curatedIds.intersect(quarantined).isEmpty,
       "quarantined docs leaked into the curated corpus")
 
-    val ids = curated.select("doc_id").collect().map(_.getLong(0)).toSet
     val sampled = Dedup.sampleByHash(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(ids.subsetOf(sampled), "curated docs outside the reproducible sample")
+    assert(curatedIds.subsetOf(sampled), "curated docs outside the reproducible sample")
 
     // deterministic: a second run produces the identical corpus
     val (curated2, _) = PipelineDemo.curate(spark, sf0001)
     val ids2 = curated2.select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(ids == ids2)
+    assert(curatedIds == ids2)
   }
 }

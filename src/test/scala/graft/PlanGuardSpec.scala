@@ -4,8 +4,11 @@ package graft
   * cartesian products, and broadcast nested-loop joins only where the
   * operator's design calls for one (brute-force ANN baselines and the
   * K-bounded IVF centroid-assignment cross join — a constant-size
-  * broadcast side by construction). Planning-only (no execution), so a
-  * regression that would explode at scale fails the suite in seconds.
+  * broadcast side by construction). Planning-only for every audited
+  * query, so the sweep costs seconds. The two iterative CC queries are
+  * excluded: building them EXECUTES the fixpoint loop and the returned
+  * plan is only the post-loop label join — their round-body join shape
+  * is pinned by PLANS.md and the componentsStar specs instead.
   */
 class PlanGuardSpec extends SparkTestBase {
 
@@ -16,8 +19,13 @@ class PlanGuardSpec extends SparkTestBase {
   private val bnljByDesign = Set(
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2")
 
+  /** Iterative queries whose construction runs the loop (see scaladoc). */
+  private val iterative = Set("dedup_components", "dedup_components_star")
+
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => iterative(name) }
+      .flatMap { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
       val cartesian = plan.contains("CartesianProduct")
       val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(name)

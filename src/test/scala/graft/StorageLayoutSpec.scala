@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
 class StorageLayoutSpec extends SparkTestBase {
 
   test("bucketed tables join with zero exchanges (co-located sort-merge join)") {
-    // default warehouse dir (spark.sql.warehouse.dir is static config);
-    // spark-warehouse/ + metastore_db/ are gitignored, tables dropped below
+    // warehouse dir: /tmp/graft-warehouse (SparkTestBase static config,
+    // wiped at session init); tables dropped below
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
     // at sf0.001 both sides are broadcastable, which would hide the
@@ -53,6 +53,55 @@ class StorageLayoutSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("bucketed+sorted tables with one file per bucket also skip the join sorts") {
+    val conf = spark.conf
+    val savedThreshold = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedOrdering = conf.getOption("spark.sql.legacy.bucketedTableScan.outputOrdering")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+      // since 3.0 the scan only REPORTS the per-bucket sort order behind
+      // this flag (safe exactly when each bucket is one file, which the
+      // pre-write repartition guarantees here)
+      conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val orders = Tables.orders(spark, sf0001)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val customer = Tables.customer(spark, sf0001)
+        .select("c_custkey", "c_mktsegment")
+      orders.repartition(4, col("o_custkey")).write
+        .bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("orders_bucketed")
+      customer.repartition(4, col("c_custkey")).write
+        .bucketBy(4, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("customer_bucketed")
+
+      val joined = spark.table("orders_bucketed")
+        .join(spark.table("customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+      val n = joined.collect().length
+      val expected = orders.join(customer,
+        col("o_custkey") === col("c_custkey")).count()
+      assert(n == expected, s"bucketed join returned $n rows, plain join $expected")
+
+      val plan = joined.queryExecution.executedPlan.toString
+      val finalPlan = plan.split("== Initial Plan ==").head
+      assert(!finalPlan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(!finalPlan.contains("Sort "),
+        s"bucketed+sorted join still sorts:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS orders_bucketed")
+      spark.sql("DROP TABLE IF EXISTS customer_bucketed")
+      savedThreshold match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      savedOrdering match {
+        case Some(v) => conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", v)
+        case None => conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      }
     }
   }
 
