@@ -166,25 +166,60 @@ object Dedup {
     * DataFrame values strongly reference their SparkSession, so a
     * weak-keyed map could never reclaim anything (values kept keys
     * reachable — ADVICE r2). Lifecycle is explicit via
-    * [[evictSharedPipeline]]; as a backstop, a listener registered at
-    * first use drops a session's entries when its SparkContext ends,
-    * so no entry outlives the app even if eviction is never called. */
+    * [[evictSharedPipeline]]; two backstops bound the cache without it
+    * (ADVICE r3 — a session discarded without stop() must not leave its
+    * blocks cached for the whole app lifetime):
+    *  - at most [[MaxCachedSessions]] sessions stay cached — beyond
+    *    that the eldest session's entries are unpersisted (newSession-
+    *    per-request churn keeps creating, never closing);
+    *  - ONE app-lifetime listener per SparkContext (not one per session
+    *    — churned sessions were each leaving a dead listener on the
+    *    shared context's bus) clears everything at application end. */
   private val sessionCaches =
     new java.util.concurrent.ConcurrentHashMap[String,
       scala.collection.concurrent.TrieMap[String, PipelineCache]]()
 
+  /** Insertion-order queue of cached session uuids, for cap eviction. */
+  private val sessionOrder =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private val appEndHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Cap on concurrently-cached sessions (see [[sessionCaches]] doc). */
+  val MaxCachedSessions = 8
+
   private def uuidOf(s: SparkSession): String =
     org.apache.spark.sql.graft.ColumnShim.sessionUuid(s)
 
+  private def dropAll(m: scala.collection.concurrent.TrieMap[String, PipelineCache]): Unit =
+    m.values.foreach { e =>
+      e.docs.unpersist(blocking = false)
+      e.pairs.foreach(_.unpersist(blocking = false))
+    }
+
   private def entryFor(s: SparkSession, dir: String): PipelineCache = {
-    val uuid = uuidOf(s)
-    val m = sessionCaches.computeIfAbsent(uuid, _ => {
+    if (appEndHooked.compareAndSet(false, true)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          sessionCaches.remove(uuid)
+          sessionCaches.clear()
+          sessionOrder.clear()
+          appEndHooked.set(false) // a later fresh context re-registers
         }
       })
+    }
+    val uuid = uuidOf(s)
+    val m = sessionCaches.computeIfAbsent(uuid, _ => {
+      var evicting = sessionCaches.size >= MaxCachedSessions
+      while (evicting) {
+        val victim = sessionOrder.poll()
+        if (victim == null) evicting = false // queue drained; stop
+        else {
+          Option(sessionCaches.remove(victim)).foreach(dropAll)
+          evicting = sessionCaches.size >= MaxCachedSessions
+        }
+      }
+      sessionOrder.add(uuid)
       scala.collection.concurrent.TrieMap.empty[String, PipelineCache]
     })
     m.getOrElseUpdate(dir,
@@ -327,6 +362,11 @@ object Dedup {
       // unreferenced; an explicit cache() is not)
       edges.unpersist(blocking = false)
     }
+    // unconverged labels would silently emit WRONG keep/drop decisions
+    // downstream (ADVICE r3) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"components: min-label propagation did not converge in $maxIters rounds " +
+        "(component diameter exceeds the cap) — raise maxIters or use componentsStar")
     labels
   }
 
@@ -413,9 +453,14 @@ object Dedup {
       eCount = nextCount
       rounds += 1
     }
+    // unconverged labels would silently emit WRONG keep/drop decisions
+    // downstream (ADVICE r3) — fail loudly instead
+    if (!converged) throw new IllegalStateException(
+      s"componentsStar: star contraction did not reach fixpoint in $maxIters " +
+        "rounds — raise maxIters (expected O(log n) alternations)")
     // star forest: every non-root points straight at its component min
-    // (min-agg is an at-fixpoint no-op — one edge per non-root — kept so
-    // a maxIters-truncated run still yields one row per node)
+    // (min-agg collapses the root's self-grouping — one edge per non-root
+    // at fixpoint makes it a per-node no-op)
     val labels = nodes.join(e.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
       .groupBy("doc_id")
       .agg(min(coalesce(col("dst"), col("doc_id"))).as("component"))
@@ -427,16 +472,24 @@ object Dedup {
     * (the smallest id) per component — the production drop rule.
     * Closes the one-hop gap of [[dedupDropList]]: with pairs A~B and
     * B~C but not A~C, one-hop drops B yet keeps C; here B and C both
-    * collapse into A's component. */
+    * collapse into A's component.
+    *
+    * Default CC engine is [[componentsStar]] (O(log n) rounds on ANY
+    * graph shape — the round count a production pipeline can budget
+    * for without knowing component diameters in advance); min-label
+    * propagation stays available as [[dedupComponentsMinLabel]] for
+    * star-dominated graphs where its cheaper per-round shape wins. */
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
-    keepDropByComponent(s, dir, components(verifiedPairs(s, dir)))
-
-  /** [[dedupComponents]] computed through the O(log n) large-star/
-    * small-star CC ([[componentsStar]]) instead of min-label
-    * propagation — identical result by construction, gate-checked
-    * against the same recursive-CTE transitive-closure oracle. */
-  def dedupComponentsStar(s: SparkSession, dir: String): DataFrame =
     keepDropByComponent(s, dir, componentsStar(verifiedPairs(s, dir)))
+
+  /** [[dedupComponents]] computed through diameter-round min-label
+    * propagation ([[components]]) instead of star contraction —
+    * identical result by construction, gate-checked against the same
+    * recursive-CTE transitive-closure oracle. Cheaper per round (no
+    * edge rewrite) but needs diameter-many rounds: the right pick only
+    * when components are known-tiny stars. */
+  def dedupComponentsMinLabel(s: SparkSession, dir: String): DataFrame =
+    keepDropByComponent(s, dir, components(verifiedPairs(s, dir)))
 
   private def keepDropByComponent(
       s: SparkSession, dir: String, comp: DataFrame): DataFrame =

@@ -27,7 +27,23 @@ object Similarity {
 
   val TopK = 5
   val NQueryVectors = 8
-  val SignBucketDims = 8
+
+  /** Sign-LSH bucket-space sizing (the round-3 scale fix): the number of
+    * hyperplanes GROWS with the corpus so expected bucket occupancy
+    * n / 2^dims stays ≤ [[BucketOccupancyTarget]]. A fixed 8-bit space
+    * made the [[dedupEmbedding]] self-join quadratic — expected pairs
+    * per bucket grow as (n/256)². With bounded occupancy the candidate
+    * pair count is ≤ n·target — linear at any corpus size. */
+  val BucketOccupancyTarget = 4L
+  val MinSignBucketDims = 8
+
+  /** Smallest dims ≥ [[MinSignBucketDims]] with 2^dims · target ≥ n —
+    * pure integer arithmetic, so DuckDB derives the identical value from
+    * the same count (no float log2 whose ulp could straddle an integer).
+    * Upper bound 40 covers 4·2^40 ≈ 4.4e12 vectors without overflow. */
+  def signBucketDimsFor(n: Long): Int =
+    (MinSignBucketDims to 40).find(d => (1L << d) * BucketOccupancyTarget >= n)
+      .getOrElse(40)
 
   /** Left-fold dot product of two float arrays in double precision. */
   def dot(a: Column, b: Column): Column =
@@ -67,23 +83,34 @@ object Similarity {
     ranked(joined)
   }
 
-  /** Sign bucket over the first `SignBucketDims` dimensions:
+  /** Sign bucket over the first `dims` dimensions:
     * Σ 2^i · [v[i] > 0] — a degenerate-but-deterministic random-hyperplane
-    * LSH (axis-aligned planes). */
-  def signBucket(v: Column): Column =
+    * LSH (axis-aligned planes); `dims` comes from [[signBucketDimsFor]]
+    * on the corpus size, so occupancy stays bounded as the corpus grows. */
+  def signBucket(v: Column, dims: Int): Column =
     aggregate(
-      transform(sequence(lit(0), lit(SignBucketDims - 1)), i =>
+      transform(sequence(lit(0), lit(dims - 1)), i =>
         when(element_at(v, i + 1) > 0.0f,
           pow(lit(2.0), i.cast("double")).cast("long")).otherwise(0L)),
       lit(0L),
       (acc, x) => acc + x)
 
+  /** [[signBucket]] at the minimum width — fixed-width helper for specs. */
+  def signBucket(v: Column): Column = signBucket(v, MinSignBucketDims)
+
+  /** Corpus-size-derived bucket width: one metadata-cheap count of the
+    * id column picks the hyperplane count before the query is built
+    * (a production index would read table stats instead — same value). */
+  private def dimsOf(corpus: DataFrame): Int = signBucketDimsFor(corpus.count())
+
   /** LSH-bucketed cosine top-k: candidates restricted to the query's
     * bucket — the scale path (approximate; recall measured in the spec
     * against [[annBrute]]). */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(
-      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val emb = base.select(
+      col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), dimsOf(base)).as("bucket"))
     val queries = emb.filter(col("vec_id") < NQueryVectors)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket").as("qbucket"))
     val cands = emb
@@ -127,8 +154,10 @@ object Similarity {
     * different bucket and is missed — standard LSH recall behavior, seen
     * identically by the oracle.) */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val emb = corpusWithNearDupVectors(s, dir).select(
-      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+    val corpus = corpusWithNearDupVectors(s, dir)
+    val emb = corpus.select(
+      col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), dimsOf(corpus)).as("bucket"))
     emb.as("a")
       .join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
@@ -153,55 +182,64 @@ object Similarity {
       .orderBy("qid")
   }
 
-  /** Deterministic IVF centroid stride: vectors whose id divides by this
-    * form the coarse codebook (a deterministic stand-in for k-means —
-    * both engines derive the identical codebook from the data itself). */
-  val IvfCentroidStride = 53
+  /** FIXED IVF codebook size — corpus-INDEPENDENT (the round-3 scale
+    * fix): the codebook broadcast is O(k·dim) and assignment is O(n·k)
+    * at any corpus size. The previous stride-derived codebook
+    * (`vec_id % 53`) grew linearly with the corpus, making assignment
+    * O(n²/53) — a scale-killer at 100×. */
+  val IvfCodebookK = 32
 
-  /** IVF-style ANN (the mandate's alternative to LSH bucketing): a coarse
-    * codebook partitions the corpus into cells (every vector assigned to
-    * its nearest centroid by cosine, ties to the lowest centroid id);
-    * queries probe only their own cell (nprobe=1). At a billion vectors
-    * the assignment is the classic one-broadcast-join pass and search
-    * fan-out is bounded by cell population — the same shape FAISS-style
-    * IVF gives, minus the learned codebook (k-means is not
-    * cross-engine-reproducible; the deterministic codebook keeps the
-    * operator oracle-checkable while the join/rank skeleton is identical). */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = emb.filter(col("vec_id") % IvfCentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val assignW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
-    val assigned = emb.join(broadcast(cents))
+  /** Deterministic fixed-k coarse codebook: the k corpus vectors with
+    * the smallest (h32(vec_id), vec_id) — a uniform pseudo-random but
+    * engine-reproducible pick (k-means is not cross-engine-
+    * reproducible; this keeps the operator oracle-checkable while the
+    * assign/probe/rank skeleton is exactly FAISS-style IVF). The
+    * orderBy+limit plans as TakeOrderedAndProject: a per-partition
+    * top-k then a driver merge of k·partitions ids — no global sort. */
+  private[graft] def ivfCodebook(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"),
+        Portable.h32(col("vec_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("cent_id"))
+      .limit(IvfCodebookK)
+      .select("cent_id", "cv")
+
+  /** Assign every vector to its nearest centroid by cosine (ties to the
+    * lowest cent_id): one unconditioned broadcast join against the
+    * k-row codebook (O(n·k) similarity evaluations — by design, see
+    * PlanGuardSpec) followed by a map-side-combining argmax groupBy.
+    * The groupBy shuffles ONE row per vector (each vector's k candidate
+    * rows are co-partitioned with it out of the broadcast join, so the
+    * partial aggregate collapses them before the exchange) — unlike a
+    * window-rank formulation, which would shuffle all n·k rows. */
+  private def assignCells(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.join(broadcast(cents))
       .withColumn("csim", sim(col("embedding"), col("cv")))
-      .withColumn("arn", row_number().over(assignW))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val queries = assigned.filter(col("vec_id") < NQueryVectors)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cell").as("qcell"))
-    val joined = assigned
-      .join(broadcast(queries), col("qcell") === col("cell") && col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("embedding").as("cv"))
-      .withColumn("sim", sim(col("qv"), col("cv")))
-    ranked(joined)
+      .groupBy("vec_id")
+      .agg(
+        first(col("embedding")).as("embedding"),
+        max_by(col("cent_id"), struct(col("csim"), -col("cent_id"))).as("cell"))
+
+  /** The query set's `nprobe` nearest centroid cells (rank 1 = its own
+    * assignment cell, identical tiebreak as [[assignCells]]). Queries
+    * are a tiny fixed set, so the window rank here is over
+    * |queries|·k rows — negligible at any corpus size. */
+  private def probeCells(emb: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("csim").desc, col("cent_id").asc)
+    emb.filter(col("vec_id") < NQueryVectors)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .join(broadcast(cents))
+      .withColumn("csim", sim(col("qv"), col("cv")))
+      .withColumn("arn", row_number().over(w))
+      .filter(col("arn") <= nprobe)
+      .select(col("qid"), col("qv"), col("cent_id").as("probe_cell"))
   }
 
-  /** IVF with nprobe=2: each query searches its own cell AND its
-    * second-nearest centroid's cell — the standard IVF recall repair
-    * (a query near a cell boundary finds neighbors assigned to the
-    * adjacent cell). Candidates stay bounded to two cell populations. */
-  def annIvfProbe2(s: SparkSession, dir: String): DataFrame = {
+  private def ivfSearch(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = emb.filter(col("vec_id") % IvfCentroidStride === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-    val assignW = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cent_id").asc)
-    val rankedCells = emb.join(broadcast(cents))
-      .withColumn("csim", sim(col("embedding"), col("cv")))
-      .withColumn("arn", row_number().over(assignW))
-    val assigned = rankedCells.filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    val probes = rankedCells.filter(col("arn") <= 2 && col("vec_id") < NQueryVectors)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("cent_id").as("probe_cell"))
+    val cents = ivfCodebook(emb)
+    val assigned = assignCells(emb, cents)
+    val probes = probeCells(emb, cents, nprobe)
     val joined = assigned
       .join(broadcast(probes), col("probe_cell") === col("cell") && col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id").as("cid"), col("qv"), col("embedding").as("cv"))
@@ -209,18 +247,35 @@ object Similarity {
     ranked(joined)
   }
 
+  /** IVF-style ANN (the mandate's alternative to LSH bucketing): a
+    * fixed-k coarse codebook partitions the corpus into cells; queries
+    * probe only their own cell (nprobe=1). At a billion vectors the
+    * assignment is one O(k·dim) broadcast pass and search fan-out is
+    * bounded by cell population — the same shape FAISS-style IVF gives. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = ivfSearch(s, dir, 1)
+
+  /** IVF with nprobe=2: each query searches its own cell AND its
+    * second-nearest centroid's cell — the standard IVF recall repair
+    * (a query near a cell boundary finds neighbors assigned to the
+    * adjacent cell). Candidates stay bounded to two cell populations. */
+  def annIvfProbe2(s: SparkSession, dir: String): DataFrame = ivfSearch(s, dir, 2)
+
   /** Multi-probe LSH: each query also probes every Hamming-1 neighbor of
-    * its sign bucket (9 probes for 8 bits) — the standard recall repair
-    * for bucketed ANN, still bounding the candidate set to probed buckets
-    * (≈ 9/256 of the corpus here) instead of everything. */
+    * its sign bucket (dims+1 probes) — the standard recall repair for
+    * bucketed ANN, still bounding the candidate set to probed buckets
+    * ((dims+1)/2^dims of the corpus in expectation) instead of
+    * everything. */
   def annLshMultiProbe(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(
-      col("vec_id"), col("embedding"), signBucket(col("embedding")).as("bucket"))
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val dims = dimsOf(base)
+    val emb = base.select(
+      col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), dims).as("bucket"))
     val probes = emb.filter(col("vec_id") < NQueryVectors)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("bucket").as("qbucket"))
-      .withColumn("probe_i", explode(sequence(lit(0), lit(SignBucketDims))))
+      .withColumn("probe_i", explode(sequence(lit(0), lit(dims))))
       .withColumn("probe_bucket",
-        when(col("probe_i") === SignBucketDims, col("qbucket"))
+        when(col("probe_i") === dims, col("qbucket"))
           .otherwise(expr(s"qbucket ^ shiftleft(1L, probe_i)")))
     val cands = emb
       .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("bucket"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.TextAnalysis
+import graft.functions.{Similarity, TextAnalysis}
 
 /** DuckDB-dialect oracles for the extension operators. Shared building
   * blocks are kept in sync with `graft.functions.Portable`:
@@ -53,6 +53,22 @@ object ExtensionOracles {
     s"CAST(len(list_filter(toks, x -> list_contains(${stopList(words)}, x))) AS BIGINT)"
 
   private val langs = TextAnalysis.langMarkers.map(_._1)
+
+  /** Corpus-size-derived sign-LSH bucket width (kept in sync with
+    * `Similarity.signBucketDimsFor`): smallest d ≥ min with
+    * 2^d · target ≥ count — same integer predicate, same search range. */
+  private def dimsCte(countFrom: String) =
+    s"""dims AS (
+       |  SELECT min(d) AS d FROM range(${Similarity.MinSignBucketDims}, 41) t(d)
+       |  WHERE (CAST(1 AS BIGINT) << d) * ${Similarity.BucketOccupancyTarget}
+       |        >= (SELECT count(*) FROM $countFrom))""".stripMargin
+
+  /** Sign-bucket expression over the first `d` dims (d from [[dimsCte]],
+    * cross-joined into scope as column `d`). */
+  private val bucketExpr =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(d), i -> CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+      |      (a, b) -> a + b)""".stripMargin
 
   private val base: Map[String, String] = Map(
     "text_stats" ->
@@ -314,15 +330,14 @@ object ExtensionOracles {
         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
 
     "ann_lsh_bucketed" ->
-      """WITH e AS (
+      s"""WITH ${dimsCte("embeddings")},
+        |e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
         |      (a, b) -> a + b)) AS nrm,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(8), i -> CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-        |      (a, b) -> a + b) AS bucket
-        |  FROM embeddings),
+        |    $bucketExpr AS bucket
+        |  FROM embeddings, dims),
         |q AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qnorm, bucket AS qbucket FROM e WHERE vec_id < 8),
         |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnorm, bucket FROM e),
         |d AS (
@@ -337,19 +352,19 @@ object ExtensionOracles {
         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
 
     "ann_lsh_multiprobe" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding,
+      s"""WITH ${dimsCte("embeddings")},
+        |e AS (
+        |  SELECT vec_id, embedding, d,
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
         |      (a, b) -> a + b)) AS nrm,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(range(8), i -> CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-        |      (a, b) -> a + b) AS bucket
-        |  FROM embeddings),
+        |    $bucketExpr AS bucket
+        |  FROM embeddings, dims),
         |probes AS (
         |  SELECT vec_id AS qid, embedding AS qv, nrm AS qnorm,
-        |    CASE WHEN i = 8 THEN bucket ELSE xor(bucket, 1 << i) END AS probe_bucket
-        |  FROM e, range(9) t(i) WHERE vec_id < 8),
+        |    unnest(list_transform(range(d + 1),
+        |      i -> CASE WHEN i = d THEN bucket ELSE xor(bucket, CAST(1 AS BIGINT) << i) END)) AS probe_bucket
+        |  FROM e WHERE vec_id < 8),
         |c AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cnorm, bucket FROM e),
         |d AS (
         |  SELECT qid, cid,
@@ -386,20 +401,19 @@ object ExtensionOracles {
       |  FROM embeddings WHERE vec_id % 9 = 0)""".stripMargin
 
   val all: Map[String, String] = base ++ Map(
-    // the star-contraction CC computes the same transitive closure as
-    // min-label propagation — one oracle serves both gate queries
-    "dedup_components_star" -> base("dedup_components"),
+    // min-label propagation computes the same transitive closure as the
+    // default star-contraction CC — one oracle serves both gate queries
+    "dedup_components_minlabel" -> base("dedup_components"),
     "dedup_embedding" ->
       s"""WITH $embCorpus,
+         |${dimsCte("corpus")},
          |e AS (
          |  SELECT vec_id, embedding,
          |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
          |      (a, b) -> a + b)) AS nrm,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(range(8), i -> CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
-         |      (a, b) -> a + b) AS bucket
-         |  FROM corpus),
+         |    $bucketExpr AS bucket
+         |  FROM corpus, dims),
          |p AS (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -410,13 +424,15 @@ object ExtensionOracles {
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "ann_ivf" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
         |      (a, b) -> a + b)) AS nrm
         |  FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e WHERE vec_id % 53 = 0),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e
+        |      ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
+        |      LIMIT ${graft.functions.Similarity.IvfCodebookK}),
         |ac AS (
         |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -441,13 +457,15 @@ object ExtensionOracles {
         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
 
     "ann_ivf_probe2" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, embedding,
         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
         |      (a, b) -> a + b)) AS nrm
         |  FROM embeddings),
-        |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e WHERE vec_id % 53 = 0),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e
+        |      ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
+        |      LIMIT ${graft.functions.Similarity.IvfCodebookK}),
         |ac AS (
         |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -20,7 +20,7 @@ object Extensions {
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_drop_list"  -> (Dedup.dedupDropList _),
     "dedup_components" -> (Dedup.dedupComponents _),
-    "dedup_components_star" -> (Dedup.dedupComponentsStar _),
+    "dedup_components_minlabel" -> (Dedup.dedupComponentsMinLabel _),
     "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),
     "sample_stratified" -> ((s: SparkSession, dir: String) => Dedup.sampleStratified(s, dir)),
     "decontaminate"    -> ((s: SparkSession, dir: String) => Dedup.decontaminate(s, dir)),

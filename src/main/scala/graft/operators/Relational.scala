@@ -429,6 +429,31 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Q38 — interpolated percentiles at fractions whose (n−1)·q is NOT
+    * arithmetically exact (0.37/0.63 — closes the parity caveat q28
+    * deferred to round 4): pins the sort-based lo + (hi−lo)·frac
+    * interpolation against DuckDB's `quantile_cont` (which computes
+    * lo·(1−frac) + hi·frac — a different IEEE sequence) under
+    * round(·, 6) on both sides; values are cast to double up front so
+    * both engines interpolate in the same type. */
+  def q38PercentileInterp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_extendedprice").cast("double").as("price"))
+    val qv = sortedPercentiles(li.select("l_returnflag", "qty"),
+      "l_returnflag", "qty", Seq(("p37_qty", 0.37), ("p63_qty", 0.63)))
+    val pv = sortedPercentiles(li.select("l_returnflag", "price"),
+      "l_returnflag", "price", Seq(("p37_price", 0.37), ("p63_price", 0.63)))
+    qv.join(pv, "l_returnflag")
+      .select(col("l_returnflag"),
+        round(col("p37_qty"), 6).as("p37_qty"),
+        round(col("p63_qty"), 6).as("p63_qty"),
+        round(col("p37_price"), 6).as("p37_price"),
+        round(col("p63_price"), 6).as("p63_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q29 — analytic window-function suite (lag/lead/ntile/dense_rank/
     * cume_dist) over a deterministic (date, key) order — one sort-based
     * window pass per customer partition. */
@@ -615,5 +640,6 @@ object Relational {
     "q35_asof_left"      -> (q35AsofLeft _),
     "q36_asof_tolerance" -> (q36AsofTolerance _),
     "q37_asof_multikey"  -> (q37AsofMultiKey _),
+    "q38_percentile_interp" -> (q38PercentileInterp _),
   )
 }

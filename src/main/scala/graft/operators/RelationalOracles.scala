@@ -233,6 +233,14 @@ object RelationalOracles {
         |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q38_percentile_interp" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.37), 6) AS p37_qty,
+        |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.63), 6) AS p63_qty,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.37), 6) AS p37_price,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.63), 6) AS p63_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q29_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,

@@ -365,6 +365,107 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("property: multi-key as-of matches brute force across dir × kind × tolerance") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 2) {
+      // two key columns (long + string, few values → forced collisions),
+      // coarse times (forced ties), nulls sprinkled on the left
+      val nL = 120 + rnd.nextInt(80)
+      val nR = 120 + rnd.nextInt(80)
+      val leftRows = (0 until nL).map { id =>
+        val k1 = if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(4).toLong)
+        val k2 = if (rnd.nextInt(25) == 0) None else Some("g" + rnd.nextInt(3))
+        val t = if (rnd.nextInt(25) == 0) None else Some(rnd.nextInt(40).toLong)
+        (id.toLong, k1, k2, t)
+      }
+      val rightRows = (0 until nR).map { _ =>
+        (rnd.nextInt(4).toLong, "g" + rnd.nextInt(3), rnd.nextInt(40).toLong)
+      }
+      val left = leftRows.toDF("id", "k1", "k2", "t")
+      val right = rightRows.toDF("rk1", "rk2", "rt")
+      for {
+        dir <- Seq(AsOfJoin.Backward, AsOfJoin.Forward)
+        kind <- Seq(AsOfJoin.Inner, AsOfJoin.LeftOuter)
+        tol <- Seq(None, Some(4L))
+      } {
+        val expected: Map[Long, Option[Long]] = leftRows.flatMap {
+          case (id, k1o, k2o, tOpt) =>
+            val m = for {
+              k1 <- k1o; k2 <- k2o; t <- tOpt
+              cands = rightRows.collect {
+                case (rk1, rk2, rt) if rk1 == k1 && rk2 == k2 &&
+                  (if (dir == AsOfJoin.Backward) rt < t else rt > t) &&
+                  tol.forall(w => math.abs(t - rt) <= w) => rt
+              }
+              best <- if (cands.isEmpty) None
+                      else Some(if (dir == AsOfJoin.Backward) cands.max else cands.min)
+            } yield best
+            if (m.isEmpty && kind == AsOfJoin.Inner) None else Some(id -> m)
+        }.toMap
+        val got = AsOfJoin.asofMulti(left, right,
+            Seq("k1", "k2"), Seq("rk1", "rk2"), "t", "rt", dir, kind, tol)
+          .select("id", "rt").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        assert(got == expected,
+          s"trial $trial $dir/$kind/tol=$tol: first diff ${expected.collectFirst {
+            case (k, v) if got.get(k) != Some(v) => (k, v, got.get(k))
+          }}")
+      }
+    }
+  }
+
+  test("skew recipe: time-sliced as-of equals plain as-of on a hot key") {
+    val s = spark
+    import s.implicits._
+    // one pathological key holds ~95% of both sides — the straggler
+    // case AQE's OptimizeSkewedJoin does NOT repair for a custom exec
+    // (it only rewrites SMJ/SHJ). The documented recipe (SCALE.md):
+    // salt the as-of key with a time slice, run the per-slice as-of,
+    // and resolve slice-boundary matches with a per-(key, slice)
+    // carried maximum — the hot key then spreads across slices.
+    val rnd = new scala.util.Random(7)
+    val hotL = (0 until 20000).map(i => (i.toLong, 0L, rnd.nextInt(100000).toLong))
+    val coldL = (20000 until 20500).map(i => (i.toLong, 1L + rnd.nextInt(3), rnd.nextInt(100000).toLong))
+    val left = (hotL ++ coldL).toDF("id", "k", "t")
+    val right = ((0 until 20000).map(_ => (0L, rnd.nextInt(100000).toLong)) ++
+      (0 until 500).map(_ => (1L + rnd.nextInt(3), rnd.nextInt(100000).toLong)))
+      .toDF("rk", "rt")
+    def times(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("id", "rt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = times(AsOfJoin.asof(left, right, "k", "rk", "t", "rt"))
+    val W = 10000L
+    val lb = left.withColumn("ls", floor(col("t") / W).cast("long"))
+    val rb = right.withColumn("rs", floor(col("rt") / W).cast("long"))
+    // in-slice match: the salted join — (key, slice) spreads the hot key
+    val inSlice = AsOfJoin.asofMulti(lb, rb,
+        Seq("k", "ls"), Seq("rk", "rs"), "t", "rt",
+        AsOfJoin.Backward, AsOfJoin.LeftOuter)
+      .select(col("id").as("iid"), col("rt").as("in_rt"))
+    // carried match: latest right time strictly before each slice start,
+    // via a running max over the TINY per-(key, slice) summary (keys ×
+    // slices rows) — itself an as-of on the slice index
+    val runMax = rb.groupBy(col("rk").as("ck"), col("rs").as("cs"))
+      .agg(max("rt").as("smax"))
+      .withColumn("best", max("smax").over(
+        Window.partitionBy("ck").orderBy("cs")))
+      .select("ck", "cs", "best")
+    val carried = AsOfJoin.asofMulti(lb.select("id", "k", "ls"), runMax,
+        Seq("k"), Seq("ck"), "ls", "cs",
+        AsOfJoin.Backward, AsOfJoin.LeftOuter)
+      .select(col("id").as("cid"), col("best").as("carried_rt"))
+    val sliced = inSlice.join(carried, col("iid") === col("cid"))
+      .select(col("iid").as("id"),
+        coalesce(col("in_rt"), col("carried_rt")).as("rt"))
+      .filter(col("rt").isNotNull)
+    assert(times(sliced) == plain, "time-sliced as-of diverged from plain as-of")
+    // and the salt genuinely spreads the hot key across the cluster
+    val hotSlices = lb.filter(col("k") === 0L).select("ls").distinct().count()
+    assert(hotSlices >= 10L, s"hot key only landed in $hotSlices slices")
+  }
+
   test("physical plan: AsOfJoinExec with one hash exchange per side") {
     val df = Relational.q32AsofNative(spark, sf0001)
     df.collect()

@@ -102,6 +102,18 @@ class ExtensionsSpec extends SparkTestBase {
       Dedup.components(pairs).as[(Long, Long)].collect().toMap)
   }
 
+  test("CC fails loudly when the iteration cap truncates convergence") {
+    val s = spark
+    import s.implicits._
+    // a 64-node path needs ~63 min-label rounds and ~7 star alternations:
+    // a cap below that must THROW, not silently hand back wrong labels
+    val path = (1L until 64L).map(i => (i, i + 1L)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException](Dedup.components(path, maxIters = 3))
+    intercept[IllegalStateException](Dedup.componentsStar(path, maxIters = 2))
+    // while a sufficient cap still converges cleanly
+    assert(Dedup.componentsStar(path, maxIters = 30).count() == 64)
+  }
+
   test("dedup_components keeps exactly one doc per component; drops superset of one-hop drops") {
     val comp = Dedup.dedupComponents(spark, sf0001).cache()
     val byComponent = comp.groupBy("component")
@@ -260,6 +272,41 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
   }
 
+  test("sign-LSH width scales with the corpus: occupancy bounded, floored, minimal, monotone") {
+    import Similarity._
+    val ns = Seq(1L, 100L, 500L, 1024L, 4096L, 4097L, 100000L,
+      123456789L, 1L << 30, (1L << 40) * BucketOccupancyTarget)
+    ns.foreach { n =>
+      val d = signBucketDimsFor(n)
+      assert(d >= MinSignBucketDims, s"n=$n: d=$d below floor")
+      assert((1L << d) * BucketOccupancyTarget >= n,
+        s"n=$n d=$d: expected occupancy ${n.toDouble / (1L << d)} exceeds target")
+      if (d > MinSignBucketDims)
+        assert((1L << (d - 1)) * BucketOccupancyTarget < n, s"n=$n: d=$d not minimal")
+    }
+    // the concrete test-corpus widths: sf0.001/0.01 stay at the floor,
+    // sf0.1 (2000 vectors) widens past it — adaptivity is exercised by
+    // the sf0.1 cross-engine sweep, not just this unit check
+    assert(signBucketDimsFor(500) == 8)
+    assert(signBucketDimsFor(2000) == 9)
+    val ds = Seq(1L, 10L, 100L, 1000L, 10000L, 1000000L).map(signBucketDimsFor)
+    assert(ds == ds.sorted, s"dims not monotone in corpus size: $ds")
+  }
+
+  test("IVF codebook is fixed-k and deterministic regardless of corpus size") {
+    val emb = graft.Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+    val ids = Similarity.ivfCodebook(emb).select("cent_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.size == Similarity.IvfCodebookK, s"codebook size ${ids.size}")
+    assert(ids.distinct.size == ids.size)
+    val again = Similarity.ivfCodebook(emb).select("cent_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == again, "codebook pick must be deterministic")
+    // half the corpus yields the SAME codebook size (corpus-independent k)
+    val half = Similarity.ivfCodebook(emb.filter(col("vec_id") % 2 === 0))
+    assert(half.count() == Similarity.IvfCodebookK)
+  }
+
   test("dedup drop list: drops are exactly the distinct higher-ids of verified pairs") {
     val pairs = Dedup.dedupMinhash(spark, sf0001)
       .select("doc_b").distinct().count()
@@ -289,6 +336,36 @@ class ExtensionsSpec extends SparkTestBase {
       .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
     assert(decoded.length == meta.length)
     decoded.zip(meta).foreach { case (d, m) => assert(d == m, s"stub/expression drift: $d vs $m") }
+  }
+
+  test("multimodal real codec: javax.imageio PNG decodes through the same seam as the stub") {
+    val s = spark
+    import s.implicits._
+    // deterministic REAL PNGs: dimensions derived from the doc id,
+    // pixels a fixed function of (x, y, id) — then decoded back on
+    // executors through decodeFeaturesWith, proving the codec seam
+    // carries a genuine decoder (not just stub-shaped plumbing)
+    def makePng(id: Long): Multimodal.MediaRow = {
+      val w = (16 + id % 21).toInt
+      val h = (12 + id % 13).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y * 7 + id).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val bytes = bos.toByteArray
+      Multimodal.MediaRow(id, bytes, "img", bytes.length.toLong)
+    }
+    val rows = (0L until 64L).map(makePng)
+    val ds = s.createDataset(rows).repartition(4)
+    val decoded = Multimodal.decodeFeaturesWith(ds)(Multimodal.PngDecoder.decode).collect()
+    assert(decoded.length == 64)
+    decoded.foreach { f =>
+      assert((f.width, f.height, f.n_frames) ==
+        ((16 + f.doc_id % 21).toInt, (12 + f.doc_id % 13).toInt, 1),
+        s"doc ${f.doc_id}: decoded ${f.width}x${f.height}")
+    }
   }
 
   test("multimodal near-dup loop: binary -> embed -> sign-LSH -> cosine finds planted copies") {

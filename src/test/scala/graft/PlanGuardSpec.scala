@@ -20,7 +20,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
-  private val iterative = Set("dedup_components", "dedup_components_star")
+  private val iterative = Set("dedup_components", "dedup_components_minlabel")
 
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

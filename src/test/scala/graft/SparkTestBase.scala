@@ -15,22 +15,24 @@ trait SparkTestBase extends AnyFunSuite {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
-    val wh = new java.io.File("/tmp/graft-warehouse")
-    if (wh.exists()) {
+    // per-process unique warehouse (ADVICE r3: a fixed /tmp path let two
+    // concurrent test JVMs wipe each other's tables mid-run), deleted on
+    // JVM shutdown so /tmp does not accumulate across runs
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      rm(wh)
-    }
+      rm(wh.toFile)
+    }))
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // keep saveAsTable artifacts (StorageLayoutSpec) out of the repo;
-      // fixed path wiped below so /tmp does not accumulate across runs
-      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      // keep saveAsTable artifacts (StorageLayoutSpec) out of the repo
+      .config("spark.sql.warehouse.dir", wh.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
