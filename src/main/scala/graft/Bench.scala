@@ -80,8 +80,21 @@ object Bench {
     // reference never published throughput; this records ours per round.
     val streamingTtl = "streaming_ttl_pipeline" ->
       timeOnce("streaming_ttl_pipeline", () => StreamingBench.ttlPipeline(spark, sfDir))
+    // the rest of the stateful streaming surface (round-3 item 5): a
+    // streaming perf regression should be visible per round, not only
+    // for the flagship. Single-run each (MemoryStream feed dominates
+    // jitter less than the batch side; see BASELINE.md).
+    val streamingMore = Seq(
+      "streaming_running_reduce" ->
+        timeOnce("streaming_running_reduce", () => StreamingBench.runningReducePipeline(spark, sfDir)),
+      "streaming_count_windows" ->
+        timeOnce("streaming_count_windows", () => StreamingBench.countWindowsPipeline(spark, sfDir)),
+      "streaming_topk" ->
+        timeOnce("streaming_topk", () => StreamingBench.topKPipeline(spark, sfDir)),
+      "streaming_ttl_rocksdb" ->
+        timeOnce("streaming_ttl_rocksdb", () => StreamingBench.ttlPipelineRocksDB(spark, sfDir)))
 
-    val all = results :+ coldDedup :+ streamingTtl
+    val all = results :+ coldDedup :+ streamingTtl :++ streamingMore
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // full JSON string escaping — Spark exception messages embed plan
     // fragments with newlines/tabs; a raw control char would corrupt the

@@ -387,7 +387,8 @@ object Relational {
     * a window sort that spills like any other, where the built-in
     * `percentile()` accumulates every distinct value of a group into one
     * reducer's in-memory map. Interpolation matches `quantile_cont`
-    * (identical at frac 0/0.5; elsewhere compared under round-4). */
+    * (exact at frac 0/0.5 — q28; pinned at non-exact fractions by the
+    * q38 gate under round-6). */
   private def sortedPercentiles(
       df: DataFrame, g: String, v: String, qs: Seq[(String, Double)]): DataFrame = {
     val byG = Window.partitionBy(g)
