@@ -38,30 +38,40 @@ object StreamingBench {
       .as[BEv].collect()
   }
 
-  /** Feed `rows` in two ts-ordered halves (cross-batch state and
-    * watermark-driven cleanup both run, like a real incremental
-    * deployment), block until drained, check the sink row count. */
-  private def runTwoBatches(
+  /** Feed `rows` in two halves (cross-batch state and watermark-driven
+    * cleanup both run, like a real incremental deployment), block until
+    * drained, hand the sink row count to `check`. Callers with a
+    * watermark must pre-sort by the FULL event-time precision — see
+    * [[eventTimeOrdered]]. */
+  private def runTwoBatches[T](
       spark: SparkSession,
-      stream: MemoryStream[BEv],
+      stream: MemoryStream[T],
       out: org.apache.spark.sql.Dataset[_],
-      rows: Array[BEv],
-      expectedRows: Long,
-      tag: String): Unit = {
+      rows: IndexedSeq[T],
+      tag: String)(check: Long => Unit): Unit = {
     val sinkName = s"bench_${tag}_${System.nanoTime()}"
     val query = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
-      val (a, b) = rows.sortBy(_.ts.getTime).splitAt(rows.length / 2)
-      stream.addData(a.toIndexedSeq); query.processAllAvailable()
-      stream.addData(b.toIndexedSeq); query.processAllAvailable()
-      val n = spark.table(sinkName).count()
-      require(n == expectedRows, s"$tag emitted $n of $expectedRows rows")
+      val (a, b) = rows.splitAt(rows.length / 2)
+      stream.addData(a); query.processAllAvailable()
+      stream.addData(b); query.processAllAvailable()
+      check(spark.table(sinkName).count())
     } finally {
       query.stop()
       spark.catalog.dropTempView(sinkName)
     }
   }
+
+  /** Rows in full-µs event-time order: the batch boundary must respect
+    * MICROsecond precision — a ms-truncated sort key could split a
+    * sub-ms tie across batches, and batch 1's 0-delay watermark would
+    * then drop the batch-2 twin as late. */
+  private def eventTimeOrdered(rows: Array[BEv]): IndexedSeq[BEv] =
+    rows.sortBy(r => (micros(r.ts), r.event_id)).toIndexedSeq
+
+  private def requireCount(tag: String, expected: Long)(n: Long): Unit =
+    require(n == expected, s"$tag emitted $n of $expected rows")
 
   /** Flagship: TTL-evicted keyed stateful map, event-time variant. */
   def ttlPipeline(spark: SparkSession, sfDir: String): Unit = {
@@ -75,7 +85,8 @@ object StreamingBench {
       ttl = 30.minutes, defaultState = 0L)(
       _.user_id, e => micros(e.ts), _.event_id)(
       (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) })
-    runTwoBatches(spark, stream, out, rows, rows.length.toLong, "ttl")
+    runTwoBatches(spark, stream, out, eventTimeOrdered(rows), "ttl")(
+      requireCount("ttl", rows.length.toLong))
   }
 
   /** The flagship TTL pipeline on the RocksDB state store provider —
@@ -104,7 +115,8 @@ object StreamingBench {
     val out = RunningReduce.keyed(stream.toDS(), 0L)(
       _.user_id, e => micros(e.ts), _.event_id)(
       (acc, e) => acc + e.cents)
-    runTwoBatches(spark, stream, out, rows, rows.length.toLong, "running_reduce")
+    runTwoBatches(spark, stream, out, eventTimeOrdered(rows), "running_reduce")(
+      requireCount("running_reduce", rows.length.toLong))
   }
 
   /** Keyed count windows (B17): size-5 tumbling count window per user,
@@ -120,7 +132,8 @@ object StreamingBench {
       _.user_id, e => micros(e.ts), _.event_id)(
       (k, items) => (k, items.map(_.cents).sum))
     val expected = rows.groupBy(_.user_id).valuesIterator.map(_.size / 5).sum.toLong
-    runTwoBatches(spark, stream, out, rows, expected, "count_windows")
+    runTwoBatches(spark, stream, out, eventTimeOrdered(rows), "count_windows")(
+      requireCount("count_windows", expected))
   }
 
   /** Streaming heavy hitters: SpaceSaving sketches over the event_type
@@ -133,18 +146,7 @@ object StreamingBench {
       .select(col("event_type")).as[String].collect()
     val stream = MemoryStream[String]
     val out = StreamingTopK.topK(stream.toDS(), groups = 4, capacity = 64, k = 10)
-    val sinkName = s"bench_topk_${System.nanoTime()}"
-    val query = out.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
-    try {
-      val (a, b) = types.splitAt(types.length / 2)
-      stream.addData(a.toIndexedSeq); query.processAllAvailable()
-      stream.addData(b.toIndexedSeq); query.processAllAvailable()
-      val n = spark.table(sinkName).count()
-      require(n > 0, s"topk emitted no snapshots")
-    } finally {
-      query.stop()
-      spark.catalog.dropTempView(sinkName)
-    }
+    runTwoBatches(spark, stream, out, types.toIndexedSeq, "topk")(
+      n => require(n > 0, "topk emitted no snapshots"))
   }
 }

@@ -170,18 +170,23 @@ object Dedup {
     * (ADVICE r3 — a session discarded without stop() must not leave its
     * blocks cached for the whole app lifetime):
     *  - at most [[MaxCachedSessions]] sessions stay cached — beyond
-    *    that the eldest session's entries are unpersisted (newSession-
-    *    per-request churn keeps creating, never closing);
+    *    that the LEAST-RECENTLY-USED session's entries are unpersisted
+    *    (newSession-per-request churn keeps creating, never closing;
+    *    access re-ranks, so the hot long-lived session is never the
+    *    victim);
     *  - ONE app-lifetime listener per SparkContext (not one per session
-    *    — churned sessions were each leaving a dead listener on the
-    *    shared context's bus) clears everything at application end. */
+    *    — churned sessions would each leave a dead listener on the
+    *    shared context's bus) clears everything at application end.
+    * All mutation happens under [[cacheLock]]: this path runs once per
+    * QUERY CONSTRUCTION (never per row), so a plain lock is free, and
+    * it keeps eviction out of any ConcurrentHashMap mapping function
+    * (computeIfAbsent forbids reentrant modification) and makes the
+    * queue and map move atomically. */
   private val sessionCaches =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      scala.collection.concurrent.TrieMap[String, PipelineCache]]()
+    scala.collection.mutable.LinkedHashMap.empty[String,
+      scala.collection.mutable.LinkedHashMap[String, PipelineCache]]
 
-  /** Insertion-order queue of cached session uuids, for cap eviction. */
-  private val sessionOrder =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val cacheLock = new Object
 
   private val appEndHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
@@ -191,7 +196,7 @@ object Dedup {
   private def uuidOf(s: SparkSession): String =
     org.apache.spark.sql.graft.ColumnShim.sessionUuid(s)
 
-  private def dropAll(m: scala.collection.concurrent.TrieMap[String, PipelineCache]): Unit =
+  private def dropAll(m: scala.collection.mutable.LinkedHashMap[String, PipelineCache]): Unit =
     m.values.foreach { e =>
       e.docs.unpersist(blocking = false)
       e.pairs.foreach(_.unpersist(blocking = false))
@@ -202,44 +207,42 @@ object Dedup {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-          sessionCaches.clear()
-          sessionOrder.clear()
+          cacheLock.synchronized(sessionCaches.clear())
           appEndHooked.set(false) // a later fresh context re-registers
         }
       })
     }
     val uuid = uuidOf(s)
-    val m = sessionCaches.computeIfAbsent(uuid, _ => {
-      var evicting = sessionCaches.size >= MaxCachedSessions
-      while (evicting) {
-        val victim = sessionOrder.poll()
-        if (victim == null) evicting = false // queue drained; stop
-        else {
-          Option(sessionCaches.remove(victim)).foreach(dropAll)
-          evicting = sessionCaches.size >= MaxCachedSessions
+    cacheLock.synchronized {
+      // LRU touch: remove + re-append moves this session to the back
+      val m = sessionCaches.remove(uuid).getOrElse {
+        while (sessionCaches.size >= MaxCachedSessions) {
+          // eldest = least recently used (insertion order + touch)
+          val (victim, vm) = sessionCaches.head
+          sessionCaches.remove(victim)
+          dropAll(vm)
         }
+        scala.collection.mutable.LinkedHashMap.empty[String, PipelineCache]
       }
-      sessionOrder.add(uuid)
-      scala.collection.concurrent.TrieMap.empty[String, PipelineCache]
-    })
-    m.getOrElseUpdate(dir,
-      new PipelineCache(withShingles(corpusWithNearDupes(s, dir)).cache()))
+      sessionCaches.put(uuid, m)
+      m.getOrElseUpdate(dir,
+        new PipelineCache(withShingles(corpusWithNearDupes(s, dir)).cache()))
+    }
   }
 
   /** Unpersist and forget the memoized pipeline for (s, dir). Returns true
     * if an entry existed. Long-lived sessions (and Bench, which wants a
     * cold-build line item) use this to bound the cache. */
-  def evictSharedPipeline(s: SparkSession, dir: String): Boolean = {
-    val m = sessionCaches.get(uuidOf(s))
-    if (m == null) false
-    else m.remove(dir) match {
-      case Some(e) =>
-        e.docs.unpersist(blocking = false)
-        e.pairs.foreach(_.unpersist(blocking = false))
-        true
-      case None => false
+  def evictSharedPipeline(s: SparkSession, dir: String): Boolean =
+    cacheLock.synchronized {
+      sessionCaches.get(uuidOf(s)).flatMap(_.remove(dir)) match {
+        case Some(e) =>
+          e.docs.unpersist(blocking = false)
+          e.pairs.foreach(_.unpersist(blocking = false))
+          true
+        case None => false
+      }
     }
-  }
 
   private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val entry = entryFor(s, dir)

@@ -98,9 +98,13 @@ object Similarity {
   /** [[signBucket]] at the minimum width — fixed-width helper for specs. */
   def signBucket(v: Column): Column = signBucket(v, MinSignBucketDims)
 
-  /** Corpus-size-derived bucket width: one metadata-cheap count of the
-    * id column picks the hyperplane count before the query is built
-    * (a production index would read table stats instead — same value). */
+  /** Corpus-size-derived bucket width: one count() job at
+    * query-construction time picks the hyperplane count. Catalyst
+    * prunes every column out of the count (for the near-dup corpus the
+    * embedding perturbation is pruned too), so the job reads parquet
+    * metadata/id footprints, not vectors — but it IS a job per
+    * construction; a production index reads the catalog's table stats
+    * instead and gets the identical value without a scan. */
   private def dimsOf(corpus: DataFrame): Int = signBucketDimsFor(corpus.count())
 
   /** LSH-bucketed cosine top-k: candidates restricted to the query's
