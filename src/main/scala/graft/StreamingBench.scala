@@ -28,34 +28,48 @@ object StreamingBench {
   private def micros(ts: java.sql.Timestamp): Long =
     ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
 
-  private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] = {
-    val s = spark
-    import s.implicits._
-    Tables.events(spark, sfDir)
-      .select(
-        col("event_id"), col("user_id"), col("ts"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      .as[BEv].collect()
-  }
+  /** Per-sfDir memo of the collected feed arrays: five pipelines feed
+    * the identical events table per bench round — collecting it once
+    * keeps the batch-read cost out of the per-item streaming numbers.
+    * (Bench is single-threaded; the memo is not synchronized.) */
+  private val rowsMemo = scala.collection.mutable.HashMap.empty[String, Array[BEv]]
+  private val typesMemo = scala.collection.mutable.HashMap.empty[String, Array[String]]
 
-  /** Feed `rows` in two halves (cross-batch state and watermark-driven
+  private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
+    rowsMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      Tables.events(spark, sfDir)
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .as[BEv].collect()
+    })
+
+  private def eventTypes(spark: SparkSession, sfDir: String): Array[String] =
+    typesMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      Tables.events(spark, sfDir).select(col("event_type")).as[String].collect()
+    })
+
+  /** Feed the two batches (cross-batch state and watermark-driven
     * cleanup both run, like a real incremental deployment), block until
     * drained, hand the sink row count to `check`. Callers with a
-    * watermark must pre-sort by the FULL event-time precision — see
-    * [[eventTimeOrdered]]. */
+    * watermark must split on an event-time boundary — see
+    * [[eventTimeBatches]]. */
   private def runTwoBatches[T](
       spark: SparkSession,
       stream: MemoryStream[T],
       out: org.apache.spark.sql.Dataset[_],
-      rows: IndexedSeq[T],
+      batches: (IndexedSeq[T], IndexedSeq[T]),
       tag: String)(check: Long => Unit): Unit = {
     val sinkName = s"bench_${tag}_${System.nanoTime()}"
     val query = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
-      val (a, b) = rows.splitAt(rows.length / 2)
-      stream.addData(a); query.processAllAvailable()
-      stream.addData(b); query.processAllAvailable()
+      stream.addData(batches._1); query.processAllAvailable()
+      stream.addData(batches._2); query.processAllAvailable()
       check(spark.table(sinkName).count())
     } finally {
       query.stop()
@@ -63,12 +77,19 @@ object StreamingBench {
     }
   }
 
-  /** Rows in full-µs event-time order: the batch boundary must respect
-    * MICROsecond precision — a ms-truncated sort key could split a
-    * sub-ms tie across batches, and batch 1's 0-delay watermark would
-    * then drop the batch-2 twin as late. */
-  private def eventTimeOrdered(rows: Array[BEv]): IndexedSeq[BEv] =
-    rows.sortBy(r => (micros(r.ts), r.event_id)).toIndexedSeq
+  /** Two halves in full-µs event-time order, split on an event-time
+    * BOUNDARY: the sort must be µs-precise (a ms-truncated key could
+    * split a sub-ms tie across batches) and the cut must not land
+    * inside a run of equal timestamps — Spark's late filter drops
+    * ts <= watermark, so an exact-µs twin of batch 1's max event time
+    * arriving in batch 2 would be discarded as late. */
+  private def eventTimeBatches(rows: Array[BEv]): (IndexedSeq[BEv], IndexedSeq[BEv]) = {
+    val sorted = rows.sortBy(r => (micros(r.ts), r.event_id)).toIndexedSeq
+    var cut = sorted.length / 2
+    while (cut < sorted.length && cut > 0 &&
+      micros(sorted(cut).ts) == micros(sorted(cut - 1).ts)) cut += 1
+    sorted.splitAt(cut)
+  }
 
   private def requireCount(tag: String, expected: Long)(n: Long): Unit =
     require(n == expected, s"$tag emitted $n of $expected rows")
@@ -85,7 +106,7 @@ object StreamingBench {
       ttl = 30.minutes, defaultState = 0L)(
       _.user_id, e => micros(e.ts), _.event_id)(
       (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) })
-    runTwoBatches(spark, stream, out, eventTimeOrdered(rows), "ttl")(
+    runTwoBatches(spark, stream, out, eventTimeBatches(rows), "ttl")(
       requireCount("ttl", rows.length.toLong))
   }
 
@@ -115,7 +136,7 @@ object StreamingBench {
     val out = RunningReduce.keyed(stream.toDS(), 0L)(
       _.user_id, e => micros(e.ts), _.event_id)(
       (acc, e) => acc + e.cents)
-    runTwoBatches(spark, stream, out, eventTimeOrdered(rows), "running_reduce")(
+    runTwoBatches(spark, stream, out, eventTimeBatches(rows), "running_reduce")(
       requireCount("running_reduce", rows.length.toLong))
   }
 
@@ -132,7 +153,7 @@ object StreamingBench {
       _.user_id, e => micros(e.ts), _.event_id)(
       (k, items) => (k, items.map(_.cents).sum))
     val expected = rows.groupBy(_.user_id).valuesIterator.map(_.size / 5).sum.toLong
-    runTwoBatches(spark, stream, out, eventTimeOrdered(rows), "count_windows")(
+    runTwoBatches(spark, stream, out, eventTimeBatches(rows), "count_windows")(
       requireCount("count_windows", expected))
   }
 
@@ -142,11 +163,10 @@ object StreamingBench {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val types = Tables.events(spark, sfDir)
-      .select(col("event_type")).as[String].collect()
+    val types = eventTypes(spark, sfDir)
     val stream = MemoryStream[String]
     val out = StreamingTopK.topK(stream.toDS(), groups = 4, capacity = 64, k = 10)
-    runTwoBatches(spark, stream, out, types.toIndexedSeq, "topk")(
+    runTwoBatches(spark, stream, out, types.toIndexedSeq.splitAt(types.length / 2), "topk")(
       n => require(n > 0, "topk emitted no snapshots"))
   }
 }

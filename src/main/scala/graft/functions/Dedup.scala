@@ -160,6 +160,11 @@ object Dedup {
     * pipeline uses instead of re-deriving per query). */
   private final class PipelineCache(val docs: DataFrame) {
     @volatile var pairs: Option[DataFrame] = None
+    /** Set (under [[cacheLock]]) when this entry is dropped: a builder
+      * that was mid-[[buildVerifiedPairs]] during eviction must
+      * unpersist its freshly-cached result instead of stranding it in
+      * an entry no eviction path can reach any more. */
+    @volatile var evicted = false
   }
 
   /** Keyed by `sessionUUID`, NOT the session object: the cached
@@ -198,6 +203,7 @@ object Dedup {
 
   private def dropAll(m: scala.collection.mutable.LinkedHashMap[String, PipelineCache]): Unit =
     m.values.foreach { e =>
+      e.evicted = true
       e.docs.unpersist(blocking = false)
       e.pairs.foreach(_.unpersist(blocking = false))
     }
@@ -237,6 +243,7 @@ object Dedup {
     cacheLock.synchronized {
       sessionCaches.get(uuidOf(s)).flatMap(_.remove(dir)) match {
         case Some(e) =>
+          e.evicted = true
           e.docs.unpersist(blocking = false)
           e.pairs.foreach(_.unpersist(blocking = false))
           true
@@ -250,6 +257,14 @@ object Dedup {
       entry.pairs.getOrElse {
         val pairs = buildVerifiedPairs(entry.docs)
         entry.pairs = Some(pairs)
+        // the entry may have been LRU-evicted while the build ran
+        // (entryFor released cacheLock long ago): its blocks would then
+        // be unreachable by every eviction path — release them now.
+        // Either order is safe: pairs is published before the check, so
+        // a concurrent dropAll sees and unpersists it, and a pre-publish
+        // dropAll is caught here (double-unpersist is idempotent). The
+        // returned frame stays correct either way — it just recomputes.
+        if (entry.evicted) pairs.unpersist(blocking = false)
         pairs
       }
     }

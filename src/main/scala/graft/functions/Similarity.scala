@@ -40,10 +40,13 @@ object Similarity {
   /** Smallest dims ≥ [[MinSignBucketDims]] with 2^dims · target ≥ n —
     * pure integer arithmetic, so DuckDB derives the identical value from
     * the same count (no float log2 whose ulp could straddle an integer).
-    * Upper bound 40 covers 4·2^40 ≈ 4.4e12 vectors without overflow. */
+    * Upper bound 40 covers 4·2^40 ≈ 4.4e12 vectors without overflow;
+    * beyond it this THROWS rather than silently diverge from the
+    * oracle's dims CTE (which would yield NULL there). */
   def signBucketDimsFor(n: Long): Int =
     (MinSignBucketDims to 40).find(d => (1L << d) * BucketOccupancyTarget >= n)
-      .getOrElse(40)
+      .getOrElse(throw new IllegalArgumentException(
+        s"corpus size $n exceeds the 2^40-bucket sign-LSH range"))
 
   /** Left-fold dot product of two float arrays in double precision. */
   def dot(a: Column, b: Column): Column =

@@ -431,8 +431,8 @@ object ExtensionOracles {
         |      (a, b) -> a + b)) AS nrm
         |  FROM embeddings),
         |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e
-        |      ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
-        |      LIMIT ${graft.functions.Similarity.IvfCodebookK}),
+        |      ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id
+        |      LIMIT ${Similarity.IvfCodebookK}),
         |ac AS (
         |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -464,8 +464,8 @@ object ExtensionOracles {
         |      (a, b) -> a + b)) AS nrm
         |  FROM embeddings),
         |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e
-        |      ORDER BY CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT), vec_id
-        |      LIMIT ${graft.functions.Similarity.IvfCodebookK}),
+        |      ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id
+        |      LIMIT ${Similarity.IvfCodebookK}),
         |ac AS (
         |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

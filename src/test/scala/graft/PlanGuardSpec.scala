@@ -4,11 +4,14 @@ package graft
   * cartesian products, and broadcast nested-loop joins only where the
   * operator's design calls for one (brute-force ANN baselines and the
   * K-bounded IVF centroid-assignment cross join — a constant-size
-  * broadcast side by construction). Planning-only for every audited
-  * query, so the sweep costs seconds. The two iterative CC queries are
-  * excluded: building them EXECUTES the fixpoint loop and the returned
-  * plan is only the post-loop label join — their round-body join shape
-  * is pinned by PLANS.md and the componentsStar specs instead.
+  * broadcast side by construction). Construction-only for every audited
+  * query, so the sweep costs seconds (construction is not strictly
+  * job-free: the sign-LSH-width queries run one column-pruned count()
+  * to size their bucket space — see Similarity.dimsOf). The two
+  * iterative CC queries are excluded: building them EXECUTES the
+  * fixpoint loop and the returned plan is only the post-loop label
+  * join — their round-body join shape is pinned by PLANS.md and the
+  * componentsStar specs instead.
   */
 class PlanGuardSpec extends SparkTestBase {
 
