@@ -102,6 +102,22 @@ class ExtensionsSpec extends SparkTestBase {
       Dedup.components(pairs).as[(Long, Long)].collect().toMap)
   }
 
+  test("pipeline cache: LRU cap evicts the least-recently-used session, not the hot one") {
+    // query CONSTRUCTION only — entryFor caches lazy frames, no jobs run
+    val sessions = (1 to Dedup.MaxCachedSessions + 1).map(_ => spark.newSession())
+    sessions.take(Dedup.MaxCachedSessions).foreach(s => Dedup.dedupMinhash(s, sf0001))
+    // touch the first session again — it becomes most-recently-used
+    Dedup.dedupMinhash(sessions.head, sf0001)
+    // the (cap+1)-th session must evict the LRU slot, not the hot head
+    Dedup.dedupMinhash(sessions.last, sf0001)
+    assert(Dedup.evictSharedPipeline(sessions.head, sf0001),
+      "the most-recently-used session was evicted by the cap")
+    assert(!Dedup.evictSharedPipeline(sessions(1), sf0001),
+      "the least-recently-used session survived the cap")
+    assert(Dedup.evictSharedPipeline(sessions.last, sf0001))
+    sessions.foreach(s => Dedup.evictSharedPipeline(s, sf0001))
+  }
+
   test("CC fails loudly when the iteration cap truncates convergence") {
     val s = spark
     import s.implicits._
