@@ -389,7 +389,7 @@ object Relational {
     * reducer's in-memory map. Interpolation matches `quantile_cont`
     * (exact at frac 0/0.5 — q28; pinned at non-exact fractions by the
     * q38 gate under round-6). */
-  private def sortedPercentiles(
+  private[graft] def sortedPercentiles(
       df: DataFrame, g: String, v: String, qs: Seq[(String, Double)]): DataFrame = {
     val byG = Window.partitionBy(g)
     val w = byG.orderBy(v)

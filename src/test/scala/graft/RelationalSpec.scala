@@ -107,4 +107,27 @@ class RelationalSpec extends SparkTestBase {
       assert(r.getLong(2) <= 12L, "n_months > 12")
     }
   }
+
+  test("sortedPercentiles matches the built-in exact percentile at random fractions") {
+    // q38 pins two fractions bit-level against DuckDB; this fuzzes the
+    // rank arithmetic (pos, floor/ceil rows, frac) across arbitrary
+    // fractions against Spark's own exact percentile() — same
+    // interpolation semantics, independent single-reducer implementation
+    val rnd = new scala.util.Random(5)
+    val qs = Seq.tabulate(6)(i => (s"q$i", rnd.nextDouble()))
+    val df = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_quantity").cast("double").as("v"))
+    val got = Relational.sortedPercentiles(df, "l_returnflag", "v", qs)
+      .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+    val aggs = qs.map { case (n, q) => expr(s"percentile(v, $q)").as(n) }
+    val expected = df.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(got.keySet == expected.keySet)
+    for (k <- got.keySet; i <- qs.indices) {
+      val (g, e) = (got(k)(i), expected(k)(i))
+      // identical position/frac semantics; allow last-ulp formula drift
+      assert(math.abs(g - e) <= math.max(1e-9, math.ulp(e) * 4),
+        s"group $k fraction ${qs(i)._2}: sorted=$g builtin=$e")
+    }
+  }
 }
