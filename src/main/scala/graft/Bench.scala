@@ -93,6 +93,7 @@ object Bench {
         timeOnce("streaming_topk", () => StreamingBench.topKPipeline(spark, sfDir)),
       "streaming_ttl_rocksdb" ->
         timeOnce("streaming_ttl_rocksdb", () => StreamingBench.ttlPipelineRocksDB(spark, sfDir)))
+    StreamingBench.clearMemo()
 
     val all = results :+ coldDedup :+ streamingTtl :++ streamingMore
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

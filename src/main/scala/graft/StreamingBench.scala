@@ -35,6 +35,11 @@ object StreamingBench {
   private val rowsMemo = scala.collection.mutable.HashMap.empty[String, Array[BEv]]
   private val typesMemo = scala.collection.mutable.HashMap.empty[String, Array[String]]
 
+  /** Release the collected feed arrays. Bench.main calls this once the
+    * streaming line items finish, so an embedded or multi-sfDir caller
+    * doesn't accumulate whole collected tables for the JVM lifetime. */
+  def clearMemo(): Unit = { rowsMemo.clear(); typesMemo.clear() }
+
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
     rowsMemo.getOrElseUpdate(sfDir, {
       val s = spark
@@ -83,11 +88,20 @@ object StreamingBench {
     * inside a run of equal timestamps — Spark's late filter drops
     * ts <= watermark, so an exact-µs twin of batch 1's max event time
     * arriving in batch 2 would be discarded as late. */
-  private def eventTimeBatches(rows: Array[BEv]): (IndexedSeq[BEv], IndexedSeq[BEv]) = {
+  private[graft] def eventTimeBatches(rows: Array[BEv]): (IndexedSeq[BEv], IndexedSeq[BEv]) = {
     val sorted = rows.sortBy(r => (micros(r.ts), r.event_id)).toIndexedSeq
     var cut = sorted.length / 2
     while (cut < sorted.length && cut > 0 &&
       micros(sorted(cut).ts) == micros(sorted(cut - 1).ts)) cut += 1
+    if (cut == sorted.length) {
+      // the tie run reached the end: fall back to the nearest boundary
+      // BEFORE the midpoint so the run stays whole in batch 2
+      cut = sorted.length / 2
+      while (cut > 0 && micros(sorted(cut).ts) == micros(sorted(cut - 1).ts)) cut -= 1
+    }
+    require(cut > 0 && cut < sorted.length,
+      "degenerate timestamp distribution: no event-time boundary to split on — " +
+        "a one-batch run would silently skip the cross-batch-state scenario")
     sorted.splitAt(cut)
   }
 
@@ -164,9 +178,23 @@ object StreamingBench {
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val types = eventTypes(spark, sfDir)
+    val groups = 4; val capacity = 64; val k = 10
     val stream = MemoryStream[String]
-    val out = StreamingTopK.topK(stream.toDS(), groups = 4, capacity = 64, k = 10)
-    runTwoBatches(spark, stream, out, types.toIndexedSeq.splitAt(types.length / 2), "topk")(
-      n => require(n > 0, "topk emitted no snapshots"))
+    val out = StreamingTopK.topK(stream.toDS(), groups, capacity, k)
+    val batches = types.toIndexedSeq.splitAt(types.length / 2)
+    // Exact expected snapshot rows: a group invoked in a batch emits
+    // min(k, tracked) rows, and SpaceSaving tracks min(cumulative
+    // distinct, capacity) items — derivable driver-side from the feed.
+    def grp(s: String) = math.floorMod(s.hashCode, groups)
+    val b1 = batches._1.groupBy(grp); val b2 = batches._2.groupBy(grp)
+    val expected = (0 until groups).map { g =>
+      val seen1 = b1.getOrElse(g, IndexedSeq.empty).distinct.size
+      val seenCum = (b1.getOrElse(g, IndexedSeq.empty) ++ b2.getOrElse(g, IndexedSeq.empty))
+        .distinct.size
+      (if (b1.contains(g)) math.min(k, math.min(seen1, capacity)) else 0) +
+        (if (b2.contains(g)) math.min(k, math.min(seenCum, capacity)) else 0)
+    }.sum.toLong
+    runTwoBatches(spark, stream, out, batches, "topk")(
+      requireCount("topk", expected))
   }
 }
