@@ -92,7 +92,9 @@ object Bench {
       "streaming_topk" ->
         timeOnce("streaming_topk", () => StreamingBench.topKPipeline(spark, sfDir)),
       "streaming_ttl_rocksdb" ->
-        timeOnce("streaming_ttl_rocksdb", () => StreamingBench.ttlPipelineRocksDB(spark, sfDir)))
+        timeOnce("streaming_ttl_rocksdb", () => StreamingBench.ttlPipelineRocksDB(spark, sfDir)),
+      "streaming_dedup" ->
+        timeOnce("streaming_dedup", () => StreamingBench.dedupPipeline(spark, sfDir)))
     StreamingBench.clearMemo()
 
     val all = results :+ coldDedup :+ streamingTtl :++ streamingMore

@@ -171,6 +171,22 @@ object StreamingBench {
       requireCount("count_windows", expected))
   }
 
+  /** Streaming exact dedup (bounded state): every event fed TWICE —
+    * in-batch duplicates — through dropDuplicatesWithinWatermark;
+    * expected output is exactly one row per distinct event_id. */
+  def dedupPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(spark, sfDir)
+    val stream = MemoryStream[BEv]
+    val out = graft.streaming.StreamingDedup.withinWatermark(
+      stream.toDS(), "ts", "1 hour", Seq("event_id"))
+    val (b1, b2) = eventTimeBatches(rows)
+    runTwoBatches(spark, stream, out, (b1 ++ b1, b2 ++ b2), "dedup")(
+      requireCount("dedup", rows.length.toLong))
+  }
+
   /** Streaming heavy hitters: SpaceSaving sketches over the event_type
     * stream (one sketch per group key), top-k snapshots per batch. */
   def topKPipeline(spark: SparkSession, sfDir: String): Unit = {

@@ -181,6 +181,93 @@ object TextAnalysis {
           .cast("long").as("n_pretokens"))
       .orderBy("doc_id")
 
+  /** PII patterns, Java-regex ↔ RE2 portable: no lookarounds, no
+    * backreferences, explicit classes; `\b`/`\d` are ASCII in both
+    * engines and greedy quantifiers resolve identically under Java's
+    * leftmost-greedy and RE2's leftmost-first semantics for these
+    * alternation-free shapes. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** PII detection + redaction — the scrubbing pass every training-data
+    * pipeline runs before text leaves curation. The synthetic corpus
+    * carries no PII, so the query first derives a deterministic contact
+    * line from each row's own columns (identically in the DuckDB
+    * oracle), then counts and redacts emails / IPv4s / phone numbers in
+    * class order email → ip → phone (counts are taken on the original
+    * string; replacement order matters only for overlapping classes,
+    * and is fixed identically on both engines). Pure per-row regexp —
+    * scan-speed, shuffle-free, whole-stage codegen'd at 100 TB. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val contact = concat(
+      lit("user"), col("doc_id").cast("string"),
+      lit("@"), col("source"), lit(".example.com ip 10."),
+      (col("doc_id") % 200).cast("string"), lit("."),
+      (col("doc_id") % 251).cast("string"), lit("."),
+      (col("doc_id") % 97).cast("string"),
+      lit(" tel +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" "), col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), contact.as("contact"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("contact"), lit(EmailPattern)).cast("long").as("n_emails"),
+        regexp_count(col("contact"), lit(Ipv4Pattern)).cast("long").as("n_ips"),
+        regexp_count(col("contact"), lit(PhonePattern)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("contact"), EmailPattern, "[EMAIL]"),
+            Ipv4Pattern, "[IP]"),
+          PhonePattern, "[PHONE]").as("redacted"))
+      .withColumn("n_pii", col("n_emails") + col("n_ips") + col("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  /** Repetition-based quality filter (the Gopher-rule family): per-doc
+    * distinct-token ratio, most-frequent-token fraction, and duplicate
+    * bigram fraction, with a composite keep flag. Two shapes compose:
+    * the array metrics are per-row O(len·log len) (no shuffle), and the
+    * top-token argmax is the posting-list shape (explode → two-level
+    * aggregate → per-doc rank), shuffling tokens once on (doc_id, tok)
+    * and once on doc_id for the join — the same plan family as
+    * [[rareTerm]], which is the 100 TB-honest form (a per-row
+    * frequency HOF would be O(len²) on long documents). */
+  def qualityRepetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val bigrams = zip_with(
+      slice(col("toks"), lit(1), n - 1),
+      slice(col("toks"), lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val arrStats = base.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+      size(bigrams).cast("long").as("n_bigrams"),
+      size(array_distinct(bigrams)).cast("long").as("n_distinct_bigrams"))
+    val w = Window.partitionBy("doc_id").orderBy(col("top_tok_n").desc, col("top_tok").asc)
+    val top = base.select(col("doc_id"), explode(col("toks")).as("top_tok"))
+      .groupBy("doc_id", "top_tok").agg(count(lit(1)).as("top_tok_n"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .drop("rn")
+    arrStats.join(top, "doc_id")
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6))
+      .withColumn("top_tok_frac",
+        round(col("top_tok_n").cast("double") / col("n_tokens"), 6))
+      .withColumn("dup_bigram_frac",
+        when(col("n_bigrams") === 0, lit(0.0))
+          .otherwise(round(
+            (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"), 6)))
+      .withColumn("keep",
+        col("distinct_ratio") >= 0.45 && col("top_tok_frac") <= 0.12 &&
+          col("dup_bigram_frac") <= 0.05)
+      .orderBy("doc_id")
+  }
+
   /** TOKEN-BUDGET data mixing: per source, admit documents in
     * deterministic doc_id order until the source's cumulative token
     * count exceeds `budget` — the quota step of mixture curation ("at

@@ -106,6 +106,55 @@ object ExtensionOracles {
          |FROM h ORDER BY doc_id""".stripMargin
     },
 
+    "pii_scrub" -> {
+      val email = TextAnalysis.EmailPattern
+      val ip = TextAnalysis.Ipv4Pattern
+      val phone = TextAnalysis.PhonePattern
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    'user' || CAST(doc_id AS VARCHAR) || '@' || source || '.example.com ip 10.' ||
+         |    CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 251 AS VARCHAR) || '.' ||
+         |    CAST(doc_id % 97 AS VARCHAR) || ' tel +1-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text AS contact
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(contact, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(contact, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(contact, '$phone')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(contact,
+         |    '$email', '[EMAIL]', 'g'), '$ip', '[IP]', 'g'), '$phone', '[PHONE]', 'g') AS redacted,
+         |  CAST(len(regexp_extract_all(contact, '$email')) + len(regexp_extract_all(contact, '$ip'))
+         |    + len(regexp_extract_all(contact, '$phone')) AS BIGINT) AS n_pii
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
+    "quality_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |a AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(toks) - 1 AS BIGINT) AS n_bigrams,
+         |  CAST(len(list_distinct(list_transform(range(len(toks) - 1),
+         |    i -> toks[i+1] || ' ' || toks[i+2]))) AS BIGINT) AS n_distinct_bigrams
+         |FROM t),
+         |e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         |c AS (SELECT doc_id, tok, count(*) AS cnt FROM e GROUP BY 1, 2),
+         |r AS (SELECT doc_id, tok, cnt,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok ASC) AS rn FROM c),
+         |j AS (
+         |  SELECT a.doc_id, n_tokens, n_distinct, n_bigrams, n_distinct_bigrams,
+         |    r.tok AS top_tok, CAST(r.cnt AS BIGINT) AS top_tok_n,
+         |    round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+         |    round(CAST(r.cnt AS DOUBLE) / n_tokens, 6) AS top_tok_frac,
+         |    CASE WHEN n_bigrams = 0 THEN 0.0
+         |         ELSE round(CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams, 6)
+         |    END AS dup_bigram_frac
+         |  FROM a JOIN r ON a.doc_id = r.doc_id AND r.rn = 1)
+         |SELECT doc_id, n_tokens, n_distinct, n_bigrams, n_distinct_bigrams,
+         |  top_tok, top_tok_n, distinct_ratio, top_tok_frac, dup_bigram_frac,
+         |  (distinct_ratio >= 0.45 AND top_tok_frac <= 0.12 AND dup_bigram_frac <= 0.05) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
          |SELECT doc_id,

@@ -34,6 +34,8 @@ object Extensions {
     "ann_ivf_probe2"   -> (Similarity.annIvfProbe2 _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
+    "pii_scrub"        -> (TextAnalysis.piiScrub _),
+    "quality_repetition" -> (TextAnalysis.qualityRepetition _),
     "text_top_terms"   -> ((s: SparkSession, dir: String) => TextAnalysis.topTerms(s, dir)),
     // exact-mode sketch gate: capacity >= vocabulary makes SpaceSaving
     // exact, so the plain top-k SQL is a full hash oracle; the

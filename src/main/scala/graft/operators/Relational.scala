@@ -455,6 +455,23 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Q39 — pivot (long → wide): daily revenue matrix, one column per
+    * event type. The pivot value list is EXPLICIT, so there is no
+    * distinct-scan pre-job and the column order is deterministic;
+    * Catalyst lowers this to the identical single-shuffle partial+final
+    * HashAggregate as q17's CASE-WHEN sums — wide conditional
+    * aggregation, not a per-type scan. Inverse of q27's unpivot. */
+  def q39Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        dec2(col("value")).as("v"))
+      .groupBy("day")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(outD2(sum(col("v"))))
+      .orderBy("day")
+
   /** Q29 — analytic window-function suite (lag/lead/ntile/dense_rank/
     * cume_dist) over a deterministic (date, key) order — one sort-based
     * window pass per customer partition. */
@@ -642,5 +659,6 @@ object Relational {
     "q36_asof_tolerance" -> (q36AsofTolerance _),
     "q37_asof_multikey"  -> (q37AsofMultiKey _),
     "q38_percentile_interp" -> (q38PercentileInterp _),
+    "q39_pivot"          -> (q39Pivot _),
   )
 }

@@ -241,6 +241,15 @@ object RelationalOracles {
         |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.63), 6) AS p63_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q39_pivot" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS day,
+         |  CAST(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS $D2) END) AS $D2) AS DOUBLE) AS click,
+         |  CAST(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS $D2) END) AS $D2) AS DOUBLE) AS error,
+         |  CAST(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS $D2) END) AS $D2) AS DOUBLE) AS purchase,
+         |  CAST(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS $D2) END) AS $D2) AS DOUBLE) AS signup,
+         |  CAST(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS $D2) END) AS $D2) AS DOUBLE) AS "view"
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
     "q29_window_funcs" ->
       """SELECT o_custkey, o_orderkey,
         |  lag(o_orderkey, 1) OVER w AS prev_order,
