@@ -390,26 +390,58 @@ object Relational {
     * (exact at frac 0/0.5 — q28; pinned at non-exact fractions by the
     * q38 gate under round-6). */
   private[graft] def sortedPercentiles(
-      df: DataFrame, g: String, v: String, qs: Seq[(String, Double)]): DataFrame = {
+      df: DataFrame, g: String, v: String, qs: Seq[(String, Double)]): DataFrame =
+    sortedPercentilesMulti(df, g, Seq(v -> qs))
+
+  /** Multi-column sort-based interpolated percentiles: every value
+    * column shares ONE scan and ONE hash exchange on `g` (windows with
+    * identical partitioning reuse the exchange — each extra column adds
+    * only a sort within the stage), and a single final aggregate
+    * computes every requested fraction. q28/q38 previously paid a
+    * scan + shuffle per value column plus a join of the results.
+    *
+    * NULL discipline (percentile()/quantile_cont ignore NULLs): ranks
+    * are taken over the whole group with NULLS FIRST, then shifted by
+    * the per-group null count, so each column's rank arithmetic runs
+    * 0-based over its non-null values only.
+    *
+    * Scale note: per-group parallelism is bounded by the group count
+    * (each group sorts in one task) — right for many-groups corpora;
+    * for a handful of giant groups the escape is approx-percentile
+    * band refinement (bound the target rank with approx_percentile,
+    * exact-rank only the band), not this operator. */
+  private[graft] def sortedPercentilesMulti(
+      df: DataFrame, g: String,
+      specs: Seq[(String, Seq[(String, Double)])]): DataFrame = {
     val byG = Window.partitionBy(g)
-    val w = byG.orderBy(v)
-    // percentile()/quantile_cont ignore NULLs; the rank arithmetic must
-    // therefore never see them (NULLs would rank first and shift pos)
-    val r = df.filter(col(v).isNotNull)
-      .withColumn("rn", (row_number().over(w) - 1).cast("double"))
-      .withColumn("n", count(lit(1)).over(byG).cast("double"))
-    val aggs = qs.flatMap { case (name, q) =>
-      val pos = (col("n") - 1) * lit(q)
-      Seq(
-        sum(when(col("rn") === floor(pos), col(v))).as(s"${name}_lo"),
-        sum(when(col("rn") === ceil(pos), col(v))).as(s"${name}_hi"),
-        max(pos - floor(pos)).as(s"${name}_frac"))
+    // group sizes via a pre-aggregate + broadcast join, NOT unordered
+    // count windows: an unordered-frame WindowExec buffers every row of
+    // the partition just to stamp a constant — a whole extra pass over
+    // the data; the aggregate is one tiny hash-agg and a broadcast
+    val countAggs = count(lit(1)).cast("double").as("cnt_all") +:
+      specs.map { case (v, _) => count(col(v)).cast("double").as(s"n_$v") }
+    val counts = df.groupBy(g).agg(countAggs.head, countAggs.tail: _*)
+    val withRanks = specs.foldLeft(df) { case (d, (v, _)) =>
+      d.withColumn(s"rn_$v",
+        (row_number().over(byG.orderBy(col(v).asc_nulls_first)) - 1).cast("double"))
+    }.join(broadcast(counts), g)
+    val aggs = specs.flatMap { case (v, qs) =>
+      // 0-based rank among the column's non-null values (NULLS FIRST)
+      val rn = col(s"rn_$v") - (col("cnt_all") - col(s"n_$v"))
+      qs.flatMap { case (name, q) =>
+        val pos = (col(s"n_$v") - 1) * lit(q)
+        Seq(
+          sum(when(col(v).isNotNull && rn === floor(pos), col(v))).as(s"${name}_lo"),
+          sum(when(col(v).isNotNull && rn === ceil(pos), col(v))).as(s"${name}_hi"),
+          max(pos - floor(pos)).as(s"${name}_frac"))
+      }
     }
-    val folded = r.groupBy(g).agg(aggs.head, aggs.tail: _*)
-    qs.foldLeft(folded) { case (d, (name, _)) =>
+    val folded = withRanks.groupBy(g).agg(aggs.head, aggs.tail: _*)
+    val names = specs.flatMap(_._2.map(_._1))
+    names.foldLeft(folded) { (d, name) =>
       d.withColumn(name,
         col(s"${name}_lo") + (col(s"${name}_hi") - col(s"${name}_lo")) * col(s"${name}_frac"))
-    }.select(col(g) +: qs.map(q => col(q._1)): _*)
+    }.select(col(g) +: names.map(col): _*)
   }
 
   /** Q28 — exact interpolated percentiles (median + quartiles), computed
@@ -417,16 +449,12 @@ object Relational {
     * DuckDB's `quantile_cont`. */
   def q28Percentile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val qty = sortedPercentiles(
-      li.select(col("l_returnflag"), col("l_quantity")),
-      "l_returnflag", "l_quantity", Seq(("median_qty", 0.5)))
-    val price = sortedPercentiles(
-      li.select(col("l_returnflag"), col("l_extendedprice")),
-      "l_returnflag", "l_extendedprice", Seq(("p25", 0.25), ("p75", 0.75)))
-      .select(col("l_returnflag"),
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    sortedPercentilesMulti(li, "l_returnflag", Seq(
+      "l_quantity" -> Seq(("median_qty", 0.5)),
+      "l_extendedprice" -> Seq(("p25", 0.25), ("p75", 0.75))))
+      .select(col("l_returnflag"), col("median_qty"),
         round(col("p25"), 4).as("p25_price"), round(col("p75"), 4).as("p75_price"))
-    qty.join(price, "l_returnflag")
-      .select("l_returnflag", "median_qty", "p25_price", "p75_price")
       .orderBy("l_returnflag")
   }
 
@@ -442,11 +470,9 @@ object Relational {
       .select(col("l_returnflag"),
         col("l_quantity").cast("double").as("qty"),
         col("l_extendedprice").cast("double").as("price"))
-    val qv = sortedPercentiles(li.select("l_returnflag", "qty"),
-      "l_returnflag", "qty", Seq(("p37_qty", 0.37), ("p63_qty", 0.63)))
-    val pv = sortedPercentiles(li.select("l_returnflag", "price"),
-      "l_returnflag", "price", Seq(("p37_price", 0.37), ("p63_price", 0.63)))
-    qv.join(pv, "l_returnflag")
+    sortedPercentilesMulti(li, "l_returnflag", Seq(
+      "qty" -> Seq(("p37_qty", 0.37), ("p63_qty", 0.63)),
+      "price" -> Seq(("p37_price", 0.37), ("p63_price", 0.63))))
       .select(col("l_returnflag"),
         round(col("p37_qty"), 6).as("p37_qty"),
         round(col("p63_qty"), 6).as("p63_qty"),
