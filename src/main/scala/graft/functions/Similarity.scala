@@ -267,6 +267,64 @@ object Similarity {
     * adjacent cell). Candidates stay bounded to two cell populations. */
   def annIvfProbe2(s: SparkSession, dir: String): DataFrame = ivfSearch(s, dir, 2)
 
+  /** Product-quantization parameters: M sub-spaces × K centroids per
+    * sub-space. 64-dim embeddings → 8-dim slices; 8 one-byte-ish codes
+    * replace 256 bytes of floats (32× compression). Fixed and
+    * corpus-independent, like [[IvfCodebookK]]. */
+  val PqM = 8
+  val PqK = 32
+  /** ADC is approximate — re-rank this many ADC candidates per query
+    * with exact cosine before emitting top-[[TopK]]. Sized generously
+    * because the hash-picked codebook is untrained (a k-means codebook
+    * would need fewer); still a constant, so the refine cost per query
+    * is bounded at any corpus size. */
+  val PqRefine = 40
+
+  /** Deterministic PQ codebook, collected driver-side: the K corpus
+    * vectors with the smallest (h32(vec_id), vec_id) — K·dim floats
+    * (tiny, like [[ivfCodebook]]'s pick but materialized as a literal so
+    * encoding/scoring are zero-shuffle per-row expressions). A real
+    * deployment would train per-sub-space k-means; the hash pick keeps
+    * the operator oracle-reproducible while the encode/score/refine
+    * skeleton is exactly FAISS-style PQ. */
+  private[graft] def pqCodebook(emb: DataFrame): Seq[Seq[Float]] =
+    emb
+      .select(col("embedding"), Portable.h32(col("vec_id").cast("string")).as("hk"),
+        col("vec_id"))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(PqK)
+      .select("embedding")
+      .collect()
+      .toSeq.map(_.getSeq[Float](0).toSeq)
+
+  /** PQ-compressed ANN (the 100 TB scoring path): encode the corpus to
+    * M codebook indices per vector, score candidates with the
+    * asymmetric-distance approximation (query full-precision, candidate
+    * codes only), keep the top-[[PqRefine]] per query, then re-rank that
+    * bounded set with exact cosine. At a billion vectors the scan reads
+    * M ints per candidate instead of the embedding column — compressed
+    * storage and table-lookup scoring are what make the exhaustive scan
+    * affordable; composing it under IVF cells ([[annIvf]]) bounds the
+    * candidate set too. Recall vs [[annBrute]] is measured in
+    * SimilaritySpec. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val centLit = typedLit(pqCodebook(emb))
+    val coded = emb.select(
+      col("vec_id").as("cid"), col("embedding").as("cv"),
+      expressions.PqCodes(col("embedding"), centLit, PqM).as("codes"))
+    val queries = emb.filter(col("vec_id") < NQueryVectors)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid").asc)
+    val refined = coded
+      .join(broadcast(queries), col("qid") =!= col("cid"))
+      .withColumn("adc", expressions.PqAdcScore(col("qv"), col("codes"), centLit, PqM))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PqRefine)
+      .withColumn("sim", sim(col("qv"), col("cv")))
+    ranked(refined.select("qid", "cid", "qv", "cv", "sim"))
+  }
+
   /** Multi-probe LSH: each query also probes every Hamming-1 neighbor of
     * its sign bucket (dims+1 probes) — the standard recall repair for
     * bucketed ANN, still bounding the candidate set to probed buckets

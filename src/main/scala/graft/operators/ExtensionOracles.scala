@@ -378,6 +378,65 @@ object ExtensionOracles {
         |  FROM d)
         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // PQ mirror: 64-dim embeddings, M=8 sub-spaces of 8 dims (the inner
+    // ranges/offsets hardcode sub=8 accordingly); argmin code = first
+    // minimal centroid index (strict < scan), ADC = nested inner fold
+    // per sub-space then outer fold over sub-spaces — both exactly the
+    // Spark expressions' loop order
+    "ann_pq" -> {
+      val dotFold = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))),
+           |      (x, y) -> x + y)""".stripMargin
+      s"""WITH c0 AS (
+         |  SELECT vec_id, embedding, ${h32("CAST(vec_id AS VARCHAR)")} AS hk
+         |  FROM embeddings ORDER BY hk, vec_id LIMIT ${Similarity.PqK}),
+         |cents AS (
+         |  SELECT embedding AS cv,
+         |    CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS INTEGER) AS cidx
+         |  FROM c0),
+         |cl AS (SELECT list(cv ORDER BY cidx) AS cl FROM cents),
+         |dists AS (
+         |  SELECT e.vec_id, m.m, c.cidx,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(8), j ->
+         |        (CAST(e.embedding[m.m*8+j+1] AS DOUBLE) - CAST(c.cv[m.m*8+j+1] AS DOUBLE))
+         |        * (CAST(e.embedding[m.m*8+j+1] AS DOUBLE) - CAST(c.cv[m.m*8+j+1] AS DOUBLE)))),
+         |      (a, b) -> a + b) AS dist
+         |  FROM embeddings e, range(${Similarity.PqM}) m(m), cents c),
+         |codes AS (
+         |  SELECT vec_id, list(cidx ORDER BY m) AS codes FROM (
+         |    SELECT vec_id, m, cidx,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cidx ASC) AS rn
+         |    FROM dists) WHERE rn = 1 GROUP BY vec_id),
+         |q AS (SELECT vec_id AS qid, embedding AS qv
+         |  FROM embeddings WHERE vec_id < ${Similarity.NQueryVectors}),
+         |adc AS (
+         |  SELECT q.qid, v.vec_id AS cid, q.qv, v.embedding AS cv,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(${Similarity.PqM}), m ->
+         |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |          list_transform(range(8), j ->
+         |            CAST(q.qv[m*8+j+1] AS DOUBLE) * CAST(cl.cl[k.codes[m+1]+1][m*8+j+1] AS DOUBLE))),
+         |          (a, b) -> a + b))),
+         |      (x, y) -> x + y) AS adc
+         |  FROM q CROSS JOIN cl CROSS JOIN embeddings v JOIN codes k ON v.vec_id = k.vec_id
+         |  WHERE v.vec_id <> q.qid),
+         |top AS (
+         |  SELECT qid, cid, qv, cv,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid ASC) AS arn
+         |  FROM adc),
+         |ref AS (
+         |  SELECT qid, cid,
+         |    round(${dotFold("qv", "cv")}
+         |      / (sqrt(${dotFold("qv", "qv")}) * sqrt(${dotFold("cv", "cv")})), 6) AS sim
+         |  FROM top WHERE arn <= ${Similarity.PqRefine}),
+         |r AS (SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS BIGINT) AS rn
+         |  FROM ref)
+         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
     "ann_lsh_bucketed" ->
       s"""WITH ${dimsCte("embeddings")},
         |e AS (

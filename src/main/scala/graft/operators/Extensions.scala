@@ -31,6 +31,7 @@ object Extensions {
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),
     "ann_recall_at_k"  -> (Similarity.annRecallAtK _),
     "ann_ivf"          -> (Similarity.annIvf _),
+    "ann_pq"           -> (Similarity.annPq _),
     "ann_ivf_probe2"   -> (Similarity.annIvfProbe2 _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),

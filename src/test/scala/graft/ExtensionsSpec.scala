@@ -444,6 +444,44 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("PQ: codes bounded, centroids self-encode, ADC refine recovers brute top-5") {
+    import graft.functions.expressions.PqCodes
+    val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.pqCodebook(emb)
+    assert(cents.size == Similarity.PqK)
+    val centLit = typedLit(cents)
+    val coded = emb.select(col("vec_id"),
+      PqCodes(col("embedding"), centLit, Similarity.PqM).as("codes"))
+
+    // every code in [0, K), every vector gets exactly M codes
+    val bounds = coded.select(
+      min(array_min(col("codes"))), max(array_max(col("codes"))),
+      min(size(col("codes"))), max(size(col("codes")))).head
+    assert(bounds.getInt(0) >= 0 && bounds.getInt(1) < Similarity.PqK)
+    assert(bounds.getInt(2) == Similarity.PqM && bounds.getInt(3) == Similarity.PqM)
+
+    // a centroid's own vector is L2-distance 0 from itself in every
+    // sub-space, so it must encode to its own index across all M slices
+    val centIds = emb
+      .select(col("vec_id"), Portable.h32(col("vec_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(Similarity.PqK)
+      .select("vec_id").collect().map(_.getLong(0))
+    val codeById = coded.filter(col("vec_id").isin(centIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    centIds.zipWithIndex.foreach { case (id, idx) =>
+      assert(codeById(id).forall(_ == idx),
+        s"centroid $id (idx $idx) encoded as ${codeById(id)}")
+    }
+
+    // ADC + exact refine must recover a solid share of the true top-5
+    val brute = Similarity.annBrute(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.annPq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.count(pq.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"PQ recall@5 collapsed to $recall")
+  }
+
   test("BPE pretokenizer splits contractions/digits/punctuation that whitespace hides") {
     val s = spark
     import s.implicits._
