@@ -94,7 +94,9 @@ object Bench {
       "streaming_ttl_rocksdb" ->
         timeOnce("streaming_ttl_rocksdb", () => StreamingBench.ttlPipelineRocksDB(spark, sfDir)),
       "streaming_dedup" ->
-        timeOnce("streaming_dedup", () => StreamingBench.dedupPipeline(spark, sfDir)))
+        timeOnce("streaming_dedup", () => StreamingBench.dedupPipeline(spark, sfDir)),
+      "streaming_quantiles" ->
+        timeOnce("streaming_quantiles", () => StreamingBench.quantilesPipeline(spark, sfDir)))
     StreamingBench.clearMemo()
 
     val all = results :+ coldDedup :+ streamingTtl :++ streamingMore

@@ -171,6 +171,28 @@ object StreamingBench {
       requireCount("count_windows", expected))
   }
 
+  /** Streaming quantiles: QuantileSketch per group over the event value
+    * stream (compacting regime — capacity 256 ≪ feed size), one
+    * snapshot per invoked group per batch. */
+  def quantilesPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val groups = 4
+    val values = eventRows(spark, sfDir).map(_.cents.toDouble)
+    val stream = MemoryStream[Double]
+    val out = graft.streaming.StreamingQuantiles.quantiles(
+      stream.toDS(), groups, capacity = 256, fractions = Seq(0.25, 0.5, 0.95))
+    val batches = values.toIndexedSeq.splitAt(values.length / 2)
+    def grp(v: Double) = math.floorMod(java.lang.Double.hashCode(v), groups)
+    val expected = (0 until groups).map { g =>
+      (if (batches._1.exists(grp(_) == g)) 1 else 0) +
+        (if (batches._2.exists(grp(_) == g)) 1 else 0)
+    }.sum.toLong
+    runTwoBatches(spark, stream, out, batches, "quantiles")(
+      requireCount("quantiles", expected))
+  }
+
   /** Streaming exact dedup (bounded state): every event fed TWICE —
     * in-batch duplicates — through dropDuplicatesWithinWatermark;
     * expected output is exactly one row per distinct event_id. */

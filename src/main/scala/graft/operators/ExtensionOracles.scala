@@ -106,6 +106,25 @@ object ExtensionOracles {
          |FROM h ORDER BY doc_id""".stripMargin
     },
 
+    // nearest-rank quantiles: smallest value with cumulative count >=
+    // max(1, ceil(q*n)) == the value at that sorted position — exactly
+    // the sketch's exact-regime semantics
+    "approx_quantiles" -> {
+      val qCol = (q: String, name: String) =>
+        s"max(CASE WHEN rn = greatest(1, CAST(ceil($q * n) AS BIGINT)) THEN v END) AS $name"
+      s"""WITH s AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS v FROM lineitem),
+         |n AS (SELECT l_returnflag, count(*) AS n FROM s GROUP BY 1),
+         |r AS (SELECT l_returnflag, v,
+         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn FROM s)
+         |SELECT r.l_returnflag,
+         |  ${qCol("0.25", "q25")},
+         |  ${qCol("0.5", "q50")},
+         |  ${qCol("0.75", "q75")},
+         |  ${qCol("0.95", "q95")}
+         |FROM r JOIN n USING (l_returnflag)
+         |GROUP BY r.l_returnflag ORDER BY l_returnflag""".stripMargin
+    },
+
     "pii_scrub" -> {
       val email = TextAnalysis.EmailPattern
       val ip = TextAnalysis.Ipv4Pattern

@@ -42,6 +42,8 @@ object Extensions {
     // exact, so the plain top-k SQL is a full hash oracle; the
     // approximate regime is pinned in TopKSketchSpec
     "approx_top_terms" -> ((s: SparkSession, dir: String) => TextAnalysis.approxTopTerms(s, dir)),
+    // exact-mode sketch gate, same strategy: capacity >= group size
+    "approx_quantiles" -> (graft.functions.Profiling.approxQuantiles _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> (Multimodal.mediaFrames _),
   )

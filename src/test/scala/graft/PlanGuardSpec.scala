@@ -18,9 +18,12 @@ class PlanGuardSpec extends SparkTestBase {
   /** Queries whose design REQUIRES an unconditioned broadcast join:
     * ann_cosine_topk / ann_recall_at_k are the documented brute-force
     * exactness baselines; ann_ivf* cross-join each vector against the
-    * broadcast centroid codebook (K = const) to pick its cell. */
+    * broadcast centroid codebook (K = const) to pick its cell; ann_pq
+    * is the PQ-compressed exhaustive ADC scan — each candidate against
+    * the broadcast query set, reading M code ints per candidate (the
+    * scan IS the design; IVF cells bound it when composed). */
   private val bnljByDesign = Set(
-    "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2")
+    "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative = Set("dedup_components", "dedup_components_minlabel")
