@@ -195,6 +195,19 @@ object Relational {
         col("running_value").cast("double").as("running_value"))
       .orderBy("user_id", "event_id")
 
+  /** Q40 — the skew-proof salted sessionization recipe as a gate query:
+    * identical output contract to q14 (the plain window form), verified
+    * against the SAME DuckDB oracle — hash-equality of the two gates IS
+    * the cross-engine proof that the time-slice salting is exact. */
+  def q40SessionSalted(s: SparkSession, dir: String): DataFrame =
+    Sessionization.runningSumByGapSalted(
+      Tables.events(s, dir),
+      key = "user_id", tsMicros = unix_micros(col("ts")), orderCol = "event_id",
+      value = col("value"), ttlMicros = TtlMicros, sliceMicros = TtlMicros)
+      .select(col("event_id"), col("user_id"), col("session_id"),
+        col("running_value").cast("double").as("running_value"))
+      .orderBy("user_id", "event_id")
+
   /** Q15 — ROLLUP (grouping sets hierarchy); NULL subtotal labels
     * normalized to 'ALL' for cross-engine comparison. */
   def q15Rollup(s: SparkSession, dir: String): DataFrame =
@@ -686,5 +699,6 @@ object Relational {
     "q37_asof_multikey"  -> (q37AsofMultiKey _),
     "q38_percentile_interp" -> (q38PercentileInterp _),
     "q39_pivot"          -> (q39Pivot _),
+    "q40_session_salted" -> (q40SessionSalted _),
   )
 }

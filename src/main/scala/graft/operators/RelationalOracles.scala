@@ -17,7 +17,7 @@ object RelationalOracles {
   private val discPrice =
     s"CAST(CAST(l_extendedprice AS $D2) * (CAST(1 AS $D2) - CAST(l_discount AS $D2)) AS $D4)"
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS DOUBLE) AS sum_qty,
@@ -333,4 +333,9 @@ object RelationalOracles {
         |  ON l.user_id = r.r_user AND l.event_type = r.r_type AND l.us > r.prev_us
         |ORDER BY l.user_id, l.event_id""".stripMargin,
   )
+
+  /** The salted sessionization gate shares q14's oracle by construction:
+    * the recipe is exact, so the outputs must hash-match the same SQL. */
+  val all: Map[String, String] =
+    base + ("q40_session_salted" -> base("q14_mapwithstate_ttl"))
 }

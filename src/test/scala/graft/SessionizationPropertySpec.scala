@@ -64,4 +64,50 @@ class SessionizationPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(result.passed, s"property falsified: ${result.status}")
   }
+
+  test("salted sessionization == plain for any script and any legal slice width") {
+    val s = spark
+    import s.implicits._
+    val sliceGen = Gen.oneOf(ttl, 2 * ttl, 5 * ttl)
+    val prop = Prop.forAll(scriptGen, sliceGen) { (script, slice) =>
+      val dedup = script.groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      dedup.isEmpty || {
+        val df = dedup.toDF("k", "us", "cents").withColumn("seq", col("us"))
+        def collect(out: org.apache.spark.sql.DataFrame) = out
+          .select(col("k"), col("seq"), col("session_id"),
+            col("running_value").cast("long"))
+          .as[(String, Long, Long, Long)].collect().sorted.toSeq
+        val plain = collect(Sessionization.runningSumByGap(
+          df, "k", col("us"), "seq", col("cents"), ttl))
+        val salted = collect(Sessionization.runningSumByGapSalted(
+          df, "k", col("us"), "seq", col("cents"), ttl, slice))
+        plain == salted
+      }
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(result.passed, s"property falsified: ${result.status}")
+  }
+
+  test("salted sessionization survives a hot key spanning many slices") {
+    val s = spark
+    import s.implicits._
+    // one key, 20k events in bursts: sessions of 100 events (gap 10)
+    // separated by ttl+1 gaps, spread over thousands of slices
+    val events = (0 until 20000).map { i =>
+      val session = i / 100
+      val ts = 1000000L + session * (100 * 10L + ttl + 1) + (i % 100) * 10L
+      ("hot", ts, 1L)
+    }
+    val df = events.toDF("k", "us", "cents").withColumn("seq", col("us"))
+    val salted = Sessionization.runningSumByGapSalted(
+      df, "k", col("us"), "seq", col("cents"), ttl, sliceMicros = ttl)
+      .select(col("session_id"), col("running_value").cast("long"))
+      .as[(Long, Long)].collect()
+    assert(salted.length == 20000)
+    assert(salted.map(_._1).distinct.sorted.toSeq == (1L to 200L))
+    // every session's running sum ends at exactly 100 (1 cent per event)
+    val maxPerSession = salted.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    assert(maxPerSession.values.forall(_ == 100L))
+  }
 }
