@@ -511,6 +511,84 @@ object Relational {
       .agg(outD2(sum(col("v"))))
       .orderBy("day")
 
+  /** EXACT interpolated percentiles WITHOUT a per-group sort — the
+    * giant-group escape documented in SCALE.md: [[sortedPercentilesMulti]]
+    * sorts each group in one task (right when groups are many/bounded);
+    * here the only per-group ordered work happens inside a narrow value
+    * band around each target rank.
+    *
+    *  1. `percentile_approx` (t-digest, map-side mergeable, NO sort) at
+    *     q ± 3/accuracy brackets each target — the sketch's rank error
+    *     is ≤ n/accuracy, so rows at ranks floor/ceil((n−1)q) are
+    *     inside the band by construction;
+    *  2. one scan counts rows strictly below each band's lower bound;
+    *  3. only band rows (≈ 6n/accuracy per fraction) are ranked — the
+    *     window sort that was O(group) is now O(band);
+    *  4. absolute rank = below-count + band rank; interpolation is the
+    *     identical lo + (hi−lo)·frac sequence as the sort-based path,
+    *     so results are bit-equal (q41 gate shares q28's oracle).
+    *
+    * A band that somehow missed its target rank yields NULL sums — a
+    * loud gate/spec failure, never a silently shifted percentile. */
+  private[graft] def bandPercentiles(
+      df: DataFrame, g: String, v: String,
+      qs: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
+    val margin = 3.0 / accuracy
+    val data = df.filter(col(v).isNotNull).select(col(g), col(v).cast("double").as("bv"))
+    val bounds = data.groupBy(g).agg(
+      count(lit(1)).cast("double").as("nv"),
+      percentile_approx(col("bv"),
+        typedLit(qs.map(q => math.max(0.0, q._2 - margin))), lit(accuracy)).as("blos"),
+      percentile_approx(col("bv"),
+        typedLit(qs.map(q => math.min(1.0, q._2 + margin))), lit(accuracy)).as("bhis"))
+    val joined = data.join(broadcast(bounds), Seq(g))
+    val belowAggs = qs.indices.map(i =>
+      sum(when(col("bv") < element_at(col("blos"), i + 1), 1L).otherwise(0L))
+        .cast("double").as(s"below_$i"))
+    val belows = joined.groupBy(g).agg(belowAggs.head, belowAggs.tail: _*)
+    val bands = qs.indices.map { i =>
+      joined
+        .filter(col("bv") >= element_at(col("blos"), i + 1) &&
+          col("bv") <= element_at(col("bhis"), i + 1))
+        .select(col(g), lit(i).as("qi"), col("bv"), col("nv"))
+    }.reduce(_ unionByName _)
+    val wBand = Window.partitionBy(col(g), col("qi")).orderBy(col("bv"))
+    val ranked = bands
+      .join(broadcast(belows), Seq(g))
+      .withColumn("rn", row_number().over(wBand).cast("double"))
+    val perQ = qs.zipWithIndex.map { case ((name, q), i) =>
+      val pos = (col("nv") - 1) * lit(q)
+      val abs0 = col(s"below_$i") + col("rn") - 1
+      ranked.filter(col("qi") === i)
+        .groupBy(g)
+        .agg(
+          sum(when(abs0 === floor(pos), col("bv"))).as(s"${name}_lo"),
+          sum(when(abs0 === ceil(pos), col("bv"))).as(s"${name}_hi"),
+          max(pos - floor(pos)).as(s"${name}_frac"))
+        .withColumn(name,
+          col(s"${name}_lo") + (col(s"${name}_hi") - col(s"${name}_lo")) * col(s"${name}_frac"))
+        .select(col(g), col(name))
+    }
+    perQ.reduce(_.join(_, g))
+  }
+
+  /** Q41 — q28's exact percentiles recomputed through the band-refinement
+    * path; shares q28's DuckDB oracle, so the hash gate proves the
+    * sort-free formulation is value-identical. */
+  def q41PercentileBand(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val qty = bandPercentiles(
+      li.select(col("l_returnflag"), col("l_quantity")),
+      "l_returnflag", "l_quantity", Seq(("median_qty", 0.5)))
+    val price = bandPercentiles(
+      li.select(col("l_returnflag"), col("l_extendedprice")),
+      "l_returnflag", "l_extendedprice", Seq(("p25", 0.25), ("p75", 0.75)))
+    qty.join(price, "l_returnflag")
+      .select(col("l_returnflag"), col("median_qty"),
+        round(col("p25"), 4).as("p25_price"), round(col("p75"), 4).as("p75_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q29 — analytic window-function suite (lag/lead/ntile/dense_rank/
     * cume_dist) over a deterministic (date, key) order — one sort-based
     * window pass per customer partition. */
@@ -700,5 +778,6 @@ object Relational {
     "q38_percentile_interp" -> (q38PercentileInterp _),
     "q39_pivot"          -> (q39Pivot _),
     "q40_session_salted" -> (q40SessionSalted _),
+    "q41_percentile_band" -> (q41PercentileBand _),
   )
 }

@@ -336,6 +336,9 @@ object RelationalOracles {
 
   /** The salted sessionization gate shares q14's oracle by construction:
     * the recipe is exact, so the outputs must hash-match the same SQL. */
-  val all: Map[String, String] =
-    base + ("q40_session_salted" -> base("q14_mapwithstate_ttl"))
+  val all: Map[String, String] = base +
+    ("q40_session_salted" -> base("q14_mapwithstate_ttl")) +
+    // band refinement is exact by construction — same oracle as the
+    // sort-based path it replaces for giant groups
+    ("q41_percentile_band" -> base("q28_percentile"))
 }

@@ -130,4 +130,25 @@ class RelationalSpec extends SparkTestBase {
         s"group $k fraction ${qs(i)._2}: sorted=$g builtin=$e")
     }
   }
+
+  test("bandPercentiles == sortedPercentiles bit-for-bit at random fractions") {
+    // the sort-free band-refinement path must reproduce the sort-based
+    // path EXACTLY (same lo/hi rows, same interpolation sequence) —
+    // including at q=0/q=1 band edges and on a duplicate-heavy column
+    val rnd = new scala.util.Random(11)
+    val qs = Seq(("q0", 0.0), ("q1", 1.0)) ++
+      Seq.tabulate(5)(i => (s"r$i", rnd.nextDouble()))
+    for (vcol <- Seq("l_quantity", "l_discount")) { // l_discount: few distinct values
+      val df = graft.Tables.lineitem(spark, sf0001)
+        .select(col("l_returnflag"), col(vcol).cast("double").as("v"))
+      val sorted = Relational.sortedPercentiles(df, "l_returnflag", "v", qs)
+        .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+      val band = Relational.bandPercentiles(df, "l_returnflag", "v", qs)
+        .collect().map(r => r.getString(0) -> qs.indices.map(i => r.getDouble(i + 1))).toMap
+      assert(band.keySet == sorted.keySet)
+      for (k <- band.keySet; i <- qs.indices)
+        assert(band(k)(i) == sorted(k)(i),
+          s"$vcol group $k fraction ${qs(i)._2}: band=${band(k)(i)} sorted=${sorted(k)(i)}")
+    }
+  }
 }
