@@ -611,4 +611,73 @@ object Dedup {
       .select(col("doc_id"), col("sh.simhash_hi").as("simhash_hi"), col("sh.simhash_lo").as("simhash_lo"))
       .orderBy("doc_id")
   }
+
+  /** Line unit for [[dedupLines]]: fixed-width chunks of this many
+    * whitespace tokens (the synthetic corpus has no sentence
+    * punctuation, so "lines" are word windows rather than `\n` splits —
+    * same operator shape either way). */
+  val LineChunk = 8
+
+  /** Planted-duplicate id offset for the line-dedup corpus. Smaller than
+    * [[ExactDupOffset]] on purpose: winner slots pack `(doc_id << 20) |
+    * pos`, so doc_id must stay below 2^43 — fine for any corpus the
+    * gates run (and for ~10^12-document corpora), and the packing stays
+    * exact integer math in both engines (no double rounding). */
+  val LineDupOffset = 1000000000L
+
+  /** Shared header planted on every document so the corpus has real
+    * cross-document repeated lines — the boilerplate that line-level
+    * dedup exists to strip (exactly [[LineChunk]] tokens, so it occupies
+    * chunk 0 of every document and shifts the original text by whole
+    * chunks). */
+  val BoilerplateLine =
+    "graft boilerplate header line repeated across all documents"
+
+  /** LINE-LEVEL exact dedup (CCNet/RefinedWeb-style): split every
+    * document into fixed-width word lines, keep each distinct line only
+    * at its first occurrence corpus-wide (smallest `(doc_id, pos)`), and
+    * reassemble the surviving lines per document in original order.
+    * Boilerplate shared across documents — here a planted header on
+    * every doc, plus full copies of every 10th doc — survives exactly
+    * once (in the lowest-id document) and is stripped everywhere else;
+    * full duplicates lose every line and drop out of the corpus.
+    *
+    * Scale shape: two linear hash shuffles, both with map-side partial
+    * aggregation — (1) groupBy(line) computing the min packed slot
+    * (the corpus-wide hot line, the boilerplate itself, reduces to one
+    * partial per map task before the exchange — the combiner absorbs
+    * the skew); (2) groupBy(doc_id) reassembling surviving lines. Line
+    * text crosses the wire once, which is irreducible because the
+    * output reconstructs text. No join anywhere: the winner IS the
+    * surviving row, so keep/drop needs no second pass over the corpus. */
+  def dedupLines(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val corpus = d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + LineDupOffset).as("doc_id"), col("text")))
+      .select(col("doc_id"),
+        concat(lit(BoilerplateLine + " "), col("text")).as("text"))
+    val lines = corpus
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("toks")) / lit(LineChunk.toDouble)).cast("int") - 1),
+          i => array_join(slice(col("toks"), i * LineChunk + 1, lit(LineChunk)), " ")))
+          .as(Seq("pos", "line")))
+    val winners = lines
+      .groupBy(col("line"))
+      .agg(min(shiftleft(col("doc_id"), 20) + col("pos")).as("win"))
+    winners
+      .select(shiftright(col("win"), 20).as("doc_id"),
+        col("win").bitwiseAND(lit((1L << 20) - 1)).as("pos"),
+        col("line"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), " ").as("text_dedup"))
+      .select(col("doc_id"), col("n_kept"), col("text_dedup"))
+      .orderBy("doc_id")
+  }
 }

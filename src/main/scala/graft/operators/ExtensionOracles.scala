@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Similarity, TextAnalysis}
+import graft.functions.{Dedup, Similarity, TextAnalysis}
 
 /** DuckDB-dialect oracles for the extension operators. Shared building
   * blocks are kept in sync with `graft.functions.Portable`:
@@ -376,6 +376,34 @@ object ExtensionOracles {
          |  CAST(sum(CASE WHEN v2 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_hi,
          |  CAST(sum(CASE WHEN v1 > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash_lo
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_lines" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, '${Dedup.BoilerplateLine} ' || text AS text
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${Dedup.LineDupOffset},
+         |         '${Dedup.BoilerplateLine} ' || text
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |tokd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus),
+         |numbered AS (
+         |  SELECT doc_id,
+         |         unnest(range(CAST(ceil(len(toks) / ${Dedup.LineChunk}.0) AS BIGINT))) AS pos,
+         |         toks
+         |  FROM tokd),
+         |lins AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(list_slice(toks,
+         |           pos * ${Dedup.LineChunk} + 1,
+         |           pos * ${Dedup.LineChunk} + ${Dedup.LineChunk}), ' ') AS line
+         |  FROM numbered),
+         |winners AS (SELECT line, min((doc_id << 20) + pos) AS win FROM lins GROUP BY line)
+         |SELECT win >> 20 AS doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_kept,
+         |       string_agg(line, ' ' ORDER BY win & 1048575) AS text_dedup
+         |FROM winners
+         |GROUP BY win >> 20
+         |ORDER BY doc_id""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH e AS (

@@ -18,6 +18,7 @@ object Extensions {
     "dedup_jaccard"    -> (Dedup.dedupJaccard _),
     "dedup_minhash"    -> (Dedup.dedupMinhash _),
     "dedup_simhash"    -> (Dedup.simhash _),
+    "dedup_lines"      -> (Dedup.dedupLines _),
     "dedup_drop_list"  -> (Dedup.dedupDropList _),
     "dedup_components" -> (Dedup.dedupComponents _),
     "dedup_components_minlabel" -> (Dedup.dedupComponentsMinLabel _),

@@ -525,6 +525,41 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_lines == driver-side first-occurrence line dedup") {
+    // Independent reimplementation with plain Scala collections: chunk
+    // every doc (boilerplate header + exact copies of every 10th) into
+    // 8-token lines, keep each line only at its corpus-wide smallest
+    // (doc_id, pos), reassemble in order.
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val corpus = (docs ++ docs.filter(_._1 % 10 == 0)
+        .map { case (id, t) => (id + Dedup.LineDupOffset) -> t })
+      .map { case (id, t) => id -> (Dedup.BoilerplateLine + " " + t) }
+    val lines = corpus.flatMap { case (id, t) =>
+      t.split("\\s+").grouped(Dedup.LineChunk).zipWithIndex
+        .map { case (chunk, pos) => (id, pos.toLong, chunk.mkString(" ")) }
+    }
+    val winner = lines.groupBy(_._3).map { case (line, occ) =>
+      line -> occ.map(o => (o._1, o._2)).min
+    }
+    val expected = lines
+      .filter { case (id, pos, line) => winner(line) == (id, pos) }
+      .groupBy(_._1)
+      .map { case (id, kept) =>
+        val sorted = kept.sortBy(_._2)
+        (id, sorted.length.toLong, sorted.map(_._3).mkString(" "))
+      }.toSeq.sortBy(_._1)
+    val got = Dedup.dedupLines(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // boilerplate survives exactly once, in the lowest-id document
+    val withBoiler = got.filter(_._3.contains(Dedup.BoilerplateLine))
+    assert(withBoiler.map(_._1) == Seq(got.map(_._1).min))
+    // full copies lose every line and drop out entirely
+    assert(got.forall(_._1 < Dedup.LineDupOffset))
+  }
+
   test("rolling fingerprint is order-sensitive and content-deterministic") {
     val s = spark
     import s.implicits._
