@@ -96,7 +96,9 @@ object Bench {
       "streaming_dedup" ->
         timeOnce("streaming_dedup", () => StreamingBench.dedupPipeline(spark, sfDir)),
       "streaming_quantiles" ->
-        timeOnce("streaming_quantiles", () => StreamingBench.quantilesPipeline(spark, sfDir)))
+        timeOnce("streaming_quantiles", () => StreamingBench.quantilesPipeline(spark, sfDir)),
+      "streaming_interval_join" ->
+        timeOnce("streaming_interval_join", () => StreamingBench.intervalJoinPipeline(spark, sfDir)))
     StreamingBench.clearMemo()
 
     val all = results :+ coldDedup :+ streamingTtl :++ streamingMore

@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{CountWindows, MapWithStateTTL, RunningReduce, StreamingTopK}
+import graft.streaming.{CountWindows, MapWithStateTTL, RunningReduce, StreamJoin, StreamingTopK}
 
 /** Streaming side of the benchmark: pushes the whole `events` table of a
   * scale factor through the stateful operators (MemoryStream →
@@ -35,10 +35,13 @@ object StreamingBench {
   private val rowsMemo = scala.collection.mutable.HashMap.empty[String, Array[BEv]]
   private val typesMemo = scala.collection.mutable.HashMap.empty[String, Array[String]]
 
+  private val pcMemo =
+    scala.collection.mutable.HashMap.empty[String, (Array[BEv], Array[BEv])]
+
   /** Release the collected feed arrays. Bench.main calls this once the
     * streaming line items finish, so an embedded or multi-sfDir caller
     * doesn't accumulate whole collected tables for the JVM lifetime. */
-  def clearMemo(): Unit = { rowsMemo.clear(); typesMemo.clear() }
+  def clearMemo(): Unit = { rowsMemo.clear(); typesMemo.clear(); pcMemo.clear() }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
     rowsMemo.getOrElseUpdate(sfDir, {
@@ -207,6 +210,74 @@ object StreamingBench {
     val (b1, b2) = eventTimeBatches(rows)
     runTwoBatches(spark, stream, out, (b1 ++ b1, b2 ++ b2), "dedup")(
       requireCount("dedup", rows.length.toLong))
+  }
+
+  private def purchaseClickRows(
+      spark: SparkSession, sfDir: String): (Array[BEv], Array[BEv]) =
+    pcMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      def side(t: String): Array[BEv] = Tables.events(spark, sfDir)
+        .filter(col("event_type") === t)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .as[BEv].collect()
+      (side("purchase"), side("click"))
+    })
+
+  /** Stream-stream interval join (StreamJoin): clicks in the hour before
+    * each purchase — the q23 window with BOTH sides fed as streams. The
+    * two feeds split at one shared event-time boundary so neither
+    * stream's second batch is late against the combined (min) watermark;
+    * expected row count is the exact driver-side pair count. */
+  def intervalJoinPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (pRows, cRows) = purchaseClickRows(spark, sfDir)
+    val pIds = pRows.iterator.map(_.event_id).toSet
+    val (b1, b2) = eventTimeBatches(pRows ++ cRows)
+    val (p1, c1) = b1.partition(e => pIds(e.event_id))
+    val (p2, c2) = b2.partition(e => pIds(e.event_id))
+
+    // exact expected pairs: per user, sorted click times + binary search
+    val clicksByUser = cRows.groupBy(_.user_id)
+      .map { case (u, cs) => u -> cs.map(e => micros(e.ts)).sorted }
+    def below(arr: Array[Long], x: Long): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val expected = pRows.iterator.map { pr =>
+      clicksByUser.get(pr.user_id).fold(0L) { arr =>
+        val t = micros(pr.ts)
+        (below(arr, t) - below(arr, t - 3600L * 1000000)).toLong
+      }
+    }.sum
+
+    val clicks = MemoryStream[BEv]
+    val purchases = MemoryStream[BEv]
+    val c = clicks.toDS().toDF("c_eid", "c_user", "c_ts", "c_cents")
+      .withWatermark("c_ts", "0 seconds")
+    val p = purchases.toDS().toDF("p_eid", "p_user", "p_ts", "p_cents")
+      .withWatermark("p_ts", "0 seconds")
+    val out = StreamJoin.intervalJoin(
+        p, c, Seq("p_user" -> "c_user"), "p_ts", "c_ts", 1.hour)
+      .select(col("p_eid"), col("c_eid"))
+    val sinkName = s"bench_interval_join_${System.nanoTime()}"
+    val query = out.writeStream.format("memory").queryName(sinkName)
+      .outputMode("append").start()
+    try {
+      purchases.addData(p1); clicks.addData(c1); query.processAllAvailable()
+      purchases.addData(p2); clicks.addData(c2); query.processAllAvailable()
+      requireCount("interval_join", expected)(spark.table(sinkName).count())
+    } finally {
+      query.stop()
+      spark.catalog.dropTempView(sinkName)
+    }
   }
 
   /** Streaming heavy hitters: SpaceSaving sketches over the event_type

@@ -43,4 +43,11 @@ class StreamingBenchSpec extends SparkTestBase {
     // snapshot row
     StreamingBench.topKPipeline(spark, "/root/testdata/sf0.001")
   }
+
+  test("interval-join pipeline's exact expected pair count matches the stream") {
+    // requireCount inside the pipeline throws if the streamed join emits
+    // a different pair set than the driver-side binary-search count —
+    // late-drop or premature state eviction would both surface here
+    StreamingBench.intervalJoinPipeline(spark, "/root/testdata/sf0.001")
+  }
 }
