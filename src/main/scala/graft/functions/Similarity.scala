@@ -174,6 +174,38 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Neighbors per vector in the kNN graph. */
+  val KnnK = 3
+
+  /** ALL-PAIRS kNN graph: for EVERY corpus vector, its top-k cosine
+    * neighbors among the vectors sharing its sign-LSH bucket — the
+    * whole-corpus join that powers near-dup clustering and
+    * embedding-based curation, as opposed to the per-query ANN search
+    * above (8 broadcast queries). Brute force here is O(n²) BY
+    * DEFINITION — there is no small side to broadcast — so the bucket
+    * bound is not an optimization but the thing that makes the operator
+    * exist at scale: occupancy ≤ [[BucketOccupancyTarget]] keeps
+    * candidate pairs ≤ n·target (linear), and the per-vector top-k is a
+    * window over each vector's own bucket block. Approximate (bucket
+    * recall measured for the shared machinery in `ExtensionsSpec`),
+    * deterministic: sims rounded to 6, ties break on nbr_id. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val emb = base.select(
+      col("vec_id"), col("embedding"),
+      signBucket(col("embedding"), dimsOf(base)).as("bucket"))
+    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    emb.as("a")
+      .join(emb.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .withColumn("sim", sim(col("a.embedding"), col("b.embedding")))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"), col("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= KnnK)
+      .select("vec_id", "nbr_id", "rank", "sim")
+      .orderBy("vec_id", "rank")
+  }
+
   /** Recall@k of the bucketed LSH search against the brute-force ground
     * truth, per query — the measurement every approximate index ships
     * with. n_found ∈ 0..k; recall = n_found/k (both engines compute the

@@ -578,6 +578,28 @@ object ExtensionOracles {
          |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.99
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "knn_join" ->
+      s"""WITH ${dimsCte("embeddings")},
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+         |      (a, b) -> a + b)) AS nrm,
+         |    $bucketExpr AS bucket
+         |  FROM embeddings, dims),
+         |p AS (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(len(a.embedding)), i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))),
+         |      (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |r AS (
+         |  SELECT vec_id, nbr_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id ASC) AS BIGINT) AS rank
+         |  FROM p)
+         |SELECT vec_id, nbr_id, rank, sim FROM r WHERE rank <= ${Similarity.KnnK}
+         |ORDER BY vec_id, rank""".stripMargin,
+
     "ann_ivf" ->
       s"""WITH e AS (
         |  SELECT vec_id, embedding,

@@ -35,6 +35,7 @@ object Extensions {
     "ann_pq"           -> (Similarity.annPq _),
     "ann_ivf_probe2"   -> (Similarity.annIvfProbe2 _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
+    "knn_join"         -> (Similarity.knnJoin _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "pii_scrub"        -> (TextAnalysis.piiScrub _),
     "quality_repetition" -> (TextAnalysis.qualityRepetition _),

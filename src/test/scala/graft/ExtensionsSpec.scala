@@ -525,6 +525,39 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("knn_join == driver-side bucket-bounded top-k over collected vectors") {
+    val rows = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val dims = Similarity.signBucketDimsFor(rows.length.toLong)
+    def bucket(v: Array[Float]): Long =
+      (0 until dims).map(i => if (v(i) > 0f) 1L << i else 0L).sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val byBucket = rows.groupBy { case (_, v) => bucket(v) }
+    val expected = rows.flatMap { case (id, v) =>
+      byBucket(bucket(v)).filter(_._1 != id)
+        .map { case (nid, nv) => (id, nid, cos(v, nv)) }
+        .sortBy { case (_, nid, s) => (-s, nid) }
+        .take(Similarity.KnnK)
+        .zipWithIndex
+        .map { case ((_, nid, s), i) => (id, nid, (i + 1).toLong, s) }
+    }.sortBy(t => (t._1, t._3)).toSeq
+    val got = Similarity.knnJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}; sizes ${got.size}/${expected.size}")
+  }
+
   test("dedup_lines == driver-side first-occurrence line dedup") {
     // Independent reimplementation with plain Scala collections: chunk
     // every doc (boilerplate header + exact copies of every 10th) into
