@@ -37,4 +37,89 @@ object Profiling {
         element_at(col("qs"), 3).as("q75"),
         element_at(col("qs"), 4).as("q95"))
       .orderBy("l_returnflag")
+
+  /** HyperLogLog register geometry (Flajolet et al. 2007): 2^p registers
+    * over a 52-bit md5-derived hash (bits 52-p feed the rank). 52 bits
+    * keeps every intermediate — h52, the scaled harmonic denominator
+    * Σ 2^(44-M_j) ≤ m·2^44 — inside exact BIGINT/double-53-bit range in
+    * BOTH engines; the 32-bit-hash ceiling (~10^8 distinct) that a
+    * production 64-bit variant lifts does not apply. */
+  val HllP = 9
+  val HllM: Int = 1 << HllP
+  val HllHashBits = 52
+  /** Max rank: rank of w = 0, i.e. hashBits - p zero bits + 1. */
+  val HllMaxRank: Int = HllHashBits - HllP + 1
+
+  /** Per-source distinct-token ESTIMATION sketch (`approx_ndv`): HLL
+    * registers as a two-level aggregate. The gate output is integer-only
+    * — register-hit count, rank sum, and the 2^44-scaled harmonic
+    * denominator — because those are exact in both engines, while the
+    * float estimate divides through `ln` whose libm/JVM ulp is NOT
+    * pinned cross-engine; [[hllEstimate]] derives the estimate from the
+    * gate columns and its accuracy is spec-pinned (HllSketchSpec).
+    *
+    * Scale shape: no distinct-shuffle of the token set (that is q31's
+    * exact path). The first aggregate keys on (source, bucket) — each
+    * map task emits at most groups × 2^p partial rows regardless of
+    * input size — and the second folds 2^p rows per group. An exact
+    * `n_exact` column rides along for the gate's fidelity display at
+    * test SF; a production profiling scan drops it (it IS the expensive
+    * exact path the sketch replaces). */
+  /** HLL register summary of a (group, tok) frame: one row per group
+    * with the integer register aggregates [[hllEstimate]] consumes.
+    * Two-level aggregate: (group, bucket) max-rank — each map task
+    * emits at most groups × 2^p partial rows regardless of input size —
+    * then a 2^p-row fold per group.
+    *
+    * Σ 2^(-M_j) over HIT registers is scaled by 2^maxRank so it stays
+    * exact integer math: each register contributes 2^(maxRank - M_j),
+    * with M_j ∈ [1, maxRank] ⇒ exponent ∈ [0, maxRank-1]; the total is
+    * ≤ m·2^43 < 2^53, inside exact BIGINT (and double) range in both
+    * engines. */
+  def hllSummary(toks: DataFrame, group: String, tok: String): DataFrame = {
+    import graft.functions.Portable.{h32, h32b}
+    val h52 = h32(col(tok)) * lit(1L << 20) + pmod(h32b(col(tok)), lit(1L << 20))
+    val w = shiftrightunsigned(col("h52"), HllP)
+    val rank = when(w === 0L, lit(HllMaxRank.toLong))
+      .otherwise(lit(HllMaxRank.toLong) - length(bin(w)).cast("long"))
+    toks
+      .select(col(group), h52.as("h52"))
+      .select(col(group), pmod(col("h52"), lit(HllM.toLong)).as("bucket"),
+        rank.as("rank"))
+      .groupBy(group, "bucket")
+      .agg(max(col("rank")).as("r"))
+      .groupBy(group)
+      .agg(
+        count(lit(1)).as("n_buckets_hit"),
+        sum(col("r")).as("sum_rank"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllMaxRank - r AS INT))"))
+          .as("z_scaled"))
+  }
+
+  def approxNdv(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.tokens
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val exact = toks
+      .groupBy("source")
+      .agg(countDistinct(col("tok")).as("n_exact"))
+    hllSummary(toks, "source", "tok").join(exact, Seq("source"))
+      .select("source", "n_buckets_hit", "sum_rank", "z_scaled", "n_exact")
+      .orderBy("source")
+  }
+
+  /** Flajolet HLL estimate from the gate's integer register summary:
+    * α_m·m²/Z with the small-range linear-counting correction. Driver-
+    * side arithmetic for specs/consumers — see [[approxNdv]] for why the
+    * gate doesn't emit it. */
+  def hllEstimate(nBucketsHit: Long, zScaledHit: Double): Double = {
+    val m = HllM.toDouble
+    val zeros = HllM - nBucketsHit
+    // registers never hit have M_j = 0 and contribute 2^0 = 1 each to
+    // Σ 2^-M_j; hit ones arrive scaled by 2^maxRank
+    val z = zScaledHit / math.pow(2.0, HllMaxRank.toDouble) + zeros.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val e = alpha * m * m / z
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros.toDouble) else e
+  }
 }

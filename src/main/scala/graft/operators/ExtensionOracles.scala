@@ -125,6 +125,29 @@ object ExtensionOracles {
          |GROUP BY r.l_returnflag ORDER BY l_returnflag""".stripMargin
     },
 
+    "approx_ndv" -> {
+      import graft.functions.Profiling.{HllM, HllMaxRank, HllP}
+      s"""WITH t AS (SELECT source, unnest($toks) AS tok FROM documents),
+         |h AS (SELECT source,
+         |  ${h32("tok")} * ${1L << 20} + (${h32b("tok")} % ${1L << 20}) AS h52
+         |FROM t),
+         |r AS (SELECT source, h52 % $HllM AS bucket,
+         |  CASE WHEN h52 // ${1L << HllP} = 0 THEN $HllMaxRank
+         |       ELSE $HllMaxRank - length(format('{:b}', h52 // ${1L << HllP})) END AS rank
+         |FROM h),
+         |reg AS (SELECT source, bucket, max(rank) AS r FROM r GROUP BY source, bucket),
+         |sk AS (SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_buckets_hit,
+         |  CAST(sum(r) AS BIGINT) AS sum_rank,
+         |  CAST(sum(CAST(1 AS BIGINT) << ($HllMaxRank - r)) AS BIGINT) AS z_scaled
+         |FROM reg GROUP BY source),
+         |ex AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_exact
+         |       FROM t GROUP BY source)
+         |SELECT sk.source, n_buckets_hit, sum_rank, z_scaled, n_exact
+         |FROM sk JOIN ex ON sk.source = ex.source
+         |ORDER BY sk.source""".stripMargin
+    },
+
     "pii_scrub" -> {
       val email = TextAnalysis.EmailPattern
       val ip = TextAnalysis.Ipv4Pattern

@@ -46,6 +46,10 @@ object Extensions {
     "approx_top_terms" -> ((s: SparkSession, dir: String) => TextAnalysis.approxTopTerms(s, dir)),
     // exact-mode sketch gate, same strategy: capacity >= group size
     "approx_quantiles" -> (graft.functions.Profiling.approxQuantiles _),
+    // integer-only HLL register summary (the float estimate is derived
+    // driver-side — ln() ulp is not pinned cross-engine); accuracy of
+    // the estimate itself is spec-pinned in HllSketchSpec
+    "approx_ndv"       -> (graft.functions.Profiling.approxNdv _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> (Multimodal.mediaFrames _),
   )
