@@ -42,8 +42,14 @@ object Bench {
     // back-to-back (A,A,B,B): BENCH_r02's false regression came from one
     // load spike hitting both adjacent samples of the same queries;
     // spacing a query's two samples a whole pass apart decorrelates them.
+    // dev filter: `runMain graft.Bench name1 name2` times only those
+    // line items (batch or streaming); no args = the full suite
+    val only: Option[Set[String]] = if (args.isEmpty) None else Some(args.toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(name: String, thunk: () => Unit): Double = {
+      if (!wanted(name)) return -2.0 // filtered out by dev args
       val t0 = System.nanoTime()
       try { thunk(); (System.nanoTime() - t0) / 1e9 }
       catch {
@@ -57,6 +63,7 @@ object Bench {
       () => fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted(name) }
     def pass(): Map[String, Double] =
       ordered.map { case (name, fn) => name -> timeOnce(name, runQ(fn)) }.toMap
     val (pass1, pass2) = (pass(), pass())
@@ -98,10 +105,13 @@ object Bench {
       "streaming_quantiles" ->
         timeOnce("streaming_quantiles", () => StreamingBench.quantilesPipeline(spark, sfDir)),
       "streaming_interval_join" ->
-        timeOnce("streaming_interval_join", () => StreamingBench.intervalJoinPipeline(spark, sfDir)))
+        timeOnce("streaming_interval_join", () => StreamingBench.intervalJoinPipeline(spark, sfDir)),
+      "streaming_ndv" ->
+        timeOnce("streaming_ndv", () => StreamingBench.ndvPipeline(spark, sfDir)))
     StreamingBench.clearMemo()
 
-    val all = results :+ coldDedup :+ streamingTtl :++ streamingMore
+    val all = (results :+ coldDedup :+ streamingTtl :++ streamingMore)
+      .filter(_._2 != -2.0)
     val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // full JSON string escaping — Spark exception messages embed plan
     // fragments with newlines/tabs; a raw control char would corrupt the

@@ -196,6 +196,27 @@ object StreamingBench {
       requireCount("quantiles", expected))
   }
 
+  /** Streaming distinct-count: HLL registers per group over the user-id
+    * stream — the classic live distinct-users metric; state is exactly
+    * 2^p bytes per group however long the stream runs. */
+  def ndvPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val groups = 4
+    val users = eventRows(spark, sfDir).map(e => e.user_id.toString)
+    val stream = MemoryStream[String]
+    val out = graft.streaming.StreamingNdv.ndv(stream.toDS(), groups)
+    val batches = users.toIndexedSeq.splitAt(users.length / 2)
+    def grp(t: String) = math.floorMod(t.hashCode, groups)
+    val expected = (0 until groups).map { g =>
+      (if (batches._1.exists(grp(_) == g)) 1 else 0) +
+        (if (batches._2.exists(grp(_) == g)) 1 else 0)
+    }.sum.toLong
+    runTwoBatches(spark, stream, out, batches, "ndv")(
+      requireCount("ndv", expected))
+  }
+
   /** Streaming exact dedup (bounded state): every event fed TWICE —
     * in-batch duplicates — through dropDuplicatesWithinWatermark;
     * expected output is exactly one row per distinct event_id. */
@@ -268,11 +289,28 @@ object StreamingBench {
         p, c, Seq("p_user" -> "c_user"), "p_ts", "c_ts", 1.hour)
       .select(col("p_eid"), col("c_eid"))
     val sinkName = s"bench_interval_join_${System.nanoTime()}"
-    val query = out.writeStream.format("memory").queryName(sinkName)
-      .outputMode("append").start()
+    // Right-size STATE partitioning: a stream-stream join keeps 4 state
+    // stores per shuffle partition (2 sides × key-count + key-indexed
+    // maps), and every micro-batch — including the no-data watermark-
+    // advance batches — pays a load+commit per store. At 32 partitions
+    // that is 128 store commits × 4 batches of pure fixed cost for this
+    // state volume (measured ~2.5 s per batch, data or not). Streaming
+    // queries pin shuffle partitions at first start, so this scopes to
+    // the join query only; the 100 TB analog is sizing
+    // state partitions to state volume/key cardinality, not defaulting
+    // to the batch-side core count.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try out.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try {
       purchases.addData(p1); clicks.addData(c1); query.processAllAvailable()
       purchases.addData(p2); clicks.addData(c2); query.processAllAvailable()
+      if (sys.env.contains("GRAFT_BENCH_DEBUG"))
+        query.recentProgress.foreach(p => System.err.println(
+          s"[ij] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
       requireCount("interval_join", expected)(spark.table(sinkName).count())
     } finally {
       query.stop()
