@@ -111,6 +111,20 @@ object StreamingBench {
   private def requireCount(tag: String, expected: Long)(n: Long): Unit =
     require(n == expected, s"$tag emitted $n of $expected rows")
 
+  /** Run `body` with shuffle partitions temporarily set to `n`:
+    * streaming queries pin the value at START, so this scopes state-
+    * partition sizing to queries started inside `body`. Every micro-
+    * batch pays a state-store load+commit PER PARTITION (per store kind)
+    * whether or not the partition holds data — a 4-group sketch pipeline
+    * on 32 partitions commits 28 empty stores per batch for nothing.
+    * Sizing state partitions to key cardinality/state volume is the
+    * production posture; core count is the batch-side default only. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship: TTL-evicted keyed stateful map, event-time variant. */
   def ttlPipeline(spark: SparkSession, sfDir: String): Unit = {
     val s = spark
@@ -192,8 +206,9 @@ object StreamingBench {
       (if (batches._1.exists(grp(_) == g)) 1 else 0) +
         (if (batches._2.exists(grp(_) == g)) 1 else 0)
     }.sum.toLong
-    runTwoBatches(spark, stream, out, batches, "quantiles")(
-      requireCount("quantiles", expected))
+    withStatePartitions(spark, groups)(
+      runTwoBatches(spark, stream, out, batches, "quantiles")(
+        requireCount("quantiles", expected)))
   }
 
   /** Streaming distinct-count: HLL registers per group over the user-id
@@ -213,8 +228,9 @@ object StreamingBench {
       (if (batches._1.exists(grp(_) == g)) 1 else 0) +
         (if (batches._2.exists(grp(_) == g)) 1 else 0)
     }.sum.toLong
-    runTwoBatches(spark, stream, out, batches, "ndv")(
-      requireCount("ndv", expected))
+    withStatePartitions(spark, groups)(
+      runTwoBatches(spark, stream, out, batches, "ndv")(
+        requireCount("ndv", expected)))
   }
 
   /** Streaming exact dedup (bounded state): every event fed TWICE —
@@ -341,7 +357,8 @@ object StreamingBench {
       (if (b1.contains(g)) math.min(k, math.min(seen1, capacity)) else 0) +
         (if (b2.contains(g)) math.min(k, math.min(seenCum, capacity)) else 0)
     }.sum.toLong
-    runTwoBatches(spark, stream, out, batches, "topk")(
-      requireCount("topk", expected))
+    withStatePartitions(spark, groups)(
+      runTwoBatches(spark, stream, out, batches, "topk")(
+        requireCount("topk", expected)))
   }
 }
