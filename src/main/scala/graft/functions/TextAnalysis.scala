@@ -296,4 +296,69 @@ object TextAnalysis {
         when(col("cum_tokens") <= budget, "admit").otherwise("overflow"))
       .orderBy("doc_id")
   }
+
+  /** Context length for [[packSequences]] (tokens per training sequence). */
+  val PackSeqLen = 512L
+
+  /** SEQUENCE PACKING — the GPT-style pretraining step that concatenates
+    * documents in a fixed order and slices the token stream into
+    * training sequences of [[PackSeqLen]] tokens: each document is
+    * assigned the sequence its FIRST token lands in (documents straddle
+    * boundaries; the concatenated stream is what gets sliced, exactly
+    * like production packing). Output: one row per (source, sequence)
+    * with the documents and tokens that START there.
+    *
+    * Scale shape: the running offset is a per-source window running sum
+    * (linear, partition-parallel — the same shape as
+    * [[tokenBudgetMix]]); the sequence roll-up is an ordinary
+    * combinable aggregate. A GLOBAL packing order would serialize the
+    * window into one reducer — per-source is both the production
+    * sharding (mixtures are packed per shard) and the scale-correct
+    * one. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      // `div`: exact BIGINT division (a double `/` + floor would read
+      // back as DOUBLE at the gate boundary)
+      .withColumn("seq_id", expr(s"start_offset div $PackSeqLen"))
+      .groupBy("source", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("source", "seq_id")
+  }
+
+  /** Chunk geometry for [[chunkOverlap]]: window of `ChunkLen` tokens
+    * advancing by `ChunkStride` (25% overlap) — the retrieval-side
+    * chunking every RAG pipeline runs over a curated corpus. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  /** OVERLAPPING CHUNKS: slice each document's token array into
+    * stride-advanced windows, emitting (doc_id, chunk_id, n_tokens,
+    * chunk preview hash). Pure per-row explode — no shuffle at all
+    * before the output ordering; a 100 TB corpus chunks at scan speed.
+    * Chunk count = ceil(max(n - overlap, 1) / stride) so the final
+    * partial window is emitted once and never duplicated. */
+  def chunkOverlap(s: SparkSession, dir: String): DataFrame = {
+    val nChunks = ceil(
+      greatest(size(col("toks")) - lit(ChunkLen - ChunkStride), lit(1))
+        .cast("double") / lit(ChunkStride.toDouble)).cast("int")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => slice(col("toks"), i * ChunkStride + 1, lit(ChunkLen))))
+          .as(Seq("chunk_id", "chunk")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        Portable.h32(array_join(col("chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
 }

@@ -386,6 +386,39 @@ object ExtensionOracles {
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
 
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |o AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          - n_tokens AS start_offset
+         |      FROM t)
+         |SELECT source, start_offset // ${TextAnalysis.PackSeqLen} AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM o GROUP BY source, start_offset // ${TextAnalysis.PackSeqLen}
+         |ORDER BY source, seq_id""".stripMargin,
+
+    "chunk_overlap" -> {
+      val len = TextAnalysis.ChunkLen
+      val stride = TextAnalysis.ChunkStride
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |        CAST(ceil(CAST(greatest(len(toks) - ${len - stride}, 1) AS DOUBLE)
+         |          / $stride.0) AS BIGINT) AS nc
+         |      FROM t),
+         |c AS (SELECT doc_id, unnest(range(nc)) AS chunk_id, toks FROM n),
+         |ch AS (SELECT doc_id, chunk_id,
+         |         list_slice(toks, chunk_id * $stride + 1, chunk_id * $stride + $len) AS chunk
+         |       FROM c)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+         |  ${h32("array_to_string(chunk, ' ')")} AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin
+    },
+
     "dedup_simhash" ->
       s"""WITH corpus AS (SELECT doc_id, text FROM documents),
          |$nearShingles,

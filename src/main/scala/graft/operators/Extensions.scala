@@ -26,6 +26,8 @@ object Extensions {
     "sample_stratified" -> ((s: SparkSession, dir: String) => Dedup.sampleStratified(s, dir)),
     "decontaminate"    -> ((s: SparkSession, dir: String) => Dedup.decontaminate(s, dir)),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
+    "pack_sequences"   -> (TextAnalysis.packSequences _),
+    "chunk_overlap"    -> (TextAnalysis.chunkOverlap _),
     "text_bpe_tokens"  -> (TextAnalysis.bpeTokenCount _),
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),

@@ -736,6 +736,48 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Q42 — CDC MERGE/upsert: apply a change set (updates + inserts +
+    * deletes) to a base table in one pass — the incremental-refresh
+    * primitive of every warehouse pipeline (MERGE INTO). The change set
+    * is derived deterministically from the base so both engines build
+    * the identical one: every 10th order re-priced, every 17th cloned
+    * as a new order (key offset), every 13th-not-10th deleted (the
+    * exclusion keeps change keys unique — one change row per key, the
+    * MERGE contract). Full-outer join on the key, change side wins via
+    * coalesce, delete rows filtered.
+    *
+    * Scale shape: one hash-partitioned full-outer join on the primary
+    * key — CDC batches are usually ≪ base, so production layouts bucket
+    * the base by key and the change side shuffles to it (zero base
+    * movement; see StorageLayoutSpec for the bucketed co-located join
+    * this plan becomes). */
+  def q42Upsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), dec2(col("o_totalprice")).as("price"))
+    val upd = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        lit("U").as("o_orderstatus"), dec2(col("price") + 100).as("price"),
+        lit("upsert").as("op"))
+    val ins = base.filter(col("o_orderkey") % 17 === 0)
+      .select((col("o_orderkey") + 900000000L).as("o_orderkey"), col("o_custkey"),
+        lit("N").as("o_orderstatus"), col("price"), lit("upsert").as("op"))
+    val del = base.filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast(D2).as("price"), lit("delete").as("op"))
+    val changes = upd.unionByName(ins).unionByName(del)
+    base.as("b")
+      .join(changes.as("c"), col("b.o_orderkey") === col("c.o_orderkey"), "full_outer")
+      .filter(col("c.op").isNull || col("c.op") =!= "delete")
+      .select(
+        coalesce(col("c.o_orderkey"), col("b.o_orderkey")).as("o_orderkey"),
+        coalesce(col("c.o_custkey"), col("b.o_custkey")).as("o_custkey"),
+        coalesce(col("c.o_orderstatus"), col("b.o_orderstatus")).as("o_orderstatus"),
+        outD2(coalesce(col("c.price"), col("b.price"))).as("price"))
+      .orderBy("o_orderkey")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -779,5 +821,6 @@ object Relational {
     "q39_pivot"          -> (q39Pivot _),
     "q40_session_salted" -> (q40SessionSalted _),
     "q41_percentile_band" -> (q41PercentileBand _),
+    "q42_upsert"         -> (q42Upsert _),
   )
 }

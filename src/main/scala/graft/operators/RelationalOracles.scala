@@ -332,6 +332,33 @@ object RelationalOracles {
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.r_user AND l.event_type = r.r_type AND l.us > r.prev_us
         |ORDER BY l.user_id, l.event_id""".stripMargin,
+
+    // CDC merge: the change set is derived from the base so both engines
+    // construct it identically; change keys are unique by construction
+    // (deletes exclude update keys), delete rows drop, change side wins
+    "q42_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |changes AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |         CAST(price + 100 AS DECIMAL(18,2)) AS price, 'upsert' AS op
+        |  FROM base WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 900000000, o_custkey, 'N', price, 'upsert'
+        |  FROM base WHERE o_orderkey % 17 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+        |         CAST(NULL AS DECIMAL(18,2)), 'delete'
+        |  FROM base WHERE o_orderkey % 13 = 0 AND o_orderkey % 10 <> 0)
+        |SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       coalesce(c.o_custkey, b.o_custkey) AS o_custkey,
+        |       coalesce(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |       CAST(coalesce(c.price, b.price) AS DOUBLE) AS price
+        |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op <> 'delete'
+        |ORDER BY o_orderkey""".stripMargin,
   )
 
   /** The salted sessionization gate shares q14's oracle by construction:

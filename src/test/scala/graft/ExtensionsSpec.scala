@@ -593,6 +593,51 @@ class ExtensionsSpec extends SparkTestBase {
     assert(got.forall(_._1 < Dedup.LineDupOffset))
   }
 
+  test("chunk_overlap: stride geometry covers every token exactly, last chunk partial") {
+    val toks = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(Portable.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextAnalysis.chunkOverlap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val len = TextAnalysis.ChunkLen; val stride = TextAnalysis.ChunkStride
+    toks.foreach { case (doc, n) =>
+      val cs = chunks(doc).sortBy(_._2)
+      val expected = math.ceil(math.max(n - (len - stride), 1) / stride.toDouble).toInt
+      assert(cs.length == expected, s"doc $doc: ${cs.length} chunks for $n tokens")
+      cs.dropRight(1).foreach { case (_, _, nt) => assert(nt == len) }
+      // last chunk reaches exactly the end of the token array
+      val (_, lastId, lastN) = cs.last
+      assert(lastId * stride + lastN == n, s"doc $doc tail mismatch")
+    }
+  }
+
+  test("pack_sequences: per-source token stream slices losslessly into sequences") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), size(Portable.tokens(col("text"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong))
+    val got = TextAnalysis.packSequences(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // token totals per source are preserved (no doc dropped or doubled)
+    val totGot = got.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    val totExp = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(totGot == totExp)
+    // seq ids are the start-offset slices: recompute driver-side
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      var off = 0L
+      val expected = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+      ds.sortBy(_._1).foreach { case (id, _, n) =>
+        val seq = off / TextAnalysis.PackSeqLen
+        val (c, first, t) = expected.getOrElse(seq, (0L, Long.MaxValue, 0L))
+        expected(seq) = (c + 1, math.min(first, id), t + n)
+        off += n
+      }
+      val gotSrc = got.filter(_._1 == src)
+        .map(t => t._2 -> (t._3, t._4, t._5)).toMap
+      assert(gotSrc == expected.toMap, s"source $src packing diverges")
+    }
+  }
+
   test("rolling fingerprint is order-sensitive and content-deterministic") {
     val s = spark
     import s.implicits._

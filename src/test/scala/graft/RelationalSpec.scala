@@ -151,4 +151,26 @@ class RelationalSpec extends SparkTestBase {
           s"$vcol group $k fraction ${qs(i)._2}: band=${band(k)(i)} sorted=${sorted(k)(i)}")
     }
   }
+
+  test("q42 upsert: deletes drop, inserts appear, updates win, rest unchanged") {
+    val base = graft.Tables.orders(spark, sf0001)
+      .select("o_orderkey", "o_custkey", "o_orderstatus").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val got = Relational.q42Upsert(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getDouble(3))).toMap
+    // keys are unique in the merged output (the MERGE contract)
+    assert(got.size == Relational.q42Upsert(spark, sf0001).count())
+    base.keys.foreach { k =>
+      if (k % 13 == 0 && k % 10 != 0)
+        assert(!got.contains(k), s"deleted key $k survived")
+      else {
+        assert(got.contains(k), s"base key $k lost")
+        if (k % 10 == 0) assert(got(k)._2 == "U", s"update lost on $k")
+        else assert(got(k)._2 == base(k)._2, s"status changed on untouched $k")
+      }
+      if (k % 17 == 0)
+        assert(got.contains(k + 900000000L) && got(k + 900000000L)._2 == "N",
+          s"insert missing for $k")
+    }
+  }
 }
