@@ -49,4 +49,24 @@ class SourceFormatsSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(viaJson == viaParquet)
   }
+
+  test("ORC round-trips losslessly and pushes filters into the scan") {
+    val base = Tables.events(spark, sf0001)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("value"))
+    val orcDir = Files.createTempDirectory("graft_orc").toString
+    base.write.mode("overwrite").orc(orcDir)
+    val fromOrc = spark.read.orc(orcDir)
+    assert(fromOrc.collect().map(_.toSeq).toSet == base.collect().map(_.toSeq).toSet,
+      "ORC round-trip diverged")
+    // columnar format ⇒ predicate + projection pushdown, same as parquet
+    val plan = fromOrc
+      .filter(col("user_id") === 7L).select("event_id", "us")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)]"),
+      s"ORC filter not pushed:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,user_id:bigint,us:bigint>"),
+      s"ORC columns not pruned:\n$plan")
+  }
 }
