@@ -78,6 +78,9 @@ object StreamingBench {
     try {
       stream.addData(batches._1); query.processAllAvailable()
       stream.addData(batches._2); query.processAllAvailable()
+      if (sys.env.contains("GRAFT_BENCH_DEBUG"))
+        query.recentProgress.foreach(p => System.err.println(
+          s"[$tag] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
       check(spark.table(sinkName).count())
     } finally {
       query.stop()
@@ -137,8 +140,9 @@ object StreamingBench {
       ttl = 30.minutes, defaultState = 0L)(
       _.user_id, e => micros(e.ts), _.event_id)(
       (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) })
-    runTwoBatches(spark, stream, out, eventTimeBatches(rows), "ttl")(
-      requireCount("ttl", rows.length.toLong))
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, eventTimeBatches(rows), "ttl")(
+        requireCount("ttl", rows.length.toLong)))
   }
 
   /** The flagship TTL pipeline on the RocksDB state store provider —
@@ -167,8 +171,9 @@ object StreamingBench {
     val out = RunningReduce.keyed(stream.toDS(), 0L)(
       _.user_id, e => micros(e.ts), _.event_id)(
       (acc, e) => acc + e.cents)
-    runTwoBatches(spark, stream, out, eventTimeBatches(rows), "running_reduce")(
-      requireCount("running_reduce", rows.length.toLong))
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, eventTimeBatches(rows), "running_reduce")(
+        requireCount("running_reduce", rows.length.toLong)))
   }
 
   /** Keyed count windows (B17): size-5 tumbling count window per user,
@@ -184,8 +189,9 @@ object StreamingBench {
       _.user_id, e => micros(e.ts), _.event_id)(
       (k, items) => (k, items.map(_.cents).sum))
     val expected = rows.groupBy(_.user_id).valuesIterator.map(_.size / 5).sum.toLong
-    runTwoBatches(spark, stream, out, eventTimeBatches(rows), "count_windows")(
-      requireCount("count_windows", expected))
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, eventTimeBatches(rows), "count_windows")(
+        requireCount("count_windows", expected)))
   }
 
   /** Streaming quantiles: QuantileSketch per group over the event value
