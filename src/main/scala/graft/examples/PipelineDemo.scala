@@ -21,6 +21,7 @@ import graft.functions.{Dedup, TextAnalysis}
   *     → reproducible 10% sample (Dedup.sampleByHash)
   *     → token budget   (TextAnalysis.tokenBudgetMix: per-source quota)
   *     → fingerprint    (TextAnalysis.fingerprint: provenance id)
+  *     → sequence pack  (TextAnalysis.packSequencesOf: training slices)
   *
   * Each gate is computed as an INDEPENDENT global decision over the raw
   * corpus and intersected at the end (so e.g. the token budget is
@@ -64,6 +65,11 @@ object PipelineDemo {
       .join(TextAnalysis.fingerprint(spark, sfDir).select("doc_id", "fingerprint"), "doc_id")
       .select("doc_id", "lang", "source", "fingerprint", "text")
 
+    // terminal stage: slice the CURATED corpus into training sequences
+    // (packing runs over survivors — unlike the admission gates above,
+    // which are global decisions over the raw corpus)
+    val packed = TextAnalysis.packSequencesOf(curated)
+
     val counts = Seq(
       "raw" -> raw.count(),
       "quality" -> quality.count(),
@@ -73,7 +79,8 @@ object PipelineDemo {
       "decontaminated" -> clean.count(),
       "sampled_10pct" -> sampled.count(),
       "budget_admitted" -> admitted.count(),
-      "curated" -> curated.count())
+      "curated" -> curated.count(),
+      "packed_sequences" -> packed.count())
     (curated, counts)
   }
 

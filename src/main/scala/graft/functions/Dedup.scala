@@ -657,6 +657,12 @@ object Dedup {
           .select((col("doc_id") + LineDupOffset).as("doc_id"), col("text")))
       .select(col("doc_id"),
         concat(lit(BoilerplateLine + " "), col("text")).as("text"))
+    dedupLinesOf(corpus)
+  }
+
+  /** [[dedupLines]] core over any (doc_id, text) frame — fuzzable and
+    * reusable on an arbitrary corpus. */
+  def dedupLinesOf(corpus: DataFrame): DataFrame = {
     val lines = corpus
       .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .select(col("doc_id"),

@@ -315,11 +315,16 @@ object TextAnalysis {
     * window into one reducer — per-source is both the production
     * sharding (mixtures are packed per shard) and the scale-correct
     * one. */
-  def packSequences(s: SparkSession, dir: String): DataFrame = {
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesOf(Tables.documents(s, dir))
+
+  /** [[packSequences]] over any (doc_id, source, text) frame — e.g. the
+    * curated output of a pipeline rather than the raw table. */
+  def packSequencesOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), col("source"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))

@@ -638,6 +638,38 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_lines fuzz: random small-vocab corpora == driver-side model") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 5) {
+      // small vocab + short docs force heavy cross-document line
+      // collisions; doc count and lengths vary per trial
+      val vocab = Vector.tabulate(4 + rnd.nextInt(5))(i => s"w$i")
+      val docs = Seq.tabulate(10 + rnd.nextInt(30)) { id =>
+        val n = 1 + rnd.nextInt(40)
+        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val expected = {
+        val lines = docs.flatMap { case (id, t) =>
+          t.split("\\s+").grouped(Dedup.LineChunk).zipWithIndex
+            .map { case (chunk, pos) => (id, pos.toLong, chunk.mkString(" ")) }
+        }
+        val winner = lines.groupBy(_._3)
+          .map { case (l, occ) => l -> occ.map(o => (o._1, o._2)).min }
+        lines.filter { case (id, pos, l) => winner(l) == (id, pos) }
+          .groupBy(_._1)
+          .map { case (id, kept) =>
+            val sorted = kept.sortBy(_._2)
+            (id, sorted.length.toLong, sorted.map(_._3).mkString(" "))
+          }.toSeq.sortBy(_._1)
+      }
+      val got = Dedup.dedupLinesOf(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(got == expected, s"trial $trial diverged (vocab ${vocab.size})")
+    }
+  }
+
   test("rolling fingerprint is order-sensitive and content-deterministic") {
     val s = spark
     import s.implicits._

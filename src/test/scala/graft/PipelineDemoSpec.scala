@@ -16,6 +16,9 @@ class PipelineDemoSpec extends SparkTestBase {
     assert(m("curated") <= m("decontaminated"))
     assert(m("curated") <= m("budget_admitted"))
     assert(m("raw") == 500)
+    // the terminal packing stage emits at least one training sequence
+    // per non-empty source and never more than one per curated doc
+    assert(m("packed_sequences") > 0 && m("packed_sequences") <= m("curated"))
 
     // no quarantined doc survives into the curated corpus
     val quarantined = Dedup.decontaminate(spark, sf0001)
