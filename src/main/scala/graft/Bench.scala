@@ -43,8 +43,19 @@ object Bench {
     // load spike hitting both adjacent samples of the same queries;
     // spacing a query's two samples a whole pass apart decorrelates them.
     // dev filter: `runMain graft.Bench name1 name2` times only those
-    // line items (batch or streaming); no args = the full suite
+    // line items (batch or streaming); no args = the full suite. Unknown
+    // names fail fast — a typo must not exit 0 with an empty run.
+    val streamingItems = Set(
+      "dedup_pipeline_cold", "streaming_ttl_pipeline",
+      "streaming_running_reduce", "streaming_count_windows",
+      "streaming_topk", "streaming_ttl_rocksdb", "streaming_dedup",
+      "streaming_quantiles", "streaming_interval_join", "streaming_ndv")
+    val known = SparkEntry.queries.keySet ++ streamingItems
     val only: Option[Set[String]] = if (args.isEmpty) None else Some(args.toSet)
+    only.foreach { names =>
+      val unknown = names.diff(known)
+      require(unknown.isEmpty, s"unknown bench line items: ${unknown.mkString(", ")}")
+    }
     def wanted(name: String): Boolean = only.forall(_.contains(name))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

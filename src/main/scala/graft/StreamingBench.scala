@@ -260,12 +260,17 @@ object StreamingBench {
     pcMemo.getOrElseUpdate(sfDir, {
       val s = spark
       import s.implicits._
-      def side(t: String): Array[BEv] = Tables.events(spark, sfDir)
-        .filter(col("event_type") === t)
+      // one collect for both sides: type rides along, split driver-side
+      val both = Tables.events(spark, sfDir)
+        .filter(col("event_type").isin("purchase", "click"))
         .select(col("event_id"), col("user_id"), col("ts"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-        .as[BEv].collect()
-      (side("purchase"), side("click"))
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          (col("event_type") === "purchase").as("is_p"))
+        .as[(Long, Long, java.sql.Timestamp, Long, Boolean)].collect()
+      val (p, c) = both.partition(_._5)
+      def rows(a: Array[(Long, Long, java.sql.Timestamp, Long, Boolean)]) =
+        a.map(t => BEv(t._1, t._2, t._3, t._4))
+      (rows(p), rows(c))
     })
 
   /** Stream-stream interval join (StreamJoin): clicks in the hour before
@@ -311,28 +316,21 @@ object StreamingBench {
         p, c, Seq("p_user" -> "c_user"), "p_ts", "c_ts", 1.hour)
       .select(col("p_eid"), col("c_eid"))
     val sinkName = s"bench_interval_join_${System.nanoTime()}"
-    // Right-size STATE partitioning: a stream-stream join keeps 4 state
-    // stores per shuffle partition (2 sides × key-count + key-indexed
-    // maps), and every micro-batch — including the no-data watermark-
-    // advance batches — pays a load+commit per store. At 32 partitions
-    // that is 128 store commits × 4 batches of pure fixed cost for this
-    // state volume (measured ~2.5 s per batch, data or not). Streaming
-    // queries pin shuffle partitions at first start, so this scopes to
-    // the join query only; the 100 TB analog is sizing
-    // state partitions to state volume/key cardinality, not defaulting
-    // to the batch-side core count.
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try out.writeStream.format("memory").queryName(sinkName)
-        .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // A stream-stream join keeps 4 state stores per shuffle partition
+    // (2 sides × key-count + key-indexed maps): at the 32-partition
+    // batch default that was 128 store commits × 4 batches of pure
+    // fixed cost (~2.5 s per batch, data or not); 8 partitions fit this
+    // state volume. The query pins the value at start(), so wrapping
+    // only the start is enough.
+    val query = withStatePartitions(spark, 8)(
+      out.writeStream.format("memory").queryName(sinkName)
+        .outputMode("append").start())
     try {
       purchases.addData(p1); clicks.addData(c1); query.processAllAvailable()
       purchases.addData(p2); clicks.addData(c2); query.processAllAvailable()
       if (sys.env.contains("GRAFT_BENCH_DEBUG"))
-        query.recentProgress.foreach(p => System.err.println(
-          s"[ij] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
+        query.recentProgress.foreach(pr => System.err.println(
+          s"[ij] batch=${pr.batchId} rows=${pr.numInputRows} ${pr.durationMs}"))
       requireCount("interval_join", expected)(spark.table(sinkName).count())
     } finally {
       query.stop()

@@ -661,19 +661,29 @@ object Dedup {
   }
 
   /** [[dedupLines]] core over any (doc_id, text) frame — fuzzable and
-    * reusable on an arbitrary corpus. */
+    * reusable on an arbitrary corpus. Text is trimmed before tokenizing
+    * (Spark's `split` keeps leading/trailing empty tokens that a plain
+    * Java `String.split` drops — trimming pins one semantics) and
+    * all-whitespace documents chunk to nothing. A document longer than
+    * 2^20 lines would corrupt the packed winner slot silently, so the
+    * pos bound is ENFORCED with a runtime error, not just documented. */
   def dedupLinesOf(corpus: DataFrame): DataFrame = {
     val lines = corpus
-      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0),
             ceil(size(col("toks")) / lit(LineChunk.toDouble)).cast("int") - 1),
           i => array_join(slice(col("toks"), i * LineChunk + 1, lit(LineChunk)), " ")))
           .as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+    val slot = when(col("pos") < lit(1L << 20),
+        shiftleft(col("doc_id"), 20) + col("pos"))
+      .otherwise(raise_error(concat(lit("dedupLines: document "), col("doc_id"),
+        lit(" exceeds 2^20 lines — packed slot would corrupt"))).cast("long"))
     val winners = lines
       .groupBy(col("line"))
-      .agg(min(shiftleft(col("doc_id"), 20) + col("pos")).as("win"))
+      .agg(min(slot).as("win"))
     winners
       .select(shiftright(col("win"), 20).as("doc_id"),
         col("win").bitwiseAND(lit((1L << 20) - 1)).as("pos"),

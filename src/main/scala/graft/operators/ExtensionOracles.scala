@@ -441,7 +441,7 @@ object ExtensionOracles {
          |  SELECT doc_id + ${Dedup.LineDupOffset},
          |         '${Dedup.BoilerplateLine} ' || text
          |  FROM documents WHERE doc_id % 10 = 0),
-         |tokd AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus),
+         |tokd AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
          |numbered AS (
          |  SELECT doc_id,
          |         unnest(range(CAST(ceil(len(toks) / ${Dedup.LineChunk}.0) AS BIGINT))) AS pos,
@@ -452,7 +452,10 @@ object ExtensionOracles {
          |         array_to_string(list_slice(toks,
          |           pos * ${Dedup.LineChunk} + 1,
          |           pos * ${Dedup.LineChunk} + ${Dedup.LineChunk}), ' ') AS line
-         |  FROM numbered),
+         |  FROM numbered
+         |  WHERE length(array_to_string(list_slice(toks,
+         |           pos * ${Dedup.LineChunk} + 1,
+         |           pos * ${Dedup.LineChunk} + ${Dedup.LineChunk}), ' ')) > 0),
          |winners AS (SELECT line, min((doc_id << 20) + pos) AS win FROM lins GROUP BY line)
          |SELECT win >> 20 AS doc_id,
          |       CAST(count(*) AS BIGINT) AS n_kept,

@@ -52,8 +52,10 @@ object StreamJoin {
       lookback: FiniteDuration,
       joinType: String = "inner"): DataFrame = {
     val keyCond = keys.map { case (l, r) => left(l) === right(r) }.reduce(_ && _)
+    // millisecond interval literal: `toSeconds` would silently truncate a
+    // sub-second lookback to an EMPTY window [t, t)
     val window = right(rightTime) < left(leftTime) &&
-      right(rightTime) >= left(leftTime) - expr(s"interval ${lookback.toSeconds} seconds")
+      right(rightTime) >= left(leftTime) - expr(s"interval ${lookback.toMillis} milliseconds")
     left.join(right, keyCond && window, joinType)
   }
 }

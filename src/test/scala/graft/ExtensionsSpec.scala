@@ -648,12 +648,23 @@ class ExtensionsSpec extends SparkTestBase {
       val vocab = Vector.tabulate(4 + rnd.nextInt(5))(i => s"w$i")
       val docs = Seq.tabulate(10 + rnd.nextInt(30)) { id =>
         val n = 1 + rnd.nextInt(40)
-        (id.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+        val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        // whitespace edges: leading/trailing blanks and an occasional
+        // all-whitespace doc must not diverge from the trimmed model
+        val deco = rnd.nextInt(4) match {
+          case 0 => s"  $body"
+          case 1 => s"$body  "
+          case 2 if id % 7 == 3 => "   "
+          case _ => body
+        }
+        (id.toLong, deco)
       }
       val expected = {
         val lines = docs.flatMap { case (id, t) =>
-          t.split("\\s+").grouped(Dedup.LineChunk).zipWithIndex
+          t.trim.split("\\s+").filter(_.nonEmpty)
+            .grouped(Dedup.LineChunk).zipWithIndex
             .map { case (chunk, pos) => (id, pos.toLong, chunk.mkString(" ")) }
+            .filter(_._3.nonEmpty)
         }
         val winner = lines.groupBy(_._3)
           .map { case (l, occ) => l -> occ.map(o => (o._1, o._2)).min }

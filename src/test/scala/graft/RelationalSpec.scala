@@ -156,10 +156,11 @@ class RelationalSpec extends SparkTestBase {
     val base = graft.Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_orderstatus").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
-    val got = Relational.q42Upsert(spark, sf0001).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getDouble(3))).toMap
+    val rows = Relational.q42Upsert(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getDouble(3)))
+    val got = rows.toMap
     // keys are unique in the merged output (the MERGE contract)
-    assert(got.size == Relational.q42Upsert(spark, sf0001).count())
+    assert(got.size == rows.length)
     base.keys.foreach { k =>
       if (k % 13 == 0 && k % 10 != 0)
         assert(!got.contains(k), s"deleted key $k survived")

@@ -53,6 +53,31 @@ class StreamStreamJoinSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("sub-second lookback keeps millisecond precision (no toSeconds truncation)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def tms(ms: Long) = new Timestamp(1700000000000L + ms)
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val c = clicks.toDS().toDF("c_eid", "c_user", "c_ts", "c_cents")
+      .withWatermark("c_ts", "1 minute")
+    val p = purchases.toDS().toDF("p_eid", "p_user", "p_ts", "p_cents")
+      .withWatermark("p_ts", "1 minute")
+    val joined = StreamJoin.intervalJoin(
+        p, c, Seq("p_user" -> "c_user"), "p_ts", "c_ts", 500.millis)
+      .select(col("p_eid"), col("c_eid"))
+    val query = SourceKit.Sinks.toMemory(joined, "ss_join_ms")
+    try {
+      clicks.addData(Ev(1, 1, tms(0), 0))
+      // 400 ms later: inside the 500 ms window; 600 ms later: outside
+      purchases.addData(Ev(100, 1, tms(400), 0), Ev(101, 1, tms(600), 0))
+      query.processAllAvailable()
+      val got = SourceKit.Sinks.collected[(Long, Long)](spark, "ss_join_ms").toSet
+      assert(got == Set((100L, 1L)), s"got $got")
+    } finally query.stop()
+  }
+
   test("left-outer interval join emits the null-padded row once the watermark passes") {
     val s = spark
     import s.implicits._
