@@ -462,11 +462,20 @@ object Dedup {
     var converged = eCount == 0L
     while (!converged && rounds < maxIters) {
       val next = smallStar(largeStar(e)).localCheckpoint(eager = false)
-      // exact set equality: both sides distinct ⇒ equal counts + empty
-      // one-sided difference suffice; count() doubles as the lazy
-      // checkpoint's materializing action
-      val nextCount = next.count()
-      converged = nextCount == eCount && next.exceptAll(e).isEmpty
+      // ONE probe job per round: a left-outer join against the previous
+      // edge set yields |next| and |next \ e| from the same pass (both
+      // sides distinct ⇒ novel == 0 && equal counts is exact set
+      // equality — same test the old count()+exceptAll pair ran as two
+      // jobs). The aggregate is also the lazy checkpoint's
+      // materializing action.
+      val old = e.select(col("src").as("o_src"), col("dst").as("o_dst"))
+      val probe = next.join(old,
+          col("src") === col("o_src") && col("dst") === col("o_dst"), "left_outer")
+        .agg(count(lit(1)).as("total"),
+          count(when(col("o_src").isNull, 1)).as("novel"))
+        .collect().head
+      val (nextCount, novel) = (probe.getLong(0), probe.getLong(1))
+      converged = novel == 0L && nextCount == eCount
       e = next
       eCount = nextCount
       rounds += 1
