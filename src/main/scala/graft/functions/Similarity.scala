@@ -174,6 +174,38 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Fixed-point scale for [[embedCentroids]]: float components scaled
+    * to integer millionths before summing. */
+  val CentroidScale = 1000000L
+
+  /** Per-label embedding CENTROIDS (class prototypes — the aggregate
+    * behind IVF-style codebook seeding, nearest-class-mean classifiers,
+    * and per-source embedding drift monitoring). Output is one row per
+    * (label, dim) so the gate compares scalars, with the mean at 6
+    * decimals.
+    *
+    * Float sums are order-sensitive in the last ulp, and Spark's
+    * partial-aggregation order is nondeterministic — a naive
+    * sum-of-doubles centroid can flip its own hash run to run, let
+    * alone cross-engine. Components are therefore scaled to integer
+    * millionths per row (deterministic double→long rounding in both
+    * engines) and summed EXACTLY as BIGINTs; one final division
+    * produces the mean. Scale shape: posexplode emits n·dim rows, but
+    * the (label, dim) partial aggregate collapses each map task to at
+    * most labels·dim rows before the exchange — the raw vectors never
+    * shuffle. */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * CentroidScale).cast("long").as("sv"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vectors"), sum(col("sv")).as("ssum"))
+      .select(col("label"), col("dim"), col("n_vectors"),
+        round(col("ssum").cast("double")
+          / (col("n_vectors") * lit(CentroidScale.toDouble)), 6).as("c"))
+      .orderBy("label", "dim")
+
   /** Neighbors per vector in the kNN graph. */
   val KnnK = 3
 

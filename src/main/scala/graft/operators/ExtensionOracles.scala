@@ -637,6 +637,18 @@ object ExtensionOracles {
          |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.99
          |ORDER BY vec_a, vec_b""".stripMargin,
 
+    "embed_centroids" ->
+      s"""WITH x AS (
+         |  SELECT label, unnest(range(len(embedding))) AS dim, embedding
+         |  FROM embeddings),
+         |s AS (
+         |  SELECT label, dim,
+         |    CAST(round(CAST(embedding[dim+1] AS DOUBLE) * ${Similarity.CentroidScale}) AS BIGINT) AS sv
+         |  FROM x)
+         |SELECT label, dim, CAST(count(*) AS BIGINT) AS n_vectors,
+         |  round(CAST(sum(sv) AS DOUBLE) / (count(*) * ${Similarity.CentroidScale}.0), 6) AS c
+         |FROM s GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
     "knn_join" ->
       s"""WITH ${dimsCte("embeddings")},
          |e AS (

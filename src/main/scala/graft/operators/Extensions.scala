@@ -38,6 +38,7 @@ object Extensions {
     "ann_ivf_probe2"   -> (Similarity.annIvfProbe2 _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "knn_join"         -> (Similarity.knnJoin _),
+    "embed_centroids"  -> (Similarity.embedCentroids _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "pii_scrub"        -> (TextAnalysis.piiScrub _),
     "quality_repetition" -> (TextAnalysis.qualityRepetition _),

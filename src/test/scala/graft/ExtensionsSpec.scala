@@ -525,6 +525,26 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("embed_centroids matches driver-side means within fixed-point tolerance") {
+    val rows = Tables.embeddings(spark, sf0001)
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+    val byLabel = rows.groupBy(_._1)
+    val got = Similarity.embedCentroids(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    byLabel.foreach { case (label, vs) =>
+      val n = vs.length
+      (0 until vs.head._2.length).foreach { d =>
+        val mean = vs.map(_._2(d).toDouble).sum / n
+        val (gn, gc) = got((label, d.toLong))
+        assert(gn == n.toLong)
+        // fixed-point path: off by at most half an ulp of the 1e-6 scale
+        // per summed row, so within 1e-6 + n*5e-7/n of the true mean
+        assert(math.abs(gc - mean) < 1e-5, s"label $label dim $d: $gc vs $mean")
+      }
+    }
+  }
+
   test("knn_join == driver-side bucket-bounded top-k over collected vectors") {
     val rows = Tables.embeddings(spark, sf0001)
       .select("vec_id", "embedding").collect()
