@@ -297,6 +297,57 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BM25 parameters (Robertson/Sparck Jones defaults) and the fixed
+    * query term list for the [[bm25Score]] gate. */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25Query: Seq[String] = Seq("spark", "window", "merge")
+
+  /** LEXICAL RANKING — BM25-style relevance of every document against a
+    * fixed query, the lexical side of a hybrid (lexical + vector)
+    * retrieval stack. One deliberate deviation keeps it hash-gateable:
+    * idf uses the RAW Robertson ratio `(N - df + 0.5)/(df + 0.5)`
+    * instead of its log — `ln` differs between libm and the JVM in the
+    * last ulp (same reason the HLL gate emits integers), while the
+    * ratio is a single division of exactly-represented doubles,
+    * bit-identical in both engines. Monotone per term, so per-term
+    * ranking is unchanged; the blended score weights high-idf terms
+    * more than log-BM25 would (documented, constant across engines).
+    *
+    * Scale shape: tf comes from each row's own token array (scan-speed,
+    * no posting-list join); the corpus stats (N, avg length, per-term
+    * df) are one tiny aggregate broadcast back via a 1-row cross join.
+    * The fold over query terms is written in FIXED term order so the
+    * double sum is deterministic. */
+  def bm25Score(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("len", size(col("toks")).cast("long"))
+    def tf(term: String) =
+      size(filter(col("toks"), x => x === term)).cast("long")
+    val statAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+        sum(col("len")).cast("double").as("sum_len") +:
+        Bm25Query.zipWithIndex.map { case (term, i) =>
+          sum(when(array_contains(col("toks"), term), 1L).otherwise(0L))
+            .cast("double").as(s"df_$i")
+        }
+    val stats = t.agg(statAggs.head, statAggs.tail: _*)
+    val withStats = t.crossJoin(broadcast(stats))
+    val avgLen = col("sum_len") / col("n_docs")
+    val score = Bm25Query.zipWithIndex.map { case (term, i) =>
+      val idf = (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))
+      val tfN = tf(term).cast("double") * (lit(Bm25K1) + 1.0) /
+        (tf(term).cast("double") +
+          lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("len") / avgLen))
+      idf * tfN
+    }.reduce(_ + _)
+    withStats
+      .select(col("doc_id"), col("len").as("n_tokens"),
+        round(score, 6).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Context length for [[packSequences]] (tokens per training sequence). */
   val PackSeqLen = 512L
 

@@ -386,6 +386,31 @@ object ExtensionOracles {
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
 
+    "bm25_score" -> {
+      import graft.functions.TextAnalysis.{Bm25B, Bm25K1, Bm25Query}
+      val dfCols = Bm25Query.zipWithIndex.map { case (term, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$term') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(",\n|              ")
+      // parenthesization mirrors the Spark column expressions EXACTLY —
+      // double arithmetic must run in the identical order to be
+      // bit-identical before the final round
+      val terms = Bm25Query.zipWithIndex.map { case (term, i) =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$term')) AS DOUBLE)"
+        s"((n_docs - df_$i + 0.5) / (df_$i + 0.5)) * (($tf * ($Bm25K1 + 1.0)) / " +
+          s"($tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * len / (sum_len / n_docs))))"
+      }.mkString("\n|    + ")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |l AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len FROM t),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |              CAST(sum(len) AS DOUBLE) AS sum_len,
+         |              $dfCols
+         |       FROM l)
+         |SELECT doc_id, len AS n_tokens,
+         |  round($terms, 6) AS score
+         |FROM l, st
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
          |           FROM documents),

@@ -27,6 +27,7 @@ object Extensions {
     "decontaminate"    -> ((s: SparkSession, dir: String) => Dedup.decontaminate(s, dir)),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
     "pack_sequences"   -> (TextAnalysis.packSequences _),
+    "bm25_score"       -> (TextAnalysis.bm25Score _),
     "chunk_overlap"    -> (TextAnalysis.chunkOverlap _),
     "text_bpe_tokens"  -> (TextAnalysis.bpeTokenCount _),
     "ann_cosine_topk"  -> (Similarity.annBrute _),

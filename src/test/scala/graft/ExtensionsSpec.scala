@@ -525,6 +525,35 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("bm25_score == driver-side fixed-order arithmetic; zero iff no term present") {
+    import graft.functions.TextAnalysis.{Bm25B, Bm25K1, Bm25Query}
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector)
+    val nDocs = docs.length.toDouble
+    val sumLen = docs.map(_._2.length.toLong).sum.toDouble
+    val dfs = Bm25Query.map(t => docs.count(_._2.contains(t)).toDouble)
+    val expected = docs.map { case (id, toks) =>
+      val len = toks.length.toLong
+      val score = Bm25Query.zip(dfs).map { case (term, df) =>
+        val tf = toks.count(_ == term).toDouble
+        val idf = (nDocs - df + 0.5) / (df + 0.5)
+        idf * ((tf * (Bm25K1 + 1.0)) /
+          (tf + Bm25K1 * (1.0 - Bm25B + Bm25B * len / (sumLen / nDocs))))
+      }.reduce(_ + _)
+      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = TextAnalysis.bm25Score(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == expected,
+      s"diff: ${got.toSeq.sortBy(_._1).zip(expected.toSeq.sortBy(_._1)).find(p => p._1 != p._2)}")
+    // score is zero exactly when no query term occurs
+    docs.foreach { case (id, toks) =>
+      val hasTerm = Bm25Query.exists(toks.contains)
+      assert((got(id) != 0.0) == hasTerm, s"doc $id zero-score contract")
+    }
+  }
+
   test("embed_centroids matches driver-side means within fixed-point tolerance") {
     val rows = Tables.embeddings(spark, sf0001)
       .select("label", "embedding").collect()
