@@ -21,9 +21,12 @@ class PlanGuardSpec extends SparkTestBase {
     * broadcast centroid codebook (K = const) to pick its cell; ann_pq
     * is the PQ-compressed exhaustive ADC scan — each candidate against
     * the broadcast query set, reading M code ints per candidate (the
-    * scan IS the design; IVF cells bound it when composed). */
+    * scan IS the design; IVF cells bound it when composed); bm25_score
+    * cross-joins every document against the broadcast ONE-ROW corpus
+    * statistics aggregate (N, avg length, per-term df). */
   private val bnljByDesign = Set(
-    "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq")
+    "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
+    "bm25_score")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative = Set("dedup_components", "dedup_components_minlabel")
