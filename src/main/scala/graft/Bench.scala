@@ -49,7 +49,8 @@ object Bench {
       "dedup_pipeline_cold", "streaming_ttl_pipeline",
       "streaming_running_reduce", "streaming_count_windows",
       "streaming_topk", "streaming_ttl_rocksdb", "streaming_dedup",
-      "streaming_quantiles", "streaming_interval_join", "streaming_ndv")
+      "streaming_quantiles", "streaming_interval_join", "streaming_ndv",
+      "streaming_near_dup")
     val known = SparkEntry.queries.keySet ++ streamingItems
     val only: Option[Set[String]] = if (args.isEmpty) None else Some(args.toSet)
     only.foreach { names =>
@@ -118,7 +119,9 @@ object Bench {
       "streaming_interval_join" ->
         timeOnce("streaming_interval_join", () => StreamingBench.intervalJoinPipeline(spark, sfDir)),
       "streaming_ndv" ->
-        timeOnce("streaming_ndv", () => StreamingBench.ndvPipeline(spark, sfDir)))
+        timeOnce("streaming_ndv", () => StreamingBench.ndvPipeline(spark, sfDir)),
+      "streaming_near_dup" ->
+        timeOnce("streaming_near_dup", () => StreamingBench.nearDupPipeline(spark, sfDir)))
     StreamingBench.clearMemo()
 
     val all = (results :+ coldDedup :+ streamingTtl :++ streamingMore)

@@ -37,11 +37,15 @@ object StreamingBench {
 
   private val pcMemo =
     scala.collection.mutable.HashMap.empty[String, (Array[BEv], Array[BEv])]
+  private val docsMemo =
+    scala.collection.mutable.HashMap.empty[String, Array[(Long, String)]]
 
   /** Release the collected feed arrays. Bench.main calls this once the
     * streaming line items finish, so an embedded or multi-sfDir caller
     * doesn't accumulate whole collected tables for the JVM lifetime. */
-  def clearMemo(): Unit = { rowsMemo.clear(); typesMemo.clear(); pcMemo.clear() }
+  def clearMemo(): Unit = {
+    rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
+  }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
     rowsMemo.getOrElseUpdate(sfDir, {
@@ -237,6 +241,49 @@ object StreamingBench {
     withStatePartitions(spark, groups)(
       runTwoBatches(spark, stream, out, batches, "ndv")(
         requireCount("ndv", expected)))
+  }
+
+  /** Incremental near-dup index: the documents table streamed through
+    * the MinHash-LSH bucket state in two batches; the expected emission
+    * count is an EXACT driver-side replay of the same bucket algorithm
+    * (signatures included — the oracle cost is part of the line item,
+    * like the other pipelines' expected-count derivations). */
+  def nearDupPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingNearDup
+    val docs = docsMemo.getOrElseUpdate(sfDir,
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect())
+    val sorted = docs.sortBy(_._1)
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    val maxBucket = 64
+    // exact replay of the stream's bucket algorithm
+    val held = scala.collection.mutable.HashMap
+      .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Long]]
+    var expected = 0L
+    Seq(b1, b2).foreach { batch =>
+      batch.iterator
+        .flatMap { case (id, text) =>
+          StreamingNearDup.bandHashes(StreamingNearDup.signature(text))
+            .zipWithIndex.map { case (h, b) => ((b, h), id) }
+        }
+        .toSeq.groupBy(_._1)
+        .foreach { case (key, rows) =>
+          val acc = held.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty)
+          rows.map(_._2).distinct.sorted.filterNot(acc.contains).foreach { id =>
+            expected += acc.size
+            if (acc.size < maxBucket) acc += id
+          }
+        }
+    }
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingNearDup.candidates(stream.toDS(), maxBucket)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out.toDF().as[StreamingNearDup.CandidatePair],
+        (b1.toIndexedSeq, b2.toIndexedSeq), "near_dup")(
+        requireCount("near_dup", expected)))
   }
 
   /** Streaming exact dedup (bounded state): every event fed TWICE —

@@ -38,6 +38,40 @@ object Profiling {
         element_at(col("qs"), 4).as("q95"))
       .orderBy("l_returnflag")
 
+  /** Numeric columns profiled by [[columnProfile]]. */
+  val ProfileColumns: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** ANALYZE-style COLUMN PROFILE — the statistics pass that feeds a
+    * cost-based optimizer and a data-quality dashboard: per column, row
+    * count, null count, exact distinct count, min, max, and exact sum
+    * (decimal-exact, emitted as double at the boundary like every money
+    * column). One `stack` pivots the columns into (column_name, value)
+    * rows so the whole profile is ONE scan + ONE 4-group aggregate, not
+    * a scan per column; the long output shape is also what a stats
+    * catalog stores.
+    *
+    * Scale: stack multiplies rows × columns BEFORE the combiner, but
+    * the partial aggregate collapses each map task to #columns rows —
+    * the exchange carries columns, not data. countDistinct expands per
+    * column (q31's expand shape); swap in the HLL register summary
+    * ([[hllSummary]]) when exactness is not required. */
+  def columnProfile(s: SparkSession, dir: String): DataFrame = {
+    val stackArgs = ProfileColumns
+      .map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
+    Tables.lineitem(s, dir)
+      .select(expr(s"stack(${ProfileColumns.size}, $stackArgs) AS (column_name, v)"))
+      .groupBy("column_name")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        sum(col("v").cast("decimal(28,2)")).cast("double").as("sum_v"))
+      .orderBy("column_name")
+  }
+
   /** HyperLogLog register geometry (Flajolet et al. 2007): 2^p registers
     * over a 52-bit md5-derived hash (bits 52-p feed the rank). 52 bits
     * keeps every intermediate — h52, the scaled harmonic denominator

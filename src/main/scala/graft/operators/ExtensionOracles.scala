@@ -148,6 +148,21 @@ object ExtensionOracles {
          |ORDER BY sk.source""".stripMargin
     },
 
+    "column_profile" -> {
+      val branches = graft.functions.Profiling.ProfileColumns
+        .map(c => s"SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH v AS (
+         |  $branches)
+         |SELECT column_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         |  min(v) AS min_v, max(v) AS max_v,
+         |  CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+         |FROM v GROUP BY column_name ORDER BY column_name""".stripMargin
+    },
+
     "pii_scrub" -> {
       val email = TextAnalysis.EmailPattern
       val ip = TextAnalysis.Ipv4Pattern

@@ -54,6 +54,7 @@ object Extensions {
     // driver-side — ln() ulp is not pinned cross-engine); accuracy of
     // the estimate itself is spec-pinned in HllSketchSpec
     "approx_ndv"       -> (graft.functions.Profiling.approxNdv _),
+    "column_profile"   -> (graft.functions.Profiling.columnProfile _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> (Multimodal.mediaFrames _),
   )
