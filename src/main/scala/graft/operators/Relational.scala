@@ -778,6 +778,47 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Q43 — Z-ORDER (Morton) layout key over (user, time): interleave
+    * the low 16 bits of the user id with a 16-bit minute bucket so rows
+    * CLOSE IN BOTH dimensions get close z-values. This is the
+    * data-clustering lever behind multi-dimensional min/max pruning
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`): a table
+    * `repartitionByRange(z).sortWithinPartitions(z)` gives every file a
+    * tight (user, time) bounding rectangle, so a scan filtered on
+    * EITHER dimension skips most files — single-column sort layouts
+    * only prune their own column. The gate checks the key computation
+    * and total order; `ZorderSpec` pins the bit-exact decode and the
+    * locality property the layout exists for.
+    *
+    * Pure per-row bit arithmetic (32 codegen'd shift/mask terms), scan
+    * speed, no shuffle beyond the final orderBy. */
+  def q43Zorder(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        // `div`: exact BIGINT floor division (a double `/` could round
+        // up across an integer boundary before truncation)
+        expr("unix_micros(ts) div 60000000 AS tb"))
+    // Dimension NORMALIZATION is what makes the curve work: naive bit
+    // interleave of unbalanced dimensions (a 7-bit user range against a
+    // 16-bit time range) degenerates to a time-major sort because the
+    // narrow dimension's high bits never discriminate. Production
+    // OPTIMIZE ZORDER does the same range mapping from column stats —
+    // here one broadcast 1-row min/max aggregate.
+    val stats = base.agg(
+      min(col("user_id")).as("umin"), max(col("user_id")).as("umax"),
+      min(col("tb")).as("tmin"), max(col("tb")).as("tmax"))
+    val ev = base.crossJoin(broadcast(stats))
+      .select(col("event_id"),
+        expr("((user_id - umin) * 65535) div greatest(umax - umin, 1) AS u16"),
+        expr("((tb - tmin) * 65535) div greatest(tmax - tmin, 1) AS t16"))
+    val z = (0 until 16).map { i =>
+      (shiftright(col("u16"), i).bitwiseAND(lit(1L))) * lit(1L << (2 * i)) +
+        (shiftright(col("t16"), i).bitwiseAND(lit(1L))) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+    ev.select(col("event_id"), col("u16"), col("t16"), z.as("z"))
+      .orderBy("z", "event_id")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -822,5 +863,6 @@ object Relational {
     "q40_session_salted" -> (q40SessionSalted _),
     "q41_percentile_band" -> (q41PercentileBand _),
     "q42_upsert"         -> (q42Upsert _),
+    "q43_zorder"         -> (q43Zorder _),
   )
 }

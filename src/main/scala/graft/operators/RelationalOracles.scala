@@ -359,6 +359,25 @@ object RelationalOracles {
         |FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
         |WHERE c.op IS NULL OR c.op <> 'delete'
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Morton interleave of (u16, t16) — 32 exact BIGINT shift/mask terms
+    "q43_zorder" -> {
+      val terms = (0 until 16).map { i =>
+        s"((u16 >> $i) & 1) * ${1L << (2 * i)} + ((t16 >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString("\n|    + ")
+      s"""WITH b AS (
+         |  SELECT event_id, user_id, epoch_us(ts) // 60000000 AS tb FROM events),
+         |st AS (SELECT min(user_id) AS umin, max(user_id) AS umax,
+         |              min(tb) AS tmin, max(tb) AS tmax FROM b),
+         |e AS (
+         |  SELECT event_id,
+         |    ((user_id - umin) * 65535) // greatest(umax - umin, 1) AS u16,
+         |    ((tb - tmin) * 65535) // greatest(tmax - tmin, 1) AS t16
+         |  FROM b, st)
+         |SELECT event_id, u16, t16,
+         |  ($terms) AS z
+         |FROM e ORDER BY z, event_id""".stripMargin
+    },
   )
 
   /** The salted sessionization gate shares q14's oracle by construction:

@@ -23,10 +23,11 @@ class PlanGuardSpec extends SparkTestBase {
     * the broadcast query set, reading M code ints per candidate (the
     * scan IS the design; IVF cells bound it when composed); bm25_score
     * cross-joins every document against the broadcast ONE-ROW corpus
-    * statistics aggregate (N, avg length, per-term df). */
+    * statistics aggregate (N, avg length, per-term df); q43_zorder the
+    * same against its ONE-ROW dimension min/max row. */
   private val bnljByDesign = Set(
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
-    "bm25_score")
+    "bm25_score", "q43_zorder")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative = Set("dedup_components", "dedup_components_minlabel")

@@ -152,6 +152,35 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q43 z-order: bit-exact decode and multi-dim locality beat a 1-d sort") {
+    val rows = Relational.q43Zorder(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // decode: de-interleaving z recovers (u16, t16) exactly
+    rows.foreach { case (u, t, z) =>
+      var du = 0L; var dt = 0L
+      (0 until 16).foreach { i =>
+        du |= ((z >> (2 * i)) & 1L) << i
+        dt |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      assert(du == u && dt == t, s"decode($z) = ($du,$dt) != ($u,$t)")
+    }
+    // locality: split the z-sorted rows into files; each file's (u,t)
+    // bounding rectangle should cover a small fraction of both ranges
+    // on average — the property min/max pruning exploits. A t16-sorted
+    // layout has near-total u16 coverage per file; z-order must do
+    // better on u16 while keeping t16 bounded.
+    val files = rows.sortBy(_._3).grouped(math.max(rows.length / 16, 1)).toSeq
+    def meanCoverage(fs: Seq[Array[(Long, Long, Long)]], f: ((Long, Long, Long)) => Long) = {
+      val span = rows.map(f).max - rows.map(f).min + 1
+      fs.map(g => (g.map(f).max - g.map(f).min + 1).toDouble / span).sum / fs.size
+    }
+    val tSorted = rows.sortBy(_._2).grouped(math.max(rows.length / 16, 1)).toSeq
+    val zU = meanCoverage(files, _._1)
+    val tU = meanCoverage(tSorted, _._1)
+    assert(zU < tU * 0.8,
+      s"z-order u16 coverage $zU not better than t-sorted layout's $tU")
+  }
+
   test("q42 upsert: deletes drop, inserts appear, updates win, rest unchanged") {
     val base = graft.Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_orderstatus").collect()
