@@ -323,8 +323,6 @@ object TextAnalysis {
     val t = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("len", size(col("toks")).cast("long"))
-    def tf(term: String) =
-      size(filter(col("toks"), x => x === term)).cast("long")
     val statAggs =
       count(lit(1)).cast("double").as("n_docs") +:
         sum(col("len")).cast("double").as("sum_len") +:
@@ -333,12 +331,19 @@ object TextAnalysis {
             .cast("double").as(s"df_$i")
         }
     val stats = t.agg(statAggs.head, statAggs.tail: _*)
-    val withStats = t.crossJoin(broadcast(stats))
+    // tf projected ONCE per term: the filter() HOF is interpreted (no
+    // codegen subexpression elimination), so referencing it in both the
+    // numerator and denominator would re-scan the token array per use
+    val withStats = Bm25Query.zipWithIndex
+      .foldLeft(t.crossJoin(broadcast(stats))) { case (df, (term, i)) =>
+        df.withColumn(s"tf_$i",
+          size(filter(col("toks"), x => x === term)).cast("double"))
+      }
     val avgLen = col("sum_len") / col("n_docs")
-    val score = Bm25Query.zipWithIndex.map { case (term, i) =>
+    val score = Bm25Query.indices.map { i =>
       val idf = (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))
-      val tfN = tf(term).cast("double") * (lit(Bm25K1) + 1.0) /
-        (tf(term).cast("double") +
+      val tfN = col(s"tf_$i") * (lit(Bm25K1) + 1.0) /
+        (col(s"tf_$i") +
           lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("len") / avgLen))
       idf * tfN
     }.reduce(_ + _)

@@ -45,13 +45,20 @@ object StreamingNearDup {
     * `MinHash64(array_distinct(shingles3(tokens(text))))` —
     * StreamingNearDupSpec pins it against the expression. */
   def signature(text: String): Array[Long] = {
-    val toks = text.toLowerCase.split("\\s+")
+    // parity traps, both spec-pinned: limit -1 keeps trailing empty
+    // tokens exactly like Spark's split (Java's default limit 0 drops
+    // them), and Locale.ROOT matches Spark's locale-independent lower()
+    // (a Turkish-locale JVM would otherwise produce a dotless ı)
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     val shingles: Array[String] =
       if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toArray.distinct
       else Array(toks.mkString(" "))
     val sig = Array.fill(Perms)(Mod)
     shingles.foreach { sh =>
-      val h = graft.functions.sketch.Hll.h52(sh) >>> 20 // = h32 (top 32 of the packed h52)
+      // ThreadLocal digest (Md5Hash) — getInstance per shingle would
+      // dominate the per-event cost
+      val h = graft.functions.expressions.Md5Hash
+        .hashPair(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))._1
       var j = 0
       while (j < Perms) {
         val x = ((2L * j + 1) * h + 1000003L * j + 12345L) % Mod
