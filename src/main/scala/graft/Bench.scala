@@ -57,7 +57,16 @@ object Bench {
       val unknown = names.diff(known)
       require(unknown.isEmpty, s"unknown bench line items: ${unknown.mkString(", ")}")
     }
-    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    // Load-control query: q2 runs in EVERY bench invocation (full suite
+    // or dev-filtered) so a reader can separate container load from real
+    // regressions. q2_filter_project is untouched since round 1; its
+    // clean-machine min-of-2 record is 0.41 s (BASELINE.md). The JSON
+    // carries control_sec and load_factor = control_sec / 0.41 — a line
+    // item is only a regression if it moved MORE than the control did.
+    val ControlQuery = "q2_filter_project"
+    val ControlBaselineSec = 0.41
+    def wanted(name: String): Boolean =
+      name == ControlQuery || only.forall(_.contains(name))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(name: String, thunk: () => Unit): Double = {
@@ -143,7 +152,10 @@ object Bench {
       "\"" + esc(k) + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val controlSec = results.toMap.getOrElse(ControlQuery, -1.0)
+    val loadFactor =
+      if (controlSec > 0) controlSec / ControlBaselineSec else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"control":{"name":"$ControlQuery","sec":$controlSec,"baseline_sec":$ControlBaselineSec,"load_factor":$loadFactor},"sf":"$sfDir"}""")
     spark.stop()
     // non-zero exit flags a regression to the driver while the JSON line
     // above still carries the per-query detail
