@@ -308,7 +308,10 @@ object Similarity {
 
   private def ivfSearch(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val cents = ivfCodebook(emb)
+    ivfSearchWith(emb, ivfCodebook(emb), nprobe)
+  }
+
+  private def ivfSearchWith(emb: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val assigned = assignCells(emb, cents)
     val probes = probeCells(emb, cents, nprobe)
     val joined = assigned
@@ -371,9 +374,36 @@ object Similarity {
     * affordable; composing it under IVF cells ([[annIvf]]) bounds the
     * candidate set too. Recall vs [[annBrute]] is measured in
     * SimilaritySpec. */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
+  def annPq(s: SparkSession, dir: String): DataFrame =
+    annPqWith(s, dir, pqCodebook(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))))
+
+  /** Trained-path codebook size: 256 centroids per sub-space — one-byte
+    * codes, the standard production PQ geometry (FAISS default). The
+    * hash-picked path keeps K=32 because its oracle SQL evaluates all
+    * K·M sub-distances per row in DuckDB. */
+  val PqKTrained = 256
+
+  /** [[annPq]] with the TRAINED codebook — the recommended PQ path
+    * (the hash-picked [[annPq]] stays as the exact-oracle gate for the
+    * encode/ADC/refine machinery). Quality gated by [[annPqRecall]]. */
+  def annPqTrained(s: SparkSession, dir: String): DataFrame =
+    annPqWith(s, dir, pqCodebookTrained(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))),
+      PqRefineTrained)
+
+  /** Refine depth for the trained path: deeper than the hash path's
+    * [[PqRefine]] because the recall gate holds it to ≥ 0.8 per query —
+    * still a constant, so per-query refine cost is bounded at any
+    * corpus size (ADC pre-ranking is what keeps the exact re-rank off
+    * the full corpus). */
+  val PqRefineTrained = 128
+
+  private def annPqWith(
+      s: SparkSession, dir: String, codebook: Seq[Seq[Float]],
+      refine: Int = PqRefine): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    val centLit = typedLit(pqCodebook(emb))
+    val centLit = typedLit(codebook)
     val coded = emb.select(
       col("vec_id").as("cid"), col("embedding").as("cv"),
       expressions.PqCodes(col("embedding"), centLit, PqM).as("codes"))
@@ -384,10 +414,153 @@ object Similarity {
       .join(broadcast(queries), col("qid") =!= col("cid"))
       .withColumn("adc", expressions.PqAdcScore(col("qv"), col("codes"), centLit, PqM))
       .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= PqRefine)
+      .filter(col("arn") <= refine)
       .withColumn("sim", sim(col("qv"), col("cv")))
     ranked(refined.select("qid", "cid", "qv", "cv", "sim"))
   }
+
+  /** Training-sample bound and Lloyd iteration count for the trained
+    * codebooks. The sample is the [[PqTrainSample]] corpus vectors with
+    * the smallest (h32(vec_id), vec_id) — the same deterministic pick
+    * the hash codebooks use, just wider — so training cost is a
+    * TakeOrderedAndProject plus a driver-side loop over a CONSTANT
+    * ≤ sample·dim floats (~0.5 MB), independent of corpus size. This is
+    * how production quantizers train too (FAISS trains on a bounded
+    * sample, not the corpus). */
+  val PqTrainSample = 2048
+  val PqTrainIters = 10
+
+  /** Bounded deterministic training sample, hash order. */
+  private def trainSample(emb: DataFrame): Array[Array[Float]] =
+    emb
+      .select(col("embedding"), Portable.h32(col("vec_id").cast("string")).as("hk"),
+        col("vec_id"))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(PqTrainSample)
+      .select("embedding")
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Sequential driver-side Lloyd k-means over `sample`, restricted to
+    * dimensions [off, off+sub): returns k × sub double centroids.
+    * Deterministic by construction — fixed sample and iteration count,
+    * init = first k sample vectors in hash order, ties to the lowest
+    * centroid id, empty cells keep their previous centroid, and the
+    * accumulation is single-threaded left-to-right (no float
+    * reduction-order nondeterminism). */
+  private def lloyd(
+      sample: Array[Array[Float]], k: Int, off: Int, sub: Int): Array[Array[Double]] = {
+    val cents = Array.tabulate(k, sub)((ci, j) => sample(ci)(off + j).toDouble)
+    var it = 0
+    while (it < PqTrainIters) {
+      val sums = Array.ofDim[Double](k, sub)
+      val counts = new Array[Long](k)
+      var vi = 0
+      while (vi < sample.length) {
+        val v = sample(vi)
+        var best = 0
+        var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < k) {
+          var d = 0.0
+          var j = 0
+          while (j < sub) {
+            val diff = v(off + j).toDouble - cents(ci)(j)
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        var j = 0
+        while (j < sub) { sums(best)(j) += v(off + j).toDouble; j += 1 }
+        counts(best) += 1
+        vi += 1
+      }
+      var ci = 0
+      while (ci < k) {
+        if (counts(ci) > 0) {
+          var j = 0
+          while (j < sub) { cents(ci)(j) = sums(ci)(j) / counts(ci); j += 1 }
+        }
+        ci += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** TRAINED PQ codebook: per-sub-space Lloyd k-means on the bounded
+    * sample, assembled back into the K full-dim vectors [[PqCodes]] /
+    * [[PqAdcScore]] slice (entry ci's slice m = sub-space-m centroid
+    * ci). Same shape as [[pqCodebook]], so the encode/score path is
+    * untouched — only the centroids move. Training k-means is not
+    * reproducible in the DuckDB oracle's SQL, so the trained path is
+    * gated in recall-threshold form ([[annPqRecall]]) against the
+    * fully-oracle-checked [[annBrute]] instead of value-hashed. */
+  private[graft] def pqCodebookTrained(emb: DataFrame): Seq[Seq[Float]] = {
+    val sample = trainSample(emb)
+    val dim = sample.head.length
+    val sub = dim / PqM
+    // k-means needs k distinct seeds: cap K at the sample size (tiny
+    // corpora — the codebook can never be larger than the data)
+    val k = math.min(PqKTrained, sample.length)
+    val books = Array.tabulate(PqM)(m => lloyd(sample, k, m * sub, sub))
+    (0 until k).map(ci =>
+      (0 until PqM).flatMap(m => books(m)(ci).map(_.toFloat)).toSeq)
+  }
+
+  /** TRAINED IVF coarse codebook: full-dimension Lloyd k-means
+    * ([[lloyd]]) over the bounded sample — better-shaped cells than the
+    * hash pick, same O(k·dim) broadcast and O(n·k) assignment. Gated in
+    * recall-threshold form ([[annIvfRecall]]), like the trained PQ path. */
+  private[graft] def ivfCodebookTrained(s: SparkSession, emb: DataFrame): DataFrame = {
+    val sample = trainSample(emb)
+    val cents = lloyd(sample, IvfCodebookK, 0, sample.head.length)
+    import s.implicits._
+    cents.toSeq.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq.map(_.toFloat)) }
+      .toDF("cent_id", "cv")
+  }
+
+  /** [[annIvf]] with the trained codebook (nprobe=2) — the recommended
+    * IVF path; the hash-picked variants stay as the exact-oracle gates. */
+  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    ivfSearchWith(emb, ivfCodebookTrained(s, emb), nprobe = 2)
+  }
+
+  /** Minimum per-query hits (of [[TopK]]) for the trained-path recall
+    * gates: 4/5 = recall@5 ≥ 0.8 per query. */
+  val TrainedRecallMinHits = 4
+
+  /** Recall-threshold CORRECTNESS gate: per query, whether the
+    * approximate search found ≥ [[TrainedRecallMinHits]] of the
+    * brute-force top-[[TopK]]. The DuckDB oracle asserts `true` for
+    * every query — k-means itself is not reproducible in SQL, but
+    * [[annBrute]] is fully value-hashed by its own gate, so thresholded
+    * recall against it is an engine-checkable quality contract (the
+    * same shape a production index's acceptance test uses). */
+  private def recallGate(brute: DataFrame, approx: DataFrame): DataFrame =
+    brute.select(col("qid"), col("cid"))
+      .join(approx.select(col("qid").as("aq"), col("cid").as("ac")),
+        col("qid") === col("aq") && col("cid") === col("ac"), "left")
+      .groupBy("qid")
+      .agg(count(col("ac")).as("n_found"))
+      .select(col("qid"),
+        // BIGINT 1/0 rather than boolean: every gate column type stays
+        // within the representation surface the driver compare has
+        // already proven out (BIGINT/DOUBLE/VARCHAR)
+        (col("n_found") >= TrainedRecallMinHits).cast("long").as("recall_ok"))
+      .orderBy("qid")
+
+  /** recall@5 ≥ 0.8 per query for the trained PQ path. */
+  def annPqRecall(s: SparkSession, dir: String): DataFrame =
+    recallGate(annBrute(s, dir), annPqTrained(s, dir))
+
+  /** recall@5 ≥ 0.8 per query for the trained IVF path. */
+  def annIvfRecall(s: SparkSession, dir: String): DataFrame =
+    recallGate(annBrute(s, dir), annIvfTrained(s, dir))
 
   /** Multi-probe LSH: each query also probes every Hamming-1 neighbor of
     * its sign bucket (dims+1 probes) — the standard recall repair for

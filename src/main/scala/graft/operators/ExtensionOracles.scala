@@ -524,6 +524,16 @@ object ExtensionOracles {
         |  FROM d)
         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin,
 
+    // trained-PQ recall gate: the oracle asserts recall_ok=1 for every
+    // query — the Spark side computes per-query recall of the trained
+    // codebook's search against the (value-hashed) brute-force top-k and
+    // thresholds at 4/5; any query under 0.8 flips a row to 0 and fails
+    // the hash. k-means itself is deliberately NOT mirrored in SQL.
+    "ann_pq_recall" ->
+      s"""SELECT CAST(vec_id AS BIGINT) AS qid, CAST(1 AS BIGINT) AS recall_ok
+         |FROM embeddings WHERE vec_id < ${Similarity.NQueryVectors}
+         |ORDER BY qid""".stripMargin,
+
     // PQ mirror: 64-dim embeddings, M=8 sub-spaces of 8 dims (the inner
     // ranges/offsets hardcode sub=8 accordingly); argmin code = first
     // minimal centroid index (strict < scan), ADC = nested inner fold

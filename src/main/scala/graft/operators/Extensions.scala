@@ -36,6 +36,15 @@ object Extensions {
     "ann_recall_at_k"  -> (Similarity.annRecallAtK _),
     "ann_ivf"          -> (Similarity.annIvf _),
     "ann_pq"           -> (Similarity.annPq _),
+    // recall-threshold gate for the TRAINED PQ codebook (k-means is not
+    // oracle-reproducible in SQL; annBrute is value-hashed by its own
+    // gate, so thresholded recall against it is the quality contract)
+    "ann_pq_recall"    -> (Similarity.annPqRecall _),
+    // rows-only (no oracle): trained IVF cells — recall on the synthetic
+    // random-vector corpus is data-bound (~nprobe/ncells of uniform
+    // neighbors), so the quality pin is SimilaritySpec's
+    // trained-vs-hash-picked comparison, not a threshold gate
+    "ann_ivf_trained"  -> (Similarity.annIvfTrained _),
     "ann_ivf_probe2"   -> (Similarity.annIvfProbe2 _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "knn_join"         -> (Similarity.knnJoin _),
