@@ -72,6 +72,66 @@ object Profiling {
       .orderBy("column_name")
   }
 
+  /** [[columnProfile]] with SKETCHED NDV — the form a 100 TB profiling
+    * scan should default to (the exact `countDistinct` above plans a
+    * #columns-way expand of the full scan; it stays registered as the
+    * exact-oracle gate). NDV is carried as the integer HLL register
+    * summary (n_buckets_hit, sum_rank, z_scaled — same columns as
+    * [[approxNdv]], estimate derived via [[hllEstimate]]; accuracy
+    * spec-pinned in HllSketchSpec).
+    *
+    * ONE scan, no expand: the register bucket joins the grouping key, so
+    * level 1 groups by (column, bucket) and carries BOTH the stats
+    * partials (count/min/max/sum) and the register max-rank; level 2
+    * folds the ≤ #columns·(2^p+1) partial rows per task into one row per
+    * column. The exchange carries partials, never values.
+    *
+    * Hash key: values are ≤ 2-decimal numerics, hashed as the scaled
+    * INTEGER string `CAST(round(v·100) AS BIGINT)` — double→string
+    * formatting is NOT engine-stable (scientific-notation cutoffs
+    * differ), while the scaled-integer string is identical in both
+    * engines (v·100 is the same IEEE double; round-half-up equals
+    * DuckDB's round-half-away for the positive values here, and the
+    * ≤ 2-decimal inputs keep fp error orders of magnitude below 0.5). */
+  def columnProfileApprox(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.{h32, h32b}
+    val stackArgs = ProfileColumns
+      .map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
+    val key = round(col("v") * 100).cast("long").cast("string")
+    val h52 = h32(key) * lit(1L << 20) + pmod(h32b(key), lit(1L << 20))
+    val w = shiftrightunsigned(col("h52"), HllP)
+    val rank = when(w === 0L, lit(HllMaxRank.toLong))
+      .otherwise(lit(HllMaxRank.toLong) - length(bin(w)).cast("long"))
+    Tables.lineitem(s, dir)
+      .select(expr(s"stack(${ProfileColumns.size}, $stackArgs) AS (column_name, v)"))
+      .withColumn("h52", h52)
+      .select(col("column_name"), col("v"),
+        pmod(col("h52"), lit(HllM.toLong)).as("bucket"), rank.as("rank"))
+      .groupBy("column_name", "bucket")
+      .agg(
+        count(lit(1)).as("c_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("c_null"),
+        min(col("v")).as("min_p"),
+        max(col("v")).as("max_p"),
+        sum(col("v").cast("decimal(28,2)")).as("sum_p"),
+        max(col("rank")).as("r"))
+      .groupBy("column_name")
+      .agg(
+        sum(col("c_rows")).as("n_rows"),
+        sum(col("c_null")).as("n_null"),
+        min(col("min_p")).as("min_v"),
+        max(col("max_p")).as("max_v"),
+        sum(col("sum_p")).cast("double").as("sum_v"),
+        // NULL values hash to a NULL bucket: that partial row carries
+        // null counts but is no register hit
+        count(when(col("bucket").isNotNull, lit(1))).as("n_buckets_hit"),
+        sum(when(col("bucket").isNotNull, col("r"))).as("sum_rank"),
+        sum(when(col("bucket").isNotNull,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllMaxRank - r AS INT))")))
+          .as("z_scaled"))
+      .orderBy("column_name")
+  }
+
   /** HyperLogLog register geometry (Flajolet et al. 2007): 2^p registers
     * over a 52-bit md5-derived hash (bits 52-p feed the rank). 52 bits
     * keeps every intermediate — h52, the scaled harmonic denominator

@@ -226,12 +226,22 @@ object Similarity {
     val emb = base.select(
       col("vec_id"), col("embedding"),
       signBucket(col("embedding"), dimsOf(base)).as("bucket"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    // top-k INSIDE the bucket block: each vector's full candidate set
+    // lives in its own bucket, so ranking over (bucket, vec_id) equals
+    // ranking over vec_id (bucket is functionally determined by the
+    // vector) — and a window clustered on (bucket, vec_id) is satisfied
+    // by the join's own hashpartitioning(bucket), so in the sort-merge
+    // regime (large corpus, no broadcast) the candidate pairs are
+    // ranked WITHOUT a second exchange (spec-pinned in ExtensionsSpec;
+    // the round-5 window on vec_id alone re-shuffled all pairs). */
+    val w = Window.partitionBy("bucket", "vec_id")
+      .orderBy(col("sim").desc, col("nbr_id").asc)
     emb.as("a")
       .join(emb.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
       .withColumn("sim", sim(col("a.embedding"), col("b.embedding")))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"), col("sim"))
+      .select(col("a.bucket").as("bucket"),
+        col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"), col("sim"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= KnnK)
       .select("vec_id", "nbr_id", "rank", "sim")

@@ -304,46 +304,57 @@ object TextAnalysis {
   val Bm25Query: Seq[String] = Seq("spark", "window", "merge")
 
   /** LEXICAL RANKING — BM25-style relevance of every document against a
-    * fixed query, the lexical side of a hybrid (lexical + vector)
-    * retrieval stack. One deliberate deviation keeps it hash-gateable:
+    * query, the lexical side of a hybrid (lexical + vector) retrieval
+    * stack. One deliberate deviation keeps it hash-gateable:
     * idf uses the RAW Robertson ratio `(N - df + 0.5)/(df + 0.5)`
     * instead of its log — `ln` differs between libm and the JVM in the
     * last ulp (same reason the HLL gate emits integers), while the
     * ratio is a single division of exactly-represented doubles,
     * bit-identical in both engines. Monotone per term, so per-term
     * ranking is unchanged; the blended score weights high-idf terms
-    * more than log-BM25 would (documented, constant across engines).
+    * more than log-BM25 would (documented, constant across engines). */
+  def bm25Score(s: SparkSession, dir: String): DataFrame =
+    bm25ScoreOf(Tables.documents(s, dir), Bm25Query)
+
+  /** [[bm25Score]] for an ARBITRARY query-term list.
     *
-    * Scale shape: tf comes from each row's own token array (scan-speed,
-    * no posting-list join); the corpus stats (N, avg length, per-term
-    * df) are one tiny aggregate broadcast back via a 1-row cross join.
-    * The fold over query terms is written in FIXED term order so the
-    * double sum is deterministic. */
-  def bm25Score(s: SparkSession, dir: String): DataFrame = {
-    val t = Tables.documents(s, dir)
+    * Scale shape: per-term tf comes from ONE pass over each row's token
+    * array — pre-filter to query hits, then fold the hits into a
+    * per-term count array — so the row-side plan carries a single
+    * projected column regardless of |query| (the round-5 formulation
+    * projected one filter() column per term: plan width O(|query|)).
+    * The corpus stats (N, avg length, per-term df) are one tiny
+    * aggregate broadcast back via a 1-row cross join; df reads the tf
+    * array, so the stats pass is one scan too. The fold over query
+    * terms is written in FIXED term order so the double sum is
+    * deterministic. Equality with the per-term-column formulation at 32
+    * terms is spec-pinned (ExtensionsSpec). */
+  def bm25ScoreOf(docs: DataFrame, query: Seq[String]): DataFrame = {
+    require(query.nonEmpty, "bm25 query must have at least one term")
+    require(query.distinct == query, "bm25 query terms must be distinct")
+    val qlit = typedLit(query)
+    val t = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("len", size(col("toks")).cast("long"))
+      .withColumn("tf", aggregate(
+        filter(col("toks"), tok => array_contains(qlit, tok)),
+        typedLit(Seq.fill(query.size)(0L)),
+        (acc, tok) => transform(acc, (c, i) =>
+          c + when(element_at(qlit, i + 1) === tok, 1L).otherwise(0L))))
     val statAggs =
       count(lit(1)).cast("double").as("n_docs") +:
         sum(col("len")).cast("double").as("sum_len") +:
-        Bm25Query.zipWithIndex.map { case (term, i) =>
-          sum(when(array_contains(col("toks"), term), 1L).otherwise(0L))
-            .cast("double").as(s"df_$i")
-        }
+        query.indices.map(i =>
+          sum(when(element_at(col("tf"), i + 1) > 0L, 1L).otherwise(0L))
+            .cast("double").as(s"df_$i"))
     val stats = t.agg(statAggs.head, statAggs.tail: _*)
-    // tf projected ONCE per term: the filter() HOF is interpreted (no
-    // codegen subexpression elimination), so referencing it in both the
-    // numerator and denominator would re-scan the token array per use
-    val withStats = Bm25Query.zipWithIndex
-      .foldLeft(t.crossJoin(broadcast(stats))) { case (df, (term, i)) =>
-        df.withColumn(s"tf_$i",
-          size(filter(col("toks"), x => x === term)).cast("double"))
-      }
+    val withStats = t.crossJoin(broadcast(stats))
     val avgLen = col("sum_len") / col("n_docs")
-    val score = Bm25Query.indices.map { i =>
+    val score = query.indices.map { i =>
+      val tf = element_at(col("tf"), i + 1).cast("double")
       val idf = (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))
-      val tfN = col(s"tf_$i") * (lit(Bm25K1) + 1.0) /
-        (col(s"tf_$i") +
+      val tfN = tf * (lit(Bm25K1) + 1.0) /
+        (tf +
           lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("len") / avgLen))
       idf * tfN
     }.reduce(_ + _)

@@ -163,6 +163,44 @@ object ExtensionOracles {
          |FROM v GROUP BY column_name ORDER BY column_name""".stripMargin
     },
 
+    // sketch-NDV profile: flat stats + HLL register mirror of the Spark
+    // side's two-level single-scan aggregate (values identical; DuckDB
+    // need not mirror the partial-agg shape). Hash key is the scaled
+    // INTEGER string of the ≤2-decimal values — engine-stable where
+    // double→VARCHAR formatting is not.
+    "column_profile_approx" -> {
+      import graft.functions.Profiling.{HllM, HllMaxRank, HllP}
+      val branches = graft.functions.Profiling.ProfileColumns
+        .map(c => s"SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+        .mkString("\n|  UNION ALL ")
+      val key = "CAST(CAST(round(v * 100) AS BIGINT) AS VARCHAR)"
+      s"""WITH v AS (
+         |  $branches),
+         |h AS (SELECT column_name,
+         |  ${h32(key)} * ${1L << 20} + (${h32b(key)} % ${1L << 20}) AS h52
+         |FROM v WHERE v IS NOT NULL),
+         |r AS (SELECT column_name, h52 % $HllM AS bucket,
+         |  CASE WHEN h52 // ${1L << HllP} = 0 THEN $HllMaxRank
+         |       ELSE $HllMaxRank - length(format('{:b}', h52 // ${1L << HllP})) END AS rank
+         |FROM h),
+         |reg AS (SELECT column_name, bucket, max(rank) AS r FROM r GROUP BY 1, 2),
+         |sk AS (SELECT column_name,
+         |  CAST(count(*) AS BIGINT) AS n_buckets_hit,
+         |  CAST(sum(r) AS BIGINT) AS sum_rank,
+         |  CAST(sum(CAST(1 AS BIGINT) << ($HllMaxRank - r)) AS BIGINT) AS z_scaled
+         |FROM reg GROUP BY 1),
+         |st AS (SELECT column_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  min(v) AS min_v, max(v) AS max_v,
+         |  CAST(sum(CAST(v AS DECIMAL(28,2))) AS DOUBLE) AS sum_v
+         |FROM v GROUP BY 1)
+         |SELECT st.column_name, n_rows, n_null, min_v, max_v, sum_v,
+         |  n_buckets_hit, sum_rank, z_scaled
+         |FROM st JOIN sk USING (column_name)
+         |ORDER BY column_name""".stripMargin
+    },
+
     "pii_scrub" -> {
       val email = TextAnalysis.EmailPattern
       val ip = TextAnalysis.Ipv4Pattern

@@ -64,6 +64,9 @@ object Extensions {
     // the estimate itself is spec-pinned in HllSketchSpec
     "approx_ndv"       -> (graft.functions.Profiling.approxNdv _),
     "column_profile"   -> (graft.functions.Profiling.columnProfile _),
+    // the sketch-NDV default for 100 TB profiling scans: one scan, no
+    // countDistinct expand; integer HLL register columns like approx_ndv
+    "column_profile_approx" -> (graft.functions.Profiling.columnProfileApprox _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> (Multimodal.mediaFrames _),
   )

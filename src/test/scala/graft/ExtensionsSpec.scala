@@ -295,6 +295,98 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
   }
 
+  test("bm25ScoreOf at 32 terms == the per-term-column formulation, single tf projection") {
+    import graft.functions.Portable.tokens
+    import graft.functions.TextAnalysis.{Bm25B, Bm25K1}
+    // 24 corpus terms + 8 absent ones (df=0 exercises the +0.5 smoothing)
+    val query = Seq(
+      "scan", "column", "window", "order", "sort", "part", "agg", "value",
+      "line", "key", "join", "merge", "spark", "table", "batch", "stream",
+      "hash", "filter", "query", "row", "data", "vector", "customer", "small",
+      "zz_absent_a", "zz_absent_b", "zz_absent_c", "zz_absent_d",
+      "zz_absent_e", "zz_absent_f", "zz_absent_g", "zz_absent_h")
+    val docs = graft.Tables.documents(spark, sf0001)
+    // reference: the round-5 formulation — one filter() column per term
+    val t = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("len", size(col("toks")).cast("long"))
+    val statAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+        sum(col("len")).cast("double").as("sum_len") +:
+        query.zipWithIndex.map { case (term, i) =>
+          sum(when(array_contains(col("toks"), term), 1L).otherwise(0L))
+            .cast("double").as(s"df_$i")
+        }
+    val stats = t.agg(statAggs.head, statAggs.tail: _*)
+    val withStats = query.zipWithIndex
+      .foldLeft(t.crossJoin(broadcast(stats))) { case (df, (term, i)) =>
+        df.withColumn(s"tf_$i",
+          size(filter(col("toks"), x => x === term)).cast("double"))
+      }
+    val avgLen = col("sum_len") / col("n_docs")
+    val refScore = query.indices.map { i =>
+      val idf = (col("n_docs") - col(s"df_$i") + lit(0.5)) / (col(s"df_$i") + lit(0.5))
+      val tfN = col(s"tf_$i") * (lit(Bm25K1) + 1.0) /
+        (col(s"tf_$i") +
+          lit(Bm25K1) * (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("len") / avgLen))
+      idf * tfN
+    }.reduce(_ + _)
+    val expected = withStats
+      .select(col("doc_id"), round(refScore, 6).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = graft.functions.TextAnalysis.bm25ScoreOf(docs, query)
+      .select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, s) =>
+      assert(got(id) == s, s"score mismatch for doc $id: ${got(id)} vs $s")
+    }
+    assert(got.values.exists(_ > 0.0), "no document scored above zero")
+    // plan width: the generalized row side projects ONE tf column
+    val plan = graft.functions.TextAnalysis.bm25ScoreOf(docs, query)
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("tf_1"), "generalized bm25 still projects per-term columns")
+  }
+
+  test("knnJoin ranks candidate pairs without a second exchange in the sort-merge regime") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val df = Similarity.knnJoin(spark, sf0001)
+      df.write.mode("overwrite").format("noop").save()
+      val plan = df.queryExecution.executedPlan.toString
+      // every hash exchange is keyed on bucket — the window rank reuses
+      // the join's hashpartitioning(bucket) instead of re-shuffling all
+      // candidate pairs on vec_id (the final orderBy is a
+      // rangepartitioning, not matched here)
+      val hashKeys = "Exchange hashpartitioning\\(([^)]*)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(hashKeys.nonEmpty, s"no hash exchange found:\n$plan")
+      hashKeys.foreach(k => assert(k.contains("bucket"),
+        s"candidate pairs re-shuffled on '$k' instead of ranking in place:\n$plan"))
+      // values unchanged vs the round-5 formulation (window on vec_id)
+      val base = graft.Tables.embeddings(spark, sf0001).select("vec_id", "embedding")
+      val dims = Similarity.signBucketDimsFor(base.count())
+      val emb = base.select(col("vec_id"), col("embedding"),
+        Similarity.signBucket(col("embedding"), dims).as("bucket"))
+      val wRef = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("nbr_id").asc)
+      val ref = emb.as("a")
+        .join(emb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .withColumn("sim",
+          round(graft.functions.expressions.CosineSimilarity(
+            col("a.embedding"), col("b.embedding")), 6))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"), col("sim"))
+        .withColumn("rank", row_number().over(wRef).cast("long"))
+        .filter(col("rank") <= Similarity.KnnK)
+        .select("vec_id", "nbr_id", "rank", "sim")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows(df) == rows(ref), "bucket-clustered ranking changed knnJoin values")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("trained PQ: recall gate >= 0.8 per query, codebook deterministic") {
     val gate = Similarity.annPqRecall(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
