@@ -86,6 +86,40 @@ object StreamingNearDup {
     eq.toDouble / Perms
   }
 
+  /** The per-bucket state transition — exposed so the timeout/overflow
+    * semantics are unit-testable with `TestGroupState` (wall-clock
+    * processing-time timeouts are not deterministically drivable
+    * through MemoryStream). A timed-out bucket is removed outright: its
+    * payload IS the value (no version chain to preserve), so one idle
+    * period frees both payload and key. */
+  private[streaming] def bucketUpdate(
+      maxBucket: Int,
+      idleTimeout: Option[scala.concurrent.duration.FiniteDuration])(
+      key: (Int, Long), it: Iterator[((Int, Long), Long, Array[Long])],
+      state: GroupState[Seq[(Long, Array[Long])]]): Iterator[CandidatePair] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val held = state.getOption.getOrElse(Seq.empty)
+      // deterministic intra-batch order; skip ids already held
+      // (an exact replay must not pair a doc with itself)
+      val heldIds = held.iterator.map(_._1).toSet
+      val arrivals = it.map(t => (t._2, t._3)).toSeq
+        .filterNot(a => heldIds(a._1))
+        .distinctBy(_._1).sortBy(_._1)
+      var acc = held
+      val out = Seq.newBuilder[CandidatePair]
+      arrivals.foreach { case (id, sig) =>
+        acc.foreach { case (oid, osig) =>
+          out += CandidatePair(math.min(id, oid), math.max(id, oid),
+            estJaccard(sig, osig))
+        }
+        if (acc.size < maxBucket) acc = acc :+ ((id, sig))
+      }
+      state.update(acc)
+      idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))
+      out.result().iterator
+    }
+
   /** Candidate pairs (doc_a < doc_b, signature-estimated Jaccard) from
     * a stream of (doc_id, text). */
   def candidates(
@@ -104,31 +138,7 @@ object StreamingNearDup {
         bandHashes(sig).zipWithIndex.map { case (h, b) => ((b, h), id, sig) }
       }
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf) {
-        (_: (Int, Long), it: Iterator[((Int, Long), Long, Array[Long])],
-         state: GroupState[Seq[(Long, Array[Long])]]) =>
-          if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else {
-            val held = state.getOption.getOrElse(Seq.empty)
-            // deterministic intra-batch order; skip ids already held
-            // (an exact replay must not pair a doc with itself)
-            val heldIds = held.iterator.map(_._1).toSet
-            val arrivals = it.map(t => (t._2, t._3)).toSeq
-              .filterNot(a => heldIds(a._1))
-              .distinctBy(_._1).sortBy(_._1)
-            var acc = held
-            val out = Seq.newBuilder[CandidatePair]
-            arrivals.foreach { case (id, sig) =>
-              acc.foreach { case (oid, osig) =>
-                out += CandidatePair(math.min(id, oid), math.max(id, oid),
-                  estJaccard(sig, osig))
-              }
-              if (acc.size < maxBucket) acc = acc :+ ((id, sig))
-            }
-            state.update(acc)
-            idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))
-            out.result().iterator
-          }
-      }
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        bucketUpdate(maxBucket, idleTimeout))
   }
 }

@@ -101,9 +101,97 @@ class CheckpointRecoverySpec extends SparkTestBase {
       assert(latest.get("y").contains(1L) && latest.get("z").contains(1L), latest.toString)
     } finally q2.stop()
   }
+
+  test("StreamingNdv register state survives stop/restart via checkpointLocation") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft_ckpt_ndv").toString
+    val stream = MemoryStream[String]
+    def plan = StreamingNdv.ndv(stream.toDS(), groups = 1)
+
+    def start() = plan.writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[StreamingNdv.NdvSnapshot], _: Long) =>
+        val rows = batch.collect()
+        CheckpointRecoverySpec.ndvSnaps.synchronized {
+          CheckpointRecoverySpec.ndvSnaps ++= rows
+        }
+        ()
+      }.start()
+
+    val tokensA = (0 until 2000).map(i => s"a_$i")
+    val tokensB = (0 until 2000).map(i => s"b_$i")
+    val q1 = start()
+    try {
+      stream.addData(tokensA)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      stream.addData(tokensB)
+      q2.processAllAvailable()
+      val latest = CheckpointRecoverySpec.ndvSnaps.synchronized {
+        CheckpointRecoverySpec.ndvSnaps.maxBy(_.batch)
+      }
+      // register parity with the batch aggregate over BOTH halves: the
+      // serialized registers were restored from the StateStore — a
+      // restart-from-empty sketch would only cover tokensB
+      val batch = graft.functions.Profiling.hllSummary(
+          (tokensA ++ tokensB).map(t => (0, t)).toDF("g", "tok"), "g", "tok")
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).head
+      assert(latest.batch == 2L, s"version did not resume across restart: $latest")
+      assert((latest.n_buckets_hit, latest.sum_rank, latest.z_scaled) == batch,
+        s"registers diverge from the cumulative batch aggregate: $latest vs $batch")
+    } finally q2.stop()
+  }
+
+  test("StreamingNearDup bucket index survives stop/restart via checkpointLocation") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft_ckpt_neardup").toString
+    val stream = MemoryStream[(Long, String)]
+    def plan = StreamingNearDup.candidates(stream.toDS())
+
+    def start() = plan.writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[StreamingNearDup.CandidatePair], _: Long) =>
+        val rows = batch.collect()
+        CheckpointRecoverySpec.pairSnaps.synchronized {
+          CheckpointRecoverySpec.pairSnaps ++= rows
+        }
+        ()
+      }.start()
+
+    val text = "alpha beta gamma delta epsilon zeta"
+    val q1 = start()
+    try {
+      stream.addData(Seq(1L -> text, 2L -> text))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      stream.addData(Seq(3L -> text))
+      q2.processAllAvailable()
+      val pairs = CheckpointRecoverySpec.pairSnaps.synchronized {
+        CheckpointRecoverySpec.pairSnaps.map(p => (p.doc_a, p.doc_b)).distinct.toSet
+      }
+      // (1,3) and (2,3) require the pre-restart signatures: the bucket
+      // index was restored from the StateStore, not rebuilt from empty
+      assert(Set((1L, 2L), (1L, 3L), (2L, 3L)).subsetOf(pairs),
+        s"bucket index lost across restart: $pairs")
+    } finally q2.stop()
+  }
 }
 
 object CheckpointRecoverySpec {
   val results: mutable.ListBuffer[(String, Int)] = mutable.ListBuffer.empty
   val snapshots: mutable.ListBuffer[StreamingTopK.Snapshot] = mutable.ListBuffer.empty
+  val ndvSnaps: mutable.ListBuffer[StreamingNdv.NdvSnapshot] = mutable.ListBuffer.empty
+  val pairSnaps: mutable.ListBuffer[StreamingNearDup.CandidatePair] = mutable.ListBuffer.empty
 }

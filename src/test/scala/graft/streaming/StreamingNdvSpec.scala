@@ -72,4 +72,50 @@ class StreamingNdvSpec extends SparkTestBase {
       assert(math.abs(byBatch(2L) - 6000) / 6000.0 < 0.1, s"batch2 ${byBatch(2L)}")
     } finally query.stop()
   }
+
+  test("idle eviction: payload tombstoned after one idle period, key removed after two") {
+    // deterministic timeout drive via TestGroupState — a wall-clock
+    // 500 ms ProcessingTimeTimeout through MemoryStream schedules
+    // continuous no-data micro-batches and starves processAllAvailable
+    import scala.concurrent.duration._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val timeout = Some(500.millis)
+    def mkState(s: Option[(Long, Array[Byte])], timedOut: Boolean) =
+      TestGroupState.create[(Long, Array[Byte])](
+        s.map(Optional.of[(Long, Array[Byte])]).getOrElse(Optional.empty()),
+        GroupStateTimeout.ProcessingTimeTimeout,
+        1000L, Optional.empty[Long], timedOut)
+
+    // stage 1: a live sketch times out -> payload dropped to a version
+    // tombstone, key retained, timer RE-ARMED (the round-5 bug left the
+    // tombstone timerless, accumulating for the life of the query)
+    val sketch = new Hll()
+    (0 until 50).foreach(i => sketch.add(s"t_$i"))
+    val live = mkState(Some((3L, sketch.serialized)), timedOut = true)
+    assert(StreamingNdv.ndvUpdate(timeout)(0, Iterator.empty, live).isEmpty)
+    assert(live.isUpdated && !live.isRemoved)
+    assert(live.get._1 == 3L && live.get._2.isEmpty,
+      s"expected version-preserving empty tombstone, got ${live.get}")
+    assert(live.getTimeoutTimestampMs.get() == 1500L,
+      "tombstone timer not re-armed — tombstones would accumulate forever")
+
+    // stage 2: the tombstone itself times out -> key removed outright
+    val tomb = mkState(Some((3L, Array.emptyByteArray)), timedOut = true)
+    assert(StreamingNdv.ndvUpdate(timeout)(0, Iterator.empty, tomb).isEmpty)
+    assert(tomb.isRemoved, "tombstoned key not collected on its second idle period")
+
+    // a group returning mid-tombstone continues its version chain
+    val back = mkState(Some((3L, Array.emptyByteArray)), timedOut = false)
+    val snapBack = StreamingNdv.ndvUpdate(timeout)(0, Iterator("x", "y"), back).toSeq
+    assert(snapBack.map(_.batch) == Seq(4L), s"version chain broken: $snapBack")
+    assert(math.abs(snapBack.head.estimate - 2.0) < 0.5,
+      "tombstone payload should restart the sketch empty")
+
+    // a group returning after full removal restarts at version 1
+    val fresh = mkState(None, timedOut = false)
+    val snapFresh = StreamingNdv.ndvUpdate(timeout)(0, Iterator("x"), fresh).toSeq
+    assert(snapFresh.map(_.batch) == Seq(1L))
+    assert(fresh.getTimeoutTimestampMs.get() == 1500L, "live group timer not armed")
+  }
 }

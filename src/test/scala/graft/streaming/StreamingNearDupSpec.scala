@@ -89,4 +89,63 @@ class StreamingNearDupSpec extends SparkTestBase {
       assert(pairs == expected, s"got $pairs")
     } finally query.stop()
   }
+
+  test("bucket overflow across micro-batches: state rows stay bounded, held docs keep matching") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val out = StreamingNearDup.candidates(stream.toDS(), maxBucket = 2)
+    val query = SourceKit.Sinks.toMemory(out.toDF(), "near_dup_bound")
+    def stateRows: Long = query.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      val text = "alpha beta gamma delta epsilon zeta"
+      // batch 1 fills every bucket to the cap (identical texts share all
+      // 16 (band, hash) keys)
+      stream.addData(Seq(1L -> text, 2L -> text)); query.processAllAvailable()
+      assert(stateRows == StreamingNearDup.Bands.toLong,
+        s"expected one state row per band, got $stateRows")
+      // batch 2 overflows: arrivals still match the HELD docs but the
+      // state-store row count must not move — recall degrades gracefully
+      // (3-4 never pair: neither is held) instead of state growing
+      stream.addData(Seq(3L -> text, 4L -> text)); query.processAllAvailable()
+      assert(stateRows == StreamingNearDup.Bands.toLong,
+        s"state grew past the bucket cap: $stateRows rows")
+      val pairs = spark.table("near_dup_bound").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).distinct.toSet
+      val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      assert(pairs == expected, s"got $pairs")
+    } finally query.stop()
+  }
+
+  test("idle eviction removes cold buckets outright (TestGroupState)") {
+    // deterministic timeout drive — wall-clock ProcessingTimeTimeout
+    // through MemoryStream schedules continuous no-data micro-batches
+    // and starves processAllAvailable
+    import scala.concurrent.duration._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val timeout = Some(500.millis)
+    val sigA = StreamingNearDup.signature("alpha beta gamma delta epsilon zeta")
+    def mkState(s: Option[Seq[(Long, Array[Long])]], timedOut: Boolean) =
+      TestGroupState.create[Seq[(Long, Array[Long])]](
+        s.map(Optional.of[Seq[(Long, Array[Long])]]).getOrElse(Optional.empty()),
+        GroupStateTimeout.ProcessingTimeTimeout,
+        1000L, Optional.empty[Long], timedOut)
+
+    // a cold bucket is removed in one idle period — the payload IS the
+    // value (no version chain), so nothing is tombstoned
+    val cold = mkState(Some(Seq(1L -> sigA, 2L -> sigA)), timedOut = true)
+    val out = StreamingNearDup.bucketUpdate(64, timeout)((0, 7L), Iterator.empty, cold)
+    assert(out.isEmpty && cold.isRemoved, "cold bucket not removed on idle timeout")
+
+    // live updates re-arm the idle timer and pair against held docs;
+    // eviction then means later arrivals simply re-index fresh
+    val live = mkState(Some(Seq(1L -> sigA, 2L -> sigA)), timedOut = false)
+    val emitted = StreamingNearDup.bucketUpdate(2, timeout)(
+      (0, 7L), Iterator(((0, 7L), 3L, sigA)), live).toSeq
+    assert(emitted.map(p => (p.doc_a, p.doc_b)).toSet == Set((1L, 3L), (2L, 3L)))
+    assert(live.get.size == 2, "full bucket must not grow past maxBucket")
+    assert(live.getTimeoutTimestampMs.get() == 1500L, "live bucket timer not re-armed")
+  }
 }
