@@ -125,7 +125,14 @@ object StreamingBench {
     * whether or not the partition holds data — a 4-group sketch pipeline
     * on 32 partitions commits 28 empty stores per batch for nothing.
     * Sizing state partitions to key cardinality/state volume is the
-    * production posture; core count is the batch-side default only. */
+    * production posture; core count is the batch-side default only.
+    *
+    * SINGLE-THREADED by assumption: this mutates the session-global
+    * `spark.sql.shuffle.partitions` and restores it in `finally` —
+    * safe for the sequential bench, but a query started CONCURRENTLY in
+    * the same session would silently pick up the temporary value. A
+    * parallelized bench must scope the override to a dedicated
+    * `SparkSession.newSession()` per line item instead. */
   private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", n.toString)

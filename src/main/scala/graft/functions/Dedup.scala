@@ -678,7 +678,12 @@ object Dedup {
     * pos bound is ENFORCED with a runtime error, not just documented. */
   def dedupLinesOf(corpus: DataFrame): DataFrame = {
     val lines = corpus
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      // filter-empty instead of trim: SQL trim strips SPACES only, so a
+      // leading tab/newline would smuggle an empty token into the first
+      // chunk; dropping empty tokens handles every whitespace edge the
+      // same way in both engines (fuzz-pinned with tab/newline edges)
+      .select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), t => t =!= "").as("toks"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0),

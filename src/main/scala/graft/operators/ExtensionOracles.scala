@@ -519,7 +519,9 @@ object ExtensionOracles {
          |  SELECT doc_id + ${Dedup.LineDupOffset},
          |         '${Dedup.BoilerplateLine} ' || text
          |  FROM documents WHERE doc_id % 10 = 0),
-         |tokd AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM corpus),
+         |tokd AS (SELECT doc_id,
+         |  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+         |FROM corpus),
          |numbered AS (
          |  SELECT doc_id,
          |         unnest(range(CAST(ceil(len(toks) / ${Dedup.LineChunk}.0) AS BIGINT))) AS pos,

@@ -759,8 +759,19 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"),
         lit("U").as("o_orderstatus"), dec2(col("price") + 100).as("price"),
         lit("upsert").as("op"))
+    // insert keys offset past max(o_orderkey), rounded up to the next
+    // billion — a fixed constant would collide with real keys at
+    // SF ≳ 150 (orderkeys reach ~6M·SF), silently violating the MERGE
+    // key-uniqueness contract in a way the cross-engine gate cannot see
+    // (both engines would agree). One broadcast 1-row max; exact BIGINT
+    // arithmetic so the oracle derives the identical offset.
+    val maxKey = base.agg(max(col("o_orderkey")).as("mk"))
     val ins = base.filter(col("o_orderkey") % 17 === 0)
-      .select((col("o_orderkey") + 900000000L).as("o_orderkey"), col("o_custkey"),
+      .crossJoin(broadcast(maxKey))
+      .select(
+        (col("o_orderkey") + expr("((mk div 1000000000) + 1) * 1000000000"))
+          .as("o_orderkey"),
+        col("o_custkey"),
         lit("N").as("o_orderstatus"), col("price"), lit("upsert").as("op"))
     val del = base.filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 10 =!= 0)
       .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),

@@ -341,13 +341,15 @@ object RelationalOracles {
         |  SELECT o_orderkey, o_custkey, o_orderstatus,
         |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
         |  FROM orders),
+        |mk AS (SELECT ((max(o_orderkey) // 1000000000) + 1) * 1000000000 AS off
+        |       FROM base),
         |changes AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
         |         CAST(price + 100 AS DECIMAL(18,2)) AS price, 'upsert' AS op
         |  FROM base WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 900000000, o_custkey, 'N', price, 'upsert'
-        |  FROM base WHERE o_orderkey % 17 = 0
+        |  SELECT o_orderkey + off, o_custkey, 'N', price, 'upsert'
+        |  FROM base, mk WHERE o_orderkey % 17 = 0
         |  UNION ALL
         |  SELECT o_orderkey, CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
         |         CAST(NULL AS DECIMAL(18,2)), 'delete'

@@ -842,12 +842,14 @@ class ExtensionsSpec extends SparkTestBase {
       val docs = Seq.tabulate(10 + rnd.nextInt(30)) { id =>
         val n = 1 + rnd.nextInt(40)
         val body = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
-        // whitespace edges: leading/trailing blanks and an occasional
-        // all-whitespace doc must not diverge from the trimmed model
-        val deco = rnd.nextInt(4) match {
-          case 0 => s"  $body"
-          case 1 => s"$body  "
-          case 2 if id % 7 == 3 => "   "
+        // whitespace edges: leading/trailing blanks INCLUDING tabs and
+        // newlines (SQL trim strips spaces only — the operator must not
+        // depend on it), and an occasional all-whitespace doc
+        val deco = rnd.nextInt(6) match {
+          case 0 => s" \t$body"
+          case 1 => s"$body\n "
+          case 2 => s"\n$body\t"
+          case 3 if id % 7 == 3 => " \t\n "
           case _ => body
         }
         (id.toLong, deco)

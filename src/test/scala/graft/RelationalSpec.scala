@@ -188,6 +188,9 @@ class RelationalSpec extends SparkTestBase {
     val rows = Relational.q42Upsert(spark, sf0001).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getDouble(3)))
     val got = rows.toMap
+    // insert offset = max key rounded up to the next billion (derived,
+    // not fixed — a constant collides with real keys at SF >= ~150)
+    val off = (base.keys.max / 1000000000L + 1L) * 1000000000L
     // keys are unique in the merged output (the MERGE contract)
     assert(got.size == rows.length)
     base.keys.foreach { k =>
@@ -199,7 +202,7 @@ class RelationalSpec extends SparkTestBase {
         else assert(got(k)._2 == base(k)._2, s"status changed on untouched $k")
       }
       if (k % 17 == 0)
-        assert(got.contains(k + 900000000L) && got(k + 900000000L)._2 == "N",
+        assert(got.contains(k + off) && got(k + off)._2 == "N",
           s"insert missing for $k")
     }
   }
