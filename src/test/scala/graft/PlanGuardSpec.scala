@@ -24,10 +24,14 @@ class PlanGuardSpec extends SparkTestBase {
     * scan IS the design; IVF cells bound it when composed); bm25_score
     * cross-joins every document against the broadcast ONE-ROW corpus
     * statistics aggregate (N, avg length, per-term df); q43_zorder the
-    * same against its ONE-ROW dimension min/max row. */
+    * same against its ONE-ROW dimension min/max row; q42_upsert the
+    * same against its ONE-ROW max-key row (derived insert offset);
+    * ann_pq_recall composes the two by-design scans above (brute
+    * baseline + trained-codebook ADC scan); ann_ivf_trained is the same
+    * K-bounded centroid-assignment cross join as ann_ivf. */
   private val bnljByDesign = Set(
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
-    "bm25_score", "q43_zorder")
+    "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_trained")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative = Set("dedup_components", "dedup_components_minlabel")
