@@ -80,11 +80,13 @@ object Profiling {
     * [[approxNdv]], estimate derived via [[hllEstimate]]; accuracy
     * spec-pinned in HllSketchSpec).
     *
-    * ONE scan, no expand: the register bucket joins the grouping key, so
-    * level 1 groups by (column, bucket) and carries BOTH the stats
-    * partials (count/min/max/sum) and the register max-rank; level 2
-    * folds the ≤ #columns·(2^p+1) partial rows per task into one row per
-    * column. The exchange carries partials, never values.
+    * ONE scan, no expand, three stacked aggregates: level 0 collapses
+    * to DISTINCT (column, value) with a count (map-side combine does
+    * most of it before the first exchange — and it is what bounds the
+    * digest cost: each distinct value is hashed ONCE, not once per
+    * row); level 1 groups by (column, register-bucket) carrying the
+    * count-weighted stats partials AND the register max-rank; level 2
+    * folds ≤ #columns·(2^p+1) rows into one row per column.
     *
     * Hash key: values are ≤ 2-decimal numerics, hashed as the scaled
     * INTEGER string `CAST(round(v·100) AS BIGINT)` — double→string
@@ -92,28 +94,43 @@ object Profiling {
     * differ), while the scaled-integer string is identical in both
     * engines (v·100 is the same IEEE double; round-half-up equals
     * DuckDB's round-half-away for the positive values here, and the
-    * ≤ 2-decimal inputs keep fp error orders of magnitude below 0.5). */
+    * ≤ 2-decimal inputs keep fp error orders of magnitude below 0.5).
+    * h52 is the first 13 hex chars of ONE md5 — the h32·2^20+h32b
+    * construction [[hllSummary]] keeps (for its text-token gate parity)
+    * digests the same key twice; this variant halves that. */
   def columnProfileApprox(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.Portable.{h32, h32b}
     val stackArgs = ProfileColumns
       .map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
+    // Hash cost discipline (the reason this beats the exact expand):
+    //  1. hash once per DISTINCT (column, value) — the level-0 aggregate
+    //     collapses the stacked rows map-side before any digest runs
+    //     (2.4M stacked rows → ~600k distinct at sf0.1; a price column
+    //     is the worst case, every other column collapses 10-10^5×);
+    //  2. ONE md5 per key, h52 = its first 13 hex chars (52 bits) —
+    //     the h32/h32b construction [[hllSummary]] uses costs a second
+    //     digest of the same key for its low 20 bits (measured 2×).
+    // Stats ride the same pre-aggregate weighted by the distinct count,
+    // so the whole profile is still one scan.
     val key = round(col("v") * 100).cast("long").cast("string")
-    val h52 = h32(key) * lit(1L << 20) + pmod(h32b(key), lit(1L << 20))
+    val h52 = expr("CAST(conv(substring(md5(k), 1, 13), 16, 10) AS BIGINT)")
     val w = shiftrightunsigned(col("h52"), HllP)
     val rank = when(w === 0L, lit(HllMaxRank.toLong))
       .otherwise(lit(HllMaxRank.toLong) - length(bin(w)).cast("long"))
     Tables.lineitem(s, dir)
       .select(expr(s"stack(${ProfileColumns.size}, $stackArgs) AS (column_name, v)"))
+      .groupBy("column_name", "v")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", key)
       .withColumn("h52", h52)
-      .select(col("column_name"), col("v"),
+      .select(col("column_name"), col("v"), col("n"),
         pmod(col("h52"), lit(HllM.toLong)).as("bucket"), rank.as("rank"))
       .groupBy("column_name", "bucket")
       .agg(
-        count(lit(1)).as("c_rows"),
-        sum(when(col("v").isNull, 1L).otherwise(0L)).as("c_null"),
+        sum(col("n")).as("c_rows"),
+        sum(when(col("v").isNull, col("n")).otherwise(0L)).as("c_null"),
         min(col("v")).as("min_p"),
         max(col("v")).as("max_p"),
-        sum(col("v").cast("decimal(28,2)")).as("sum_p"),
+        sum(col("v").cast("decimal(28,2)") * col("n")).as("sum_p"),
         max(col("rank")).as("r"))
       .groupBy("column_name")
       .agg(

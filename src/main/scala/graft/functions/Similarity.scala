@@ -344,6 +344,36 @@ object Similarity {
     * adjacent cell). Candidates stay bounded to two cell populations. */
   def annIvfProbe2(s: SparkSession, dir: String): DataFrame = ivfSearch(s, dir, 2)
 
+  /** IVF-PQ — the production composition (FAISS IVF-PQ) shipped as one
+    * operator: the coarse codebook bounds each query's candidate set to
+    * its nprobe=2 probed cells, PQ ADC scores those candidates reading
+    * M code ints per candidate (the float column is never read at score
+    * time), and the constant [[PqRefine]] re-rank is exact. At a
+    * billion vectors this is what makes ANN both bounded (candidates
+    * ≈ nprobe·n/K per query) and cheap per candidate (M bytes instead
+    * of dim floats). Hash-picked codebooks for BOTH stages keep the
+    * full composition exact-oracle-checkable; the trained-codebook
+    * variants of each stage are gated separately (ann_pq_recall,
+    * ann_ivf_trained). */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = ivfCodebook(emb)
+    val centLit = typedLit(pqCodebook(emb))
+    val coded = assignCells(emb, cents).select(
+      col("vec_id").as("cid"), col("embedding").as("cv"), col("cell"),
+      expressions.PqCodes(col("embedding"), centLit, PqM).as("codes"))
+    val probes = probeCells(emb, cents, nprobe = 2)
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid").asc)
+    val refined = coded
+      .join(broadcast(probes),
+        col("probe_cell") === col("cell") && col("qid") =!= col("cid"))
+      .withColumn("adc", expressions.PqAdcScore(col("qv"), col("codes"), centLit, PqM))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PqRefine)
+      .withColumn("sim", sim(col("qv"), col("cv")))
+    ranked(refined.select("qid", "cid", "qv", "cv", "sim"))
+  }
+
   /** Product-quantization parameters: M sub-spaces × K centroids per
     * sub-space. 64-dim embeddings → 8-dim slices; 8 one-byte-ish codes
     * replace 256 bytes of floats (32× compression). Fixed and

@@ -176,9 +176,10 @@ object ExtensionOracles {
       val key = "CAST(CAST(round(v * 100) AS BIGINT) AS VARCHAR)"
       s"""WITH v AS (
          |  $branches),
+         |dv AS (SELECT column_name, v FROM v WHERE v IS NOT NULL GROUP BY 1, 2),
          |h AS (SELECT column_name,
-         |  ${h32(key)} * ${1L << 20} + (${h32b(key)} % ${1L << 20}) AS h52
-         |FROM v WHERE v IS NOT NULL),
+         |  CAST('0x' || substring(md5($key), 1, 13) AS BIGINT) AS h52
+         |FROM dv),
          |r AS (SELECT column_name, h52 % $HllM AS bucket,
          |  CASE WHEN h52 // ${1L << HllP} = 0 THEN $HllMaxRank
          |       ELSE $HllMaxRank - length(format('{:b}', h52 // ${1L << HllP})) END AS rank
@@ -631,6 +632,86 @@ object ExtensionOracles {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS BIGINT) AS rn
          |  FROM ref)
          |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
+    },
+
+    // IVF-PQ composition: probe2's cell CTEs feed ann_pq's codes/ADC
+    // CTEs — candidates restricted to each query's two probed cells,
+    // ADC-ranked, top-PqRefine exactly re-scored. Same loop orders as
+    // the component oracles (both independently hash-verified).
+    "ann_ivf_pq" -> {
+      val dotFold = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))),
+           |      (x, y) -> x + y)""".stripMargin
+      s"""WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+        |      (a, b) -> a + b)) AS nrm
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e
+        |      ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id
+        |      LIMIT ${Similarity.IvfCodebookK}),
+        |ac AS (
+        |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cv[i+1] AS DOUBLE))),
+        |      (x, y) -> x + y) / (e.nrm * c.cnrm), 6) AS csim
+        |  FROM e, c),
+        |a AS (
+        |  SELECT vec_id, embedding, nrm, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+        |  FROM ac),
+        |asg AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM a WHERE arn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, cent_id AS probe_cell
+        |      FROM a WHERE arn <= 2 AND vec_id < ${Similarity.NQueryVectors}),
+        |pq0 AS (
+        |  SELECT vec_id, embedding, ${h32("CAST(vec_id AS VARCHAR)")} AS hk
+        |  FROM embeddings ORDER BY hk, vec_id LIMIT ${Similarity.PqK}),
+        |pqc AS (
+        |  SELECT embedding AS cv,
+        |    CAST(row_number() OVER (ORDER BY hk, vec_id) - 1 AS INTEGER) AS cidx
+        |  FROM pq0),
+        |cl AS (SELECT list(cv ORDER BY cidx) AS cl FROM pqc),
+        |dists AS (
+        |  SELECT e2.vec_id, m.m, pc.cidx,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(8), j ->
+        |        (CAST(e2.embedding[m.m*8+j+1] AS DOUBLE) - CAST(pc.cv[m.m*8+j+1] AS DOUBLE))
+        |        * (CAST(e2.embedding[m.m*8+j+1] AS DOUBLE) - CAST(pc.cv[m.m*8+j+1] AS DOUBLE)))),
+        |      (a, b) -> a + b) AS dist
+        |  FROM embeddings e2, range(${Similarity.PqM}) m(m), pqc pc),
+        |codes AS (
+        |  SELECT vec_id, list(cidx ORDER BY m) AS codes FROM (
+        |    SELECT vec_id, m, cidx,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY dist ASC, cidx ASC) AS rn
+        |    FROM dists) WHERE rn = 1 GROUP BY vec_id),
+        |cand AS (
+        |  SELECT q.qid, q.qv, asg.vec_id AS cid, asg.embedding AS cv
+        |  FROM q JOIN asg ON q.probe_cell = asg.cell AND q.qid <> asg.vec_id),
+        |adc AS (
+        |  SELECT cand.qid, cand.cid, cand.qv, cand.cv,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(${Similarity.PqM}), m ->
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(range(8), j ->
+        |            CAST(cand.qv[m*8+j+1] AS DOUBLE) * CAST(cl.cl[k.codes[m+1]+1][m*8+j+1] AS DOUBLE))),
+        |          (a, b) -> a + b))),
+        |      (x, y) -> x + y) AS adc
+        |  FROM cand CROSS JOIN cl JOIN codes k ON cand.cid = k.vec_id),
+        |top AS (
+        |  SELECT qid, cid, qv, cv,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc DESC, cid ASC) AS arn
+        |  FROM adc),
+        |ref AS (
+        |  SELECT qid, cid,
+        |    round(${dotFold("qv", "cv")}
+        |      / (sqrt(${dotFold("qv", "qv")}) * sqrt(${dotFold("cv", "cv")})), 6) AS sim
+        |  FROM top WHERE arn <= ${Similarity.PqRefine}),
+        |r AS (SELECT qid, cid, sim,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS BIGINT) AS rn
+        |  FROM ref)
+        |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
     },
 
     "ann_lsh_bucketed" ->

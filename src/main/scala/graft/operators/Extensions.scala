@@ -46,6 +46,10 @@ object Extensions {
     // trained-vs-hash-picked comparison, not a threshold gate
     "ann_ivf_trained"  -> (Similarity.annIvfTrained _),
     "ann_ivf_probe2"   -> (Similarity.annIvfProbe2 _),
+    // the FAISS IVF-PQ composition: cell-bounded candidates, ADC-coded
+    // scoring, constant exact refine — exact-oracle-checkable because
+    // both codebooks are hash-picked
+    "ann_ivf_pq"       -> (Similarity.annIvfPq _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "knn_join"         -> (Similarity.knnJoin _),
     "embed_centroids"  -> (Similarity.embedCentroids _),

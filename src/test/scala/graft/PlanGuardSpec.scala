@@ -31,6 +31,7 @@ class PlanGuardSpec extends SparkTestBase {
     * K-bounded centroid-assignment cross join as ann_ivf. */
   private val bnljByDesign = Set(
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
+    "ann_ivf_pq",
     "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_trained")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
