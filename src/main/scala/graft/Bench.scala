@@ -50,7 +50,7 @@ object Bench {
       "streaming_running_reduce", "streaming_count_windows",
       "streaming_topk", "streaming_ttl_rocksdb", "streaming_dedup",
       "streaming_quantiles", "streaming_interval_join", "streaming_ndv",
-      "streaming_near_dup")
+      "streaming_near_dup", "streaming_session_window")
     val known = SparkEntry.queries.keySet ++ streamingItems
     val only: Option[Set[String]] = if (args.isEmpty) None else Some(args.toSet)
     only.foreach { names =>
@@ -130,7 +130,9 @@ object Bench {
       "streaming_ndv" ->
         timeOnce("streaming_ndv", () => StreamingBench.ndvPipeline(spark, sfDir)),
       "streaming_near_dup" ->
-        timeOnce("streaming_near_dup", () => StreamingBench.nearDupPipeline(spark, sfDir)))
+        timeOnce("streaming_near_dup", () => StreamingBench.nearDupPipeline(spark, sfDir)),
+      "streaming_session_window" ->
+        timeOnce("streaming_session_window", () => StreamingBench.sessionWindowPipeline(spark, sfDir)))
     StreamingBench.clearMemo()
 
     val all = (results :+ coldDedup :+ streamingTtl :++ streamingMore)

@@ -75,13 +75,20 @@ object StreamingBench {
       stream: MemoryStream[T],
       out: org.apache.spark.sql.Dataset[_],
       batches: (IndexedSeq[T], IndexedSeq[T]),
+      tag: String)(check: Long => Unit): Unit =
+    runBatches(spark, stream, out, Seq(batches._1, batches._2), tag)(check)
+
+  private def runBatches[T](
+      spark: SparkSession,
+      stream: MemoryStream[T],
+      out: org.apache.spark.sql.Dataset[_],
+      batches: Seq[IndexedSeq[T]],
       tag: String)(check: Long => Unit): Unit = {
     val sinkName = s"bench_${tag}_${System.nanoTime()}"
     val query = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append").start()
     try {
-      stream.addData(batches._1); query.processAllAvailable()
-      stream.addData(batches._2); query.processAllAvailable()
+      batches.foreach { b => stream.addData(b); query.processAllAvailable() }
       if (sys.env.contains("GRAFT_BENCH_DEBUG"))
         query.recentProgress.foreach(p => System.err.println(
           s"[$tag] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
@@ -154,6 +161,42 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, eventTimeBatches(rows), "ttl")(
         requireCount("ttl", rows.length.toLong)))
+  }
+
+  /** Native streaming SESSION WINDOWS (gap sessionization under
+    * append-mode watermarking) — exact-count-checked against the BATCH
+    * q21 aggregate: the same session boundaries must emerge
+    * incrementally as from the one-shot groupBy. Emission determinism:
+    * a session emits only when the watermark passes its end+gap, and
+    * the watermark advances at batch START from the PREVIOUS batch's
+    * max event time — so two trailing far-future flush events make
+    * every real session emit inside DATA batches (no reliance on
+    * no-data micro-batch scheduling). The two flush events share one
+    * user and sit 10 min apart (< gap), forming a single OPEN session
+    * whose end (last+30 min) always exceeds any watermark derived from
+    * them — it can never emit, so the count is exact no matter how many
+    * trailing no-data batches fire. (A `filter` on the flush user does
+    * NOT work: Catalyst pushes deterministic predicates below the
+    * EventTimeWatermark node, so filtered flush rows never reach the
+    * watermark collector at all — measured, the watermark stalls.) */
+  def sessionWindowPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(spark, sfDir)
+    val expected = graft.operators.Relational.q21SessionWindow(spark, sfDir).count()
+    val stream = MemoryStream[BEv]
+    val out = stream.toDS().withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val (b1, b2) = eventTimeBatches(rows)
+    val maxMs = rows.iterator.map(e => micros(e.ts)).max / 1000
+    def flush(minutes: Int) = IndexedSeq(
+      BEv(-minutes.toLong, -1L,
+        new java.sql.Timestamp(maxMs + 86400000L + minutes * 60000L), 0L))
+    withStatePartitions(spark, 16)(
+      runBatches(spark, stream, out, Seq(b1, b2, flush(0), flush(10)), "session")(
+        requireCount("session", expected)))
   }
 
   /** The flagship TTL pipeline on the RocksDB state store provider —

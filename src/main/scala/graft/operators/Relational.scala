@@ -830,6 +830,39 @@ object Relational {
       .orderBy("z", "event_id")
   }
 
+  /** Q44 — SCD TYPE-2 HISTORY BUILD: turn a change log into validity
+    * intervals — the slowly-changing-dimension primitive every
+    * warehouse dimension load runs (each change row opens a version;
+    * the next change for the same key closes it; the last stays open).
+    * Orders are the change log here: per customer, each order's status
+    * is a new version effective at its order date.
+    *
+    * Scale shape: ONE hash exchange on the dimension key feeding a
+    * per-partition sort, then `lead()` over (key, date, tiebreak) — the
+    * same linear window family as q9/q14; no self-join (the naive SCD2
+    * build joins the log to itself on "next change", which at 100 TB is
+    * a second full shuffle plus a skew hazard on hot keys).
+    * Deterministic: ties on (date) break by orderkey, the open version
+    * carries a sentinel end date (9999-12-31, the warehouse
+    * convention). Dates emitted as ISO strings at the gate boundary
+    * (DATE representation differs across readers; VARCHAR is exact). */
+  def q44Scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_orderstatus"))
+      .withColumn("valid_to_d", lead(col("o_orderdate"), 1).over(w))
+      .select(
+        col("o_custkey"),
+        col("o_orderkey").as("version_key"),
+        col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("valid_to_d"), "yyyy-MM-dd"), lit("9999-12-31"))
+          .as("valid_to"),
+        when(col("valid_to_d").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy("o_custkey", "valid_from", "version_key")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -875,5 +908,6 @@ object Relational {
     "q41_percentile_band" -> (q41PercentileBand _),
     "q42_upsert"         -> (q42Upsert _),
     "q43_zorder"         -> (q43Zorder _),
+    "q44_scd2"           -> (q44Scd2 _),
   )
 }

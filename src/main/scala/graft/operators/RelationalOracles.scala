@@ -362,6 +362,24 @@ object RelationalOracles {
         |WHERE c.op IS NULL OR c.op <> 'delete'
         |ORDER BY o_orderkey""".stripMargin,
 
+    // SCD2: lead() closes each version; strftime mirrors Spark's
+    // date_format at the ISO gate boundary
+    "q44_scd2" ->
+      """SELECT o_custkey,
+        |  o_orderkey AS version_key,
+        |  o_orderstatus AS status,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |  coalesce(
+        |    strftime(lead(o_orderdate) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |      '%Y-%m-%d'),
+        |    '9999-12-31') AS valid_to,
+        |  CAST(CASE WHEN lead(o_orderdate) OVER (
+        |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM orders
+        |ORDER BY o_custkey, valid_from, version_key""".stripMargin,
+
     // Morton interleave of (u16, t16) — 32 exact BIGINT shift/mask terms
     "q43_zorder" -> {
       val terms = (0 until 16).map { i =>

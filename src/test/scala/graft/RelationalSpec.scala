@@ -181,6 +181,28 @@ class RelationalSpec extends SparkTestBase {
       s"z-order u16 coverage $zU not better than t-sorted layout's $tU")
   }
 
+  test("q44 scd2: versions chain gaplessly, exactly one current per key, all changes kept") {
+    val rows = Relational.q44Scd2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getString(4), r.getLong(5)))
+    val nOrders = graft.Tables.orders(spark, sf0001).count()
+    assert(rows.length == nOrders, "every change row must open a version")
+    rows.groupBy(_._1).foreach { case (cust, vs) =>
+      // the SCD2 contract: sorted versions chain valid_from -> valid_to
+      // without gaps, only the last is open/current
+      val sorted = vs.sortBy(v => (v._4, v._2))
+      sorted.init.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._5 == b._4,
+          s"customer $cust: version ${a._2} closes at ${a._5} but next opens at ${b._4}")
+        assert(a._6 == 0L, s"customer $cust: non-final version ${a._2} marked current")
+      }
+      assert(sorted.last._5 == "9999-12-31" && sorted.last._6 == 1L,
+        s"customer $cust: final version not open-ended current")
+      assert(vs.count(_._6 == 1L) == 1,
+        s"customer $cust: ${vs.count(_._6 == 1L)} current versions")
+    }
+  }
+
   test("q42 upsert: deletes drop, inserts appear, updates win, rest unchanged") {
     val base = graft.Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_orderstatus").collect()
