@@ -50,7 +50,8 @@ object Bench {
       "streaming_running_reduce", "streaming_count_windows",
       "streaming_topk", "streaming_ttl_rocksdb", "streaming_dedup",
       "streaming_quantiles", "streaming_interval_join", "streaming_ndv",
-      "streaming_near_dup", "streaming_session_window")
+      "streaming_near_dup", "streaming_session_window",
+      "streaming_cdc_upsert")
     val known = SparkEntry.queries.keySet ++ streamingItems
     val only: Option[Set[String]] = if (args.isEmpty) None else Some(args.toSet)
     only.foreach { names =>
@@ -132,7 +133,9 @@ object Bench {
       "streaming_near_dup" ->
         timeOnce("streaming_near_dup", () => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_session_window" ->
-        timeOnce("streaming_session_window", () => StreamingBench.sessionWindowPipeline(spark, sfDir)))
+        timeOnce("streaming_session_window", () => StreamingBench.sessionWindowPipeline(spark, sfDir)),
+      "streaming_cdc_upsert" ->
+        timeOnce("streaming_cdc_upsert", () => StreamingBench.cdcUpsertPipeline(spark, sfDir)))
     StreamingBench.clearMemo()
 
     val all = (results :+ coldDedup :+ streamingTtl :++ streamingMore)

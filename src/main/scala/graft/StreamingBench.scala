@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{CountWindows, MapWithStateTTL, RunningReduce, StreamJoin, StreamingTopK}
+import graft.streaming.{CountWindows, MapWithStateTTL, RunningReduce, StreamJoin, StreamingTopK, StreamingUpsert}
 
 /** Streaming side of the benchmark: pushes the whole `events` table of a
   * scale factor through the stateful operators (MemoryStream →
@@ -39,12 +39,15 @@ object StreamingBench {
     scala.collection.mutable.HashMap.empty[String, (Array[BEv], Array[BEv])]
   private val docsMemo =
     scala.collection.mutable.HashMap.empty[String, Array[(Long, String)]]
+  private val cdcMemo = scala.collection.mutable.HashMap.empty[
+    String, (Array[StreamingUpsert.Change], Array[StreamingUpsert.Change])]
 
   /** Release the collected feed arrays. Bench.main calls this once the
     * streaming line items finish, so an embedded or multi-sfDir caller
     * doesn't accumulate whole collected tables for the JVM lifetime. */
   def clearMemo(): Unit = {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
+    cdcMemo.clear()
   }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
@@ -197,6 +200,44 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runBatches(spark, stream, out, Seq(b1, b2, flush(0), flush(10)), "session")(
         requireCount("session", expected)))
+  }
+
+  /** Streaming CDC APPLY — the q42 snapshot + change set played through
+    * the keyed-state materialized view ([[StreamingUpsert]]): batch 1
+    * loads the orders snapshot, batch 2 applies the derived
+    * update/insert/delete set; every applied change emits exactly one
+    * row, so the expected count is loads + changes (content parity with
+    * the batch MERGE is pinned row-for-row in StreamingUpsertSpec). */
+  def cdcUpsertPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (loads, changes) = cdcMemo.getOrElseUpdate(sfDir, {
+      val base = Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
+      val ld = base.collect().map(r => StreamingUpsert.Change(
+        r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), "load"))
+      val off = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0) /
+        1000000000L * 1000000000L + 1000000000L
+      val upd = base.filter(col("o_orderkey") % 10 === 0)
+        .collect().map(r => StreamingUpsert.Change(
+          r.getLong(0), r.getLong(1), "U", r.getDouble(3) + 100, "upsert"))
+      val ins = base.filter(col("o_orderkey") % 17 === 0)
+        .collect().map(r => StreamingUpsert.Change(
+          r.getLong(0) + off, r.getLong(1), "N", r.getDouble(3), "upsert"))
+      val del = base
+        .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 10 =!= 0)
+        .collect().map(r => StreamingUpsert.Change(
+          r.getLong(0), 0L, "", 0.0, "delete"))
+      (ld, upd ++ ins ++ del)
+    })
+    val stream = MemoryStream[StreamingUpsert.Change]
+    val out = StreamingUpsert(stream.toDS())
+    withStatePartitions(spark, 16)(
+      runBatches(spark, stream, out,
+        Seq(loads.toIndexedSeq, changes.toIndexedSeq), "cdc")(
+        requireCount("cdc", (loads.length + changes.length).toLong)))
   }
 
   /** The flagship TTL pipeline on the RocksDB state store provider —
