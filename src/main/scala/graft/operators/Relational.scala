@@ -863,6 +863,48 @@ object Relational {
       .orderBy("o_custkey", "valid_from", "version_key")
   }
 
+  /** Q45 — POINT-IN-TIME ENRICHMENT: each fact row joined to the
+    * dimension version in effect at its own timestamp — the standard
+    * consumption pattern of an SCD2 dimension (q44), here composed
+    * over the custom [[graft.plans.AsOfJoin]] operator: lineitems
+    * (facts, at ship date) pick up their customer's order status as of
+    * that day. The daily dimension collapses to ONE version per
+    * (customer, day) — last writer (max orderkey) wins — because as-of
+    * semantics over tied timestamps are engine-ambiguous; end-of-day
+    * snapshots are also exactly what warehouse dimension loads publish.
+    *
+    * Scale shape: fact prep is the standard orderkey equi-join
+    * (co-partitioned/bucketed in a production layout — StorageLayoutSpec);
+    * the PIT join itself is the AsOfJoin exec — ClusteredDistribution
+    * on the customer key + (key, time) sort, streaming O(1)-state merge
+    * per partition, never a range-explode join. Output aggregated per
+    * status so the gate hash covers the whole join at constant output. */
+  def q45PitJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.orders(s, dir)
+      .select(col("o_custkey").as("d_cust"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d_days"),
+        col("o_orderkey"), col("o_orderstatus"))
+      .groupBy("d_cust", "d_days")
+      .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("d_status"))
+    // PIT is INCLUSIVE (a version effective on the ship day applies to
+    // that day's facts: valid_from ≤ fact_date), while the AsOfJoin
+    // Backward comparator is strict (rt < lt, DuckDB `l.t > r.t`) — on
+    // an integer day axis `d ≤ ship` is exactly `ship + 1 > d`, so the
+    // fact side carries a +1 read frontier
+    val facts = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        (datediff(col("l_shipdate"), lit("1970-01-01")).cast("long") + 1L)
+          .as("frontier_days"),
+        discPrice.as("rev"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    graft.plans.AsOfJoin.asofMulti(
+        facts, dim, Seq("o_custkey"), Seq("d_cust"), "frontier_days", "d_days")
+      .groupBy("d_status")
+      .agg(count(lit(1)).as("n_items"), outD4(sum(col("rev"))).as("revenue"))
+      .orderBy("d_status")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -909,5 +951,6 @@ object Relational {
     "q42_upsert"         -> (q42Upsert _),
     "q43_zorder"         -> (q43Zorder _),
     "q44_scd2"           -> (q44Scd2 _),
+    "q45_pit_join"       -> (q45PitJoin _),
   )
 }

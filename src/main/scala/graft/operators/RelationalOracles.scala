@@ -380,6 +380,26 @@ object RelationalOracles {
         |FROM orders
         |ORDER BY o_custkey, valid_from, version_key""".stripMargin,
 
+    // PIT join: DuckDB's native ASOF JOIN against the end-of-day
+    // dimension (arg_max = Spark's max_by; DATE subtraction = datediff)
+    "q45_pit_join" ->
+      s"""WITH dim AS (
+         |  SELECT o_custkey AS d_cust,
+         |         date_diff('day', DATE '1970-01-01', o_orderdate) AS d_days,
+         |         arg_max(o_orderstatus, o_orderkey) AS d_status
+         |  FROM orders GROUP BY 1, 2),
+         |facts AS (
+         |  SELECT date_diff('day', DATE '1970-01-01', l.l_shipdate) AS ship_days,
+         |         $discPrice AS rev, o.o_custkey
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |pit AS (
+         |  SELECT f.rev, d.d_status
+         |  FROM facts f ASOF JOIN dim d
+         |    ON f.o_custkey = d.d_cust AND f.ship_days >= d.d_days)
+         |SELECT d_status, count(*) AS n_items,
+         |  CAST(CAST(sum(rev) AS $D4) AS DOUBLE) AS revenue
+         |FROM pit GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Morton interleave of (u16, t16) — 32 exact BIGINT shift/mask terms
     "q43_zorder" -> {
       val terms = (0 until 16).map { i =>

@@ -203,6 +203,43 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("q45 PIT join == naive inequality-join reference (inclusive same-day reads)") {
+    val dim = graft.Tables.orders(spark, sf0001)
+      .select(col("o_custkey").as("d_cust"),
+        datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("d_days"),
+        col("o_orderkey").as("d_okey"), col("o_orderstatus"))
+      .groupBy("d_cust", "d_days")
+      .agg(max_by(col("o_orderstatus"), col("d_okey")).as("d_status"))
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic table —
+    // a per-row fact id keeps the reference from collapsing real facts
+    val facts = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"),
+        datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("ship_days"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)").as("rev"))
+      .join(graft.Tables.orders(spark, sf0001)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("fid", monotonically_increasing_id())
+    // reference: every (fact, dim-version) pair with d_days <= ship_days,
+    // then per-fact argmax on d_days — the O(facts·versions) formulation
+    // the as-of exec replaces
+    val ref = facts
+      .join(dim, col("o_custkey") === col("d_cust")
+        && col("d_days") <= col("ship_days"))
+      .groupBy("fid")
+      .agg(first(col("rev")).as("rev"),
+        max_by(col("d_status"), col("d_days")).as("d_status"))
+      .groupBy("d_status")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("rev")).cast("decimal(18,4)").cast("double").as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Relational.q45PitJoin(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == ref, s"PIT diverges from the naive reference:\n$got\nvs\n$ref")
+  }
+
   test("q42 upsert: deletes drop, inserts appear, updates win, rest unchanged") {
     val base = graft.Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_orderstatus").collect()
