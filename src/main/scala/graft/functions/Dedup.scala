@@ -560,6 +560,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXACT-SIZE deterministic sample per stratum ("reservoir" semantics,
+    * rand()-free): the `n` documents with the smallest `(h32(text),
+    * doc_id)` per language. Rate-based sampling ([[sampleByHash]] /
+    * [[sampleStratified]]) only hits its target size in expectation;
+    * mixture construction often needs exactly-n per source.
+    *
+    * Scale shape (100 TB): a naive `row_number() OVER (PARTITION BY
+    * lang)` sorts each WHOLE stratum inside one task — the giant-group
+    * trap (a 40 TB `en` stratum in one sort). Instead:
+    *   1. one scan aggregates stratum sizes (|langs| rows, broadcast);
+    *   2. a per-stratum candidate bound `8n/|stratum|` of the hash range
+    *      keeps every row whose uniform hv falls in the bottom slice —
+    *      candidates are ~8n per stratum, independent of stratum size
+    *      (`P[candidates < n] ≤ exp(-3n)` by Chernoff — never at n=40);
+    *   3. the exact window ranking runs on the bounded candidate set
+    *      only — same candidate-bound-then-exact design as the band
+    *      percentiles (Relational.q41PercentileBand) and the LSH verify.
+    * The one-row-per-stratum capture probe makes the (theoretical) bound
+    * failure loud instead of silently short: `require` fires before any
+    * result is emitted. */
+  def sampleReservoir(s: SparkSession, dir: String, n: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hRange = 4294967296L // h32 is uniform on [0, 2^32)
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), h32(col("text")).as("hv"))
+    val bounds = docs.groupBy("lang").agg(count(lit(1)).as("n_rows"))
+      .withColumn("bound",
+        least(lit(hRange), lit(8L * n) * lit(hRange) / col("n_rows") + lit(1L)))
+    val cand = docs.join(broadcast(bounds), Seq("lang"))
+      .filter(col("hv") < col("bound"))
+    // capture probe: every stratum must still hold min(n, |stratum|)
+    // candidates — one tiny aggregate over the ~8n-per-stratum candidate
+    // set, ONE driver-side row (cf. the CC convergence probe precedent)
+    val deficient = cand.groupBy("lang")
+      .agg(count(lit(1)).as("got"), first(col("n_rows")).as("n_rows"))
+      .filter(col("got") < least(lit(n.toLong), col("n_rows")))
+      .count()
+    require(deficient == 0L,
+      s"candidate bound under-captured $deficient strata (P ≤ exp(-3·$n) — investigate hv uniformity)")
+    val w = Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+      .select("lang", "rank", "doc_id")
+      .orderBy("lang", "rank")
+  }
+
   /** Synthetic "benchmark" (eval-set) items: the first 8 tokens of every
     * 13th document — guaranteed contamination sources at every SF, with
     * the oracle constructing the identical set in SQL. `bench_id` is the
@@ -708,6 +754,50 @@ object Dedup {
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line")), " ").as("text_dedup"))
       .select(col("doc_id"), col("n_kept"), col("text_dedup"))
+      .orderBy("doc_id")
+  }
+
+  /** Substring-level duplicate detection (the span-dedup technique of the
+    * training-data literature: repeated n-token spans across the corpus,
+    * not whole-document similarity): for every document, how many of its
+    * 8-token spans also occur elsewhere — first occurrence canonical,
+    * everything later is a duplicate span. Output per doc: span count,
+    * duplicated-span count, and the duplicated fraction (the usual
+    * filter/trim signal).
+    *
+    * Scale shape (100 TB): occurrences never join raw text — each span is
+    * a 16-byte md5 pair `(h1,h2)` plus a PACKED slot `doc_id*128 + pos`
+    * (doc ids < 2^51, positions < 128 — guarded). Two combiner-friendly
+    * aggregations: (span, doc) → per-doc count + first slot, then span →
+    * global winner slot; the map-side combine absorbs corpus-wide hot
+    * boilerplate spans before any shuffle (same discipline as
+    * [[dedupLines]]). The winner join-back runs on the (span, doc)
+    * pre-aggregated set — bounded by distinct pairs, never raw
+    * occurrences — and AQE skew-splits any residual hot span. */
+  def dedupSpans(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    import graft.functions.expressions.WordNgrams
+    val occ = corpusWithNearDupes(s, dir)
+      .select(col("doc_id"), posexplode(WordNgrams(tokens(col("text")), n)).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        h32(col("span")).as("h1"), h32b(col("span")).as("h2"))
+      // slot packing is exact only while pos < 128 and doc_id < 2^51
+      .withColumn("pos",
+        when(col("pos") < 128L && col("doc_id") < (1L << 51), col("pos"))
+          .otherwise(raise_error(concat(lit("dedup_spans slot overflow: doc "),
+            col("doc_id").cast("string")))))
+    val perDoc = occ
+      .groupBy("h1", "h2", "doc_id")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id") * 128L + col("pos")).as("first_here"))
+    val winners = perDoc.groupBy("h1", "h2").agg(min(col("first_here")).as("w"))
+    perDoc.join(winners, Seq("h1", "h2"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(col("cnt") - when(col("first_here") === col("w"), 1L).otherwise(0L))
+          .as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        round(col("n_dup").cast("double") / col("n_spans").cast("double"), 6)
+          .as("dup_frac"))
       .orderBy("doc_id")
   }
 }

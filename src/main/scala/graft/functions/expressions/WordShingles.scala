@@ -57,3 +57,49 @@ object WordShingles {
   def apply(tokens: Column): Column =
     ColumnShim.column(WordShingles(ColumnShim.expression(tokens)))
 }
+
+/** Word n-gram spans of a token array, parameterized width — the span
+  * primitive of substring-level dedup (dedup_spans): m-n+1 space-joined
+  * n-grams, or a single whole-text span for documents under n tokens.
+  * Same native-loop rationale as [[WordShingles]] (the HOF formulation is
+  * interpreted); kept separate because WordShingles' 3-wide form is
+  * SQL-registered and its arity is part of that contract.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with RequiresStringArray {
+  require(n >= 1, s"ngram width must be >= 1, got $n")
+
+  private val space = UTF8String.fromString(" ")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m >= n) {
+      val out = new Array[Any](m - n + 1)
+      val window = new Array[UTF8String](n)
+      var i = 0
+      while (i <= m - n) {
+        var j = 0
+        while (j < n) { window(j) = arr.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(space, window: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val parts = new Array[UTF8String](m)
+      var i = 0
+      while (i < m) { parts(i) = arr.getUTF8String(i); i += 1 }
+      new GenericArrayData(Array[Any](UTF8String.concatWs(space, parts: _*)))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  def apply(tokens: Column, n: Int): Column =
+    ColumnShim.column(WordNgrams(ColumnShim.expression(tokens), n))
+}

@@ -391,6 +391,18 @@ object ExtensionOracles {
          |  CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 25 ELSE 10 END
          |ORDER BY doc_id""".stripMargin,
 
+    // exact-size reservoir semantics: the 40 smallest (h32(text), doc_id)
+    // per language — the oracle ranks the full stratum, the Spark side
+    // ranks only the candidate-bounded slice; winners are identical
+    "sample_reservoir" ->
+      s"""SELECT lang, rank, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${h32("text")}, doc_id) AS rank
+         |  FROM documents)
+         |WHERE rank <= 40
+         |ORDER BY lang, rank""".stripMargin,
+
     // benchmark = first 8 tokens of every 13th doc; a doc is
     // quarantined when it shares >= 4 distinct 3-shingles with the
     // benchmark shingle set
@@ -544,6 +556,36 @@ object ExtensionOracles {
          |FROM winners
          |GROUP BY win >> 20
          |ORDER BY doc_id""".stripMargin,
+
+    // substring-level span dedup over the near-dup corpus: 8-token spans,
+    // first occurrence (min packed doc*128+pos slot) canonical; per doc the
+    // span count, duplicated-span count, and duplicated fraction. Matches
+    // the Spark side's (h1,h2) 16-byte span keys + packed winner slots.
+    "dedup_spans" ->
+      s"""WITH $nearCorpus,
+         |tokd AS (SELECT doc_id, $toks AS toks FROM corpus),
+         |occ0 AS (
+         |  SELECT doc_id,
+         |    unnest(range(greatest(len(toks) - 7, 1))) AS pos,
+         |    unnest(list_transform(range(greatest(len(toks) - 7, 1)),
+         |      i -> array_to_string(toks[i+1:i+8], ' '))) AS span
+         |  FROM tokd),
+         |occ AS (
+         |  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    ${h32("span")} AS h1, ${h32b("span")} AS h2
+         |  FROM occ0),
+         |perdoc AS (
+         |  SELECT h1, h2, doc_id, count(*) AS cnt,
+         |    min(doc_id * 128 + pos) AS first_here
+         |  FROM occ GROUP BY 1, 2, 3),
+         |winner AS (SELECT h1, h2, min(first_here) AS w FROM perdoc GROUP BY 1, 2)
+         |SELECT p.doc_id,
+         |  CAST(sum(p.cnt) AS BIGINT) AS n_spans,
+         |  CAST(sum(p.cnt - CASE WHEN p.first_here = w.w THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(CAST(sum(p.cnt - CASE WHEN p.first_here = w.w THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(sum(p.cnt) AS DOUBLE), 6) AS dup_frac
+         |FROM perdoc p JOIN winner w USING (h1, h2)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH e AS (

@@ -19,11 +19,13 @@ object Extensions {
     "dedup_minhash"    -> (Dedup.dedupMinhash _),
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_lines"      -> (Dedup.dedupLines _),
+    "dedup_spans"      -> ((s: SparkSession, dir: String) => Dedup.dedupSpans(s, dir)),
     "dedup_drop_list"  -> (Dedup.dedupDropList _),
     "dedup_components" -> (Dedup.dedupComponents _),
     "dedup_components_minlabel" -> (Dedup.dedupComponentsMinLabel _),
     "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),
     "sample_stratified" -> ((s: SparkSession, dir: String) => Dedup.sampleStratified(s, dir)),
+    "sample_reservoir" -> ((s: SparkSession, dir: String) => Dedup.sampleReservoir(s, dir)),
     "decontaminate"    -> ((s: SparkSession, dir: String) => Dedup.decontaminate(s, dir)),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
     "pack_sequences"   -> (TextAnalysis.packSequences _),

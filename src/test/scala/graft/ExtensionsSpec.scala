@@ -218,6 +218,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(strat.count(_._2 == "en") > flat.count(_._2 == "en"))
   }
 
+  test("sample_reservoir == naive full-stratum window; exact n per stratum at several n") {
+    import graft.functions.Portable.h32
+    // naive reference: rank the ENTIRE stratum (the giant-group shape the
+    // operator exists to avoid), driver-side
+    val full = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), h32(col("text")).as("hv"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0)))
+    val strata = full.groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3))).toMap
+    for (n <- Seq(3, 40, 100)) {
+      val expected = strata.toSeq.flatMap { case (lang, rows) =>
+        rows.take(n).zipWithIndex.map { case ((_, _, id), i) => (lang, (i + 1).toLong, id) }
+      }.sortBy(t => (t._1, t._2))
+      val got = Dedup.sampleReservoir(spark, sf0001, n)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected, s"n=$n: first diff ${expected.zipAll(got, null, null)
+        .collectFirst { case (e, g) if e != g => (e, g) }}")
+      // exact-size contract: min(n, |stratum|) rows per stratum
+      val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+      for ((lang, rows) <- strata)
+        assert(sizes.getOrElse(lang, 0) == math.min(n, rows.size),
+          s"n=$n lang=$lang: got ${sizes.getOrElse(lang, 0)} of ${rows.size}")
+    }
+  }
+
   test("dedup_exact keeps one representative per content and counts copies") {
     val df = Dedup.dedupExact(spark, sf0001).cache()
     // every original doc survives as the min-id representative
@@ -784,6 +808,44 @@ class ExtensionsSpec extends SparkTestBase {
     assert(withBoiler.map(_._1) == Seq(got.map(_._1).min))
     // full copies lose every line and drop out entirely
     assert(got.forall(_._1 < Dedup.LineDupOffset))
+  }
+
+  test("dedup_spans == driver-side first-occurrence span model; planted copies score high") {
+    // independent model: 8-token spans (single whole-text span under 8),
+    // canonical occurrence = corpus-wide min (doc_id, pos), per-doc
+    // duplicated fraction
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val corpus = docs ++ docs.filter(_._1 % 7 == 0)
+      .map { case (id, t) => (id + Dedup.NearDupOffset) -> (t + " graft near dup tail marker") }
+    val occ = corpus.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+")
+      val spans =
+        if (toks.length >= 8) toks.sliding(8).map(_.mkString(" ")).toSeq
+        else Seq(toks.mkString(" "))
+      spans.zipWithIndex.map { case (sp, pos) => (id, pos.toLong, sp) }
+    }
+    val winner = occ.groupBy(_._3).map { case (sp, os) =>
+      sp -> os.map(o => (o._1, o._2)).min }
+    val expected = occ.groupBy(_._1).map { case (id, os) =>
+      val nDup = os.count { case (i, p, sp) => winner(sp) != ((i, p)) }
+      (id, os.size.toLong, nDup.toLong,
+        BigDecimal(nDup.toDouble / os.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = Dedup.dedupSpans(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}; sizes ${got.size}/${expected.size}")
+    // every planted copy repeats its source's spans: all but the tail-crossing
+    // spans are duplicates, so the fraction is substantial for every copy
+    val copies = got.filter(_._1 >= Dedup.NearDupOffset)
+    assert(copies.nonEmpty && copies.forall(_._4 > 0.3),
+      s"copies scored low: ${copies.filter(_._4 <= 0.3).take(3)}")
+    // originals win their own spans: a source doc's spans are canonical
+    // (its copy has the larger id), so sources only show ORGANIC repeats
+    val sources = got.filter(t => t._1 < Dedup.NearDupOffset).map(_._4)
+    assert(sources.count(_ == 0.0) > sources.length / 2)
   }
 
   test("chunk_overlap: stride geometry covers every token exactly, last chunk partial") {

@@ -105,6 +105,29 @@ class StorageLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("dynamic partition pruning: dim-side filter prunes fact partitions at runtime") {
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    // fact: orders laid out by order year (the 100-TB date-partitioned
+    // fact-table layout); synthetic orderdates span 1995–2001 → 7 dirs
+    Tables.orders(spark, sf0001)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.partitionBy("o_year").mode("overwrite").parquet(dir)
+    // dim filter on a NON-partition attribute: static pruning cannot see
+    // it — only runtime DPP (subquery/broadcast-reuse) can skip fact files
+    val dim = spark.range(1990L, 2010L)
+      .select(col("id").cast("int").as("d_year"), (col("id") % 2 === 0).as("is_even"))
+    val fact = spark.read.parquet(dir)
+    val q = fact.join(dim.filter(col("is_even")), col("o_year") === col("d_year"))
+      .agg(count(lit(1)).as("n"))
+    val n = q.collect().head.getLong(0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"fact scan carries no runtime pruning predicate:\n$plan")
+    // and the pruned join is value-correct vs the static-filter reference
+    val expected = fact.filter(col("o_year") % 2 === 0).count()
+    assert(n == expected, s"DPP join counted $n, static reference $expected")
+  }
+
   test("partition pruning: filter on the partition column prunes at plan time") {
     val dir = Files.createTempDirectory("graft_partitioned").toString
     Tables.events(spark, sf0001)
