@@ -606,6 +606,49 @@ object Dedup {
       .orderBy("lang", "rank")
   }
 
+  /** Temperature-weighted mixture sampling (α = 0.5): per-stratum targets
+    * proportional to `sqrt(|stratum|)` — the standard LLM data-mixing move
+    * that flattens a skewed source distribution (dominant strata are
+    * down-weighted relative to their share, scarce ones up-weighted) —
+    * then an exact-size deterministic selection per stratum.
+    *
+    * Cross-engine-exact arithmetic: weights are `floor(sqrt(n))` as
+    * BIGINT (IEEE sqrt of an exact integer, identically rounded in both
+    * engines), the weight total is an integer sum (order-independent,
+    * unlike a double sum), and targets use integer division — so DuckDB
+    * reproduces every target exactly. Selection is the [[sampleReservoir]]
+    * candidate-bound + exact-window discipline: ~8·target candidates per
+    * stratum regardless of stratum size, loud capture probe, never a
+    * whole-stratum sort. */
+  def sampleTemperature(s: SparkSession, dir: String, budget: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hRange = 4294967296L
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), h32(col("text")).as("hv"))
+    val weights = docs.groupBy("lang").agg(count(lit(1)).as("n_rows"))
+      .withColumn("w", floor(sqrt(col("n_rows"))).cast("long"))
+    val total = weights.agg(sum(col("w")).as("tw"))
+    val targets = weights.crossJoin(broadcast(total))
+      .withColumn("target",
+        least(col("n_rows"), expr(s"w * $budget div tw")))
+      .withColumn("bound",
+        least(lit(hRange), lit(8L) * col("target") * lit(hRange) / col("n_rows") + lit(1L)))
+      .select("lang", "n_rows", "target", "bound")
+    val cand = docs.join(broadcast(targets), Seq("lang"))
+      .filter(col("hv") < col("bound"))
+    val deficient = cand.groupBy("lang")
+      .agg(count(lit(1)).as("got"), first(col("target")).as("target"))
+      .filter(col("got") < col("target"))
+      .count()
+    require(deficient == 0L,
+      s"temperature candidate bound under-captured $deficient strata")
+    val w = Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= col("target"))
+      .select("lang", "rank", "doc_id")
+      .orderBy("lang", "rank")
+  }
+
   /** Synthetic "benchmark" (eval-set) items: the first 8 tokens of every
     * 13th document — guaranteed contamination sources at every SF, with
     * the oracle constructing the identical set in SQL. `bench_id` is the

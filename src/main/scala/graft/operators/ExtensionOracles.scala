@@ -403,6 +403,24 @@ object ExtensionOracles {
          |WHERE rank <= 40
          |ORDER BY lang, rank""".stripMargin,
 
+    // temperature mixing at α=0.5: per-stratum target = budget·w/Σw with
+    // w = floor(sqrt(n)) — integer weights/totals/division so both engines
+    // derive identical targets; selection = smallest (h32, doc_id) per lang
+    "sample_temperature" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY 1),
+         |t AS (SELECT lang, n_rows,
+         |        CAST(floor(sqrt(n_rows)) AS BIGINT) AS w FROM c),
+         |tt AS (SELECT sum(w) AS tw FROM t),
+         |tgt AS (SELECT lang, least(n_rows, w * 300 // tw) AS target FROM t, tt),
+         |r AS (SELECT lang, doc_id,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY ${h32("text")}, doc_id) AS rank
+         |      FROM documents)
+         |SELECT r.lang, r.rank, r.doc_id
+         |FROM r JOIN tgt ON r.lang = tgt.lang
+         |WHERE r.rank <= tgt.target
+         |ORDER BY r.lang, r.rank""".stripMargin,
+
     // benchmark = first 8 tokens of every 13th doc; a doc is
     // quarantined when it shares >= 4 distinct 3-shingles with the
     // benchmark shingle set

@@ -26,6 +26,7 @@ object Extensions {
     "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),
     "sample_stratified" -> ((s: SparkSession, dir: String) => Dedup.sampleStratified(s, dir)),
     "sample_reservoir" -> ((s: SparkSession, dir: String) => Dedup.sampleReservoir(s, dir)),
+    "sample_temperature" -> ((s: SparkSession, dir: String) => Dedup.sampleTemperature(s, dir)),
     "decontaminate"    -> ((s: SparkSession, dir: String) => Dedup.decontaminate(s, dir)),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
     "pack_sequences"   -> (TextAnalysis.packSequences _),

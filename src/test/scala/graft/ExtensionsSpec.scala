@@ -218,6 +218,37 @@ class ExtensionsSpec extends SparkTestBase {
     assert(strat.count(_._2 == "en") > flat.count(_._2 == "en"))
   }
 
+  test("sample_temperature == driver model; flattens the lang distribution vs proportional") {
+    import graft.functions.Portable.h32
+    val budget = 300
+    val full = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), h32(col("text")).as("hv"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0)))
+    val strata = full.groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3))).toMap
+    val n = strata.view.mapValues(_.size.toLong).toMap
+    val wts = n.view.mapValues(v => math.sqrt(v.toDouble).toLong).toMap
+    val tw = wts.values.sum
+    val target = n.map { case (l, nl) => l -> math.min(nl, wts(l) * budget / tw) }
+    val expected = strata.toSeq.flatMap { case (lang, rows) =>
+      rows.take(target(lang).toInt).zipWithIndex
+        .map { case ((_, _, id), i) => (lang, (i + 1).toLong, id) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Dedup.sampleTemperature(spark, sf0001, budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, s"first diff ${expected.zipAll(got, null, null)
+      .collectFirst { case (e, g) if e != g => (e, g) }}")
+    // the flattening property: the dominant stratum's share of the sample
+    // is strictly below its share of the corpus; the scarcest is above
+    val corpusTotal = n.values.sum.toDouble
+    val sampleTotal = got.size.toDouble
+    val dominant = n.maxBy(_._2)._1
+    val scarcest = n.minBy(_._2)._1
+    assert(target(dominant) / sampleTotal < n(dominant) / corpusTotal,
+      s"dominant $dominant not down-weighted")
+    assert(target(scarcest) / sampleTotal > n(scarcest) / corpusTotal,
+      s"scarcest $scarcest not up-weighted")
+  }
+
   test("sample_reservoir == naive full-stratum window; exact n per stratum at several n") {
     import graft.functions.Portable.h32
     // naive reference: rank the ENTIRE stratum (the giant-group shape the
