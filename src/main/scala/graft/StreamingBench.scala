@@ -243,6 +243,35 @@ object StreamingBench {
   /** The flagship TTL pipeline on the RocksDB state store provider —
     * the 100 TB state posture (bounded heap, spill-to-disk); a
     * regression in the RocksDB round-trip cost shows up here. */
+  /** Stream-static dimension ENRICHMENT — the pipeline shape that joins a
+    * fact stream against a slowly-changing dimension snapshot: events
+    * stream ⋈ broadcast(customer dim) on user key. The static side is
+    * planned ONCE and broadcast to every micro-batch; no state store is
+    * involved (stream-static inner joins are stateless — each batch
+    * probes the broadcast hash relation), so this line isolates pure
+    * per-batch join/plan overhead from the stateful items. Every event's
+    * user has a dim row (user ids ⊂ customer keys in the testdata), so
+    * the inner join emits exactly one enriched row per event — the count
+    * check is exact. At 100 TB the dim side is the small one by
+    * construction (dimensions grow with entities, facts with traffic);
+    * a dim too big to broadcast becomes the stream-side-keyed
+    * [[streaming.StreamingUpsert]] materialized view instead. */
+  def enrichPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(spark, sfDir)
+    val dim = broadcast(graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey")))
+    val stream = MemoryStream[BEv]
+    val out = stream.toDS()
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+        col("c_nationkey"), col("cents"))
+    runTwoBatches(spark, stream, out, eventTimeBatches(rows), "enrich")(
+      requireCount("enrich", rows.length.toLong))
+  }
+
   def ttlPipelineRocksDB(spark: SparkSession, sfDir: String): Unit = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
