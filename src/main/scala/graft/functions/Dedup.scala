@@ -810,16 +810,27 @@ object Dedup {
     *
     * Scale shape (100 TB): occurrences never join raw text — each span is
     * a 16-byte md5 pair `(h1,h2)` plus a PACKED slot `doc_id*128 + pos`
-    * (doc ids < 2^51, positions < 128 — guarded). Two combiner-friendly
-    * aggregations: (span, doc) → per-doc count + first slot, then span →
-    * global winner slot; the map-side combine absorbs corpus-wide hot
-    * boilerplate spans before any shuffle (same discipline as
-    * [[dedupLines]]). The winner join-back runs on the (span, doc)
-    * pre-aggregated set — bounded by distinct pairs, never raw
-    * occurrences — and AQE skew-splits any residual hot span. */
+    * (doc ids < 2^51, positions < 128 — guarded). Exactly ONE occurrence
+    * per span group is canonical, so `n_dup(doc) = n_spans(doc) −
+    * #winner slots owned by doc`: one span→min(slot) aggregation (the
+    * map-side partial_min absorbs corpus-wide hot boilerplate spans
+    * before the shuffle — same discipline as [[dedupLines]]), winner
+    * slots decode straight back to `doc_id = slot >> 7`, and the final
+    * join is per-DOC pre-aggregated rows on both sides. The span
+    * explosion runs ONCE (`n_spans` comes from token-count arithmetic on
+    * the un-exploded corpus, not a second explosion) and no span-keyed
+    * join-back exists to outgrow a broadcast. (A first cut aggregated
+    * (span, doc) pairs and joined winners back on the span key: Catalyst
+    * column-pruning made the two aggregation branches non-identical so
+    * ReuseExchange could not dedupe them — the corpus exploded TWICE —
+    * and the join-back was a span-keyed hash join that stops
+    * broadcasting at scale. The winner-ownership form needs neither.) */
   def dedupSpans(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
     import graft.functions.expressions.WordNgrams
-    val occ = corpusWithNearDupes(s, dir)
+    val corpus = corpusWithNearDupes(s, dir)
+    val spanCounts = corpus.select(col("doc_id"),
+      greatest(size(tokens(col("text"))) - (n - 1), lit(1)).cast("long").as("n_spans"))
+    val occ = corpus
       .select(col("doc_id"), posexplode(WordNgrams(tokens(col("text")), n)).as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         h32(col("span")).as("h1"), h32b(col("span")).as("h2"))
@@ -828,16 +839,14 @@ object Dedup {
         when(col("pos") < 128L && col("doc_id") < (1L << 51), col("pos"))
           .otherwise(raise_error(concat(lit("dedup_spans slot overflow: doc "),
             col("doc_id").cast("string")))))
-    val perDoc = occ
-      .groupBy("h1", "h2", "doc_id")
-      .agg(count(lit(1)).as("cnt"),
-        min(col("doc_id") * 128L + col("pos")).as("first_here"))
-    val winners = perDoc.groupBy("h1", "h2").agg(min(col("first_here")).as("w"))
-    perDoc.join(winners, Seq("h1", "h2"))
-      .groupBy("doc_id")
-      .agg(sum(col("cnt")).as("n_spans"),
-        sum(col("cnt") - when(col("first_here") === col("w"), 1L).otherwise(0L))
-          .as("n_dup"))
+    val owned = occ
+      .groupBy("h1", "h2")
+      .agg(min(col("doc_id") * 128L + col("pos")).as("w"))
+      .groupBy(shiftright(col("w"), 7).as("doc_id"))
+      .agg(count(lit(1)).as("n_canon"))
+    spanCounts.join(owned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        (col("n_spans") - coalesce(col("n_canon"), lit(0L))).as("n_dup"))
       .select(col("doc_id"), col("n_spans"), col("n_dup"),
         round(col("n_dup").cast("double") / col("n_spans").cast("double"), 6)
           .as("dup_frac"))
