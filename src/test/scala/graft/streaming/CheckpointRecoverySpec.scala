@@ -187,10 +187,60 @@ class CheckpointRecoverySpec extends SparkTestBase {
         s"bucket index lost across restart: $pairs")
     } finally q2.stop()
   }
+  test("StreamingUpsert CDC view state survives stop/restart via checkpointLocation") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft_ckpt_upsert").toString
+    val stream = MemoryStream[StreamingUpsert.Change]
+    def plan = StreamingUpsert(stream.toDS())
+
+    def start() = plan.writeStream
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: Dataset[StreamingUpsert.Upserted], _: Long) =>
+        val rows = batch.collect()
+        CheckpointRecoverySpec.upserts.synchronized {
+          CheckpointRecoverySpec.upserts ++= rows
+        }
+        ()
+      }.start()
+
+    val q1 = start()
+    try {
+      stream.addData(
+        StreamingUpsert.Change(7L, 70L, "O", 10.0, "load"),
+        StreamingUpsert.Change(8L, 80L, "O", 20.0, "load"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart: versions must CONTINUE from restored state (an upsert on a
+    // restored key is v2, and a delete retires the restored row as a v2
+    // tombstone carrying its payload; a fresh view would restart at v1
+    // and a tombstone would carry the change's payload instead)
+    val q2 = start()
+    try {
+      stream.addData(
+        StreamingUpsert.Change(7L, 70L, "F", 11.0, "upsert"),
+        StreamingUpsert.Change(8L, 80L, "F", 20.0, "delete"))
+      q2.processAllAvailable()
+      val byKey = CheckpointRecoverySpec.upserts.synchronized {
+        CheckpointRecoverySpec.upserts.toList
+      }.groupBy(_.key).view.mapValues(_.maxBy(_.version)).toMap
+      assert(byKey(7L).version == 2L && byKey(7L).status == "F" && byKey(7L).live,
+        s"key 7 state lost across restart: ${byKey.get(7L)}")
+      assert(byKey(8L).version == 2L && !byKey(8L).live,
+        s"key 8 tombstone lost restored payload: ${byKey.get(8L)}")
+      // the delete tombstone retains the RESTORED payload for audit —
+      // status "O"/price 20.0 exist only in pre-restart state
+      assert(byKey(8L).status == "O" && byKey(8L).price == 20.0)
+    } finally q2.stop()
+  }
 }
 
 object CheckpointRecoverySpec {
   val results: mutable.ListBuffer[(String, Int)] = mutable.ListBuffer.empty
+  val upserts: mutable.ListBuffer[StreamingUpsert.Upserted] = mutable.ListBuffer.empty
   val snapshots: mutable.ListBuffer[StreamingTopK.Snapshot] = mutable.ListBuffer.empty
   val ndvSnaps: mutable.ListBuffer[StreamingNdv.NdvSnapshot] = mutable.ListBuffer.empty
   val pairSnaps: mutable.ListBuffer[StreamingNearDup.CandidatePair] = mutable.ListBuffer.empty
