@@ -51,7 +51,7 @@ object Bench {
       "streaming_topk", "streaming_ttl_rocksdb", "streaming_dedup",
       "streaming_quantiles", "streaming_interval_join", "streaming_ndv",
       "streaming_near_dup", "streaming_session_window",
-      "streaming_cdc_upsert", "streaming_enrich")
+      "streaming_cdc_upsert", "streaming_enrich", "streaming_temporal_join")
     val known = SparkEntry.queries.keySet ++ streamingItems
     val only: Option[Set[String]] = if (args.isEmpty) None else Some(args.toSet)
     only.foreach { names =>
@@ -137,7 +137,9 @@ object Bench {
       "streaming_cdc_upsert" ->
         timeOnce("streaming_cdc_upsert", () => StreamingBench.cdcUpsertPipeline(spark, sfDir)),
       "streaming_enrich" ->
-        timeOnce("streaming_enrich", () => StreamingBench.enrichPipeline(spark, sfDir)))
+        timeOnce("streaming_enrich", () => StreamingBench.enrichPipeline(spark, sfDir)),
+      "streaming_temporal_join" ->
+        timeOnce("streaming_temporal_join", () => StreamingBench.temporalJoinPipeline(spark, sfDir)))
     StreamingBench.clearMemo()
 
     val all = (results :+ coldDedup :+ streamingTtl :++ streamingMore)

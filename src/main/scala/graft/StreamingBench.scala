@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{CountWindows, MapWithStateTTL, RunningReduce, StreamJoin, StreamingTopK, StreamingUpsert}
+import graft.streaming.{CountWindows, MapWithStateTTL, RunningReduce, StreamJoin, StreamingTemporalJoin, StreamingTopK, StreamingUpsert}
 
 /** Streaming side of the benchmark: pushes the whole `events` table of a
   * scale factor through the stateful operators (MemoryStream →
@@ -270,6 +270,38 @@ object StreamingBench {
         col("c_nationkey"), col("cents"))
     runTwoBatches(spark, stream, out, eventTimeBatches(rows), "enrich")(
       requireCount("enrich", rows.length.toLong))
+  }
+
+  /** Streaming TEMPORAL (as-of) JOIN — the events stream enriched
+    * against a versioned per-user dimension (two tier versions per
+    * user, valid from the stream's start and midpoint) through
+    * [[streaming.StreamingTemporalJoin]]'s keyed version-history state.
+    * Dims ride in batch 1 ahead of the event-time-ordered fact halves,
+    * so every fact finds its effective version; every fact emits exactly
+    * one enriched row (matched or not) — the count check is exact.
+    * Batch 2 runs with the watermark at batch 1's max event time, so the
+    * retention path (evict dead versions, keep the effective one) is
+    * exercised live, not just in the unit spec. */
+  def temporalJoinPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(spark, sfDir)
+    val minMs = rows.iterator.map(e => micros(e.ts)).min / 1000
+    val midMs = rows.iterator.map(e => micros(e.ts)).max / 1000 / 2 + minMs / 2
+    val dims = rows.map(_.user_id).distinct.flatMap(u => Seq(
+      StreamingTemporalJoin.dim(u, minMs, "bronze"),
+      StreamingTemporalJoin.dim(u, midMs, "silver")))
+    val stream = MemoryStream[StreamingTemporalJoin.Env]
+    val out = StreamingTemporalJoin(
+      stream.toDS().withWatermark("ts", "0 seconds"))
+    val (b1, b2) = eventTimeBatches(rows)
+    def facts(b: IndexedSeq[BEv]) = b.map(e =>
+      StreamingTemporalJoin.fact(e.user_id, micros(e.ts) / 1000, e.cents))
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out,
+        (dims.toIndexedSeq ++ facts(b1), facts(b2)), "temporal")(
+        requireCount("temporal", rows.length.toLong)))
   }
 
   def ttlPipelineRocksDB(spark: SparkSession, sfDir: String): Unit = {
