@@ -529,6 +529,39 @@ object Dedup {
         when(col("component") === col("doc_id"), "keep").otherwise("drop"))
       .orderBy("doc_id")
 
+  /** QUALITY-BASED canonical selection per near-dup cluster: production
+    * pipelines keep the BEST document of each duplicate cluster, not the
+    * smallest id — here "best" = most tokens (the most complete version),
+    * ties to the smallest id. Composes the star-contraction components
+    * with per-doc token counts; the winner per component is an argmax
+    * folded into ONE packed `min()` aggregate — `(1024 − n_toks)·2^51 +
+    * doc_id` orders by (longest, then smallest id) — so the plan is a
+    * single combiner-friendly groupBy, no window over components and no
+    * join-back (doc ids < 2^51 and token counts < 1024 are guarded).
+    * On the synthetic corpus the planted near-copies carry an appended
+    * tail, so the canonical doc is the COPY, not the min-id original —
+    * the gate genuinely distinguishes this rule from min-id keep. */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDupes(s, dir)
+    val comp = corpus.select("doc_id")
+      .join(componentsStar(verifiedPairs(s, dir)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val toks = corpus
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("n_toks",
+        when(col("n_toks") < 1024L && col("doc_id") < (1L << 51), col("n_toks"))
+          .otherwise(raise_error(concat(lit("dedup_canonical pack overflow: doc "),
+            col("doc_id").cast("string")))))
+    comp.join(toks, Seq("doc_id"))
+      .withColumn("key", (lit(1024L) - col("n_toks")) * lit(1L << 51) + col("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_docs"), min(col("key")).as("key"))
+      .select(col("component"), col("n_docs"),
+        col("key").bitwiseAND(lit((1L << 51) - 1)).as("canonical_doc"),
+        (lit(1024L) - shiftright(col("key"), 51)).as("canonical_toks"))
+      .orderBy("component")
+  }
+
   /** Deterministic hash-based stratified sampling — the data-selection
     * primitive of training pipelines (reproducible across runs/engines,
     * unlike rand()): keep documents whose content hash lands in the first

@@ -849,6 +849,57 @@ object ExtensionOracles {
     // min-label propagation computes the same transitive closure as the
     // default star-contraction CC — one oracle serves both gate queries
     "dedup_components_minlabel" -> base("dedup_components"),
+
+    // canonical-per-cluster: same transitive-closure components, winner =
+    // longest doc then smallest id, folded into one packed min() —
+    // (1024 - n_toks) * 2^51 + doc_id, decoded with & / >>
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $nearCorpus,
+         |$nearShingles,
+         |hs AS (SELECT doc_id, ${h32("s")} AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, j,
+         |    min(((2 * j + 1) * h + 1000003 * j + 12345) % 2147483647) AS m
+         |  FROM hs, range(64) t(j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |    sum(m * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS band_hash
+         |  FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |$sizesAndInter,
+         |verified AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+         |  JOIN sizes sa ON c.doc_a = sa.doc_id
+         |  JOIN sizes sb ON c.doc_b = sb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM verified
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM verified),
+         |walk(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS component
+         |  FROM walk GROUP BY src),
+         |compfull AS (
+         |  SELECT c.doc_id, coalesce(m.component, c.doc_id) AS component
+         |  FROM corpus c LEFT JOIN comp m ON c.doc_id = m.doc_id),
+         |tk AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM tokd),
+         |keyd AS (
+         |  SELECT f.component,
+         |    (1024 - t.n_toks) * 2251799813685248 + f.doc_id AS key
+         |  FROM compfull f JOIN tk t ON f.doc_id = t.doc_id)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(key) & 2251799813685247 AS canonical_doc,
+         |  1024 - (min(key) >> 51) AS canonical_toks
+         |FROM keyd GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $embCorpus,
          |${dimsCte("corpus")},

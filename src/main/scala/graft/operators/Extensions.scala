@@ -23,6 +23,7 @@ object Extensions {
     "dedup_drop_list"  -> (Dedup.dedupDropList _),
     "dedup_components" -> (Dedup.dedupComponents _),
     "dedup_components_minlabel" -> (Dedup.dedupComponentsMinLabel _),
+    "dedup_canonical"  -> (Dedup.dedupCanonical _),
     "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),
     "sample_stratified" -> ((s: SparkSession, dir: String) => Dedup.sampleStratified(s, dir)),
     "sample_reservoir" -> ((s: SparkSession, dir: String) => Dedup.sampleReservoir(s, dir)),

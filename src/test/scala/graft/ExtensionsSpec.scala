@@ -137,6 +137,34 @@ class ExtensionsSpec extends SparkTestBase {
     assert(Dedup.componentsStar(path, maxIters = 30).count() == 64)
   }
 
+  test("dedup_canonical: every planted cluster keeps its LONGEST doc (the copy), not min id") {
+    val comps = Dedup.dedupComponents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = Dedup.dedupCanonical(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // one row per component, components agree with the keep/drop gate
+    assert(got.map(_._1).toSet == comps.map(_._2).toSet)
+    assert(got.map(_._2).sum == comps.size)
+    val toksByDoc = Dedup.corpusWithNearDupes(spark, sf0001)
+      .select(col("doc_id"), size(Portable.tokens(col("text"))).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // differential model: per cluster, longest doc wins, ties to min id
+    val model = comps.groupBy(_._2).map { case (c, members) =>
+      val win = members.map(_._1).sortBy(d => (-toksByDoc(d), d)).head
+      c -> ((members.size.toLong, win, toksByDoc(win)))
+    }
+    assert(got.map(t => t._1 -> ((t._2, t._3, t._4))).toMap == model,
+      s"first diff: ${model.collectFirst { case (c, v)
+        if !got.exists(t => t._1 == c && ((t._2, t._3, t._4)) == v) => (c, v) }}")
+    // the rule genuinely diverges from min-id keep: a planted (original,
+    // longer copy) pair's canonical is the COPY, not the component id
+    val multi = got.filter(_._2 >= 2)
+    assert(multi.exists(t => t._3 >= Dedup.NearDupOffset && t._3 != t._1),
+      "no cluster diverged from min-id keep — the gate would not distinguish the rules")
+    // singletons keep themselves
+    assert(got.filter(_._2 == 1L).forall(t => t._3 == t._1))
+  }
+
   test("dedup_components keeps exactly one doc per component; drops superset of one-hop drops") {
     val comp = Dedup.dedupComponents(spark, sf0001).cache()
     val byComponent = comp.groupBy("component")

@@ -38,7 +38,8 @@ class PlanGuardSpec extends SparkTestBase {
     "sample_temperature")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
-  private val iterative = Set("dedup_components", "dedup_components_minlabel")
+  private val iterative =
+    Set("dedup_components", "dedup_components_minlabel", "dedup_canonical")
 
   test("no gate query plans a cartesian product or an unexpected nested-loop join") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
