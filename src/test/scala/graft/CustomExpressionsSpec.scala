@@ -69,6 +69,23 @@ class CustomExpressionsSpec extends SparkTestBase {
     })
   }
 
+  test("WordNgrams == interpreted transform/slice formulation at widths 1, 8, 64") {
+    import graft.functions.expressions.WordNgrams
+    val d = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+    for (n <- Seq(1, 8, 64)) {
+      // HOF reference: m-n+1 slices, whole-text degenerate under n
+      val hof = expr(
+        s"""CASE WHEN size(toks) >= $n THEN
+           |  transform(sequence(0, size(toks) - $n),
+           |    i -> concat_ws(' ', slice(toks, i + 1, $n)))
+           |ELSE array(concat_ws(' ', toks)) END""".stripMargin)
+      val diff = d.select(WordNgrams(col("toks"), n).as("a"), hof.as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"WordNgrams($n) drifts from the HOF form on $diff docs")
+    }
+  }
+
   test("RollingFingerprint == interpreted HOF fold on real documents") {
     val d = Tables.documents(spark, sf0001)
       .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))

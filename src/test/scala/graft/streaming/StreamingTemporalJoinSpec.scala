@@ -97,6 +97,23 @@ class StreamingTemporalJoinSpec extends SparkTestBase {
       s"diff: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
   }
 
+  test("hot key: 50k facts + 200 versions for ONE key in one micro-batch") {
+    // pins the per-key-per-batch buffering bound (the slice sorts on the
+    // heap) and the binary-search matching under a deep version history
+    val versions = (1 to 200).map(i => dim(9L, i * 1000L, s"v$i"))
+    val facts5 = (1 to 50000).map(i => fact(9L, i.toLong, i.toLong))
+    val got = run(Seq(versions ++ facts5))
+    assert(got.size == 50000)
+    // spot-exact: the fact at t=i picks version floor(i/1000)
+    val byVal = got.map(e => e.value -> e).toMap
+    assert(byVal(1500L).payload == Some("v1"))
+    assert(byVal(49999L).payload == Some("v49"))
+    assert(byVal(50000L).payload == Some("v50"))
+    val none = got.filter(_.payload.isEmpty)
+    // facts with t < 1000 (i % 220000 < 1000) have no effective version
+    assert(none.size == got.count(_.ts.getTime < 1000L) && none.nonEmpty)
+  }
+
   test("retained: evicts below-watermark versions except the still-effective one") {
     import StreamingTemporalJoin.retained
     val vs = Vector((1000L, "v1"), (2000L, "v2"), (50000L, "v3"))
