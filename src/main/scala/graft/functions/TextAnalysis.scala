@@ -109,6 +109,35 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** LM-quality proxy with EXACT cross-engine arithmetic: the mean
+    * log2-frequency-class of a document's tokens over the corpus
+    * unigram vocabulary (the CCNet/perplexity-bucket idea — natural
+    * prose is built from frequent words, noise from rare ones — without
+    * an external LM). `fc = floor(log2(corpus count))` is computed as
+    * `length(bin(cnt)) - 1`: a pure INTEGER log2 both engines evaluate
+    * identically, where a float `log()` differs between libm
+    * implementations in the last ulp and can flip a rounded hash.
+    * The mean is `sum(fc)/count` over exact integers (< 2^53) so the
+    * double division is bit-identical too.
+    *
+    * Scale shape: the vocabulary is one combiner-absorbed groupBy on
+    * `tok` (hot tokens collapse map-side); the scoring join is
+    * token-keyed with AQE skew handling. At 100 TB the vocabulary is
+    * built once, truncated to a top-K head + default tail class, and
+    * BROADCAST (like bm25's corpus stats) instead of re-derived inline —
+    * the inline self-join form here is the stateless exact-oracle gate. */
+  def freqClassQuality(s: SparkSession, dir: String): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = occ.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(col("tok"), (length(bin(col("cnt"))) - 1).cast("long").as("fc"))
+    occ.join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("fc")).cast("double") / count(lit(1)), 6).as("fc_mean"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary head: top-k tokens by global term frequency (ties by
     * token), with document frequency alongside — the vocabulary-building
     * pass of a tokenizer pipeline. One shuffle on `tok` computes both

@@ -1073,5 +1073,18 @@ object ExtensionOracles {
          |  FROM t JOIN df USING (tok))
          |SELECT doc_id, tok AS rare_term, doc_freq FROM r WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+
+    // mean log2-frequency-class per doc: fc = length(bin(cnt)) - 1 is an
+    // INTEGER log2 (identical in both engines, unlike libm log); mean =
+    // exact-integer sum / count in double
+    "text_freq_class" ->
+      s"""WITH tokd AS (SELECT doc_id, $toks AS toks FROM documents),
+         |occ AS (SELECT doc_id, unnest(toks) AS tok FROM tokd),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY 1),
+         |fcv AS (SELECT tok, CAST(length(bin(cnt)) - 1 AS BIGINT) AS fc FROM vocab)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  round(CAST(sum(fc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fc_mean
+         |FROM occ JOIN fcv USING (tok)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

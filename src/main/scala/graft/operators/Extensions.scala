@@ -34,6 +34,7 @@ object Extensions {
     "bm25_score"       -> (TextAnalysis.bm25Score _),
     "chunk_overlap"    -> (TextAnalysis.chunkOverlap _),
     "text_bpe_tokens"  -> (TextAnalysis.bpeTokenCount _),
+    "text_freq_class"  -> (TextAnalysis.freqClassQuality _),
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),
