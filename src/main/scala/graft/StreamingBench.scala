@@ -187,7 +187,17 @@ object StreamingBench {
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val rows = eventRows(spark, sfDir)
-    val expected = graft.operators.Relational.q21SessionWindow(spark, sfDir).count()
+    // expected session count from an INDEPENDENT driver-side model over
+    // the memoized feed (per user: 1 + gaps ≥ 30 min between µs-sorted
+    // events — an event at exactly session-end starts a new session,
+    // Spark sessions are [start, end)). Replaces running the batch q21
+    // aggregate inside the timed region: the check is now cheaper AND
+    // model-vs-engine rather than engine-vs-itself.
+    val gapUs = 30L * 60 * 1000000
+    val expected = rows.groupBy(_.user_id).valuesIterator.map { es =>
+      val ts = es.map(e => micros(e.ts)).sorted
+      1L + ts.iterator.zip(ts.iterator.drop(1)).count { case (a, b) => b - a >= gapUs }
+    }.sum
     val stream = MemoryStream[BEv]
     val out = stream.toDS().withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
