@@ -326,6 +326,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Temperature-weighted TOKEN budgets: [[tokenBudgetMix]] admits a
+    * flat per-source budget; real mixture construction budgets TOKENS
+    * per stratum proportional to `sqrt(stratum tokens)` (α = 0.5
+    * flattening, the [[Dedup.sampleTemperature]] rule moved from doc
+    * counts to token mass). Targets use integer sqrt weights + integer
+    * division (cross-engine-exact, order-independent); admission is the
+    * same running-token-sum window, now against the per-stratum target.
+    *
+    * Scale: the window partitions by stratum — same giant-stratum note
+    * as tokenBudgetMix (a stratum's running sum is one task's sort;
+    * salt+merge à la q40 if a stratum outgrows it). The weight/target
+    * side is a |strata|-row broadcast. */
+  def tokenBudgetTemperature(
+      s: SparkSession, dir: String, budget: Long = 8000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val weights = docs.groupBy("lang").agg(sum(col("n_tokens")).as("t_tokens"))
+      .withColumn("w", floor(sqrt(col("t_tokens"))).cast("long"))
+    val total = weights.agg(sum(col("w")).as("tw"))
+    val targets = weights.crossJoin(broadcast(total))
+      .withColumn("target", expr(s"w * $budget div tw"))
+      .select("lang", "target")
+    val win = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.join(broadcast(targets), Seq("lang"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(win))
+      .withColumn("action",
+        when(col("cum_tokens") <= col("target"), "admit").otherwise("overflow"))
+      .select("doc_id", "lang", "n_tokens", "cum_tokens", "target", "action")
+      .orderBy("doc_id")
+  }
+
   /** BM25 parameters (Robertson/Sparck Jones defaults) and the fixed
     * query term list for the [[bm25Score]] gate. */
   val Bm25K1 = 1.2

@@ -470,6 +470,29 @@ object ExtensionOracles {
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
 
+    // temperature token budgets: per-lang target = 8000·w/Σw with
+    // w = floor(sqrt(stratum tokens)) — integer weights/total/division;
+    // admission = running token sum vs the target
+    "token_budget_temperature" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |tw AS (SELECT lang, sum(n_tokens) AS t_tokens FROM d GROUP BY 1),
+         |wts AS (SELECT lang, CAST(floor(sqrt(t_tokens)) AS BIGINT) AS w FROM tw),
+         |tt AS (SELECT sum(w) AS total FROM wts),
+         |tgt AS (SELECT lang, CAST(w * 8000 // total AS BIGINT) AS target
+         |        FROM wts, tt),
+         |c AS (
+         |  SELECT d.doc_id, d.lang, d.n_tokens,
+         |    CAST(sum(d.n_tokens) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens,
+         |    tgt.target
+         |  FROM d JOIN tgt ON d.lang = tgt.lang)
+         |SELECT doc_id, lang, n_tokens, cum_tokens, target,
+         |  CASE WHEN cum_tokens <= target THEN 'admit' ELSE 'overflow' END AS action
+         |FROM c ORDER BY doc_id""".stripMargin,
+
     "bm25_score" -> {
       import graft.functions.TextAnalysis.{Bm25B, Bm25K1, Bm25Query}
       val dfCols = Bm25Query.zipWithIndex.map { case (term, i) =>

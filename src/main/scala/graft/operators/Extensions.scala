@@ -30,6 +30,7 @@ object Extensions {
     "sample_temperature" -> ((s: SparkSession, dir: String) => Dedup.sampleTemperature(s, dir)),
     "decontaminate"    -> ((s: SparkSession, dir: String) => Dedup.decontaminate(s, dir)),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
+    "token_budget_temperature" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetTemperature(s, dir)),
     "pack_sequences"   -> (TextAnalysis.packSequences _),
     "bm25_score"       -> (TextAnalysis.bm25Score _),
     "chunk_overlap"    -> (TextAnalysis.chunkOverlap _),
