@@ -625,10 +625,14 @@ object Dedup {
       .filter(col("hv") < col("bound"))
     // capture probe: every stratum must still hold min(n, |stratum|)
     // candidates — one tiny aggregate over the ~8n-per-stratum candidate
-    // set, ONE driver-side row (cf. the CC convergence probe precedent)
-    val deficient = cand.groupBy("lang")
-      .agg(count(lit(1)).as("got"), first(col("n_rows")).as("n_rows"))
-      .filter(col("got") < least(lit(n.toLong), col("n_rows")))
+    // set, ONE driver-side row (cf. the CC convergence probe precedent).
+    // Anchored on the BOUNDS table (every stratum has a row there), not
+    // the candidate set: a stratum with ZERO candidates produces no
+    // candidate group, and a candidate-side-only probe would let the
+    // exact failure it exists to catch pass silently (ADVICE r6).
+    val deficient = bounds.join(
+        cand.groupBy("lang").agg(count(lit(1)).as("got")), Seq("lang"), "left")
+      .filter(coalesce(col("got"), lit(0L)) < least(lit(n.toLong), col("n_rows")))
       .count()
     require(deficient == 0L,
       s"candidate bound under-captured $deficient strata (P ≤ exp(-3·$n) — investigate hv uniformity)")
@@ -669,9 +673,11 @@ object Dedup {
       .select("lang", "n_rows", "target", "bound")
     val cand = docs.join(broadcast(targets), Seq("lang"))
       .filter(col("hv") < col("bound"))
-    val deficient = cand.groupBy("lang")
-      .agg(count(lit(1)).as("got"), first(col("target")).as("target"))
-      .filter(col("got") < col("target"))
+    // bounds-anchored like sampleReservoir's probe: a zero-candidate
+    // stratum must register as deficient, not vanish from the groupBy
+    val deficient = targets.join(
+        cand.groupBy("lang").agg(count(lit(1)).as("got")), Seq("lang"), "left")
+      .filter(coalesce(col("got"), lit(0L)) < col("target"))
       .count()
     require(deficient == 0L,
       s"temperature candidate bound under-captured $deficient strata")
@@ -842,13 +848,24 @@ object Dedup {
     * filter/trim signal).
     *
     * Scale shape (100 TB): occurrences never join raw text — each span is
-    * a 16-byte md5 pair `(h1,h2)` plus a PACKED slot `doc_id*128 + pos`
-    * (doc ids < 2^51, positions < 128 — guarded). Exactly ONE occurrence
-    * per span group is canonical, so `n_dup(doc) = n_spans(doc) −
+    * a 16-byte md5 pair `(h1,h2)` plus a PACKED slot
+    * `doc_id*2^posBits + pos` (guarded: pos < 2^posBits, doc_id <
+    * 2^(63-posBits)). The long packing keeps the winner aggregation a
+    * plain HashAggregate with map-side partial_min — a struct-valued min
+    * would force sort-based aggregation. The bit split is a parameter
+    * because the two budgets trade off: the PRODUCTION default posBits=23
+    * covers ~8.4M tokens per document and a trillion doc ids (ADVICE r6
+    * widened this from the original 128-position budget, which capped
+    * documents at ~135 tokens); the GATE invocation passes
+    * [[SpanGatePosBits]] because the planted-copy corpus offsets ids by
+    * +2·10^15 (needs 51 doc-id bits) while its documents stay short.
+    * Exactly ONE occurrence per span group is
+    * canonical, so `n_dup(doc) = n_spans(doc) −
     * #winner slots owned by doc`: one span→min(slot) aggregation (the
     * map-side partial_min absorbs corpus-wide hot boilerplate spans
     * before the shuffle — same discipline as [[dedupLines]]), winner
-    * slots decode straight back to `doc_id = slot >> 7`, and the final
+    * slots decode straight back to `doc_id = slot >> posBits`, and the
+    * final
     * join is per-DOC pre-aggregated rows on both sides. The span
     * explosion runs ONCE (`n_spans` comes from token-count arithmetic on
     * the un-exploded corpus, not a second explosion) and no span-keyed
@@ -858,24 +875,33 @@ object Dedup {
     * ReuseExchange could not dedupe them — the corpus exploded TWICE —
     * and the join-back was a span-keyed hash join that stops
     * broadcasting at scale. The winner-ownership form needs neither.) */
-  def dedupSpans(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  /** Gate-corpus bit split for [[dedupSpans]]: the planted-copy ids
+    * (+2·10^15) need 51 doc-id bits, leaving 2^12 = 4096 positions —
+    * ample for the short synthetic docs. Mirrored in the DuckDB oracle's
+    * `doc_id * 4096 + pos` slot expression. */
+  val SpanGatePosBits = 12
+
+  def dedupSpans(s: SparkSession, dir: String, n: Int = 8,
+      posBits: Int = 23): DataFrame = {
     import graft.functions.expressions.WordNgrams
     val corpus = corpusWithNearDupes(s, dir)
     val spanCounts = corpus.select(col("doc_id"),
       greatest(size(tokens(col("text"))) - (n - 1), lit(1)).cast("long").as("n_spans"))
+    val posCap = 1L << posBits
+    val docCap = 1L << (63 - posBits)
     val occ = corpus
       .select(col("doc_id"), posexplode(WordNgrams(tokens(col("text")), n)).as(Seq("pos", "span")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         h32(col("span")).as("h1"), h32b(col("span")).as("h2"))
-      // slot packing is exact only while pos < 128 and doc_id < 2^51
+      // slot packing is exact only inside the (posBits, 63-posBits) budget
       .withColumn("pos",
-        when(col("pos") < 128L && col("doc_id") < (1L << 51), col("pos"))
+        when(col("pos") < posCap && col("doc_id") < docCap, col("pos"))
           .otherwise(raise_error(concat(lit("dedup_spans slot overflow: doc "),
             col("doc_id").cast("string")))))
     val owned = occ
       .groupBy("h1", "h2")
-      .agg(min(col("doc_id") * 128L + col("pos")).as("w"))
-      .groupBy(shiftright(col("w"), 7).as("doc_id"))
+      .agg(min(col("doc_id") * posCap + col("pos")).as("w"))
+      .groupBy(shiftright(col("w"), posBits).as("doc_id"))
       .agg(count(lit(1)).as("n_canon"))
     spanCounts.join(owned, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),

@@ -125,13 +125,63 @@ object TextAnalysis {
     * token-keyed with AQE skew handling. At 100 TB the vocabulary is
     * built once, truncated to a top-K head + default tail class, and
     * BROADCAST (like bm25's corpus stats) instead of re-derived inline —
-    * the inline self-join form here is the stateless exact-oracle gate. */
+    * that form is [[freqClassQualityHead]]; the inline self-join here is
+    * the stateless exact-oracle gate. */
   def freqClassQuality(s: SparkSession, dir: String): DataFrame = {
     val occ = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val vocab = occ.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .select(col("tok"), (length(bin(col("cnt"))) - 1).cast("long").as("fc"))
     occ.join(vocab, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(sum(col("fc")).cast("double") / count(lit(1)), 6).as("fc_mean"))
+      .orderBy("doc_id")
+  }
+
+  /** Head size for the [[freqClassQualityHead]] gate: below the ~31-token
+    * corpus vocabulary, so the gate exercises BOTH the head lookup and
+    * the default tail class. */
+  val FreqClassHeadK = 16
+
+  /** Default class for tokens outside the head: the rarest class
+    * (floor(log2 1) = 0) — by Zipf, tail tokens are the low-count ones. */
+  val FreqClassTailFc = 0L
+
+  /** The 100-TB form of [[freqClassQuality]] (VERDICT r6 item 8,
+    * promoted from that gate's scaladoc): the vocabulary is truncated to
+    * its top-[[FreqClassHeadK]] tokens by corpus frequency (ties to the
+    * token — deterministic cross-engine), the head's frequency classes
+    * ride to every executor as a MAP LITERAL (k entries — the bm25
+    * corpus-stats discipline), and every non-head token scores the
+    * default tail class [[FreqClassTailFc]]. Scoring is then a
+    * scan-speed per-row lookup: NO token-keyed join, no skew exposure,
+    * one combiner-absorbed vocabulary pass + a TakeOrdered(k) to build
+    * the head. By Zipf the head covers most occurrences, and tail
+    * misclassification is bounded by the head boundary's class — the
+    * standard vocabulary-truncation trade every tokenizer makes. Exact
+    * agreement with [[freqClassQuality]] when the head covers the whole
+    * vocabulary is spec-pinned; the headK < vocab regime is gated
+    * against a full DuckDB mirror (the truncation is SQL-expressible —
+    * unlike the trained codebooks, nothing here is JVM-private). */
+  def freqClassQualityHead(s: SparkSession, dir: String,
+      headK: Int = FreqClassHeadK): DataFrame = {
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // bounded driver-side collect: headK rows (the broadcast head)
+    val head = occ.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(headK)
+      .select(col("tok"), (length(bin(col("cnt"))) - 1).cast("long").as("fc"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val fcOf = coalesce(
+      element_at(
+        map(head.sortBy(_._1)
+          .flatMap { case (t, fc) => Seq(lit(t), lit(fc)) }.toIndexedSeq: _*),
+        col("tok")),
+      lit(FreqClassTailFc))
+    occ.select(col("doc_id"), fcOf.as("fc"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
         round(sum(col("fc")).cast("double") / count(lit(1)), 6).as("fc_mean"))

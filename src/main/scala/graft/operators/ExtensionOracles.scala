@@ -599,9 +599,10 @@ object ExtensionOracles {
          |ORDER BY doc_id""".stripMargin,
 
     // substring-level span dedup over the near-dup corpus: 8-token spans,
-    // first occurrence (min packed doc*128+pos slot) canonical; per doc the
-    // span count, duplicated-span count, and duplicated fraction. Matches
-    // the Spark side's (h1,h2) 16-byte span keys + packed winner slots.
+    // first occurrence (min packed doc*2^SpanGatePosBits+pos slot)
+    // canonical; per doc the span count, duplicated-span count, and
+    // duplicated fraction. Matches the Spark side's (h1,h2) span keys +
+    // packed winner slots at the gate's bit split.
     "dedup_spans" ->
       s"""WITH $nearCorpus,
          |tokd AS (SELECT doc_id, $toks AS toks FROM corpus),
@@ -617,7 +618,7 @@ object ExtensionOracles {
          |  FROM occ0),
          |perdoc AS (
          |  SELECT h1, h2, doc_id, count(*) AS cnt,
-         |    min(doc_id * 128 + pos) AS first_here
+         |    min(doc_id * ${1L << Dedup.SpanGatePosBits} + pos) AS first_here
          |  FROM occ GROUP BY 1, 2, 3),
          |winner AS (SELECT h1, h2, min(first_here) AS w FROM perdoc GROUP BY 1, 2)
          |SELECT p.doc_id,
@@ -657,6 +658,17 @@ object ExtensionOracles {
       s"""SELECT CAST(vec_id AS BIGINT) AS qid, CAST(1 AS BIGINT) AS recall_ok
          |FROM embeddings WHERE vec_id < ${Similarity.NQueryVectors}
          |ORDER BY qid""".stripMargin,
+
+    // trained-IVF recall gate, planted-near-dup form: the oracle asserts
+    // dup_found=1 for every planted query — searching from each planted
+    // copy (source ids 0,9,..,63) must surface its source in the top-k;
+    // a codebook whose cells split a cosine-0.995 pair flips a row to 0
+    // and fails the hash. k-means is deliberately NOT mirrored in SQL.
+    "ann_ivf_recall" ->
+      s"""SELECT CAST(vec_id AS BIGINT) AS src_id, CAST(1 AS BIGINT) AS dup_found
+         |FROM embeddings
+         |WHERE vec_id % 9 = 0 AND vec_id < ${9 * Similarity.NQueryVectors}
+         |ORDER BY src_id""".stripMargin,
 
     // PQ mirror: 64-dim embeddings, M=8 sub-spaces of 8 dims (the inner
     // ranges/offsets hardcode sub=8 accordingly); argmin code = first
@@ -1108,6 +1120,26 @@ object ExtensionOracles {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
          |  round(CAST(sum(fc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fc_mean
          |FROM occ JOIN fcv USING (tok)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // head-truncated variant: top-K head by (cnt DESC, tok) — the same
+    // deterministic ranking the Spark TakeOrdered uses — scores fc from
+    // the head, everything else the default tail class 0; the truncation
+    // itself is plain SQL so the head form gets a FULL value oracle
+    "text_freq_class_head" ->
+      s"""WITH tokd AS (SELECT doc_id, $toks AS toks FROM documents),
+         |occ AS (SELECT doc_id, unnest(toks) AS tok FROM tokd),
+         |vocab AS (SELECT tok, count(*) AS cnt FROM occ GROUP BY 1),
+         |head AS (
+         |  SELECT tok, CAST(length(bin(cnt)) - 1 AS BIGINT) AS fc FROM (
+         |    SELECT tok, cnt,
+         |      row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+         |    FROM vocab)
+         |  WHERE rn <= ${TextAnalysis.FreqClassHeadK})
+         |SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |  round(CAST(sum(coalesce(h.fc, ${TextAnalysis.FreqClassTailFc})) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 6) AS fc_mean
+         |FROM occ o LEFT JOIN head h USING (tok)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -11,9 +11,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * The two inputs arrive as ONE keyed envelope stream (dims flagged
   * `is_dim`) — the union-then-key-together shape the reference built its
-  * `EitherKeySelector` for (`/root/reference/src/main/java/com/espark/
-  * adaptors/poc/mapwithstate/EitherKeySelector.java` — there a
-  * value/tombstone union; here a fact/dim-version union).
+  * `EitherKeySelector` for (`/root/reference/src/main/java/com/github/
+  * juanrh/streaming/MapWithState.java:66-87` — there a value/tombstone
+  * union; here a fact/dim-version union).
   *
   * Contracts:
   *  - One key's micro-batch slice processes in deterministic

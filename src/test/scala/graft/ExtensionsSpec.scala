@@ -13,10 +13,10 @@ import graft.operators.Extensions
 class ExtensionsSpec extends SparkTestBase {
 
   /** Gates whose value is deliberately NOT SQL-mirrored (driver records
-    * a rows-only check): trained k-means codebooks are deterministic in
-    * the JVM but not reproducible in DuckDB SQL; their quality pins are
-    * the recall gate (ann_pq_recall) and the distortion spec below. */
-  val RowsOnlyGates = Set("ann_ivf_trained")
+    * a rows-only check). Empty since round 7: the trained-IVF path's
+    * quality pin moved from rows-only to the planted-near-dup recall
+    * gate (ann_ivf_recall), so every registered gate is oracle-checked. */
+  val RowsOnlyGates = Set.empty[String]
 
   test("every extension query runs non-empty on sf0.001 and has an oracle") {
     Extensions.all.foreach { case (name, fn) =>
@@ -893,7 +893,9 @@ class ExtensionsSpec extends SparkTestBase {
         BigDecimal(nDup.toDouble / os.size)
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toSeq.sortBy(_._1)
-    val got = Dedup.dedupSpans(spark, sf0001).collect()
+    // gate bit split: the planted ids exceed the production default's
+    // 2^40 doc-id budget (and the guard below proves that raises loudly)
+    val got = Dedup.dedupSpans(spark, sf0001, posBits = Dedup.SpanGatePosBits).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
     assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}; sizes ${got.size}/${expected.size}")
     // every planted copy repeats its source's spans: all but the tail-crossing
@@ -905,6 +907,12 @@ class ExtensionsSpec extends SparkTestBase {
     // (its copy has the larger id), so sources only show ORGANIC repeats
     val sources = got.filter(t => t._1 < Dedup.NearDupOffset).map(_._4)
     assert(sources.count(_ == 0.0) > sources.length / 2)
+    // the packed-slot guard is LOUD, not silent: under the production
+    // bit split the planted +2e15 ids exceed the 2^40 doc-id budget
+    val e = intercept[Exception] {
+      Dedup.dedupSpans(spark, sf0001).collect()
+    }
+    assert(e.getMessage.contains("dedup_spans slot overflow"), e.getMessage)
   }
 
   test("chunk_overlap: stride geometry covers every token exactly, last chunk partial") {

@@ -27,15 +27,16 @@ class PlanGuardSpec extends SparkTestBase {
     * same against its ONE-ROW dimension min/max row; q42_upsert the
     * same against its ONE-ROW max-key row (derived insert offset);
     * ann_pq_recall composes the two by-design scans above (brute
-    * baseline + trained-codebook ADC scan); ann_ivf_trained is the same
-    * K-bounded centroid-assignment cross join as ann_ivf;
+    * baseline + trained-codebook ADC scan); ann_ivf_recall is the same
+    * K-bounded centroid-assignment cross join as ann_ivf (over the
+    * planted-dup corpus);
     * sample_temperature and token_budget_temperature cross-join the
     * |strata|-row weight table against its ONE-ROW weight-total
     * aggregate to derive targets. */
   private val bnljByDesign = Set(
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
     "ann_ivf_pq",
-    "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_trained",
+    "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_recall",
     "sample_temperature", "token_budget_temperature")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
