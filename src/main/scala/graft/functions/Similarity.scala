@@ -572,13 +572,6 @@ object Similarity {
       .toDF("cent_id", "cv")
   }
 
-  /** [[annIvf]] with the trained codebook (nprobe=2) — the recommended
-    * IVF path; the hash-picked variants stay as the exact-oracle gates. */
-  def annIvfTrained(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    ivfSearchWith(emb, ivfCodebookTrained(s, emb), nprobe = 2)
-  }
-
   /** Minimum per-query hits (of [[TopK]]) for the trained-path recall
     * gates: 4/5 = recall@5 ≥ 0.8 per query. */
   val TrainedRecallMinHits = 4

@@ -671,6 +671,25 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("ann_ivf_recall emits one row per planted query with dup_found=1 on sf0.001") {
+    val rows = Similarity.annIvfRecall(spark, sf0001).collect()
+    assert(rows.length == Similarity.NQueryVectors,
+      s"${rows.length} rows for ${Similarity.NQueryVectors} planted queries")
+    rows.foreach(r => assert(r.getLong(1) == 1L,
+      s"planted query src_id=${r.getLong(0)} did not find its source"))
+  }
+
+  test("freqClassQualityHead with headK >= vocab agrees exactly with freqClassQuality") {
+    val full = functions.TextAnalysis.freqClassQuality(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // headK far above the corpus vocabulary: every token is in the head,
+    // so the broadcast-head scoring must reproduce the join-based scores
+    // bit-for-bit (same count, same fc sum, same rounded mean)
+    val head = functions.TextAnalysis.freqClassQualityHead(spark, sf0001, headK = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(head.sameElements(full))
+  }
+
   test("PQ: codes bounded, centroids self-encode, ADC refine recovers brute top-5") {
     import graft.functions.expressions.PqCodes
     val emb = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
