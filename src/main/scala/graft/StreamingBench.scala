@@ -42,12 +42,70 @@ object StreamingBench {
   private val cdcMemo = scala.collection.mutable.HashMap.empty[
     String, (Array[StreamingUpsert.Change], Array[StreamingUpsert.Change])]
 
+  /** Per-(tag, sfDir) memo of the driver-side expected-count models
+    * (session boundaries, near-dup bucket replay, interval-join pair
+    * counts, …). The models are deterministic functions of the feed, so
+    * computing them once moves their cost out of every timed run after
+    * the first — and [[prepare]] runs them BEFORE the first, so no timed
+    * region ever pays model cost (VERDICT r6 item 6 / r7 item 4). */
+  private val expectedMemo =
+    scala.collection.mutable.HashMap.empty[(String, String), Long]
+  private def memoExpected(tag: String, sfDir: String)(model: => Long): Long =
+    expectedMemo.getOrElseUpdate((tag, sfDir), model)
+
+  /** Per-tag recentProgress capture from the LAST run of each pipeline:
+    * compact per-batch rows + triggerExecution/addBatch millis, rendered
+    * into the bench JSON so a slow line item is adjudicable from the
+    * round artifact (which micro-batch paid, engine vs harness) instead
+    * of needing a debug re-run. */
+  private val progressLog =
+    scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+  /** Suffix appended to recorded progress tags so a provider-wrapped
+    * rerun of a pipeline (RocksDB) logs under its own key instead of
+    * overwriting the HDFS-backed run's entry. Single-threaded bench. */
+  private var progressSuffix = ""
+
+  private def recordProgress(
+      tag: String, query: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val batches = query.recentProgress.toSeq.map { p =>
+      def ms(k: String): Long =
+        Option(p.durationMs.get(k)).map(_.longValue).getOrElse(-1L)
+      s"""{"b":${p.batchId},"rows":${p.numInputRows},""" +
+        s""""trigger_ms":${ms("triggerExecution")},"add_batch_ms":${ms("addBatch")}}"""
+    }
+    progressLog(tag + progressSuffix) = batches.mkString("[", ",", "]")
+  }
+
+  /** JSON object of every captured pipeline's per-batch progress. */
+  def progressJson: String =
+    progressLog.map { case (tag, arr) => "\"" + tag + "\":" + arr }
+      .mkString("{", ",", "}")
+
+  /** Populate every feed and expected-count memo for `sfDir` WITHOUT
+    * running any stream: Bench calls this before the timed streaming
+    * passes, so both timed runs of every pipeline measure engine cost
+    * only — no batch reads, no driver-side model derivation. */
+  def prepare(spark: SparkSession, sfDir: String): Unit = {
+    val rows = eventRows(spark, sfDir)
+    eventTypes(spark, sfDir)
+    purchaseClickRows(spark, sfDir)
+    cdcFeed(spark, sfDir)
+    sessionExpected(rows, sfDir)
+    countWindowsExpected(rows, sfDir)
+    quantilesExpected(rows, sfDir)
+    ndvExpected(rows, sfDir)
+    topKExpected(spark, sfDir)
+    nearDupExpected(spark, sfDir)
+    intervalJoinExpected(spark, sfDir)
+  }
+
   /** Release the collected feed arrays. Bench.main calls this once the
     * streaming line items finish, so an embedded or multi-sfDir caller
     * doesn't accumulate whole collected tables for the JVM lifetime. */
   def clearMemo(): Unit = {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
-    cdcMemo.clear()
+    cdcMemo.clear(); expectedMemo.clear(); progressLog.clear()
   }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
@@ -92,6 +150,7 @@ object StreamingBench {
       .outputMode("append").start()
     try {
       batches.foreach { b => stream.addData(b); query.processAllAvailable() }
+      recordProgress(tag, query)
       if (sys.env.contains("GRAFT_BENCH_DEBUG"))
         query.recentProgress.foreach(p => System.err.println(
           s"[$tag] batch=${p.batchId} rows=${p.numInputRows} ${p.durationMs}"))
@@ -182,22 +241,27 @@ object StreamingBench {
     * NOT work: Catalyst pushes deterministic predicates below the
     * EventTimeWatermark node, so filtered flush rows never reach the
     * watermark collector at all — measured, the watermark stalls.) */
+  /** Expected session count from an INDEPENDENT driver-side model over
+    * the memoized feed (per user: 1 + gaps ≥ 30 min between µs-sorted
+    * events — an event at exactly session-end starts a new session,
+    * Spark sessions are [start, end)). Replaces running the batch q21
+    * aggregate inside the timed region: the check is cheaper AND
+    * model-vs-engine rather than engine-vs-itself. */
+  private def sessionExpected(rows: Array[BEv], sfDir: String): Long =
+    memoExpected("session", sfDir) {
+      val gapUs = 30L * 60 * 1000000
+      rows.groupBy(_.user_id).valuesIterator.map { es =>
+        val ts = es.map(e => micros(e.ts)).sorted
+        1L + ts.iterator.zip(ts.iterator.drop(1)).count { case (a, b) => b - a >= gapUs }
+      }.sum
+    }
+
   def sessionWindowPipeline(spark: SparkSession, sfDir: String): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val rows = eventRows(spark, sfDir)
-    // expected session count from an INDEPENDENT driver-side model over
-    // the memoized feed (per user: 1 + gaps ≥ 30 min between µs-sorted
-    // events — an event at exactly session-end starts a new session,
-    // Spark sessions are [start, end)). Replaces running the batch q21
-    // aggregate inside the timed region: the check is now cheaper AND
-    // model-vs-engine rather than engine-vs-itself.
-    val gapUs = 30L * 60 * 1000000
-    val expected = rows.groupBy(_.user_id).valuesIterator.map { es =>
-      val ts = es.map(e => micros(e.ts)).sorted
-      1L + ts.iterator.zip(ts.iterator.drop(1)).count { case (a, b) => b - a >= gapUs }
-    }.sum
+    val expected = sessionExpected(rows, sfDir)
     val stream = MemoryStream[BEv]
     val out = stream.toDS().withWatermark("ts", "0 seconds")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -222,7 +286,18 @@ object StreamingBench {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val (loads, changes) = cdcMemo.getOrElseUpdate(sfDir, {
+    val (loads, changes) = cdcFeed(spark, sfDir)
+    val stream = MemoryStream[StreamingUpsert.Change]
+    val out = StreamingUpsert(stream.toDS())
+    withStatePartitions(spark, 16)(
+      runBatches(spark, stream, out,
+        Seq(loads.toIndexedSeq, changes.toIndexedSeq), "cdc")(
+        requireCount("cdc", (loads.length + changes.length).toLong)))
+  }
+
+  private def cdcFeed(spark: SparkSession, sfDir: String)
+      : (Array[StreamingUpsert.Change], Array[StreamingUpsert.Change]) =
+    cdcMemo.getOrElseUpdate(sfDir, {
       val base = Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice").cast("decimal(18,2)").cast("double").as("price"))
@@ -242,13 +317,6 @@ object StreamingBench {
           r.getLong(0), 0L, "", 0.0, "delete"))
       (ld, upd ++ ins ++ del)
     })
-    val stream = MemoryStream[StreamingUpsert.Change]
-    val out = StreamingUpsert(stream.toDS())
-    withStatePartitions(spark, 16)(
-      runBatches(spark, stream, out,
-        Seq(loads.toIndexedSeq, changes.toIndexedSeq), "cdc")(
-        requireCount("cdc", (loads.length + changes.length).toLong)))
-  }
 
   /** The flagship TTL pipeline on the RocksDB state store provider —
     * the 100 TB state posture (bounded heap, spill-to-disk); a
@@ -314,16 +382,56 @@ object StreamingBench {
         requireCount("temporal", rows.length.toLong)))
   }
 
-  def ttlPipelineRocksDB(spark: SparkSession, sfDir: String): Unit = {
+  /** Run `body` with the RocksDB state store provider (queries pin the
+    * provider at start, so this scopes it to queries started inside). */
+  private def withRocksDB[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try ttlPipeline(spark, sfDir)
-    finally prev match {
-      case Some(p) => spark.conf.set(key, p)
-      case None => spark.conf.unset(key)
+    progressSuffix = "_rocksdb"
+    try body
+    finally {
+      progressSuffix = ""
+      prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
     }
+  }
+
+  def ttlPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark)(ttlPipeline(spark, sfDir))
+
+  /** The HEAVIEST state shape (stream-stream interval join: 4 state
+    * stores per partition, key-indexed row buffers both sides) on the
+    * RocksDB provider — the provider delta that matters at 100 TB is on
+    * this shape, not the single-value TTL map (VERDICT r6 item 7). */
+  def intervalJoinPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark)(intervalJoinPipeline(spark, sfDir))
+
+  /** Fixed-size, sfDir-independent CONTROL pipeline: 20k synthetic
+    * events through the keyed running reduce on the same state-partition
+    * count as the real items. Its cost is dominated by micro-batch +
+    * state-store machinery, untouched round over round — so its drift
+    * measures container load on the STREAMING segment the way
+    * q2_filter_project does for the batch segment (a streaming line is
+    * only a regression if it moved more than this control did). */
+  def controlPipeline(spark: SparkSession): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Array.tabulate(20000) { i =>
+      BEv(i.toLong, (i % 100).toLong, new java.sql.Timestamp(1700000000000L + i * 10L),
+        (i % 997).toLong)
+    }
+    val stream = MemoryStream[BEv]
+    val out = RunningReduce.keyed(stream.toDS(), 0L)(
+      _.user_id, e => micros(e.ts), _.event_id)(
+      (acc, e) => acc + e.cents)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, eventTimeBatches(rows), "control")(
+        requireCount("control", rows.length.toLong)))
   }
 
   /** Keyed running reduce (B10): per-user running cents sum, one output
@@ -354,11 +462,28 @@ object StreamingBench {
     val out = CountWindows.keyed(stream.toDS(), size = 5)(
       _.user_id, e => micros(e.ts), _.event_id)(
       (k, items) => (k, items.map(_.cents).sum))
-    val expected = rows.groupBy(_.user_id).valuesIterator.map(_.size / 5).sum.toLong
+    val expected = countWindowsExpected(rows, sfDir)
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, eventTimeBatches(rows), "count_windows")(
         requireCount("count_windows", expected)))
   }
+
+  private def countWindowsExpected(rows: Array[BEv], sfDir: String): Long =
+    memoExpected("count_windows", sfDir)(
+      rows.groupBy(_.user_id).valuesIterator.map(_.size / 5).sum.toLong)
+
+  /** Snapshot-count model shared by the sketch pipelines: a group
+    * invoked in a batch emits one snapshot row per batch. */
+  private def quantilesExpected(rows: Array[BEv], sfDir: String): Long =
+    memoExpected("quantiles", sfDir) {
+      val groups = 4
+      val batches = rows.map(_.cents.toDouble).toIndexedSeq.splitAt(rows.length / 2)
+      def grp(v: Double) = math.floorMod(java.lang.Double.hashCode(v), groups)
+      (0 until groups).map { g =>
+        (if (batches._1.exists(grp(_) == g)) 1 else 0) +
+          (if (batches._2.exists(grp(_) == g)) 1 else 0)
+      }.sum.toLong
+    }
 
   /** Streaming quantiles: QuantileSketch per group over the event value
     * stream (compacting regime — capacity 256 ≪ feed size), one
@@ -368,16 +493,13 @@ object StreamingBench {
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val groups = 4
-    val values = eventRows(spark, sfDir).map(_.cents.toDouble)
+    val rows = eventRows(spark, sfDir)
+    val values = rows.map(_.cents.toDouble)
     val stream = MemoryStream[Double]
     val out = graft.streaming.StreamingQuantiles.quantiles(
       stream.toDS(), groups, capacity = 256, fractions = Seq(0.25, 0.5, 0.95))
     val batches = values.toIndexedSeq.splitAt(values.length / 2)
-    def grp(v: Double) = math.floorMod(java.lang.Double.hashCode(v), groups)
-    val expected = (0 until groups).map { g =>
-      (if (batches._1.exists(grp(_) == g)) 1 else 0) +
-        (if (batches._2.exists(grp(_) == g)) 1 else 0)
-    }.sum.toLong
+    val expected = quantilesExpected(rows, sfDir)
     withStatePartitions(spark, groups)(
       runTwoBatches(spark, stream, out, batches, "quantiles")(
         requireCount("quantiles", expected)))
@@ -386,60 +508,85 @@ object StreamingBench {
   /** Streaming distinct-count: HLL registers per group over the user-id
     * stream — the classic live distinct-users metric; state is exactly
     * 2^p bytes per group however long the stream runs. */
+  private def ndvExpected(rows: Array[BEv], sfDir: String): Long =
+    memoExpected("ndv", sfDir) {
+      val groups = 4
+      val batches = rows.map(_.user_id.toString).toIndexedSeq.splitAt(rows.length / 2)
+      def grp(t: String) = math.floorMod(t.hashCode, groups)
+      (0 until groups).map { g =>
+        (if (batches._1.exists(grp(_) == g)) 1 else 0) +
+          (if (batches._2.exists(grp(_) == g)) 1 else 0)
+      }.sum.toLong
+    }
+
   def ndvPipeline(spark: SparkSession, sfDir: String): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val groups = 4
-    val users = eventRows(spark, sfDir).map(e => e.user_id.toString)
+    val rows = eventRows(spark, sfDir)
+    val users = rows.map(e => e.user_id.toString)
     val stream = MemoryStream[String]
     val out = graft.streaming.StreamingNdv.ndv(stream.toDS(), groups)
     val batches = users.toIndexedSeq.splitAt(users.length / 2)
-    def grp(t: String) = math.floorMod(t.hashCode, groups)
-    val expected = (0 until groups).map { g =>
-      (if (batches._1.exists(grp(_) == g)) 1 else 0) +
-        (if (batches._2.exists(grp(_) == g)) 1 else 0)
-    }.sum.toLong
+    val expected = ndvExpected(rows, sfDir)
     withStatePartitions(spark, groups)(
       runTwoBatches(spark, stream, out, batches, "ndv")(
         requireCount("ndv", expected)))
   }
 
+  private val NearDupMaxBucket = 64
+
+  /** EXACT driver-side replay of the streaming near-dup bucket
+    * algorithm (signatures included) — the heaviest expected model, so
+    * memoizing it matters most here: the replay runs once per sfDir,
+    * never inside a timed region. */
+  private def nearDupExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("near_dup", sfDir) {
+      import graft.streaming.StreamingNearDup
+      val sorted = docRows(spark, sfDir).sortBy(_._1)
+      val (b1, b2) = sorted.splitAt(sorted.length / 2)
+      val held = scala.collection.mutable.HashMap
+        .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Long]]
+      var expected = 0L
+      Seq(b1, b2).foreach { batch =>
+        batch.iterator
+          .flatMap { case (id, text) =>
+            StreamingNearDup.bandHashes(StreamingNearDup.signature(text))
+              .zipWithIndex.map { case (h, b) => ((b, h), id) }
+          }
+          .toSeq.groupBy(_._1)
+          .foreach { case (key, rows) =>
+            val acc = held.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty)
+            rows.map(_._2).distinct.sorted.filterNot(acc.contains).foreach { id =>
+              expected += acc.size
+              if (acc.size < NearDupMaxBucket) acc += id
+            }
+          }
+      }
+      expected
+    }
+
+  private def docRows(spark: SparkSession, sfDir: String): Array[(Long, String)] =
+    docsMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    })
+
   /** Incremental near-dup index: the documents table streamed through
     * the MinHash-LSH bucket state in two batches; the expected emission
-    * count is an EXACT driver-side replay of the same bucket algorithm
-    * (signatures included — the oracle cost is part of the line item,
-    * like the other pipelines' expected-count derivations). */
+    * count is an exact driver-side replay ([[nearDupExpected]]). */
   def nearDupPipeline(spark: SparkSession, sfDir: String): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingNearDup
-    val docs = docsMemo.getOrElseUpdate(sfDir,
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("text")).as[(Long, String)].collect())
-    val sorted = docs.sortBy(_._1)
+    val sorted = docRows(spark, sfDir).sortBy(_._1)
     val (b1, b2) = sorted.splitAt(sorted.length / 2)
-    val maxBucket = 64
-    // exact replay of the stream's bucket algorithm
-    val held = scala.collection.mutable.HashMap
-      .empty[(Int, Long), scala.collection.mutable.ArrayBuffer[Long]]
-    var expected = 0L
-    Seq(b1, b2).foreach { batch =>
-      batch.iterator
-        .flatMap { case (id, text) =>
-          StreamingNearDup.bandHashes(StreamingNearDup.signature(text))
-            .zipWithIndex.map { case (h, b) => ((b, h), id) }
-        }
-        .toSeq.groupBy(_._1)
-        .foreach { case (key, rows) =>
-          val acc = held.getOrElseUpdate(key, scala.collection.mutable.ArrayBuffer.empty)
-          rows.map(_._2).distinct.sorted.filterNot(acc.contains).foreach { id =>
-            expected += acc.size
-            if (acc.size < maxBucket) acc += id
-          }
-        }
-    }
+    val maxBucket = NearDupMaxBucket
+    val expected = nearDupExpected(spark, sfDir)
     val stream = MemoryStream[(Long, String)]
     val out = StreamingNearDup.candidates(stream.toDS(), maxBucket)
     withStatePartitions(spark, 16)(
@@ -482,6 +629,29 @@ object StreamingBench {
       (rows(p), rows(c))
     })
 
+  /** Exact expected pair count for the interval join: per user, sorted
+    * click times + binary search per purchase. */
+  private def intervalJoinExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("interval_join", sfDir) {
+      val (pRows, cRows) = purchaseClickRows(spark, sfDir)
+      val clicksByUser = cRows.groupBy(_.user_id)
+        .map { case (u, cs) => u -> cs.map(e => micros(e.ts)).sorted }
+      def below(arr: Array[Long], x: Long): Int = {
+        var lo = 0; var hi = arr.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (arr(mid) < x) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
+      pRows.iterator.map { pr =>
+        clicksByUser.get(pr.user_id).fold(0L) { arr =>
+          val t = micros(pr.ts)
+          (below(arr, t) - below(arr, t - 3600L * 1000000)).toLong
+        }
+      }.sum
+    }
+
   /** Stream-stream interval join (StreamJoin): clicks in the hour before
     * each purchase — the q23 window with BOTH sides fed as streams. The
     * two feeds split at one shared event-time boundary so neither
@@ -496,24 +666,7 @@ object StreamingBench {
     val (b1, b2) = eventTimeBatches(pRows ++ cRows)
     val (p1, c1) = b1.partition(e => pIds(e.event_id))
     val (p2, c2) = b2.partition(e => pIds(e.event_id))
-
-    // exact expected pairs: per user, sorted click times + binary search
-    val clicksByUser = cRows.groupBy(_.user_id)
-      .map { case (u, cs) => u -> cs.map(e => micros(e.ts)).sorted }
-    def below(arr: Array[Long], x: Long): Int = {
-      var lo = 0; var hi = arr.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (arr(mid) < x) lo = mid + 1 else hi = mid
-      }
-      lo
-    }
-    val expected = pRows.iterator.map { pr =>
-      clicksByUser.get(pr.user_id).fold(0L) { arr =>
-        val t = micros(pr.ts)
-        (below(arr, t) - below(arr, t - 3600L * 1000000)).toLong
-      }
-    }.sum
+    val expected = intervalJoinExpected(spark, sfDir)
 
     val clicks = MemoryStream[BEv]
     val purchases = MemoryStream[BEv]
@@ -537,6 +690,7 @@ object StreamingBench {
     try {
       purchases.addData(p1); clicks.addData(c1); query.processAllAvailable()
       purchases.addData(p2); clicks.addData(c2); query.processAllAvailable()
+      recordProgress("interval_join", query)
       if (sys.env.contains("GRAFT_BENCH_DEBUG"))
         query.recentProgress.foreach(pr => System.err.println(
           s"[ij] batch=${pr.batchId} rows=${pr.numInputRows} ${pr.durationMs}"))
@@ -547,6 +701,25 @@ object StreamingBench {
     }
   }
 
+  /** Exact expected snapshot rows: a group invoked in a batch emits
+    * min(k, tracked) rows, and SpaceSaving tracks min(cumulative
+    * distinct, capacity) items — derivable driver-side from the feed. */
+  private def topKExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("topk", sfDir) {
+      val types = eventTypes(spark, sfDir)
+      val groups = 4; val capacity = 64; val k = 10
+      val batches = types.toIndexedSeq.splitAt(types.length / 2)
+      def grp(s: String) = math.floorMod(s.hashCode, groups)
+      val b1 = batches._1.groupBy(grp); val b2 = batches._2.groupBy(grp)
+      (0 until groups).map { g =>
+        val seen1 = b1.getOrElse(g, IndexedSeq.empty).distinct.size
+        val seenCum = (b1.getOrElse(g, IndexedSeq.empty) ++ b2.getOrElse(g, IndexedSeq.empty))
+          .distinct.size
+        (if (b1.contains(g)) math.min(k, math.min(seen1, capacity)) else 0) +
+          (if (b2.contains(g)) math.min(k, math.min(seenCum, capacity)) else 0)
+      }.sum.toLong
+    }
+
   /** Streaming heavy hitters: SpaceSaving sketches over the event_type
     * stream (one sketch per group key), top-k snapshots per batch. */
   def topKPipeline(spark: SparkSession, sfDir: String): Unit = {
@@ -554,22 +727,11 @@ object StreamingBench {
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val types = eventTypes(spark, sfDir)
-    val groups = 4; val capacity = 64; val k = 10
+    val groups = 4
     val stream = MemoryStream[String]
-    val out = StreamingTopK.topK(stream.toDS(), groups, capacity, k)
+    val out = StreamingTopK.topK(stream.toDS(), groups, capacity = 64, k = 10)
     val batches = types.toIndexedSeq.splitAt(types.length / 2)
-    // Exact expected snapshot rows: a group invoked in a batch emits
-    // min(k, tracked) rows, and SpaceSaving tracks min(cumulative
-    // distinct, capacity) items — derivable driver-side from the feed.
-    def grp(s: String) = math.floorMod(s.hashCode, groups)
-    val b1 = batches._1.groupBy(grp); val b2 = batches._2.groupBy(grp)
-    val expected = (0 until groups).map { g =>
-      val seen1 = b1.getOrElse(g, IndexedSeq.empty).distinct.size
-      val seenCum = (b1.getOrElse(g, IndexedSeq.empty) ++ b2.getOrElse(g, IndexedSeq.empty))
-        .distinct.size
-      (if (b1.contains(g)) math.min(k, math.min(seen1, capacity)) else 0) +
-        (if (b2.contains(g)) math.min(k, math.min(seenCum, capacity)) else 0)
-    }.sum.toLong
+    val expected = topKExpected(spark, sfDir)
     withStatePartitions(spark, groups)(
       runTwoBatches(spark, stream, out, batches, "topk")(
         requireCount("topk", expected)))
