@@ -532,44 +532,82 @@ object Relational {
     * loud gate/spec failure, never a silently shifted percentile. */
   private[graft] def bandPercentiles(
       df: DataFrame, g: String, v: String,
-      qs: Seq[(String, Double)], accuracy: Int = 10000): DataFrame = {
+      qs: Seq[(String, Double)], accuracy: Int = 10000): DataFrame =
+    bandPercentilesMulti(df, g, Seq(v -> qs), accuracy)
+
+  /** Multi-column generalization of [[bandPercentiles]]: every value
+    * column's sketch bounds ride ONE partial+final aggregate, the
+    * below-counts ride one more, and all (column, quantile) bands share a
+    * single window pass and a single wide conditional final aggregate —
+    * so adding a column or a fraction adds projection width, not jobs.
+    * (q41 previously ran the whole pipeline once per value column: two
+    * t-digest aggregate jobs, two below scans, and a final join; merged,
+    * the data is aggregated twice and band-scanned Σqᵢ times total, with
+    * zero result-side joins.) Null values never count (count/sketch/band
+    * predicates all null-reject per column), matching the per-column
+    * isNotNull filter of the single-column form. */
+  private[graft] def bandPercentilesMulti(
+      df: DataFrame, g: String,
+      specs: Seq[(String, Seq[(String, Double)])],
+      accuracy: Int = 10000): DataFrame = {
     val margin = 3.0 / accuracy
-    val data = df.filter(col(v).isNotNull).select(col(g), col(v).cast("double").as("bv"))
-    val bounds = data.groupBy(g).agg(
-      count(lit(1)).cast("double").as("nv"),
-      percentile_approx(col("bv"),
-        typedLit(qs.map(q => math.max(0.0, q._2 - margin))), lit(accuracy)).as("blos"),
-      percentile_approx(col("bv"),
-        typedLit(qs.map(q => math.min(1.0, q._2 + margin))), lit(accuracy)).as("bhis"))
+    val data = df.select(col(g) +: specs.zipWithIndex.map { case ((v, _), vi) =>
+      col(v).cast("double").as(s"bv_$vi") }: _*)
+    // ONE t-digest per column: lo and hi bracket fractions ride a single
+    // percentile_approx (one sketch build, 2·Σqᵢ evaluations), split back
+    // into blos/bhis arrays by slice — halves the dominant sketch cost
+    // vs separate lo/hi aggregates
+    val boundAggs = specs.zipWithIndex.flatMap { case ((_, qs), vi) =>
+      Seq(
+        count(col(s"bv_$vi")).cast("double").as(s"nv_$vi"),
+        percentile_approx(col(s"bv_$vi"),
+          typedLit(qs.map(q => math.max(0.0, q._2 - margin)) ++
+            qs.map(q => math.min(1.0, q._2 + margin))), lit(accuracy)).as(s"bb_$vi"))
+    }
+    val bounds = data.groupBy(g).agg(boundAggs.head, boundAggs.tail: _*)
+      .select(col(g) +: specs.zipWithIndex.flatMap { case ((_, qs), vi) =>
+        Seq(col(s"nv_$vi"),
+          slice(col(s"bb_$vi"), 1, qs.size).as(s"blos_$vi"),
+          slice(col(s"bb_$vi"), qs.size + 1, qs.size).as(s"bhis_$vi"))
+      }: _*)
     val joined = data.join(broadcast(bounds), Seq(g))
-    val belowAggs = qs.indices.map(i =>
-      sum(when(col("bv") < element_at(col("blos"), i + 1), 1L).otherwise(0L))
-        .cast("double").as(s"below_$i"))
+    val belowAggs = specs.zipWithIndex.flatMap { case ((_, qs), vi) =>
+      qs.indices.map(i =>
+        sum(when(col(s"bv_$vi") < element_at(col(s"blos_$vi"), i + 1), 1L).otherwise(0L))
+          .cast("double").as(s"below_${vi}_$i"))
+    }
     val belows = joined.groupBy(g).agg(belowAggs.head, belowAggs.tail: _*)
-    val bands = qs.indices.map { i =>
-      joined
-        .filter(col("bv") >= element_at(col("blos"), i + 1) &&
-          col("bv") <= element_at(col("bhis"), i + 1))
-        .select(col(g), lit(i).as("qi"), col("bv"), col("nv"))
+    val bands = specs.zipWithIndex.flatMap { case ((_, qs), vi) =>
+      qs.indices.map { i =>
+        joined
+          .filter(col(s"bv_$vi") >= element_at(col(s"blos_$vi"), i + 1) &&
+            col(s"bv_$vi") <= element_at(col(s"bhis_$vi"), i + 1))
+          .select(col(g), lit(vi).as("vi"), lit(i).as("qi"),
+            col(s"bv_$vi").as("bv"), col(s"nv_$vi").as("nv"))
+      }
     }.reduce(_ unionByName _)
-    val wBand = Window.partitionBy(col(g), col("qi")).orderBy(col("bv"))
+    val wBand = Window.partitionBy(col(g), col("vi"), col("qi")).orderBy(col("bv"))
     val ranked = bands
       .join(broadcast(belows), Seq(g))
       .withColumn("rn", row_number().over(wBand).cast("double"))
-    val perQ = qs.zipWithIndex.map { case ((name, q), i) =>
-      val pos = (col("nv") - 1) * lit(q)
-      val abs0 = col(s"below_$i") + col("rn") - 1
-      ranked.filter(col("qi") === i)
-        .groupBy(g)
-        .agg(
-          sum(when(abs0 === floor(pos), col("bv"))).as(s"${name}_lo"),
-          sum(when(abs0 === ceil(pos), col("bv"))).as(s"${name}_hi"),
-          max(pos - floor(pos)).as(s"${name}_frac"))
-        .withColumn(name,
-          col(s"${name}_lo") + (col(s"${name}_hi") - col(s"${name}_lo")) * col(s"${name}_frac"))
-        .select(col(g), col(name))
+    val aggs = specs.zipWithIndex.flatMap { case ((_, qs), vi) =>
+      qs.zipWithIndex.flatMap { case ((name, q), i) =>
+        val pos = (col("nv") - 1) * lit(q)
+        val abs0 = col(s"below_${vi}_$i") + col("rn") - 1
+        val inQ = col("vi") === vi && col("qi") === i
+        Seq(
+          sum(when(inQ && abs0 === floor(pos), col("bv"))).as(s"${name}_lo"),
+          sum(when(inQ && abs0 === ceil(pos), col("bv"))).as(s"${name}_hi"),
+          max(when(inQ, pos - floor(pos))).as(s"${name}_frac"))
+      }
     }
-    perQ.reduce(_.join(_, g))
+    val wide = ranked.groupBy(g).agg(aggs.head, aggs.tail: _*)
+    val allQs = specs.flatMap { case (_, qs) => qs }
+    val named = allQs.foldLeft(wide) { case (d, (name, _)) =>
+      d.withColumn(name,
+        col(s"${name}_lo") + (col(s"${name}_hi") - col(s"${name}_lo")) * col(s"${name}_frac"))
+    }
+    named.select((col(g) +: allQs.map { case (name, _) => col(name) }): _*)
   }
 
   /** Q41 — q28's exact percentiles recomputed through the band-refinement
@@ -577,13 +615,12 @@ object Relational {
     * sort-free formulation is value-identical. */
   def q41PercentileBand(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-    val qty = bandPercentiles(
-      li.select(col("l_returnflag"), col("l_quantity")),
-      "l_returnflag", "l_quantity", Seq(("median_qty", 0.5)))
-    val price = bandPercentiles(
-      li.select(col("l_returnflag"), col("l_extendedprice")),
-      "l_returnflag", "l_extendedprice", Seq(("p25", 0.25), ("p75", 0.75)))
-    qty.join(price, "l_returnflag")
+    bandPercentilesMulti(
+      li.select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+      "l_returnflag",
+      Seq(
+        "l_quantity" -> Seq(("median_qty", 0.5)),
+        "l_extendedprice" -> Seq(("p25", 0.25), ("p75", 0.75))))
       .select(col("l_returnflag"), col("median_qty"),
         round(col("p25"), 4).as("p25_price"), round(col("p75"), 4).as("p75_price"))
       .orderBy("l_returnflag")
