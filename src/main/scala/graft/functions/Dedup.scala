@@ -939,9 +939,16 @@ object Dedup {
   val SpanGatePosBits = 12
 
   def dedupSpans(s: SparkSession, dir: String, n: Int = 8,
+      posBits: Int = 23): DataFrame =
+    dedupSpansOf(corpusWithNearDupes(s, dir), n, posBits)
+
+  /** [[dedupSpans]] core over any (doc_id, text) frame — the seam that
+    * lets specs exercise the PRODUCTION posBits=23 packing on documents
+    * longer than the gate corpus's (multi-thousand-token docs whose span
+    * positions overflow the gate's 2^12 budget). */
+  def dedupSpansOf(corpus: DataFrame, n: Int = 8,
       posBits: Int = 23): DataFrame = {
     import graft.functions.expressions.WordNgrams
-    val corpus = corpusWithNearDupes(s, dir)
     val spanCounts = corpus.select(col("doc_id"),
       greatest(size(tokens(col("text"))) - (n - 1), lit(1)).cast("long").as("n_spans"))
     val posCap = 1L << posBits

@@ -934,6 +934,54 @@ class ExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.contains("dedup_spans slot overflow"), e.getMessage)
   }
 
+  test("dedup_spans posBits=23 packs multi-thousand-token documents correctly") {
+    val s = spark
+    import s.implicits._
+    // doc 1: 6000 tokens with period-1500 vocabulary — every span from
+    // pos 1500 on repeats a span from the first period. Span positions
+    // reach 5992 > 2^12, so the GATE bit split cannot pack this corpus
+    // and only the production posBits=23 path can produce these numbers.
+    // doc 2: copies doc 1's first 100 tokens (loses the span race on
+    // every span); doc 3: disjoint vocabulary (all spans canonical).
+    val corpus = Seq(
+      1L -> (0 until 6000).map(i => "w" + (i % 1500)).mkString(" "),
+      2L -> (0 until 100).map(i => "w" + i).mkString(" "),
+      3L -> (0 until 50).map(i => "z" + i).mkString(" ")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpansOf(corpus, posBits = 23).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // driver-side first-occurrence model, identical to the gate spec's
+    val occ = Seq(
+      1L -> (0 until 6000).map(i => "w" + (i % 1500)),
+      2L -> (0 until 100).map(i => "w" + i),
+      3L -> (0 until 50).map(i => "z" + i)
+    ).flatMap { case (id, toks) =>
+      toks.sliding(8).zipWithIndex.map { case (sp, pos) =>
+        (id, pos.toLong, sp.mkString(" ")) }
+    }
+    val winner = occ.groupBy(_._3).map { case (sp, os) =>
+      sp -> os.map(o => (o._1, o._2)).min }
+    val expected = occ.groupBy(_._1).map { case (id, os) =>
+      val nDup = os.count { case (i, p, sp) => winner(sp) != ((i, p)) }
+      (id, os.size.toLong, nDup.toLong,
+        BigDecimal(nDup.toDouble / os.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(_._1)
+    assert(got == expected,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // structure: the long doc's tail is pure repetition, doc 2 is a full
+    // copy, doc 3 is untouched
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 == 5993 && byId(1L)._3 == 4493)
+    assert(byId(2L)._4 == 1.0)
+    assert(byId(3L)._4 == 0.0)
+    // and the same corpus under the gate split overflows LOUDLY
+    val e = intercept[Exception] {
+      Dedup.dedupSpansOf(corpus, posBits = Dedup.SpanGatePosBits).collect()
+    }
+    assert(e.getMessage.contains("dedup_spans slot overflow"), e.getMessage)
+  }
+
   test("chunk_overlap: stride geometry covers every token exactly, last chunk partial") {
     val toks = Tables.documents(spark, sf0001)
       .select(col("doc_id"), size(Portable.tokens(col("text"))).as("n"))
