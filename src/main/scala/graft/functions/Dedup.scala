@@ -278,7 +278,15 @@ object Dedup {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      verifyCandidates(docs, candidates).cache()
+      // size the CACHED pair set independently of the corpus scan: the
+      // verify chain is broadcast-join-shaped (no shuffle of its own), so
+      // without this the cached sliver of pairs would inherit the full
+      // corpus scan's partition count — at 100 TB that's ~1M near-empty
+      // cached partitions, and every downstream CC round would schedule
+      // a task per partition. repartition-by-column lets AQE coalesce to
+      // size (it pins nothing), so the pair set gets pair-set-sized
+      // partitions at any scale.
+      verifyCandidates(docs, candidates).repartition(col("doc_a")).cache()
   }
 
   /** Exact-Jaccard verification of an LSH candidate pair list: each pair
