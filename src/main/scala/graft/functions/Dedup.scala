@@ -251,7 +251,7 @@ object Dedup {
       }
     }
 
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val entry = entryFor(s, dir)
     entry.synchronized {
       entry.pairs.getOrElse {

@@ -311,6 +311,18 @@ class ExtensionsSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("shared verified-pairs cache is pair-set-sized, not corpus-partitioned") {
+    // the verify chain is broadcast-join-shaped (no shuffle of its own):
+    // without the explicit AQE-coalescing repartition the cached sliver
+    // of pairs would inherit the CORPUS scan's partition count and every
+    // CC round downstream would schedule a task per partition
+    val pairs = Dedup.verifiedPairs(spark, sf0001)
+    assert(pairs.count() > 0)
+    assert(pairs.rdd.getNumPartitions <=
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"pairs cached across ${pairs.rdd.getNumPartitions} partitions")
+  }
+
   test("minhash-LSH candidates recover nearly all true near-dup pairs (recall vs brute force)") {
     val truth = Dedup.dedupJaccard(spark, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
