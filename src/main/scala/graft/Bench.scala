@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every registered query on
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR and prints the result JSON line twice (two identical
+  * copies — the truncation guard explained at the print site).
   *
   * Measurement discipline:
   *  - `noop` datasource write forces full materialization of every
@@ -132,7 +133,13 @@ object Bench {
     // cold builds; every other pipeline's feed/model work was hoisted
     // into the untimed prepare below.
     val streamingOrdered = streamingThunks.filter { case (n, _) => wanted(n) }
-    if (streamingOrdered.nonEmpty)
+    // prepare memoizes the sfDir-fed event feeds + expected-count models;
+    // streaming_control (synthetic, self-contained) and dedup_pipeline_cold
+    // (Dedup-owned inputs) don't touch them, so a batch-only dev-filtered
+    // run — where the control is the only streaming line — skips the cost
+    val needsPrepare = streamingOrdered.exists { case (n, _) =>
+      n != StreamControl && n != "dedup_pipeline_cold" }
+    if (needsPrepare)
       try StreamingBench.prepare(spark, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming prepare failed: ${e.getMessage}") }
@@ -194,8 +201,11 @@ object Bench {
     println(line)
     println(line)
     spark.stop()
-    // non-zero exit flags a regression to the driver while the JSON line
-    // above still carries the per-query detail
-    if (errors.nonEmpty) sys.exit(1)
+    // ALWAYS exit 0: per-line failures are already reported in
+    // `errors`/`n_failed` above, and the driver's correctness gate is the
+    // authority on pass/fail. Exiting non-zero made the driver record
+    // `parsed: null` and erased the evidence for every HEALTHY line
+    // (BENCH_r09: one schema break nuked per-line numbers for 64 gates).
+    sys.exit(0)
   }
 }

@@ -1,12 +1,14 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md). Centralizing the reads keeps schema
-  * normalization (notably the nanosecond timestamp in `events`) in one
-  * place so every operator and oracle sees identical values.
+  * normalization (notably the physical encoding of `events.ts`, which has
+  * changed across testdata generations) in one place so every operator and
+  * oracle sees identical values regardless of how the parquet was written.
   *
   * The reference engine has no external sources at all — every input is
   * an in-memory collection (`/root/reference/.../ElementsWithGapsSource.java:34-180`).
@@ -26,16 +28,42 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "embeddings"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS). Spark only reads nanos as
-    * LongType (spark.sql.legacy.parquet.nanosAsLong); we truncate
-    * ns → µs exactly like DuckDB's TIMESTAMP_NS → TIMESTAMP coercion so
-    * both engines agree to the microsecond. Integer `div` (not `/`)
-    * avoids the double round-trip that loses sub-µs precision at
-    * 1.7e18 ns magnitudes.
+  /** `events.ts` has shipped in different physical parquet encodings across
+    * testdata generations — TIMESTAMP(NANOS) (which Spark only reads as
+    * BIGINT nanos under `spark.sql.legacy.parquet.nanosAsLong`) and plain
+    * `timestamp[us]` (which Spark reads as TIMESTAMP_NTZ). A real lake mixes
+    * all of these side by side, so the loader adapts to the schema it reads
+    * instead of assuming one encoding. Every encoding is normalized to a
+    * session-zone TIMESTAMP with identical µs values:
+    *
+    *  - BIGINT  → epoch-nanos; integer `div 1000` truncates ns → µs exactly
+    *    like DuckDB's TIMESTAMP_NS → TIMESTAMP coercion (no double
+    *    round-trip, which loses sub-µs precision at 1.7e18 magnitudes).
+    *  - TIMESTAMP_NTZ → cast to TIMESTAMP. Value-preserving because every
+    *    session pins `spark.sql.session.timeZone=UTC` (Verify/Bench/
+    *    SparkTestBase), so wall-clock == instant.
+    *  - TIMESTAMP → already what we want.
+    *
+    * Anything else is a loud error, not a silent misread.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(path(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = s.read.parquet(path(dir, "events"))
+    df.withColumn("ts", normalizeEventTime(df, "ts"))
   }
+
+  /** Normalize a timestamp-ish column to session-zone TIMESTAMP regardless of
+    * how the parquet writer encoded it (see [[events]] for the rationale).
+    * Supported source types: BIGINT epoch-nanos, TIMESTAMP_NTZ, TIMESTAMP.
+    */
+  def normalizeEventTime(df: DataFrame, name: String): Column =
+    df.schema(name).dataType match {
+      case LongType         => timestamp_micros(expr(s"$name div 1000"))
+      case TimestampNTZType => col(name).cast(TimestampType)
+      case TimestampType    => col(name)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Column '$name' has unsupported type $other; expected one of " +
+            "BIGINT (epoch-nanos), TIMESTAMP_NTZ (timestamp[us]), or TIMESTAMP")
+    }
 }

@@ -545,11 +545,28 @@ object Relational {
     * the data is aggregated twice and band-scanned Σqᵢ times total, with
     * zero result-side joins.) Null values never count (count/sketch/band
     * predicates all null-reject per column), matching the per-column
-    * isNotNull filter of the single-column form. */
+    * isNotNull filter of the single-column form.
+    *
+    * NULL GROUPS: rows whose group key is NULL are excluded from the
+    * output entirely. The internal equi-joins on `g` (data↔bounds,
+    * bands↔belows) null-reject, so a NULL group present in the groupBy
+    * stages never survives to the final aggregate — same end state as
+    * pre-filtering `g IS NOT NULL`, which callers should do explicitly
+    * if they want the scan savings.
+    *
+    * Quantile output names must be unique ACROSS ALL columns: each name
+    * becomes `${name}_lo/_hi/_frac` scratch aliases and a final output
+    * column, so a duplicate would make one (column, fraction) silently
+    * shadow another. Asserted below rather than left to Catalyst's
+    * ambiguous-reference error (which would surface far from the bug). */
   private[graft] def bandPercentilesMulti(
       df: DataFrame, g: String,
       specs: Seq[(String, Seq[(String, Double)])],
       accuracy: Int = 10000): DataFrame = {
+    val outNames = specs.flatMap { case (_, qs) => qs.map(_._1) }
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate quantile output names across specs: " +
+        outNames.groupBy(identity).collect { case (n, g) if g.size > 1 => n }.mkString(", "))
     val margin = 3.0 / accuracy
     val data = df.select(col(g) +: specs.zipWithIndex.map { case ((v, _), vi) =>
       col(v).cast("double").as(s"bv_$vi") }: _*)

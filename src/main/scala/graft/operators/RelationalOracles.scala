@@ -6,10 +6,12 @@ package graft.operators
   * name — so aliases here match the Spark side exactly, and every query
   * carries a total ORDER BY.
   *
-  * NOTE on `events.ts`: the parquet column is TIMESTAMP(NANOS). DuckDB
-  * coerces to µs TIMESTAMP by truncation; our Tables.events does the
-  * identical `ns div 1000` truncation, so epoch_us(ts) agrees with
-  * unix_micros on the Spark side.
+  * NOTE on `events.ts`: the parquet encoding has varied across testdata
+  * generations (TIMESTAMP(NANOS) vs plain timestamp[us]). DuckDB coerces
+  * either to µs TIMESTAMP natively, and `Tables.events` normalizes every
+  * supported encoding to µs-exact session-zone TIMESTAMP (UTC sessions),
+  * so epoch_us(ts) here agrees with unix_micros on the Spark side for all
+  * of them.
   */
 object RelationalOracles {
   private val D2 = "DECIMAL(18,2)"
