@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated TPC-H-ish parquet tables
   * (see TESTDATA.md). Centralizing the reads keeps schema
@@ -23,8 +23,10 @@ object Tables {
   def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "customer"))
   def supplier(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "supplier"))
   def part(s: SparkSession, dir: String): DataFrame     = s.read.parquet(path(dir, "part"))
-  def orders(s: SparkSession, dir: String): DataFrame   = s.read.parquet(path(dir, "orders"))
-  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "lineitem"))
+  def orders(s: SparkSession, dir: String): DataFrame =
+    requireTemporal("orders", s.read.parquet(path(dir, "orders")), "o_orderdate")
+  def lineitem(s: SparkSession, dir: String): DataFrame =
+    requireTemporal("lineitem", s.read.parquet(path(dir, "lineitem")), "l_shipdate")
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(path(dir, "embeddings"))
 
@@ -50,6 +52,27 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(path(dir, "events"))
     df.withColumn("ts", normalizeEventTime(df, "ts"))
+  }
+
+  /** Loud schema guard for the relational tables' temporal columns
+    * (VERDICT r9 stretch: the events break would reproduce in the
+    * relational family on a date→string or date→integer drift). Every
+    * consumer (`datediff`, `date_format`, `lead` ordering, window ranges)
+    * is value-identical across TIMESTAMP / TIMESTAMP_NTZ / DATE under the
+    * pinned UTC sessions, so those pass through untouched; anything else
+    * fails HERE, naming the table and column, instead of as dozens of
+    * cryptic downstream analysis errors. */
+  private def requireTemporal(table: String, df: DataFrame, cols: String*): DataFrame = {
+    cols.foreach { c =>
+      df.schema(c).dataType match {
+        case TimestampType | TimestampNTZType | DateType => ()
+        case other =>
+          throw new IllegalArgumentException(
+            s"$table.$c read as $other; expected TIMESTAMP, TIMESTAMP_NTZ, or DATE — " +
+              "the testdata encoding changed; extend Tables normalization for it")
+      }
+    }
+    df
   }
 
   /** Normalize a timestamp-ish column to session-zone TIMESTAMP regardless of

@@ -87,4 +87,20 @@ class EventsEncodingSpec extends SparkTestBase {
     val ex = intercept[IllegalArgumentException](Tables.events(spark, dir))
     assert(ex.getMessage.contains("unsupported type"))
   }
+
+  test("relational temporal columns are guarded at the loader") {
+    // A date→string drift in a regeneration must fail at Tables.orders
+    // naming the table+column, not as analysis errors in every consumer.
+    val out = java.nio.file.Files.createTempDirectory("graft-enc-orders-").toString
+    spark.range(2).selectExpr(
+        "id AS o_orderkey", "id AS o_custkey", "'O' AS o_orderstatus",
+        "1.5 AS o_totalprice", "'1995-01-01' AS o_orderdate",
+        "'1-URGENT' AS o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val ex = intercept[IllegalArgumentException](Tables.orders(spark, out))
+    assert(ex.getMessage.contains("orders.o_orderdate"))
+    // the real testdata passes the guard unchanged
+    assert(Tables.orders(spark, sf0001).limit(1).count() === 1)
+    assert(Tables.lineitem(spark, sf0001).limit(1).count() === 1)
+  }
 }
