@@ -88,6 +88,13 @@ class EventsEncodingSpec extends SparkTestBase {
     assert(ex.getMessage.contains("unsupported type"))
   }
 
+  test("driver smoke: SparkEntry.entry returns rows on sf0.001") {
+    // The round-9 break took the driver's smoke down with it (entry is
+    // events-fed q14); pin it here next to the encoding matrix it
+    // depends on.
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("relational temporal columns are guarded at the loader") {
     // A date→string drift in a regeneration must fail at Tables.orders
     // naming the table+column, not as analysis errors in every consumer.
