@@ -219,6 +219,89 @@ object Profiling {
       .orderBy("source")
   }
 
+  /** Count-Min sketch geometry (Cormode & Muthukrishnan 2005): d rows ×
+    * 2^wBits buckets over the same 52-bit md5-derived hash as the HLL
+    * family. Row i's bucket is the i-th wBits-bit slice of h52
+    * (d·wBits ≤ 52), so one md5 per occurrence feeds every row — the
+    * rows use disjoint, well-mixed digest bits in place of independent
+    * hash functions, which keeps the construction exactly replicable in
+    * the DuckDB oracle. d=4 × 2^11 gives ε = e/2048 ≈ 0.13% of stream
+    * length at δ = e^-4. */
+  val CmsD = 4
+  val CmsWBits = 11
+  val CmsW: Int = 1 << CmsWBits
+
+  private def h52Of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.functions.Portable.{h32, h32b}
+    h32(c) * lit(1L << 20) + pmod(h32b(c), lit(1L << 20))
+  }
+
+  /** (row, bucket) pairs of one token under the slice scheme. */
+  private def cmsRowBuckets(h52: org.apache.spark.sql.Column, wBits: Int, d: Int) =
+    array((0 until d).map { i =>
+      struct(lit(i).as("row"),
+        pmod(shiftrightunsigned(h52, wBits * i), lit(1L << wBits)).as("bucket"))
+    }: _*)
+
+  /** COUNT-MIN COUNTER TABLE of a token frame: one row per (row, bucket)
+    * with its occurrence count — the relational form of the d×w counter
+    * array, completing the sketch family (HLL distincts, MRL quantiles,
+    * SpaceSaving heavy hitters, CMS point frequencies).
+    *
+    * Scale shape: the explode multiplies occurrences × d BEFORE the
+    * combiner, but the partial aggregate collapses every map task to at
+    * most d·2^wBits rows (32 KB of longs at the default geometry)
+    * regardless of input size — the exchange carries the sketch, not the
+    * stream. Counters are additive, so shard sketches merge by summing
+    * aligned cells (spec-pinned), the property that lets a 100 TB scan
+    * build per-partition sketches and fold them. */
+  private[graft] def cmsCounters(
+      toks: DataFrame, tok: String,
+      wBits: Int = CmsWBits, d: Int = CmsD): DataFrame =
+    toks
+      // hoist h52 behind a projection boundary: the Generate below
+      // references it d×2 times, and inlined it would cost that many
+      // md5 evaluations per occurrence
+      .select(h52Of(col(tok)).as("h52"))
+      .select(explode(cmsRowBuckets(col("h52"), wBits, d)).as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-frequency estimates for a probe-term frame: each probe looks
+    * up its d cells and takes the min — the CMS estimate, which never
+    * undercounts and overcounts only by colliding mass. The counter
+    * table (≤ d·2^wBits rows) broadcasts; probe terms never shuffle. */
+  private[graft] def cmsEstimates(
+      counters: DataFrame, probes: DataFrame, tok: String,
+      wBits: Int = CmsWBits, d: Int = CmsD): DataFrame =
+    probes
+      .withColumn("h52", h52Of(col(tok)))
+      .withColumn("rb", explode(cmsRowBuckets(col("h52"), wBits, d)))
+      .withColumn("row", col("rb.row"))
+      .withColumn("bucket", col("rb.bucket"))
+      .join(broadcast(counters), Seq("row", "bucket"))
+      .drop("h52", "rb", "row", "bucket")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(col("cnt")).as("n_est"))
+
+  /** `approx_count_min` gate: CMS point-frequency estimates for the
+    * exact top-20 terms, exact counts alongside for fidelity. At gate
+    * vocabulary (~31 tokens) collisions are rare but NOT impossible —
+    * both engines compute identical buckets, so any collision inflates
+    * both sides identically; the genuinely-approximate regime (forced
+    * collisions, error bounds, additivity) is pinned in CountMinSpec. */
+  def approxCountMin(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.tokens
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+    cmsEstimates(cmsCounters(toks, "tok"), top, "tok")
+      .select("tok", "n_exact", "n_est")
+      .orderBy("tok")
+  }
+
   /** Flajolet HLL estimate from the gate's integer register summary:
     * α_m·m²/Z with the small-range linear-counting correction. Driver-
     * side arithmetic for specs/consumers — see [[approxNdv]] for why the

@@ -125,6 +125,32 @@ object ExtensionOracles {
          |GROUP BY r.l_returnflag ORDER BY l_returnflag""".stripMargin
     },
 
+    // Count-Min counter table mirror: row i's bucket is the i-th 11-bit
+    // slice of the shared 52-bit md5 hash (d=4, w=2048 — Profiling.CmsD/
+    // CmsWBits); estimates = min over each probe term's 4 cells. All
+    // integer math, so any bucket collision inflates both engines
+    // identically.
+    "approx_count_min" -> {
+      import graft.functions.Profiling.{CmsD, CmsW, CmsWBits}
+      val is = (0 until CmsD).mkString("[", ", ", "]")
+      val h52 = (e: String) =>
+        s"${h32(e)} * ${1L << 20} + (${h32b(e)} % ${1L << 20})"
+      s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents),
+         |h AS (SELECT ${h52("tok")} AS h52 FROM t),
+         |rb AS (SELECT i, (h52 // (CAST(1 AS BIGINT) << ($CmsWBits * i))) % $CmsW AS bucket
+         |       FROM h CROSS JOIN (SELECT unnest($is) AS i) g),
+         |counters AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+         |             FROM rb GROUP BY 1, 2),
+         |top AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_exact
+         |        FROM t GROUP BY tok ORDER BY n_exact DESC, tok ASC LIMIT 20),
+         |p AS (SELECT tok, n_exact, i,
+         |        (${h52("tok")} // (CAST(1 AS BIGINT) << ($CmsWBits * i))) % $CmsW AS bucket
+         |      FROM top CROSS JOIN (SELECT unnest($is) AS i) g)
+         |SELECT p.tok, p.n_exact, min(counters.cnt) AS n_est
+         |FROM p JOIN counters USING (i, bucket)
+         |GROUP BY 1, 2 ORDER BY tok""".stripMargin
+    },
+
     "approx_ndv" -> {
       import graft.functions.Profiling.{HllM, HllMaxRank, HllP}
       s"""WITH t AS (SELECT source, unnest($toks) AS tok FROM documents),

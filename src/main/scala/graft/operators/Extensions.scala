@@ -79,6 +79,10 @@ object Extensions {
     // driver-side — ln() ulp is not pinned cross-engine); accuracy of
     // the estimate itself is spec-pinned in HllSketchSpec
     "approx_ndv"       -> (graft.functions.Profiling.approxNdv _),
+    // Count-Min point-frequency estimates: fully deterministic — both
+    // engines compute identical md5-slice buckets, so even collision
+    // inflation matches; error bounds/additivity pinned in CountMinSpec
+    "approx_count_min" -> (graft.functions.Profiling.approxCountMin _),
     "column_profile"   -> (graft.functions.Profiling.columnProfile _),
     // the sketch-NDV default for 100 TB profiling scans: one scan, no
     // countDistinct expand; integer HLL register columns like approx_ndv
