@@ -78,6 +78,7 @@ object Bench {
       "streaming_interval_join_rocksdb" ->
         (() => StreamingBench.intervalJoinPipelineRocksDB(spark, sfDir)),
       "streaming_ndv" -> (() => StreamingBench.ndvPipeline(spark, sfDir)),
+      "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_session_window" -> (() => StreamingBench.sessionWindowPipeline(spark, sfDir)),
       "streaming_cdc_upsert" -> (() => StreamingBench.cdcUpsertPipeline(spark, sfDir)),

@@ -95,6 +95,7 @@ object StreamingBench {
     countWindowsExpected(rows, sfDir)
     quantilesExpected(rows, sfDir)
     ndvExpected(rows, sfDir)
+    countMinExpected(rows, sfDir)
     topKExpected(spark, sfDir)
     nearDupExpected(spark, sfDir)
     intervalJoinExpected(spark, sfDir)
@@ -533,6 +534,43 @@ object StreamingBench {
     withStatePartitions(spark, groups)(
       runTwoBatches(spark, stream, out, batches, "ndv")(
         requireCount("ndv", expected)))
+  }
+
+  /** Fixed watchlist for the streaming CMS line: user ids that exist at
+    * every SF plus one that never does (estimates are defined for both). */
+  private val CmProbes: Seq[String] = (0 until 8).map(i => (i * 97).toString)
+
+  /** Snapshot rows = probes × active groups per batch (every active
+    * group re-emits the full watchlist). */
+  private def countMinExpected(rows: Array[BEv], sfDir: String): Long =
+    memoExpected("count_min", sfDir) {
+      val groups = 4
+      val batches = rows.map(_.user_id.toString).toIndexedSeq.splitAt(rows.length / 2)
+      def grp(t: String) = math.floorMod(t.hashCode, groups)
+      (0 until groups).map { g =>
+        ((if (batches._1.exists(grp(_) == g)) 1 else 0) +
+          (if (batches._2.exists(grp(_) == g)) 1 else 0)) * CmProbes.size
+      }.sum.toLong
+    }
+
+  /** Streaming point-frequency watch: CMS cells per group over the
+    * user-id stream, probing a fixed watchlist every micro-batch; state
+    * is d·2^wBits longs per group however long the stream runs. */
+  def countMinPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val groups = 4
+    val rows = eventRows(spark, sfDir)
+    val users = rows.map(e => e.user_id.toString)
+    val stream = MemoryStream[String]
+    val out = graft.streaming.StreamingCountMin.pointFrequencies(
+      stream.toDS(), groups, CmProbes)
+    val batches = users.toIndexedSeq.splitAt(users.length / 2)
+    val expected = countMinExpected(rows, sfDir)
+    withStatePartitions(spark, groups)(
+      runTwoBatches(spark, stream, out, batches, "count_min")(
+        requireCount("count_min", expected)))
   }
 
   private val NearDupMaxBucket = 64
