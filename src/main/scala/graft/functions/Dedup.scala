@@ -807,6 +807,76 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom geometry for [[decontaminateBloom]]: m = 2^20 positions,
+    * k = 3 probes via Kirsch–Mitzenmacher double hashing
+    * (pos_i = (h32 + i·h32b) mod m) — both 32-bit halves of one md5, so
+    * the DuckDB oracle replicates every position (and therefore every
+    * false positive) bit-for-bit. */
+  val BloomMBits = 20
+  val BloomM: Int = 1 << BloomMBits
+  val BloomK = 3
+
+  /** (item, exploded position) rows of a shingle column under the
+    * double-hashing scheme. h1/h2 are hoisted behind a projection so the
+    * k-way array references bound attributes, not k·2 md5 calls
+    * (SCALE.md §Round-10 CSE-hoisting rule). */
+  private def bloomPositions(
+      df: DataFrame, keep: Seq[String], sh: String, m: Int, k: Int): DataFrame =
+    df
+      .select(keep.map(col) ++ Seq(
+        h32(col(sh)).as("bl_h1"), h32b(col(sh)).as("bl_h2")): _*)
+      .select(keep.map(col) :+ explode(array((0 until k).map(i =>
+        pmod(col("bl_h1") + lit(i.toLong) * col("bl_h2"), lit(m.toLong))): _*)).as("pos"): _*)
+
+  /** APPROXIMATE decontamination behind a Bloom filter of the benchmark
+    * shingle set — the scale path when the eval suite outgrows an exact
+    * broadcast: the filter is the distinct-position set, bounded by
+    * min(k·|bench shingles|, m) rows ≈ m/8 bytes as bits (2^20 positions
+    * ≈ 4 MB as a row set here, 128 KB as a bitmap) no matter how many
+    * benchmark items exist. One-sided error: a shingle whose k positions
+    * are all set MAY be a false positive, so `n_bloom ≥ n_exact` always
+    * — quarantine-by-bloom never misses true contamination, it only
+    * over-quarantines by the FP rate (≈ (k·n/m)^k). The exact count
+    * rides along for gate fidelity; a production run drops it (it IS the
+    * broadcast the bloom replaces). Forced-FP regime pinned in
+    * BloomDecontaminationSpec. */
+  def decontaminateBloom(
+      s: SparkSession, dir: String, minOverlap: Int = 4,
+      m: Int = BloomM, k: Int = BloomK): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val docSh = withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val benchSh = withShingles(
+        benchmarkItems(s, dir).select(col("bench_id").as("doc_id"), col("text")))
+      .select(explode(col("shingles")).as("sh"))
+      .distinct()
+    val benchPos = bloomPositions(benchSh, Seq.empty, "sh", m, k)
+      .select("pos").distinct()
+    // a (doc, shingle) is a bloom hit iff ALL k exploded positions match
+    // (duplicate positions within one shingle's probe set match
+    // consistently, exactly as duplicate probes of one bit would)
+    val bloom = bloomPositions(docSh, Seq("doc_id", "sh"), "sh", m, k)
+      .join(broadcast(benchPos), Seq("pos"))
+      .groupBy("doc_id", "sh")
+      .agg(count(lit(1)).as("k_hit"))
+      .filter(col("k_hit") === k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bloom"))
+    val exact = docSh
+      .join(broadcast(benchSh), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_exact"))
+    docs.select("doc_id")
+      .join(bloom, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .withColumn("action",
+        when(col("n_bloom") >= minOverlap, "quarantine").otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   /** SimHash-64 signatures as (hi, lo) 32-bit halves: per bit, majority
     * vote of the shingle hashes' bits (h32 for the low half, h32b for the
     * high half); ties vote 0. Pure per-row expression (SimHash64): the

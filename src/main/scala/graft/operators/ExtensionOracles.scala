@@ -470,6 +470,46 @@ object ExtensionOracles {
          |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // Bloom mirror of decontaminate: position_i = (h32 + i·h32b) mod m
+    // (Kirsch–Mitzenmacher double hashing, Dedup.BloomM/BloomK); a
+    // shingle bloom-hits iff all k positions are in the benchmark's
+    // position set — FPs are md5-deterministic, so both engines
+    // over-count identically and n_bloom >= n_exact everywhere.
+    "decontaminate_bloom" -> {
+      import graft.functions.Dedup.{BloomK, BloomM}
+      val is = (0 until BloomK).mkString("[", ", ", "]")
+      s"""WITH bench AS (
+         |  SELECT array_to_string(list_slice($toks, 1, 8), ' ') AS text
+         |  FROM documents WHERE doc_id % 13 = 0),
+         |btokd AS (SELECT $toks AS toks FROM bench),
+         |bsh AS (SELECT DISTINCT unnest($shingleExpr) AS s FROM btokd),
+         |bh AS (SELECT ${h32("s")} AS h1, ${h32b("s")} AS h2 FROM bsh),
+         |bpos AS (SELECT DISTINCT (h1 + i * h2) % $BloomM AS pos
+         |         FROM bh CROSS JOIN (SELECT unnest($is) AS i) g),
+         |tokd AS (SELECT doc_id, $toks AS toks FROM documents),
+         |dsh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest($shingleExpr) AS s FROM tokd) u),
+         |dh AS (SELECT doc_id, s, ${h32("s")} AS h1, ${h32b("s")} AS h2 FROM dsh),
+         |dpos AS (SELECT doc_id, s, (h1 + i * h2) % $BloomM AS pos
+         |         FROM dh CROSS JOIN (SELECT unnest($is) AS i) g),
+         |hit AS (SELECT doc_id, s FROM dpos JOIN bpos USING (pos)
+         |        GROUP BY doc_id, s HAVING count(*) = $BloomK),
+         |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+         |       FROM hit GROUP BY doc_id),
+         |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM dsh JOIN bsh USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(nb.n_bloom, 0) AS BIGINT) AS n_bloom,
+         |  CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact,
+         |  CASE WHEN coalesce(nb.n_bloom, 0) >= 4
+         |       THEN 'quarantine' ELSE 'keep' END AS action
+         |FROM documents d
+         |LEFT JOIN nb ON d.doc_id = nb.doc_id
+         |LEFT JOIN ne ON d.doc_id = ne.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     // THE Spark-side pattern, interpolated (engine-portable literal —
     // single source of truth; quotes doubled for SQL)
     "text_bpe_tokens" ->

@@ -30,6 +30,10 @@ object Extensions {
     "sample_reservoir" -> ((s: SparkSession, dir: String) => Dedup.sampleReservoir(s, dir)),
     "sample_temperature" -> ((s: SparkSession, dir: String) => Dedup.sampleTemperature(s, dir)),
     "decontaminate"    -> ((s: SparkSession, dir: String) => Dedup.decontaminate(s, dir)),
+    // Bloom-filter decontamination: deterministic — positions (and
+    // therefore false positives) are md5-derived identically in both
+    // engines; forced-FP regime pinned in BloomDecontaminationSpec
+    "decontaminate_bloom" -> ((s: SparkSession, dir: String) => Dedup.decontaminateBloom(s, dir)),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
     "token_budget_temperature" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetTemperature(s, dir)),
     "pack_sequences"   -> (TextAnalysis.packSequences _),
