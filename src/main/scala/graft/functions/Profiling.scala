@@ -72,6 +72,49 @@ object Profiling {
       .orderBy("column_name")
   }
 
+  /** Equi-width histogram bucket count for [[columnHistogram]]. */
+  val HistogramBuckets = 8
+
+  /** EQUI-WIDTH HISTOGRAMS — the per-column bucket counts an optimizer's
+    * selectivity estimation and a data-quality dashboard consume,
+    * completing the ANALYZE family ([[columnProfile]] scalar stats,
+    * [[columnProfileApprox]] sketched NDV, this → distribution shape).
+    *
+    * Bucket assignment is INTEGER-exact so the gate is cross-engine
+    * deterministic: values are ≤2-decimal numerics, scaled to BIGINT
+    * cents (`round(v·100)` — the scaled-integer discipline of
+    * [[columnProfileApprox]]); with R = maxi−mini+1,
+    * `bucket = (vi−mini)·B div R` ∈ [0,B) and bucket i spans cents
+    * [mini+⌈iR/B⌉, mini+⌈(i+1)R/B⌉−1] — no float division anywhere (a
+    * float `(v−min)/width` puts boundary values in engine-dependent
+    * buckets at ulp differences). Edges are emitted as integer cents;
+    * empty buckets emit no row (identically in both engines).
+    *
+    * Scale shape: one stats pass (per-column min/max → a #columns-row
+    * broadcast) and one bucket pass (partial+final aggregate — each map
+    * task ships ≤ #columns·B rows). The two-pass broadcast histogram is
+    * the standard shape at any corpus size. */
+  def columnHistogram(s: SparkSession, dir: String): DataFrame = {
+    val B = HistogramBuckets
+    val stackArgs = ProfileColumns
+      .map(c => s"'$c', CAST(round($c * 100) AS BIGINT)").mkString(", ")
+    val vals = Tables.lineitem(s, dir)
+      .select(expr(s"stack(${ProfileColumns.size}, $stackArgs) AS (column_name, vi)"))
+      .filter(col("vi").isNotNull)
+    val stats = vals.groupBy("column_name")
+      .agg(min("vi").as("mini"), max("vi").as("maxi"))
+    vals.join(broadcast(stats), Seq("column_name"))
+      .withColumn("bucket",
+        expr(s"((vi - mini) * CAST($B AS BIGINT)) div (maxi - mini + 1)"))
+      .groupBy("column_name", "bucket", "mini", "maxi")
+      .agg(count(lit(1)).as("n"))
+      .select(col("column_name"), col("bucket"),
+        expr(s"mini + ((bucket * (maxi - mini + 1) + ${B - 1}) div $B)").as("lo_cents"),
+        expr(s"mini + (((bucket + 1) * (maxi - mini + 1) + ${B - 1}) div $B) - 1").as("hi_cents"),
+        col("n"))
+      .orderBy("column_name", "bucket")
+  }
+
   /** [[columnProfile]] with SKETCHED NDV — the form a 100 TB profiling
     * scan should default to (the exact `countDistinct` above plans a
     * #columns-way expand of the full scan; it stays registered as the

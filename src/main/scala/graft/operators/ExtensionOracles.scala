@@ -174,6 +174,32 @@ object ExtensionOracles {
          |ORDER BY sk.source""".stripMargin
     },
 
+    // integer-exact equi-width histogram mirror: same scaled-cent
+    // values, same `div` bucket rule, same ceil-edge formula — all
+    // BIGINT math, so bucket boundaries agree bit-for-bit
+    "column_histogram" -> {
+      import graft.functions.Profiling.HistogramBuckets
+      val B = HistogramBuckets
+      val branches = graft.functions.Profiling.ProfileColumns
+        .map(c =>
+          s"SELECT '$c' AS column_name, CAST(round($c * 100) AS BIGINT) AS vi FROM lineitem")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH v AS (
+         |  $branches),
+         |nn AS (SELECT column_name, vi FROM v WHERE vi IS NOT NULL),
+         |st AS (SELECT column_name, min(vi) AS mini, max(vi) AS maxi
+         |       FROM nn GROUP BY 1),
+         |b AS (SELECT nn.column_name,
+         |        ((vi - mini) * $B) // (maxi - mini + 1) AS bucket, mini, maxi
+         |      FROM nn JOIN st USING (column_name))
+         |SELECT column_name, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(mini + ((bucket * (maxi - mini + 1) + ${B - 1}) // $B) AS BIGINT) AS lo_cents,
+         |  CAST(mini + (((bucket + 1) * (maxi - mini + 1) + ${B - 1}) // $B) - 1 AS BIGINT) AS hi_cents,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM b GROUP BY column_name, bucket, mini, maxi
+         |ORDER BY column_name, bucket""".stripMargin
+    },
+
     "column_profile" -> {
       val branches = graft.functions.Profiling.ProfileColumns
         .map(c => s"SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem")

@@ -88,6 +88,9 @@ object Extensions {
     // inflation matches; error bounds/additivity pinned in CountMinSpec
     "approx_count_min" -> (graft.functions.Profiling.approxCountMin _),
     "column_profile"   -> (graft.functions.Profiling.columnProfile _),
+    // integer-exact equi-width histograms (scaled-cent buckets — no
+    // float division, so boundary values bucket identically cross-engine)
+    "column_histogram" -> (graft.functions.Profiling.columnHistogram _),
     // the sketch-NDV default for 100 TB profiling scans: one scan, no
     // countDistinct expand; integer HLL register columns like approx_ndv
     "column_profile_approx" -> (graft.functions.Profiling.columnProfileApprox _),

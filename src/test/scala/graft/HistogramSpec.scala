@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Profiling
+
+/** Histogram invariants the oracle hash can't see failing gracefully:
+  * buckets partition the value range exactly and counts conserve rows.
+  */
+class HistogramSpec extends SparkTestBase {
+
+  test("buckets partition [min, max] in cents and counts sum to rows") {
+    val rows = Profiling.columnHistogram(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val li = Profiling.ProfileColumns.map { c =>
+      c -> Tables.lineitem(spark, sf0001)
+        .select(expr(s"CAST(round($c * 100) AS BIGINT)").as("vi"))
+        .filter(col("vi").isNotNull)
+        .agg(count(lit(1)), min("vi"), max("vi"))
+        .collect()(0)
+    }.toMap
+    Profiling.ProfileColumns.foreach { c =>
+      val bs = rows.filter(_.getString(0) == c).sortBy(_.getAs[Long]("bucket"))
+      assert(bs.nonEmpty, s"$c has no buckets")
+      val (nRows, mini, maxi) =
+        (li(c).getLong(0), li(c).getLong(1), li(c).getLong(2))
+      assert(bs.map(_.getAs[Long]("n")).sum === nRows, s"$c counts don't conserve")
+      // non-empty buckets sit inside [mini, maxi] with lo ≤ hi, strictly
+      // increasing and non-overlapping in bucket order
+      assert(bs.head.getAs[Long]("lo_cents") >= mini)
+      assert(bs.last.getAs[Long]("hi_cents") >= maxi ||
+        bs.last.getAs[Long]("hi_cents") >= bs.last.getAs[Long]("lo_cents"))
+      bs.foreach { b =>
+        assert(b.getAs[Long]("lo_cents") <= b.getAs[Long]("hi_cents"), s"$c empty span")
+      }
+      bs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"),
+            s"$c buckets overlap")
+        case _ =>
+      }
+      assert(bs.map(_.getAs[Long]("bucket")).forall(b =>
+        b >= 0 && b < Profiling.HistogramBuckets))
+    }
+  }
+}
