@@ -372,6 +372,48 @@ object Dedup {
     out.toSeq
   }
 
+  /** INCREMENTAL near-dup: dedup an incoming batch against an existing
+    * index plus itself, WITHOUT ever joining the indexed corpus against
+    * itself — the daily-increment shape that makes near-dup affordable
+    * at 100 TB: the index contributes only its (band, band_hash) table
+    * (precomputed and stored in production; the index text is never
+    * re-shingled, never re-scanned), index×index pairs are never
+    * generated, and verification touches candidate shingle arrays only.
+    *
+    * Gate partition: even doc_ids play the already-deduped index, odd
+    * doc_ids the incoming batch. An incoming doc is dropped when it
+    * verifies (Jaccard ≥ [[JaccardThreshold]]) against any indexed doc
+    * or an earlier (smaller-id) incoming doc — the first-writer-wins
+    * rule applied across increments. Differentially pinned against the
+    * full oracle-gated pair set in IncrementalDedupSpec. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDupes(s, dir)
+    val oldDocs = withShingles(corpus.filter(col("doc_id") % 2 === 0))
+    val newDocs = withShingles(corpus.filter(col("doc_id") % 2 =!= 0))
+    val oldBands = toBands(minhashSigs(oldDocs))
+    val newBands = toBands(minhashSigs(newDocs))
+    // index-vs-incoming: every bucket collision (either id order — the
+    // drop target is always the incoming side); incoming-vs-incoming:
+    // ordered so the earlier doc wins
+    val candOldNew = oldBands.as("x")
+      .join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val candNewNew = newBands.as("x")
+      .join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val candidates = candOldNew.unionByName(candNewNew).distinct()
+    val drops = verifyCandidates(oldDocs.unionByName(newDocs), candidates)
+      .select(col("doc_b").as("doc_id")).distinct()
+    newDocs.select("doc_id")
+      .join(drops.withColumn("hit", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("hit").isNotNull, "drop").otherwise("keep").as("action"))
+      .orderBy("doc_id")
+  }
+
   /** Keep/drop decision from the MinHash-LSH pipeline: for every verified
     * near-dup pair (a < b), the higher id is dropped — the one-hop
     * representative rule training pipelines apply when full connected

@@ -358,6 +358,47 @@ object ExtensionOracles {
          |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
+    // incremental dedup mirror: even ids = index, odd ids = incoming;
+    // candidates = index×incoming (any order) ∪ incoming×incoming
+    // (ordered); `inter` holds ordered pairs, so the verify join uses
+    // least/greatest (Jaccard is symmetric)
+    "dedup_incremental" ->
+      s"""WITH $nearCorpus,
+         |$nearShingles,
+         |hs AS (SELECT doc_id, ${h32("s")} AS h FROM sh),
+         |mh AS (
+         |  SELECT doc_id, j,
+         |    min(((2 * j + 1) * h + 1000003 * j + 12345) % 2147483647) AS m
+         |  FROM hs, range(64) t(j) GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |    sum(m * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS band_hash
+         |  FROM mh GROUP BY doc_id, j // 4),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash
+         |   AND x.doc_id % 2 = 0 AND y.doc_id % 2 = 1
+         |  UNION
+         |  SELECT DISTINCT x.doc_id, y.doc_id
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.band_hash = y.band_hash
+         |   AND x.doc_id % 2 = 1 AND y.doc_id % 2 = 1 AND x.doc_id < y.doc_id),
+         |$sizesAndInter,
+         |verified AS (
+         |  SELECT DISTINCT c.doc_b
+         |  FROM cand c
+         |  JOIN inter ON least(c.doc_a, c.doc_b) = inter.doc_a
+         |            AND greatest(c.doc_a, c.doc_b) = inter.doc_b
+         |  JOIN sizes sa ON c.doc_a = sa.doc_id
+         |  JOIN sizes sb ON c.doc_b = sb.doc_id
+         |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5)
+         |SELECT d.doc_id,
+         |  CASE WHEN v.doc_b IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+         |FROM (SELECT doc_id FROM corpus WHERE doc_id % 2 = 1) d
+         |LEFT JOIN verified v ON d.doc_id = v.doc_b
+         |ORDER BY d.doc_id""".stripMargin,
+
     "dedup_drop_list" ->
       s"""WITH $nearCorpus,
          |$nearShingles,

@@ -34,6 +34,10 @@ object Extensions {
     // therefore false positives) are md5-derived identically in both
     // engines; forced-FP regime pinned in BloomDecontaminationSpec
     "decontaminate_bloom" -> ((s: SparkSession, dir: String) => Dedup.decontaminateBloom(s, dir)),
+    // incremental near-dup: incoming batch vs precomputed index bands +
+    // itself — index×index pairs never generated (the daily-increment
+    // shape at 100 TB)
+    "dedup_incremental" -> ((s: SparkSession, dir: String) => Dedup.dedupIncremental(s, dir)),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
     "token_budget_temperature" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetTemperature(s, dir)),
     "pack_sequences"   -> (TextAnalysis.packSequences _),
