@@ -115,6 +115,46 @@ object Profiling {
       .orderBy("column_name", "bucket")
   }
 
+  /** EQUI-DEPTH HISTOGRAMS — [[columnHistogram]]'s sibling: buckets hold
+    * (near-)equal ROW counts and the boundaries are the quantiles, the
+    * form selectivity estimators prefer on skewed columns (equi-width
+    * collapses skew into one over-full bucket; equi-depth spends its
+    * resolution where the data is).
+    *
+    * Determinism without `ntile`: rows rank by the scaled-cent value per
+    * column (`rn = row_number` ordering by vi; ties split arbitrarily,
+    * but the VALUE at each sorted position is a multiset property, so
+    * per-bucket min/max/count never depend on the tie split), and
+    * `bucket = (rn−1)·B div n` — our own integer formula rather than
+    * relying on cross-engine `ntile` edge semantics. All outputs are
+    * integer cents/counts.
+    *
+    * Scale shape: ONE hash exchange on column_name feeds a per-column
+    * sort (the q28 window family); per column this is the exact
+    * equi-depth cost. A column too large for one task's sort escapes via
+    * the band-refinement quantile path (SCALE.md, q41) — compute the B+1
+    * boundary quantiles sort-free, then bucket by range; the gate keeps
+    * the exact-sort form as its oracle-clean shape. */
+  def columnHistogramDepth(s: SparkSession, dir: String): DataFrame = {
+    val B = HistogramBuckets
+    val stackArgs = ProfileColumns
+      .map(c => s"'$c', CAST(round($c * 100) AS BIGINT)").mkString(", ")
+    val vals = Tables.lineitem(s, dir)
+      .select(expr(s"stack(${ProfileColumns.size}, $stackArgs) AS (column_name, vi)"))
+      .filter(col("vi").isNotNull)
+    val counts = vals.groupBy("column_name").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("column_name").orderBy("vi")
+    vals
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq("column_name"))
+      .withColumn("bucket", expr(s"((rn - 1) * CAST($B AS BIGINT)) div n"))
+      .groupBy("column_name", "bucket")
+      .agg(min(col("vi")).as("lo_cents"), max(col("vi")).as("hi_cents"),
+        count(lit(1)).as("n"))
+      .orderBy("column_name", "bucket")
+  }
+
   /** [[columnProfile]] with SKETCHED NDV — the form a 100 TB profiling
     * scan should default to (the exact `countDistinct` above plans a
     * #columns-way expand of the full scan; it stays registered as the

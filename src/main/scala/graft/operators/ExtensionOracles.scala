@@ -200,6 +200,34 @@ object ExtensionOracles {
          |ORDER BY column_name, bucket""".stripMargin
     },
 
+    // equi-depth mirror: same scaled cents, same (rn−1)·B div n bucket
+    // formula over the per-column value sort; per-bucket min/max/count
+    // are multiset properties of the sorted sequence, so arbitrary tie
+    // splits cannot diverge the engines
+    "column_histogram_depth" -> {
+      import graft.functions.Profiling.HistogramBuckets
+      val B = HistogramBuckets
+      val branches = graft.functions.Profiling.ProfileColumns
+        .map(c =>
+          s"SELECT '$c' AS column_name, CAST(round($c * 100) AS BIGINT) AS vi FROM lineitem")
+        .mkString("\n|  UNION ALL ")
+      s"""WITH v AS (
+         |  $branches),
+         |nn AS (SELECT column_name, vi FROM v WHERE vi IS NOT NULL),
+         |ct AS (SELECT column_name, count(*) AS n FROM nn GROUP BY 1),
+         |r AS (SELECT column_name, vi,
+         |        row_number() OVER (PARTITION BY column_name ORDER BY vi) AS rn
+         |      FROM nn),
+         |b AS (SELECT r.column_name, vi, ((rn - 1) * $B) // n AS bucket
+         |      FROM r JOIN ct USING (column_name))
+         |SELECT column_name, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(min(vi) AS BIGINT) AS lo_cents,
+         |  CAST(max(vi) AS BIGINT) AS hi_cents,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM b GROUP BY column_name, bucket
+         |ORDER BY column_name, bucket""".stripMargin
+    },
+
     "column_profile" -> {
       val branches = graft.functions.Profiling.ProfileColumns
         .map(c => s"SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem")

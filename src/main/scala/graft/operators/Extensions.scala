@@ -95,6 +95,9 @@ object Extensions {
     // integer-exact equi-width histograms (scaled-cent buckets — no
     // float division, so boundary values bucket identically cross-engine)
     "column_histogram" -> (graft.functions.Profiling.columnHistogram _),
+    // equi-depth sibling: quantile-boundary buckets via a row-position
+    // integer formula (no cross-engine ntile dependence)
+    "column_histogram_depth" -> (graft.functions.Profiling.columnHistogramDepth _),
     // the sketch-NDV default for 100 TB profiling scans: one scan, no
     // countDistinct expand; integer HLL register columns like approx_ndv
     "column_profile_approx" -> (graft.functions.Profiling.columnProfileApprox _),

@@ -43,4 +43,25 @@ class HistogramSpec extends SparkTestBase {
         b >= 0 && b < Profiling.HistogramBuckets))
     }
   }
+
+  test("equi-depth buckets balance counts and order their value ranges") {
+    val B = Profiling.HistogramBuckets
+    val rows = Profiling.columnHistogramDepth(spark, sf0001).collect()
+    Profiling.ProfileColumns.foreach { c =>
+      val bs = rows.filter(_.getString(0) == c).sortBy(_.getAs[Long]("bucket"))
+      assert(bs.length === B, s"$c must fill all $B depth buckets")
+      val ns = bs.map(_.getAs[Long]("n"))
+      // (rn−1)·B div n puts bucket sizes within 1 of each other
+      assert(ns.max - ns.min <= 1, s"$c depth buckets unbalanced: ${ns.toSeq}")
+      // value ranges are ordered (ties may share a boundary value)
+      bs.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("hi_cents") <= b.getAs[Long]("lo_cents"),
+            s"$c depth buckets out of order")
+        case _ =>
+      }
+      bs.foreach(b =>
+        assert(b.getAs[Long]("lo_cents") <= b.getAs[Long]("hi_cents")))
+    }
+  }
 }
