@@ -388,9 +388,31 @@ object Dedup {
     * full oracle-gated pair set in IncrementalDedupSpec. */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDupes(s, dir)
-    val oldDocs = withShingles(corpus.filter(col("doc_id") % 2 === 0))
-    val newDocs = withShingles(corpus.filter(col("doc_id") % 2 =!= 0))
-    val oldBands = toBands(minhashSigs(oldDocs))
+    val (idxShingles, idxBands) =
+      dedupIndexTables(corpus.filter(col("doc_id") % 2 === 0))
+    dedupIncrementalAgainst(idxShingles, idxBands,
+      corpus.filter(col("doc_id") % 2 =!= 0))
+  }
+
+  /** The two STORABLE index tables the incremental run consumes:
+    * (doc_id, shingles) for verification and (doc_id, band, band_hash)
+    * for candidate generation. A production pipeline writes both to
+    * parquet once and feeds them back to [[dedupIncrementalAgainst]] on
+    * every increment — the parquet round-trip is spec-pinned
+    * (IncrementalDedupSpec). */
+  def dedupIndexTables(rawDocs: DataFrame): (DataFrame, DataFrame) = {
+    val sh = withShingles(rawDocs)
+    (sh, toBands(minhashSigs(sh)))
+  }
+
+  /** Core of [[dedupIncremental]]: incoming raw docs vs an index given
+    * as its two (possibly storage-loaded) tables. */
+  def dedupIncrementalAgainst(
+      idxShingles: DataFrame, idxBands: DataFrame,
+      incomingRaw: DataFrame): DataFrame = {
+    val oldDocs = idxShingles
+    val oldBands = idxBands
+    val newDocs = withShingles(incomingRaw)
     val newBands = toBands(minhashSigs(newDocs))
     // index-vs-incoming: every bucket collision (either id order — the
     // drop target is always the incoming side); incoming-vs-incoming:

@@ -26,4 +26,23 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(out.map(_.getAs[Long]("doc_id")).distinct.length === out.length)
     assert(out.forall(_.getAs[Long]("doc_id") % 2 == 1))
   }
+
+  test("a parquet round-tripped index produces identical decisions") {
+    // the production shape: index tables written once, read back on
+    // every increment — storage must not change a single decision
+    val corpus = Dedup.corpusWithNearDupes(spark, sf0001)
+    val (ish, ib) = Dedup.dedupIndexTables(
+      corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx-").toString
+    ish.write.mode("overwrite").parquet(s"$dir/shingles.parquet")
+    ib.write.mode("overwrite").parquet(s"$dir/bands.parquet")
+    val stored = Dedup.dedupIncrementalAgainst(
+        spark.read.parquet(s"$dir/shingles.parquet"),
+        spark.read.parquet(s"$dir/bands.parquet"),
+        corpus.filter(org.apache.spark.sql.functions.col("doc_id") % 2 =!= 0))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val direct = Dedup.dedupIncremental(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(stored === direct)
+  }
 }
