@@ -46,6 +46,8 @@ object Plans {
     "approx_count_min",    // d×w-bounded counter aggregate + broadcast probe lookups
     "decontaminate_bloom", // broadcast position-set semi-join, k-hit bloom rule
     "column_histogram",    // min/max broadcast + integer-exact bucket aggregate
+    "column_histogram_depth", // per-column sort + row-position depth buckets
+    "dedup_incremental",   // incoming bands vs index bands, no index self-join
     "q42_upsert",          // CDC full-outer merge, change side wins
     "pack_sequences",      // per-source running-offset window + roll-up
     "embed_centroids",     // fixed-point (label, dim) combiner aggregate
