@@ -39,6 +39,7 @@ object Dedup {
     * the identical corpus — kept passing). */
   val ExactDupOffset = 1000000000000000L
   val NearDupOffset = 2000000000000000L
+  val NoisyDupOffset = 3000000000000000L
 
   /** documents ∪ exact copies of every 10th doc (id +ExactDupOffset). */
   def corpusWithExactDupes(s: SparkSession, dir: String): DataFrame = {
@@ -58,6 +59,40 @@ object Dedup {
           (col("doc_id") + NearDupOffset).as("doc_id"),
           concat(col("text"), lit(" graft near dup tail marker")).as("text")))
   }
+
+  /** documents ∪ case/whitespace-perturbed copies of every 11th doc
+    * (first 12 chars uppercased, two trailing spaces) — byte-level
+    * duplicates these are NOT, so plain [[dedupExact]] misses them;
+    * [[dedupExactNormalized]] must catch every one (differential
+    * spec-pinned). */
+  def corpusWithNoisyDupes(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 11 === 0)
+        .select(
+          (col("doc_id") + NoisyDupOffset).as("doc_id"),
+          concat(upper(expr("substring(text, 1, 12)")),
+            expr("substring(text, 13)"), lit("  ")).as("text")))
+  }
+
+  /** Canonical text form every serious pipeline hashes INSTEAD of raw
+    * bytes: lowercase, non-alphanumerics → space, whitespace runs
+    * collapsed, trimmed. Conservative RE2-portable classes so DuckDB
+    * normalizes identically byte-for-byte. Pure per-row expression —
+    * scan speed, no shuffle. */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), "\\s+", " "))
+
+  /** Exact dedup over the NORMALIZED digest — catches the
+    * case/punctuation/whitespace variants byte-exact dedup misses, at
+    * identical cost (the normalize is a per-row expression fused into
+    * the digest projection; the aggregate shape is [[dedupExact]]'s). */
+  def dedupExactNormalized(s: SparkSession, dir: String): DataFrame =
+    corpusWithNoisyDupes(s, dir)
+      .groupBy(md5(normalizeText(col("text"))).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
 
   /** Exact dedup: group by content digest, keep the smallest doc_id. */
   def dedupExact(s: SparkSession, dir: String): DataFrame =

@@ -386,6 +386,23 @@ object ExtensionOracles {
          |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
+    // normalized-digest mirror: identical lower/strip/collapse/trim
+    // chain (DuckDB needs the 'g' flag for replace-all; Spark replaces
+    // all by default), identical md5 grouping
+    "dedup_exact_normalized" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000000000000,
+         |    upper(substring(text, 1, 12)) || substring(text, 13) || '  '
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |n AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9 ]', ' ', 'g'), '\\s+', ' ', 'g'))) AS dg
+         |FROM corpus)
+         |SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+         |FROM n GROUP BY dg ORDER BY doc_id""".stripMargin,
+
     // incremental dedup mirror: even ids = index, odd ids = incoming;
     // candidates = index×incoming (any order) ∪ incoming×incoming
     // (ordered); `inter` holds ordered pairs, so the verify join uses

@@ -38,6 +38,10 @@ object Extensions {
     // itself — index×index pairs never generated (the daily-increment
     // shape at 100 TB)
     "dedup_incremental" -> ((s: SparkSession, dir: String) => Dedup.dedupIncremental(s, dir)),
+    // exact dedup over the canonical text form — catches case/punct/
+    // whitespace variants byte-exact dedup misses (differential
+    // spec-pinned in ExtensionsSpec)
+    "dedup_exact_normalized" -> (Dedup.dedupExactNormalized _),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
     "token_budget_temperature" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetTemperature(s, dir)),
     "pack_sequences"   -> (TextAnalysis.packSequences _),

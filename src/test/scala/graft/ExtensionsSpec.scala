@@ -1084,6 +1084,24 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("normalized exact dedup catches the case/whitespace variants byte dedup misses") {
+    val s = spark
+    import s.implicits._
+    // every planted noisy copy (id ≥ NoisyDupOffset) must fold into its
+    // original under the normalized digest...
+    val norm = Dedup.dedupExactNormalized(spark, sf0001).collect()
+    assert(!norm.exists(_.getAs[Long]("doc_id") >= Dedup.NoisyDupOffset),
+      "a noisy copy survived as its own group — normalization failed to fold it")
+    assert(norm.exists(_.getAs[Long]("n_copies") > 1))
+    // ...while the BYTE digest keeps every noisy copy separate
+    val byteGroups = Dedup.corpusWithNoisyDupes(spark, sf0001)
+      .groupBy(org.apache.spark.sql.functions.md5($"text"))
+      .agg(org.apache.spark.sql.functions.min($"doc_id").as("doc_id"))
+      .collect()
+    assert(byteGroups.count(_.getAs[Long]("doc_id") >= Dedup.NoisyDupOffset) > 0,
+      "perturbed copies should NOT be byte-identical to their originals")
+  }
+
   test("rolling fingerprint is order-sensitive and content-deterministic") {
     val s = spark
     import s.implicits._
