@@ -860,6 +860,38 @@ object Dedup {
       .orderBy("lang", "rank")
   }
 
+  /** SYSTEMATIC PPS (probability-proportional-to-size) sampling: select
+    * ~`target` docs per source with inclusion probability proportional
+    * to TOKEN COUNT — the weighted document sampler a data-mixing
+    * pipeline uses when long documents should be proportionally more
+    * likely to be drawn (the token_budget ops CAP admission; this
+    * SAMPLES). Classic survey-statistics systematic selection on the
+    * doc_id-ordered cumulative token axis: doc i is selected iff its
+    * interval (cum−n, cum] contains a selection point — equivalently
+    * `cum·target div T > (cum−n)·target div T` — ALL integer
+    * arithmetic (cum ≤ T ~ 10^12 tokens at 100 TB per source ×
+    * target 10^3 stays inside BIGINT), so DuckDB reproduces every
+    * selection bit-for-bit. Docs holding ≥ T/target tokens are
+    * selected with certainty — standard PPS behavior, spec-pinned.
+    *
+    * Scale shape: ONE per-source window cumsum (hash exchange on
+    * source + per-partition sort — the token_budget family's shape)
+    * plus a broadcast 1-row-per-source total. */
+  def samplePps(s: SparkSession, dir: String, target: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val totals = docs.groupBy("source").agg(sum(col("n_tokens")).as("t"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .join(broadcast(totals), Seq("source"))
+      .filter(expr(s"(cum * $target) div t > ((cum - n_tokens) * $target) div t"))
+      .select("source", "doc_id", "n_tokens")
+      .orderBy("source", "doc_id")
+  }
+
   /** Synthetic "benchmark" (eval-set) items: the first 8 tokens of every
     * 13th document — guaranteed contamination sources at every SF, with
     * the oracle constructing the identical set in SQL. `bench_id` is the

@@ -544,6 +544,22 @@ object ExtensionOracles {
     // temperature mixing at α=0.5: per-stratum target = budget·w/Σw with
     // w = floor(sqrt(n)) — integer weights/totals/division so both engines
     // derive identical targets; selection = smallest (h32, doc_id) per lang
+    // systematic PPS mirror: same doc_id-ordered per-source cumulative
+    // token axis, same integer crossing rule — selections agree
+    // bit-for-bit (doc_id is unique, so the running sum's frame is
+    // deterministic in both engines)
+    "sample_pps" ->
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |      FROM d),
+         |t AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY 1)
+         |SELECT c.source, doc_id, n_tokens
+         |FROM c JOIN t USING (source)
+         |WHERE (cum * 60) // t > ((cum - n_tokens) * 60) // t
+         |ORDER BY c.source, doc_id""".stripMargin,
+
     "sample_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY 1),
          |t AS (SELECT lang, n_rows,

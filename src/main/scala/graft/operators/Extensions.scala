@@ -42,6 +42,8 @@ object Extensions {
     // whitespace variants byte-exact dedup misses (differential
     // spec-pinned in ExtensionsSpec)
     "dedup_exact_normalized" -> (Dedup.dedupExactNormalized _),
+    // systematic PPS: token-weighted document sampling, integer-exact
+    "sample_pps" -> ((s: SparkSession, dir: String) => Dedup.samplePps(s, dir)),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
     "token_budget_temperature" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetTemperature(s, dir)),
     "pack_sequences"   -> (TextAnalysis.packSequences _),

@@ -1084,6 +1084,29 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("systematic PPS: per-source counts bounded by target, giant docs selected with certainty") {
+    val target = 60L
+    val rows = Dedup.samplePps(spark, sf0001).collect()
+    val perSource = rows.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    assert(perSource.nonEmpty)
+    perSource.foreach { case (src, n) =>
+      assert(n >= 1L && n <= target, s"$src selected $n of target $target")
+    }
+    // any doc holding ≥ T/target tokens must be selected (PPS certainty)
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.Portable.tokens(col("text"))).cast("long").as("n"))
+    val totals = d.groupBy("source").agg(sum(col("n")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selected = rows.map(_.getLong(1)).toSet
+    val certain = d.collect().filter(r =>
+      r.getLong(2) * target >= totals(r.getString(1)))
+    certain.foreach(r =>
+      assert(selected.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} holds a full selection interval but was not drawn"))
+  }
+
   test("normalized exact dedup catches the case/whitespace variants byte dedup misses") {
     val s = spark
     import s.implicits._
