@@ -48,6 +48,7 @@ object Plans {
     "column_histogram",    // min/max broadcast + integer-exact bucket aggregate
     "column_histogram_depth", // per-column sort + row-position depth buckets
     "dedup_incremental",   // incoming bands vs index bands, no index self-join
+    "q46_regional_revenue", // 6-table star: broadcast dim chain, one fact shuffle
     "q42_upsert",          // CDC full-outer merge, change side wins
     "pack_sequences",      // per-source running-offset window + roll-up
     "embed_centroids",     // fixed-point (label, dim) combiner aggregate

@@ -78,6 +78,44 @@ object Relational {
       .agg(outD4(sum(discPrice)).as("revenue"), count(lit(1)).as("n_items"))
       .orderBy("n_name")
 
+  /** Q46 — TPC-H Q5 LOCAL-SUPPLIER REGIONAL REVENUE: the classic
+    * 6-table star-with-a-twist — customer and supplier must share a
+    * nation, so the plan composes a broadcast dimension chain
+    * (region→nation→customer) with a residual locality predicate
+    * instead of a sixth shuffle.
+    *
+    * Scale shape: the ONLY big-big join is lineitem⋈orders on orderkey
+    * (one shuffle each side); the date filter prunes orders before the
+    * shuffle; customer (+its nation/region chain) and supplier
+    * broadcast, and `c_nationkey = s_nationkey` rides the supplier
+    * broadcast join as a residual — zero extra exchanges for the
+    * locality constraint. Catalyst's join reorder gets the same answer
+    * left to itself; the explicit broadcasts pin the intent. */
+  def q46RegionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val nr = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val cust = Tables.customer(s, dir)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val ord = Tables.orders(s, dir)
+      .filter(datediff(col("o_orderdate"), lit("1996-01-01")) >= 0 &&
+        datediff(col("o_orderdate"), lit("1997-01-01")) < 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), discPrice.as("rev"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(outD4(sum(col("rev"))).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1006,5 +1044,6 @@ object Relational {
     "q43_zorder"         -> (q43Zorder _),
     "q44_scd2"           -> (q44Scd2 _),
     "q45_pit_join"       -> (q45PitJoin _),
+    "q46_regional_revenue" -> (q46RegionalRevenue _),
   )
 }

@@ -382,6 +382,24 @@ object RelationalOracles {
         |FROM orders
         |ORDER BY o_custkey, valid_from, version_key""".stripMargin,
 
+    // TPC-H Q5 shape: local-supplier regional revenue; the date
+    // predicate mirrors the Spark datediff bounds ([1996-01-01,
+    // 1997-01-01) on the timestamp axis)
+    "q46_regional_revenue" ->
+      s"""SELECT n_name,
+         |  CAST(CAST(sum($discPrice) AS $D4) AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     // PIT join: DuckDB's native ASOF JOIN against the end-of-day
     // dimension (arg_max = Spark's max_by; DATE subtraction = datediff)
     "q45_pit_join" ->
