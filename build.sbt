@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout/stderr through VERBATIM instead of routing
+// it via sbt's logger, which prefixes every line with "[info] "/"[error] ".
+// The bench/verify drivers parse stdout lines as JSON; the prefix broke
+// that parse in every prior round (BENCH_r01..r10 all `parsed: null`).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every registered query on
-  * SPARK_GRAFT_SF_DIR and prints the result JSON line twice (two identical
-  * copies — the truncation guard explained at the print site).
+  * SPARK_GRAFT_SF_DIR, prints the full result JSON line, writes it to a
+  * durable file, then prints a compact (<1.9 KB) summary line LAST so the
+  * driver's 2000-char stdout-tail capture always parses (see print site).
   *
   * Measurement discipline:
   *  - `noop` datasource write forces full materialization of every
@@ -171,7 +172,11 @@ object Bench {
     StreamingBench.clearMemo()
 
     val all = (results ++ streamingResults).filter(_._2 != -2.0)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 3-decimal rounding everywhere: BASELINE.md records are 2-3 decimals,
+    // and the shorter doubles keep both JSON lines as small as possible
+    // (the driver's artifact capture keeps only a 2000-char stdout tail).
+    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     // full JSON string escaping — Spark exception messages embed plan
     // fragments with newlines/tabs; a raw control char would corrupt the
     // one-line output exactly in the failure-reporting path
@@ -193,14 +198,45 @@ object Bench {
       if (controlSec > 0) controlSec / ControlBaselineSec else -1.0
     val scSec = streamingResults.toMap.getOrElse(StreamControl, -1.0)
     val scLoad = if (scSec > 0) scSec / StreamControlBaselineSec else -1.0
+    val controlJson =
+      s""""control":{"name":"$ControlQuery","sec":${r3(controlSec)},"baseline_sec":$ControlBaselineSec,"load_factor":${r3(loadFactor)}},"stream_control":{"name":"$StreamControl","sec":${r3(scSec)},"baseline_sec":$StreamControlBaselineSec,"load_factor":${r3(scLoad)}}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"control":{"name":"$ControlQuery","sec":$controlSec,"baseline_sec":$ControlBaselineSec,"load_factor":$loadFactor},"stream_control":{"name":"$StreamControl","sec":$scSec,"baseline_sec":$StreamControlBaselineSec,"load_factor":$scLoad},"stages":$stagesJson,"progress":$progressJson,"sf":"$sfDir"}"""
-    // printed TWICE: the driver's artifact capture can truncate to a
-    // tail, which cut the head of r7's single line — a second identical
-    // copy guarantees one complete parseable line survives in any
-    // tail longer than the line itself
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},$controlJson,"stages":$stagesJson,"progress":$progressJson,"sf":"$sfDir"}"""
+    // The full line (121+ query timings plus per-batch streaming progress)
+    // is ~6 KB — far beyond the driver's 2000-char stdout tail, which is
+    // why BENCH_r09/r10 both landed `parsed: null` despite healthy runs.
+    // Three-layer evidence plan:
+    //   1. the full line goes to stdout FIRST (whole-log consumers) and to
+    //      a durable file (per-line record survives even when stdout is
+    //      tail-truncated);
+    //   2. a COMPACT summary line goes LAST and is size-guarded under
+    //      1900 chars, so the tail always contains one complete parseable
+    //      JSON line: totals, failures, both load controls, and the
+    //      slowest lines — enough to adjudicate the round;
+    //   3. stage/progress detail also mirrors to stderr at the probe sites.
     println(line)
-    println(line)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (new java.io.File("/root/repo").isDirectory) "/root/repo/BENCH_FULL_LOCAL.json"
+      else "BENCH_FULL_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] full-line file write failed: ${e.getMessage}") }
+    // Compact line: cap the error map (3 entries, 80-char messages) and
+    // include only the top-K slowest lines, shrinking K until the line
+    // fits the 1900-char budget with guaranteed room to spare.
+    val errCompact = errors.take(3).map { case (k, v) =>
+      "\"" + esc(k) + "\":\"" + esc(v.take(80)) + "\""
+    }.mkString("{", ",", "}")
+    val bySlowest = all.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    def compactLine(k: Int): String = {
+      val top = bySlowest.take(k)
+        .map { case (n, v) => "\"" + n + "\":" + r3(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_lines":${all.size},"n_failed":${errors.size},"errors":$errCompact,$controlJson,"queries":$top,"full":"$fullPath","sf":"$sfDir"}"""
+    }
+    val compact = (12 to 0 by -1).iterator.map(compactLine).find(_.length <= 1900)
+      .getOrElse(compactLine(0))
+    println(compact)
     spark.stop()
     // ALWAYS exit 0: per-line failures are already reported in
     // `errors`/`n_failed` above, and the driver's correctness gate is the
