@@ -228,6 +228,46 @@ object ExtensionOracles {
          |ORDER BY column_name, bucket""".stripMargin
     },
 
+    // sort-free equi-depth mirror: the oracle states the SEMANTICS
+    // (boundary t_j = value at rank ceil(n·j/B); bucket = #{t_j < v},
+    // range rule, whole tie groups) with its own sort — the Spark side
+    // proves the band-refinement plan computes the same values WITHOUT
+    // one. Bucket depends only on (column, value), so it's computed per
+    // DISTINCT value and joined back (row multiplicity preserved).
+    "column_histogram_depth_band" -> {
+      import graft.functions.Profiling.HistogramBuckets
+      val B = HistogramBuckets
+      val branches = graft.functions.Profiling.ProfileColumns
+        .map(c =>
+          s"SELECT '$c' AS column_name, CAST(round($c * 100) AS BIGINT) AS vi FROM lineitem")
+        .mkString("\n|  UNION ALL ")
+      val js = (1 until B).map(j => s"($j)").mkString(", ")
+      s"""WITH v AS (
+         |  $branches),
+         |nn AS (SELECT column_name, vi FROM v WHERE vi IS NOT NULL),
+         |ct AS (SELECT column_name, count(*) AS n FROM nn GROUP BY 1),
+         |r AS (SELECT column_name, vi,
+         |        row_number() OVER (PARTITION BY column_name ORDER BY vi) AS rn
+         |      FROM nn),
+         |bd AS (SELECT r.column_name, j.jj, r.vi AS t
+         |       FROM r JOIN ct USING (column_name)
+         |       JOIN (VALUES $js) AS j(jj)
+         |         ON r.rn = (ct.n * j.jj + ${B - 1}) // $B),
+         |dv AS (SELECT DISTINCT column_name, vi FROM nn),
+         |ab AS (SELECT dv.column_name, dv.vi, count(bd.jj) AS bucket
+         |       FROM dv LEFT JOIN bd
+         |         ON bd.column_name = dv.column_name AND dv.vi > bd.t
+         |       GROUP BY dv.column_name, dv.vi),
+         |a AS (SELECT nn.column_name, nn.vi, ab.bucket
+         |      FROM nn JOIN ab USING (column_name, vi))
+         |SELECT column_name, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(min(vi) AS BIGINT) AS lo_cents,
+         |  CAST(max(vi) AS BIGINT) AS hi_cents,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM a GROUP BY column_name, bucket
+         |ORDER BY column_name, bucket""".stripMargin
+    },
+
     "column_profile" -> {
       val branches = graft.functions.Profiling.ProfileColumns
         .map(c => s"SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem")

@@ -104,6 +104,9 @@ object Extensions {
     // equi-depth sibling: quantile-boundary buckets via a row-position
     // integer formula (no cross-engine ntile dependence)
     "column_histogram_depth" -> (graft.functions.Profiling.columnHistogramDepth _),
+    // the sort-free giant-column escape: ceil(n·j/B)-rank boundary values
+    // via band refinement, then range bucketing — no per-column full sort
+    "column_histogram_depth_band" -> (graft.functions.Profiling.columnHistogramDepthBand _),
     // the sketch-NDV default for 100 TB profiling scans: one scan, no
     // countDistinct expand; integer HLL register columns like approx_ndv
     "column_profile_approx" -> (graft.functions.Profiling.columnProfileApprox _),

@@ -44,6 +44,47 @@ class HistogramSpec extends SparkTestBase {
     }
   }
 
+  test("band equi-depth == exact equi-depth on tie-free data") {
+    import spark.implicits._
+    // distinct values, sizes deliberately not divisible by B, values
+    // shuffled by a fixed LCG so ingestion order proves nothing
+    val B = Profiling.HistogramBuckets
+    val rows = (Seq("a" -> 1003, "b" -> 64, "c" -> 257).flatMap {
+      case (c, n) =>
+        (0 until n).map(i => (c, ((i.toLong * 48271) % 2147483647) * 100 + i))
+    }).toDF("column_name", "vi")
+    val exact = Profiling.depthHistogramExact(rows, B).collect().map(_.toSeq)
+    val band = Profiling.depthHistogramBand(rows, B).collect().map(_.toSeq)
+    assert(exact.nonEmpty)
+    assert(band.toSeq === exact.toSeq,
+      "range bucketing at ceil(n·j/B) boundaries must replicate the rank formula")
+  }
+
+  test("band equi-depth keeps tie groups whole and conserves counts") {
+    import spark.implicits._
+    val B = Profiling.HistogramBuckets
+    // one giant tie group (value 500 × 600 rows) straddling boundaries,
+    // plus a distinct tail — the case where the exact form splits by
+    // arbitrary rank and the band form must NOT
+    val rows = ((0 until 600).map(_ => ("t", 500L)) ++
+      (0 until 400).map(i => ("t", 1000L + i))).toDF("column_name", "vi")
+    val band = Profiling.depthHistogramBand(rows, B).collect()
+      .sortBy(_.getAs[Long]("bucket"))
+    assert(band.map(_.getAs[Long]("n")).sum === 1000L)
+    // the tie value occupies exactly one bucket: buckets are
+    // value-determined, so ranges never overlap — strictly
+    band.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_cents") < b.getAs[Long]("lo_cents"),
+          "band buckets must be strictly disjoint in value")
+      case _ =>
+    }
+    val tieBuckets = band.filter(r => r.getAs[Long]("lo_cents") <= 500L &&
+      500L <= r.getAs[Long]("hi_cents"))
+    assert(tieBuckets.length === 1)
+    assert(tieBuckets.head.getAs[Long]("n") >= 600L)
+  }
+
   test("equi-depth buckets balance counts and order their value ranges") {
     val B = Profiling.HistogramBuckets
     val rows = Profiling.columnHistogramDepth(spark, sf0001).collect()
