@@ -105,7 +105,7 @@ object Dedup {
   /** (doc_id, shingles) with the per-document DISTINCT shingle array —
     * the one map-side pass every downstream consumer (sizes, signatures,
     * hash pairs) derives from without re-tokenizing. */
-  private def withShingles(docs: DataFrame): DataFrame =
+  private[functions] def withShingles(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(shingles3(tokens(col("text")))).as("shingles"))
 
@@ -860,6 +860,10 @@ object Dedup {
       .orderBy("lang", "rank")
   }
 
+  /** Default per-source [[samplePps]] target — the oracle interpolates
+    * THIS constant, so gate and SQL cannot desynchronize. */
+  val PpsDefaultTarget = 60
+
   /** SYSTEMATIC PPS (probability-proportional-to-size) sampling: select
     * ~`target` docs per source with inclusion probability proportional
     * to TOKEN COUNT — the weighted document sampler a data-mixing
@@ -877,7 +881,8 @@ object Dedup {
     * Scale shape: ONE per-source window cumsum (hash exchange on
     * source + per-partition sort — the token_budget family's shape)
     * plus a broadcast 1-row-per-source total. */
-  def samplePps(s: SparkSession, dir: String, target: Int = 60): DataFrame = {
+  def samplePps(s: SparkSession, dir: String,
+      target: Int = PpsDefaultTarget): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"),
@@ -951,7 +956,7 @@ object Dedup {
     * double-hashing scheme. h1/h2 are hoisted behind a projection so the
     * k-way array references bound attributes, not k·2 md5 calls
     * (SCALE.md §Round-10 CSE-hoisting rule). */
-  private def bloomPositions(
+  private[graft] def bloomPositions(
       df: DataFrame, keep: Seq[String], sh: String, m: Int, k: Int): DataFrame =
     df
       .select(keep.map(col) ++ Seq(
@@ -991,6 +996,67 @@ object Dedup {
       .groupBy("doc_id", "sh")
       .agg(count(lit(1)).as("k_hit"))
       .filter(col("k_hit") === k)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bloom"))
+    val exact = docSh
+      .join(broadcast(benchSh), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_exact"))
+    docs.select("doc_id")
+      .join(bloom, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bloom"), lit(0L)).as("n_bloom"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+      .withColumn("action",
+        when(col("n_bloom") >= minOverlap, "quarantine").otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** PRODUCTION-FORM Bloom decontamination: the position SET of
+    * [[decontaminateBloom]] collapsed to an m-BIT BITMAP (128 KB at
+    * m = 2^20) via [[expressions.BloomBitmapAgg]], membership via the
+    * codegen'd [[expressions.BloomBitTest]] — so the corpus side runs the
+    * k probes as a scalar predicate inside its scan: NO position explode,
+    * NO membership join, NO shuffle of (doc, shingle, pos) rows at all.
+    * The only exchanges left are the benchmark-side bitmap build (k·|
+    * bench shingles| rows folding into one 128 KB value, map-side
+    * combined) and the per-document hit count.
+    *
+    * Decision parity: positions are the same deterministic
+    * Kirsch–Mitzenmacher probes, set bits are the same set, and the
+    * all-k-hit rule is the same — so n_bloom (and every false positive)
+    * is BIT-IDENTICAL to the set form's; the differential spec pins it
+    * and the gate shares `decontaminate_bloom`'s DuckDB oracle. The
+    * exact count rides along for gate fidelity exactly as in the set
+    * form; production drops it. */
+  def decontaminateBloomBitmap(
+      s: SparkSession, dir: String, minOverlap: Int = 4,
+      m: Int = BloomM, k: Int = BloomK): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val docSh = withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val benchSh = withShingles(
+        benchmarkItems(s, dir).select(col("bench_id").as("doc_id"), col("text")))
+      .select(explode(col("shingles")).as("sh"))
+      .distinct()
+    import graft.functions.expressions.{BloomBitmapAgg, BloomBitTest}
+    // the bitmap collects to the driver and embeds as a plan LITERAL —
+    // bounded at exactly m/8 bytes (128 KB) by geometry, not data, the
+    // same bounded-collect class as the ANN codebooks. A 1-row broadcast
+    // cross join was tried first and benched 3.4× SLOWER than the set
+    // form: the join's output rows carry the 128 KB bm column, so every
+    // hit materializes a 128 KB UnsafeRow copy. As a literal the bit
+    // test runs inside the scan's codegen span — no join, no copy.
+    val bmBytes = bloomPositions(benchSh, Seq.empty, "sh", m, k)
+      .agg(BloomBitmapAgg(col("pos"), m).as("bm"))
+      .collect()(0).getAs[Array[Byte]]("bm")
+    // hit iff ALL k probe bits are set — a pure scalar predicate over
+    // (h1, h2), evaluated at scan speed
+    val bloom = docSh
+      .select(col("doc_id"), h32(col("sh")).as("bl_h1"), h32b(col("sh")).as("bl_h2"))
+      .filter((0 until k).map(i => BloomBitTest(lit(bmBytes),
+        pmod(col("bl_h1") + lit(i.toLong) * col("bl_h2"), lit(m.toLong)))).reduce(_ && _))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bloom"))
     val exact = docSh

@@ -54,6 +54,44 @@ object ExtensionOracles {
 
   private val langs = TextAnalysis.langMarkers.map(_._1)
 
+  /** Shared by `decontaminate_bloom` AND `decontaminate_bloom_bitmap`:
+    * the bitmap form computes bit-identical decisions (same deterministic
+    * positions, same set bits, same all-k rule), so one SQL pins both. */
+  private lazy val bloomDecontaminateSql: String = {
+    import graft.functions.Dedup.{BloomK, BloomM}
+    val is = (0 until BloomK).mkString("[", ", ", "]")
+    s"""WITH bench AS (
+       |  SELECT array_to_string(list_slice($toks, 1, 8), ' ') AS text
+       |  FROM documents WHERE doc_id % 13 = 0),
+       |btokd AS (SELECT $toks AS toks FROM bench),
+       |bsh AS (SELECT DISTINCT unnest($shingleExpr) AS s FROM btokd),
+       |bh AS (SELECT ${h32("s")} AS h1, ${h32b("s")} AS h2 FROM bsh),
+       |bpos AS (SELECT DISTINCT (h1 + i * h2) % $BloomM AS pos
+       |         FROM bh CROSS JOIN (SELECT unnest($is) AS i) g),
+       |tokd AS (SELECT doc_id, $toks AS toks FROM documents),
+       |dsh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest($shingleExpr) AS s FROM tokd) u),
+       |dh AS (SELECT doc_id, s, ${h32("s")} AS h1, ${h32b("s")} AS h2 FROM dsh),
+       |dpos AS (SELECT doc_id, s, (h1 + i * h2) % $BloomM AS pos
+       |         FROM dh CROSS JOIN (SELECT unnest($is) AS i) g),
+       |hit AS (SELECT doc_id, s FROM dpos JOIN bpos USING (pos)
+       |        GROUP BY doc_id, s HAVING count(*) = $BloomK),
+       |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+       |       FROM hit GROUP BY doc_id),
+       |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
+       |       FROM dsh JOIN bsh USING (s) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(nb.n_bloom, 0) AS BIGINT) AS n_bloom,
+       |  CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact,
+       |  CASE WHEN coalesce(nb.n_bloom, 0) >= 4
+       |       THEN 'quarantine' ELSE 'keep' END AS action
+       |FROM documents d
+       |LEFT JOIN nb ON d.doc_id = nb.doc_id
+       |LEFT JOIN ne ON d.doc_id = ne.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** Corpus-size-derived sign-LSH bucket width (kept in sync with
     * `Similarity.signBucketDimsFor`): smallest d ≥ min with
     * 2^d · target ≥ count — same integer predicate, same search range. */
@@ -584,22 +622,6 @@ object ExtensionOracles {
     // temperature mixing at α=0.5: per-stratum target = budget·w/Σw with
     // w = floor(sqrt(n)) — integer weights/totals/division so both engines
     // derive identical targets; selection = smallest (h32, doc_id) per lang
-    // systematic PPS mirror: same doc_id-ordered per-source cumulative
-    // token axis, same integer crossing rule — selections agree
-    // bit-for-bit (doc_id is unique, so the running sum's frame is
-    // deterministic in both engines)
-    "sample_pps" ->
-      s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
-         |           FROM documents),
-         |c AS (SELECT doc_id, source, n_tokens,
-         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
-         |      FROM d),
-         |t AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY 1)
-         |SELECT c.source, doc_id, n_tokens
-         |FROM c JOIN t USING (source)
-         |WHERE (cum * 60) // t > ((cum - n_tokens) * 60) // t
-         |ORDER BY c.source, doc_id""".stripMargin,
-
     "sample_temperature" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_rows FROM documents GROUP BY 1),
          |t AS (SELECT lang, n_rows,
@@ -614,6 +636,25 @@ object ExtensionOracles {
          |FROM r JOIN tgt ON r.lang = tgt.lang
          |WHERE r.rank <= tgt.target
          |ORDER BY r.lang, r.rank""".stripMargin,
+
+    // systematic PPS mirror: same doc_id-ordered per-source cumulative
+    // token axis, same integer crossing rule — selections agree
+    // bit-for-bit (doc_id is unique, so the running sum's frame is
+    // deterministic in both engines); the target interpolates
+    // Dedup.PpsDefaultTarget, the same constant the Spark default uses
+    "sample_pps" -> {
+      val target = graft.functions.Dedup.PpsDefaultTarget
+      s"""WITH d AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+         |      FROM d),
+         |t AS (SELECT source, sum(n_tokens) AS t FROM d GROUP BY 1)
+         |SELECT c.source, doc_id, n_tokens
+         |FROM c JOIN t USING (source)
+         |WHERE (cum * $target) // t > ((cum - n_tokens) * $target) // t
+         |ORDER BY c.source, doc_id""".stripMargin
+    },
 
     // benchmark = first 8 tokens of every 13th doc; a doc is
     // quarantined when it shares >= 4 distinct 3-shingles with the
@@ -643,40 +684,13 @@ object ExtensionOracles {
     // shingle bloom-hits iff all k positions are in the benchmark's
     // position set — FPs are md5-deterministic, so both engines
     // over-count identically and n_bloom >= n_exact everywhere.
-    "decontaminate_bloom" -> {
-      import graft.functions.Dedup.{BloomK, BloomM}
-      val is = (0 until BloomK).mkString("[", ", ", "]")
-      s"""WITH bench AS (
-         |  SELECT array_to_string(list_slice($toks, 1, 8), ' ') AS text
-         |  FROM documents WHERE doc_id % 13 = 0),
-         |btokd AS (SELECT $toks AS toks FROM bench),
-         |bsh AS (SELECT DISTINCT unnest($shingleExpr) AS s FROM btokd),
-         |bh AS (SELECT ${h32("s")} AS h1, ${h32b("s")} AS h2 FROM bsh),
-         |bpos AS (SELECT DISTINCT (h1 + i * h2) % $BloomM AS pos
-         |         FROM bh CROSS JOIN (SELECT unnest($is) AS i) g),
-         |tokd AS (SELECT doc_id, $toks AS toks FROM documents),
-         |dsh AS (
-         |  SELECT DISTINCT doc_id, s FROM (
-         |    SELECT doc_id, unnest($shingleExpr) AS s FROM tokd) u),
-         |dh AS (SELECT doc_id, s, ${h32("s")} AS h1, ${h32b("s")} AS h2 FROM dsh),
-         |dpos AS (SELECT doc_id, s, (h1 + i * h2) % $BloomM AS pos
-         |         FROM dh CROSS JOIN (SELECT unnest($is) AS i) g),
-         |hit AS (SELECT doc_id, s FROM dpos JOIN bpos USING (pos)
-         |        GROUP BY doc_id, s HAVING count(*) = $BloomK),
-         |nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
-         |       FROM hit GROUP BY doc_id),
-         |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact
-         |       FROM dsh JOIN bsh USING (s) GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  CAST(coalesce(nb.n_bloom, 0) AS BIGINT) AS n_bloom,
-         |  CAST(coalesce(ne.n_exact, 0) AS BIGINT) AS n_exact,
-         |  CASE WHEN coalesce(nb.n_bloom, 0) >= 4
-         |       THEN 'quarantine' ELSE 'keep' END AS action
-         |FROM documents d
-         |LEFT JOIN nb ON d.doc_id = nb.doc_id
-         |LEFT JOIN ne ON d.doc_id = ne.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "decontaminate_bloom" -> bloomDecontaminateSql,
+
+    // the BITMAP production form: positions, set bits, and the all-k-hit
+    // rule are identical to the set form, so the SAME oracle pins it —
+    // the gate's evidence is that a 128 KB bitmap + codegen'd bit test
+    // reproduces every count (and every false positive) bit-for-bit
+    "decontaminate_bloom_bitmap" -> bloomDecontaminateSql,
 
     // THE Spark-side pattern, interpolated (engine-portable literal —
     // single source of truth; quotes doubled for SQL)

@@ -34,6 +34,26 @@ class BloomDecontaminationSpec extends SparkTestBase {
   private def quarantinedExactly(rows: Array[org.apache.spark.sql.Row], id: Long): Boolean =
     rows.find(_.getAs[Long]("doc_id") == id).exists(_.getAs[Long]("n_exact") >= 4)
 
+  test("bitmap form reproduces the position-set form bit-for-bit") {
+    // the production 128 KB bitmap + scalar bit test must make IDENTICAL
+    // quarantine decisions — including identical false positives — to
+    // the broadcast position-set join it replaces
+    val set = Dedup.decontaminateBloom(spark, sf0001).collect().map(_.toSeq)
+    val bm = Dedup.decontaminateBloomBitmap(spark, sf0001).collect().map(_.toSeq)
+    assert(set.nonEmpty)
+    assert(bm.toSeq === set.toSeq)
+  }
+
+  test("bitmap form matches the set form in the forced-FP regime too") {
+    // m=16 saturates: the regime where every bit-layout or probe-order
+    // divergence would surface as a count difference
+    val set = Dedup.decontaminateBloom(spark, sf0001, m = 16, k = 3)
+      .collect().map(_.toSeq)
+    val bm = Dedup.decontaminateBloomBitmap(spark, sf0001, m = 16, k = 3)
+      .collect().map(_.toSeq)
+    assert(bm.toSeq === set.toSeq)
+  }
+
   test("a starved filter forces false positives but never false negatives") {
     // m=16, k=3: thousands of benchmark positions saturate the filter,
     // so nearly every corpus shingle bloom-hits — the FP regime.

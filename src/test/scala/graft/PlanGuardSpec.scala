@@ -32,7 +32,9 @@ class PlanGuardSpec extends SparkTestBase {
     * planted-dup corpus);
     * sample_temperature and token_budget_temperature cross-join the
     * |strata|-row weight table against its ONE-ROW weight-total
-    * aggregate to derive targets. */
+    * aggregate to derive targets. (decontaminate_bloom_bitmap needs no
+    * entry: its 128 KB bitmap embeds as a plan literal, so the probe is
+    * a plain codegen'd filter — no join of any kind.) */
   private val bnljByDesign = Set(
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
     "ann_ivf_pq",
