@@ -449,7 +449,13 @@ object Profiling {
   /** Point-frequency estimates for a probe-term frame: each probe looks
     * up its d cells and takes the min — the CMS estimate, which never
     * undercounts and overcounts only by colliding mass. The counter
-    * table (≤ d·2^wBits rows) broadcasts; probe terms never shuffle. */
+    * table (≤ d·2^wBits rows) broadcasts; probe terms never shuffle.
+    * The lookup LEFT-joins the counter table with absent cells coalesced
+    * to 0: a sparse counter table omits zero-count cells, and an inner
+    * join would take the min over only the non-empty cells — silently
+    * over-estimating (or dropping) a probe the stream never saw, where a
+    * true CMS (and the JVM [[graft.functions.sketch.CountMin]].estimate)
+    * returns 0. Spec-pinned by the unseen-probe case in CountMinSpec. */
   private[graft] def cmsEstimates(
       counters: DataFrame, probes: DataFrame, tok: String,
       wBits: Int = CmsWBits, d: Int = CmsD): DataFrame =
@@ -458,10 +464,10 @@ object Profiling {
       .withColumn("rb", explode(cmsRowBuckets(col("h52"), wBits, d)))
       .withColumn("row", col("rb.row"))
       .withColumn("bucket", col("rb.bucket"))
-      .join(broadcast(counters), Seq("row", "bucket"))
+      .join(broadcast(counters), Seq("row", "bucket"), "left")
       .drop("h52", "rb", "row", "bucket")
       .groupBy(probes.columns.map(col): _*)
-      .agg(min(col("cnt")).as("n_est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("n_est"))
 
   /** `approx_count_min` gate: CMS point-frequency estimates for the
     * exact top-20 terms, exact counts alongside for fidelity. At gate

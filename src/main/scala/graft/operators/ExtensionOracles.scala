@@ -171,8 +171,12 @@ object ExtensionOracles {
     "approx_count_min" -> {
       import graft.functions.Profiling.{CmsD, CmsW, CmsWBits}
       val is = (0 until CmsD).mkString("[", ", ", "]")
+      // self-parenthesized: the probe CTE divides this whole expression
+      // (`h52 // shift`), and without the outer parens DuckDB's `//`
+      // would bind into the `+` — a precedence bug the old inner-join
+      // lookup silently masked by dropping the garbage-bucket cells
       val h52 = (e: String) =>
-        s"${h32(e)} * ${1L << 20} + (${h32b(e)} % ${1L << 20})"
+        s"(${h32(e)} * ${1L << 20} + (${h32b(e)} % ${1L << 20}))"
       s"""WITH t AS (SELECT unnest($toks) AS tok FROM documents),
          |h AS (SELECT ${h52("tok")} AS h52 FROM t),
          |rb AS (SELECT i, (h52 // (CAST(1 AS BIGINT) << ($CmsWBits * i))) % $CmsW AS bucket
@@ -184,8 +188,8 @@ object ExtensionOracles {
          |p AS (SELECT tok, n_exact, i,
          |        (${h52("tok")} // (CAST(1 AS BIGINT) << ($CmsWBits * i))) % $CmsW AS bucket
          |      FROM top CROSS JOIN (SELECT unnest($is) AS i) g)
-         |SELECT p.tok, p.n_exact, min(counters.cnt) AS n_est
-         |FROM p JOIN counters USING (i, bucket)
+         |SELECT p.tok, p.n_exact, min(coalesce(counters.cnt, 0)) AS n_est
+         |FROM p LEFT JOIN counters USING (i, bucket)
          |GROUP BY 1, 2 ORDER BY tok""".stripMargin
     },
 

@@ -50,6 +50,32 @@ class CountMinSpec extends SparkTestBase {
     toks.unpersist(blocking = false)
   }
 
+  test("unseen probes survive the lookup and estimate 0 — JVM parity") {
+    // One seen token in a wide sketch (4 rows × 256 buckets): any unseen
+    // probe hits an empty cell in at least one row, so the min must reach
+    // through the sparse counter table's ABSENT rows to 0. The pre-fix
+    // inner join either dropped the probe (all d cells empty) or took the
+    // min over only the colliding cells — both diverge from the JVM
+    // CountMin.estimate, which this test holds as the reference.
+    val s = spark
+    import s.implicits._
+    val toks = Seq("the-one-seen-token").toDF("tok")
+    val counters = Profiling.cmsCounters(toks, "tok", wBits = 8, d = 4)
+    val probes = Seq("never-streamed-a", "never-streamed-b", "the-one-seen-token")
+      .toDF("tok")
+    val got = Profiling.cmsEstimates(counters, probes, "tok", wBits = 8, d = 4)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("n_est")).toMap
+    val jvm = graft.functions.sketch.CountMin(wBits = 8, d = 4)
+    jvm.add("the-one-seen-token")
+    assert(got.keySet === Set("never-streamed-a", "never-streamed-b",
+      "the-one-seen-token"), "unseen probes must not be dropped")
+    got.foreach { case (tok, est) =>
+      assert(est === jvm.estimate(tok), s"JVM parity broken for $tok") }
+    assert(got("never-streamed-a") === 0L)
+    assert(got("never-streamed-b") === 0L)
+    assert(got("the-one-seen-token") === 1L)
+  }
+
   test("gate shape on sf0.001: 20 probes, estimates bound exact counts") {
     val rows = Profiling.approxCountMin(spark, sf0001).collect()
     assert(rows.length === 20)
