@@ -82,6 +82,8 @@ object Bench {
       "streaming_ndv" -> (() => StreamingBench.ndvPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
+      "streaming_incremental_dedup" ->
+        (() => StreamingBench.incrementalDedupPipeline(spark, sfDir)),
       "streaming_session_window" -> (() => StreamingBench.sessionWindowPipeline(spark, sfDir)),
       "streaming_cdc_upsert" -> (() => StreamingBench.cdcUpsertPipeline(spark, sfDir)),
       "streaming_enrich" -> (() => StreamingBench.enrichPipeline(spark, sfDir)),

@@ -99,6 +99,7 @@ object StreamingBench {
     topKExpected(spark, sfDir)
     nearDupExpected(spark, sfDir)
     intervalJoinExpected(spark, sfDir)
+    incDedupSeed(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
@@ -106,7 +107,8 @@ object StreamingBench {
     * doesn't accumulate whole collected tables for the JVM lifetime. */
   def clearMemo(): Unit = {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
-    cdcMemo.clear(); expectedMemo.clear(); progressLog.clear()
+    cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
+    progressLog.clear()
   }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
@@ -631,6 +633,91 @@ object StreamingBench {
       runTwoBatches(spark, stream, out.toDF().as[StreamingNearDup.CandidatePair],
         (b1.toIndexedSeq, b2.toIndexedSeq), "near_dup")(
         requireCount("near_dup", expected)))
+  }
+
+  /** Seed state for [[incrementalDedupPipeline]], built once per sfDir in
+    * the untimed prepare: the even-id index tables written to parquet
+    * (the stored form a daily pipeline starts each increment from), the
+    * collected odd-id incoming feed in id order, and the expected drop
+    * count from the ONE-SHOT batched adjudication — the oracle-gated
+    * `dedup_incremental` shape; sequential-through-storage equals batched
+    * by the composability contract pinned in IncrementalDedupSpec. */
+  private val incDedupMemo = scala.collection.mutable.HashMap
+    .empty[String, (String, Array[(Long, String)], Long)]
+
+  private def incDedupSeed(
+      spark: SparkSession, sfDir: String): (String, Array[(Long, String)], Long) =
+    incDedupMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      import graft.functions.Dedup
+      val corpus = Dedup.corpusWithNearDupes(spark, sfDir)
+      val (ish, ib) = Dedup.dedupIndexTables(corpus.filter(col("doc_id") % 2 === 0))
+      val seed = java.nio.file.Files.createTempDirectory("graft-incdedup-seed-").toString
+      ish.write.mode("overwrite").parquet(s"$seed/shingles")
+      ib.write.mode("overwrite").parquet(s"$seed/bands")
+      val incomingDf = corpus.filter(col("doc_id") % 2 =!= 0)
+      val incoming = incomingDf.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sortBy(_._1)
+      val drops = Dedup.dedupIncrementalAgainst(
+          spark.read.parquet(s"$seed/shingles"),
+          spark.read.parquet(s"$seed/bands"), incomingDf)
+        .filter(col("action") === "drop").count()
+      (seed, incoming, drops)
+    })
+
+  /** The 100-TB daily-increment near-dup shape end-to-end as a stream:
+    * documents arrive in two micro-batches; each batch is adjudicated by
+    * `dedupIncrementalAgainst` against the PARQUET-STORED index tables,
+    * decisions are written to storage and read back (the stored-decision
+    * production shape), and only the keepers' increment tables are
+    * appended as new parquet partitions — the seed index is never
+    * rewritten, and the next batch reads the multi-path union. Per-batch
+    * cost is O(increment × bucket occupancy), independent of corpus
+    * size; storage grows by exactly the deduped increment. */
+  def incrementalDedupPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Dedup
+    val (seed, incoming, expectedDrops) = incDedupSeed(spark, sfDir)
+    val run = java.nio.file.Files.createTempDirectory("graft-incdedup-run-").toString
+    val (b1, b2) = incoming.splitAt(incoming.length / 2)
+    var shPaths = Seq(s"$seed/shingles")
+    var bandPaths = Seq(s"$seed/bands")
+    var step = 0
+    var decisions = 0L
+    var drops = 0L
+    val stream = MemoryStream[(Long, String)]
+    val query = stream.toDS().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          step += 1
+          val ish = spark.read.parquet(shPaths: _*)
+          val ib = spark.read.parquet(bandPaths: _*)
+          Dedup.dedupIncrementalAgainst(ish, ib, batch)
+            .write.mode("overwrite").parquet(s"$run/dec$step")
+          val stored = spark.read.parquet(s"$run/dec$step")
+          val keptRaw = batch.join(
+            stored.filter(col("action") === "keep").select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          val (shNew, bNew) = Dedup.dedupIndexTables(keptRaw)
+          shNew.write.mode("overwrite").parquet(s"$run/idx$step/shingles")
+          bNew.write.mode("overwrite").parquet(s"$run/idx$step/bands")
+          shPaths :+= s"$run/idx$step/shingles"
+          bandPaths :+= s"$run/idx$step/bands"
+          decisions += stored.count()
+          drops += stored.filter(col("action") === "drop").count()
+        }
+      }
+      .start()
+    try {
+      Seq(b1, b2).foreach { b =>
+        stream.addData(b.toIndexedSeq); query.processAllAvailable() }
+      recordProgress("incremental_dedup", query)
+      requireCount("incremental_dedup decisions", incoming.length.toLong)(decisions)
+      requireCount("incremental_dedup drops", expectedDrops)(drops)
+    } finally query.stop()
   }
 
   /** Streaming exact dedup (bounded state): every event fed TWICE —

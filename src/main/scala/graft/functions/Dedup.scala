@@ -445,10 +445,54 @@ object Dedup {
   def dedupIncrementalAgainst(
       idxShingles: DataFrame, idxBands: DataFrame,
       incomingRaw: DataFrame): DataFrame = {
-    val oldDocs = idxShingles
-    val oldBands = idxBands
+    val newDocs = withShingles(incomingRaw)
+    incrementalDecisions(idxShingles, idxBands,
+      newDocs, toBands(minhashSigs(newDocs)))
+  }
+
+  /** One full daily-increment step: adjudicate the incoming batch
+    * against the index AND fold the keepers back into the index tables,
+    * computing the incoming shingles/bands exactly once for both uses.
+    * Returns (decisions, updated shingle table, updated band table); a
+    * production pipeline writes all three to storage and feeds the two
+    * tables to the next day's step — successive steps compose: two
+    * increments through the update equal one batched increment,
+    * byte-identical decisions (IncrementalDedupSpec). Only keepers enter
+    * the index — a dropped doc never has to be carried, so the index
+    * grows with the DEDUPED corpus, not the raw feed. */
+  def dedupIncrementalStep(
+      idxShingles: DataFrame, idxBands: DataFrame,
+      incomingRaw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val newDocs = withShingles(incomingRaw)
     val newBands = toBands(minhashSigs(newDocs))
+    val decisions =
+      incrementalDecisions(idxShingles, idxBands, newDocs, newBands)
+    val kept = decisions.filter(col("action") === "keep").select("doc_id")
+    (decisions,
+      idxShingles.unionByName(newDocs.join(kept, Seq("doc_id"), "left_semi")),
+      idxBands.unionByName(newBands.join(kept, Seq("doc_id"), "left_semi")))
+  }
+
+  /** Index update from a STORED decision frame — the shape for pipelines
+    * that adjudicate and update in separate jobs (decisions written to
+    * storage between them, so the decision plan is never re-derived).
+    * Re-shingles only the kept incoming docs: O(increment), never
+    * O(corpus). */
+  def dedupIndexUpdate(
+      idxShingles: DataFrame, idxBands: DataFrame,
+      incomingRaw: DataFrame, decisions: DataFrame): (DataFrame, DataFrame) = {
+    val keptRaw = incomingRaw.join(
+      decisions.filter(col("action") === "keep").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val (sh, bands) = dedupIndexTables(keptRaw)
+    (idxShingles.unionByName(sh), idxBands.unionByName(bands))
+  }
+
+  private def incrementalDecisions(
+      idxShingles: DataFrame, idxBands: DataFrame,
+      newDocs: DataFrame, newBands: DataFrame): DataFrame = {
+    val oldDocs = idxShingles
+    val oldBands = idxBands
     // index-vs-incoming: every bucket collision (either id order — the
     // drop target is always the incoming side); incoming-vs-incoming:
     // ordered so the earlier doc wins
