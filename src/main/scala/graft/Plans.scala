@@ -49,6 +49,8 @@ object Plans {
     "column_histogram_depth", // per-column sort + row-position depth buckets
     "dedup_incremental",   // incoming bands vs index bands, no index self-join
     "q46_regional_revenue", // 6-table star: broadcast dim chain, one fact shuffle
+    "q47_top_qty_customers", // Q18 shape: HAVING-filtered fact aggregate below the join
+    "q48_small_qty_revenue", // Q17 shape: per-group fact aggregate joined back, integer threshold
     "q42_upsert",          // CDC full-outer merge, change side wins
     "pack_sequences",      // per-source running-offset window + roll-up
     "embed_centroids",     // fixed-point (label, dim) combiner aggregate

@@ -116,6 +116,69 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Q47 — TPC-H Q18 LARGE-VOLUME CUSTOMER: the aggregate-THEN-join
+    * plan shape — a big fact-side aggregate whose (HAVING-filtered)
+    * output feeds the join chain, the one classic shape q46's star
+    * family doesn't exercise.
+    *
+    * Scale shape: lineitem aggregates on l_orderkey FIRST (partial+final
+    * HashAggregate — the only full-fact shuffle in the plan), and the
+    * HAVING filter cuts the output to the rare large-volume orders
+    * (~0.3% of orders at threshold 300) BEFORE any join: orders joins
+    * the aggregate on the same orderkey partitioning (no extra exchange;
+    * at runtime AQE sees the tiny filtered side and takes the broadcast
+    * form, which is exactly right at any scale), then the customer dim
+    * broadcasts. Textbook Q18 re-joins lineitem and re-aggregates to
+    * recover the per-order sum; reusing `total_qty` from the aggregate
+    * is semantically identical and removes a second fact scan + shuffle. */
+  def q47TopQuantityCustomers(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(outD2(sum(dec2(col("l_quantity")))).as("total_qty"))
+      .filter(col("total_qty") > 300)
+    bigOrders
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"),
+        outD2(col("o_totalprice")).as("totalprice"), col("total_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderdate").asc,
+        col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** Q48 — TPC-H Q17 SMALL-QUANTITY REVENUE (generalized across
+    * brands): the correlated-scalar-subquery shape — a per-group
+    * aggregate of the fact table joined BACK to the same fact, filtering
+    * each row against its group's statistic (`l_quantity < 0.2 ×
+    * avg(l_quantity) over the part`). The decorrelated plan Catalyst
+    * (and every serious optimizer) produces is written directly: aggregate
+    * once per l_partkey, join back on the same key.
+    *
+    * Scale shape: both fact instances shuffle on l_partkey — the
+    * aggregate's exchange and the join reuse ONE partitioning (no third
+    * exchange), part broadcasts, and the threshold comparison is exact
+    * integer math (quantities are integral; `5·qty·n_li < sum_qty` ⟺
+    * `qty < 0.2·avg` with no float division on either engine). */
+  def q48SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val qty = col("l_quantity").cast("long")
+    val partStats = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(qty).as("sum_qty"), count(lit(1)).as("n_li"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), qty.as("qty"), col("l_extendedprice"))
+      .join(partStats, Seq("l_partkey"))
+      .filter(col("qty") * 5 * col("n_li") < col("sum_qty"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(outD2(sum(dec2(col("l_extendedprice")))).as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1045,5 +1108,7 @@ object Relational {
     "q44_scd2"           -> (q44Scd2 _),
     "q45_pit_join"       -> (q45PitJoin _),
     "q46_regional_revenue" -> (q46RegionalRevenue _),
+    "q47_top_qty_customers" -> (q47TopQuantityCustomers _),
+    "q48_small_qty_revenue" -> (q48SmallQtyRevenue _),
   )
 }

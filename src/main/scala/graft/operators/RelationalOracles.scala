@@ -400,6 +400,41 @@ object RelationalOracles {
          |  AND o_orderdate < TIMESTAMP '1997-01-01'
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
+    // TPC-H Q18 shape: large-volume customers — the HAVING-filtered
+    // per-order aggregate feeds the join; the filter compares the same
+    // D2→DOUBLE value Spark filters on, and total_qty is reused instead
+    // of re-joining lineitem (identical result, one fact scan)
+    "q47_top_qty_customers" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(CAST(sum(CAST(l_quantity AS $D2)) AS $D2) AS DOUBLE) AS total_qty
+         |  FROM lineitem GROUP BY 1)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+         |  CAST(CAST(o_totalprice AS $D2) AS DOUBLE) AS totalprice, total_qty
+         |FROM big
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE total_qty > 300
+         |ORDER BY totalprice DESC, o_orderdate ASC, o_orderkey ASC
+         |LIMIT 100""".stripMargin,
+
+    // TPC-H Q17 shape (all brands): per-partkey aggregate joined back
+    // to the fact; the 0.2·avg threshold is the integer-exact
+    // cross-multiplied form, no float division on either engine
+    "q48_small_qty_revenue" ->
+      s"""WITH ps AS (
+         |  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+         |         count(*) AS n_li
+         |  FROM lineitem GROUP BY 1)
+         |SELECT p_brand,
+         |  CAST(CAST(sum(CAST(l_extendedprice AS $D2)) AS $D2) AS DOUBLE) AS small_qty_revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN ps USING (l_partkey)
+         |JOIN part ON p_partkey = l_partkey
+         |WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     // PIT join: DuckDB's native ASOF JOIN against the end-of-day
     // dimension (arg_max = Spark's max_by; DATE subtraction = datediff)
     "q45_pit_join" ->
