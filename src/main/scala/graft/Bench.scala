@@ -84,6 +84,8 @@ object Bench {
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_incremental_dedup" ->
         (() => StreamingBench.incrementalDedupPipeline(spark, sfDir)),
+      "streaming_decontaminate" ->
+        (() => StreamingBench.decontaminationPipeline(spark, sfDir)),
       "streaming_session_window" -> (() => StreamingBench.sessionWindowPipeline(spark, sfDir)),
       "streaming_cdc_upsert" -> (() => StreamingBench.cdcUpsertPipeline(spark, sfDir)),
       "streaming_enrich" -> (() => StreamingBench.enrichPipeline(spark, sfDir)),

@@ -100,6 +100,7 @@ object StreamingBench {
     nearDupExpected(spark, sfDir)
     intervalJoinExpected(spark, sfDir)
     incDedupSeed(spark, sfDir)
+    bloomSeed(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
@@ -108,7 +109,7 @@ object StreamingBench {
   def clearMemo(): Unit = {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
-    progressLog.clear()
+    bloomMemo.clear(); progressLog.clear()
   }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
@@ -633,6 +634,44 @@ object StreamingBench {
       runTwoBatches(spark, stream, out.toDF().as[StreamingNearDup.CandidatePair],
         (b1.toIndexedSeq, b2.toIndexedSeq), "near_dup")(
         requireCount("near_dup", expected)))
+  }
+
+  /** Bitmap + expected quarantine count for [[decontaminationPipeline]],
+    * built once per sfDir in the untimed prepare (the bitmap is the
+    * rebuild-on-suite-change artifact a production pipeline persists;
+    * batch/streaming decision parity is spec-pinned in
+    * StreamingDecontaminationSpec). */
+  private val bloomMemo =
+    scala.collection.mutable.HashMap.empty[String, (Array[Byte], Long)]
+
+  private def bloomSeed(spark: SparkSession, sfDir: String): (Array[Byte], Long) =
+    bloomMemo.getOrElseUpdate(sfDir, {
+      import graft.functions.Dedup
+      val bm = Dedup.benchmarkBitmap(spark, sfDir)
+      val expected = Tables.documents(spark, sfDir)
+        .filter(Dedup.bloomOverlapCount(col("text"), bm) >= 4).count()
+      (bm, expected)
+    })
+
+  /** Streaming benchmark decontamination: the whole documents table
+    * through the stateless per-row Bloom probe
+    * ([[graft.streaming.StreamingDecontamination]]) in two micro-batches
+    * — no state store, no shuffle; the line prices the scan-speed
+    * screening a continuously-ingesting curation pipeline pays per
+    * batch. */
+  def decontaminationPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (bm, expectedQ) = bloomSeed(spark, sfDir)
+    val sorted = docRows(spark, sfDir).sortBy(_._1)
+    val (b1, b2) = sorted.splitAt(sorted.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingDecontamination
+      .quarantine(stream.toDS().toDF("doc_id", "text"), bm)
+      .filter(col("action") === "quarantine").select("doc_id")
+    runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
+      "decontaminate")(requireCount("decontaminate", expectedQ))
   }
 
   /** Seed state for [[incrementalDedupPipeline]], built once per sfDir in
