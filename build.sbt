@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local-mode Spark shares ONE heap between the driver-side feed memos
+  // and all 32 executor threads' shuffle/state; 8g put the full bench
+  // under measurable GC pressure (streaming lines ~1.3× inflated) on
+  // this 128 GiB machine
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -19,10 +19,13 @@ object Bench {
 
   /** Clean-machine min-of-N record of [[StreamingBench.controlPipeline]]
     * (fixed 20k-event synthetic feed, sfDir-independent) — re-pinned
-    * round 11 on the regenerated testdata machine at near-idle (8 JVM
-    * runs, min 1.566, spread 1.57-2.70; the old 1.31 was a round-8
-    * old-data constant); see BASELINE.md. */
-  val StreamControlBaselineSec = 1.57
+    * round 11 AFTER the 24g-default-heap change (5 near-idle isolated
+    * JVM runs, min 1.663, spread 1.66-1.92; the prior 1.57 was pinned
+    * under the 8g heap); see BASELINE.md. Isolated-run minimum — the
+    * control lands LOWER in full-suite position (~1.4 s) because the
+    * suite's earlier lines warm the streaming machinery; that bias is
+    * stable round-over-round, which is what adjudication needs. */
+  val StreamControlBaselineSec = 1.66
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,11 +107,12 @@ object Bench {
     // the JSON carries sec + load_factor for both. A line item is only
     // a regression if it moved MORE than its segment's control did.
     val ControlQuery = "q2_filter_project"
-    // Re-pinned round 11 on the REGENERATED testdata (8 near-idle JVM
-    // runs, min 0.623, spread 0.62-0.81): the old 0.41 was measured on
-    // the pre-round-9 parquet, so every load_factor on current data was
-    // inflated ~1.5× and the "moved more than its control" rule mis-fired.
-    val ControlBaselineSec = 0.62
+    // Re-pinned round 11 (twice): first on the REGENERATED testdata
+    // (old 0.41 was pre-round-9-parquet), then after the 24g default
+    // heap (5 near-idle isolated runs, min 0.55, spread 0.55-0.80; the
+    // 8g pin was 0.62). Isolated-run minimum — in-suite the control
+    // lands lower (~0.35-0.47) from suite warmup; stable bias.
+    val ControlBaselineSec = 0.55
     val StreamControl = "streaming_control"
     val StreamControlBaselineSec = Bench.StreamControlBaselineSec
     def wanted(name: String): Boolean =
@@ -151,7 +155,8 @@ object Bench {
     val needsPrepare = streamingOrdered.exists { case (n, _) =>
       n != StreamControl && n != "dedup_pipeline_cold" }
     if (needsPrepare)
-      try StreamingBench.prepare(spark, sfDir)
+      try StreamingBench.prepare(spark, sfDir,
+        n => streamingOrdered.exists(_._1 == n))
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming prepare failed: ${e.getMessage}") }
     def streamingPass(): Map[String, Double] =

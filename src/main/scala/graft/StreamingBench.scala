@@ -86,21 +86,44 @@ object StreamingBench {
     * running any stream: Bench calls this before the timed streaming
     * passes, so both timed runs of every pipeline measure engine cost
     * only — no batch reads, no driver-side model derivation. */
-  def prepare(spark: SparkSession, sfDir: String): Unit = {
-    val rows = eventRows(spark, sfDir)
-    eventTypes(spark, sfDir)
-    purchaseClickRows(spark, sfDir)
-    cdcFeed(spark, sfDir)
-    sessionExpected(rows, sfDir)
-    countWindowsExpected(rows, sfDir)
-    quantilesExpected(rows, sfDir)
-    ndvExpected(rows, sfDir)
-    countMinExpected(rows, sfDir)
-    topKExpected(spark, sfDir)
-    nearDupExpected(spark, sfDir)
-    intervalJoinExpected(spark, sfDir)
-    incDedupSeed(spark, sfDir)
-    bloomSeed(spark, sfDir)
+  /** Hoists feeds + expected-count models out of the timed region for
+    * exactly the line items `wanted` selects. Selectivity matters twice:
+    * a dev-filtered run must not pay (or carry) seeds for lines it never
+    * times, and — since local mode shares ONE heap between driver-side
+    * memos and executor state — unneeded seeds are pure GC pressure on
+    * the lines that DO run (measured: the full seed set inflated
+    * streaming lines ~1.3× under the 8g default heap). Each pipeline
+    * still self-seeds through the memos if prepare missed it, so a
+    * mapping gap here costs timing accuracy, never correctness. */
+  def prepare(spark: SparkSession, sfDir: String,
+      wanted: String => Boolean = _ => true): Unit = {
+    def any(names: String*): Boolean = names.exists(wanted)
+    if (any("streaming_ttl_pipeline", "streaming_ttl_rocksdb",
+        "streaming_session_window", "streaming_enrich",
+        "streaming_temporal_join", "streaming_running_reduce",
+        "streaming_count_windows", "streaming_quantiles", "streaming_ndv",
+        "streaming_count_min", "streaming_dedup")) {
+      val rows = eventRows(spark, sfDir)
+      if (wanted("streaming_session_window")) sessionExpected(rows, sfDir)
+      if (wanted("streaming_count_windows")) countWindowsExpected(rows, sfDir)
+      if (wanted("streaming_quantiles")) quantilesExpected(rows, sfDir)
+      if (wanted("streaming_ndv")) ndvExpected(rows, sfDir)
+      if (wanted("streaming_count_min")) countMinExpected(rows, sfDir)
+    }
+    if (any("streaming_topk")) {
+      eventTypes(spark, sfDir); topKExpected(spark, sfDir)
+    }
+    if (any("streaming_interval_join", "streaming_interval_join_rocksdb")) {
+      purchaseClickRows(spark, sfDir); intervalJoinExpected(spark, sfDir)
+    }
+    if (any("streaming_cdc_upsert")) cdcFeed(spark, sfDir)
+    if (any("streaming_near_dup")) {
+      docRows(spark, sfDir); nearDupExpected(spark, sfDir)
+    }
+    if (any("streaming_decontaminate")) {
+      docRows(spark, sfDir); bloomSeed(spark, sfDir)
+    }
+    if (any("streaming_incremental_dedup")) incDedupSeed(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
