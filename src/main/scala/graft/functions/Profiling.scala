@@ -207,7 +207,17 @@ object Profiling {
   private[graft] def depthHistogramBand(
       vals: DataFrame, B: Int, refineCells: Int = 1024): DataFrame = {
     val W = refineCells
+    // the distinct-collapse is referenced by FOUR downstream paths
+    // (stats, cell refinement, boundary ranking, final bucketing) —
+    // uncheckpointed, each re-runs the full scan+aggregate (measured
+    // 3.99 s → 3.50 s at sf0.1 — the collapse itself is cheap locally,
+    // but at 100 TB each re-run is a full corpus scan, which is the
+    // difference that matters). Lazy localCheckpoint materializes it
+    // once (≤ Σ per-column NDV rows — the natural 100-TB intermediate,
+    // which a production profiler would persist anyway); same pattern
+    // as the connected-components rounds.
     val d = vals.groupBy("column_name", "vi").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val stats = d.groupBy("column_name").agg(
       min("vi").as("mini"), max("vi").as("maxi"), sum("cnt").as("n"))
     val dc = d.join(broadcast(stats), Seq("column_name"))

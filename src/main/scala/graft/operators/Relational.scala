@@ -179,6 +179,27 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  /** Q49 — ROLLUP multi-level aggregate: detail, per-year subtotal and
+    * grand total in ONE pass — the reporting shape that otherwise costs
+    * three scans. Spark plans rollup as an Expand (each row replicated
+    * once per grouping set, here 3×) feeding a single partial+final
+    * HashAggregate — one shuffle, no re-scan; at 100 TB the expand
+    * factor (#levels) is the entire cost of the extra levels.
+    * `grouping_id` disambiguates subtotal rows from genuine NULL groups;
+    * both engines order it a-most-significant. NULLS FIRST is explicit
+    * on both sides (Spark's ASC default; DuckDB's is NULLS LAST). */
+  def q49Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        col("o_orderpriority"))
+      .agg(
+        outD2(sum(dec2(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid").asc, col("o_year").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1110,5 +1131,6 @@ object Relational {
     "q46_regional_revenue" -> (q46RegionalRevenue _),
     "q47_top_qty_customers" -> (q47TopQuantityCustomers _),
     "q48_small_qty_revenue" -> (q48SmallQtyRevenue _),
+    "q49_rollup"            -> (q49Rollup _),
   )
 }

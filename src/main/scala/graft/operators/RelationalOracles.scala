@@ -435,6 +435,19 @@ object RelationalOracles {
          |WHERE CAST(l_quantity AS BIGINT) * 5 * n_li < sum_qty
          |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
+    // ROLLUP: detail + per-year subtotal + grand total in one pass;
+    // GROUPING() disambiguates subtotal NULLs, first argument most
+    // significant in both engines; NULLS FIRST explicit (DuckDB
+    // defaults NULLS LAST on ASC, Spark NULLS FIRST)
+    "q49_rollup" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, o_orderpriority,
+         |  CAST(CAST(sum(CAST(o_totalprice AS $D2)) AS $D2) AS DOUBLE) AS revenue,
+         |  count(*) AS n_orders,
+         |  CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid
+         |FROM orders
+         |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+         |ORDER BY gid, o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
     // PIT join: DuckDB's native ASOF JOIN against the end-of-day
     // dimension (arg_max = Spark's max_by; DATE subtraction = datediff)
     "q45_pit_join" ->
