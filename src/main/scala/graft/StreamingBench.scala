@@ -124,6 +124,7 @@ object StreamingBench {
       docRows(spark, sfDir); bloomSeed(spark, sfDir)
     }
     if (any("streaming_incremental_dedup")) incDedupSeed(spark, sfDir)
+    if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
@@ -132,7 +133,7 @@ object StreamingBench {
   def clearMemo(): Unit = {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
-    bloomMemo.clear(); progressLog.clear()
+    bloomMemo.clear(); tokenBudgetMemo.clear(); progressLog.clear()
   }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
@@ -695,6 +696,45 @@ object StreamingBench {
       .filter(col("action") === "quarantine").select("doc_id")
     runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
       "decontaminate")(requireCount("decontaminate", expectedQ))
+  }
+
+  /** Feed + expected-count seed for [[tokenBudgetPipeline]]: the
+    * (doc_id, source, text) rows in id order and the batch gate's
+    * admitted count (oracle-gated `token_budget_mix` — streaming/batch
+    * decision parity is spec-pinned in StreamingTokenBudgetSpec). */
+  private val tokenBudgetMemo = scala.collection.mutable.HashMap
+    .empty[String, (Array[graft.streaming.StreamingTokenBudget.DocIn], Long)]
+
+  private def tokenBudgetSeed(spark: SparkSession, sfDir: String)
+      : (Array[graft.streaming.StreamingTokenBudget.DocIn], Long) =
+    tokenBudgetMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+        .map(t => graft.streaming.StreamingTokenBudget.DocIn(t._1, t._2, t._3))
+      val admitted = graft.functions.TextAnalysis.tokenBudgetMix(spark, sfDir)
+        .filter(col("action") === "admit").count()
+      (docs, admitted)
+    })
+
+  /** Streaming mixture admission: the whole documents table through the
+    * per-source token-budget running reduce in two micro-batches —
+    * O(#sources) state however long the stream runs; the admitted count
+    * must equal the batch gate's. */
+  def tokenBudgetPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (docs, expectedAdmitted) = tokenBudgetSeed(spark, sfDir)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingTokenBudget.DocIn]
+    val out = graft.streaming.StreamingTokenBudget.admissions(stream.toDS())
+      .filter(col("action") === "admit").select("doc_id")
+    withStatePartitions(spark, 4)(
+      runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
+        "token_budget")(requireCount("token_budget", expectedAdmitted)))
   }
 
   /** Seed state for [[incrementalDedupPipeline]], built once per sfDir in

@@ -457,9 +457,23 @@ object Dedup {
     * production pipeline writes all three to storage and feeds the two
     * tables to the next day's step — successive steps compose: two
     * increments through the update equal one batched increment,
-    * byte-identical decisions (IncrementalDedupSpec). Only keepers enter
-    * the index — a dropped doc never has to be carried, so the index
-    * grows with the DEDUPED corpus, not the raw feed. */
+    * byte-identical decisions (IncrementalDedupSpec pins it on the gate
+    * corpus). Only keepers enter the index — a dropped doc never has to
+    * be carried, so the index grows with the DEDUPED corpus, not the
+    * raw feed.
+    *
+    * Semantic boundary of keepers-only, stated precisely: the batched
+    * form drops a doc that verifies against ANY earlier doc, including
+    * one that itself drops; sequentially, a dropped doc leaves no index
+    * entry. The two coincide whenever every dropped doc's duplicate has
+    * a SURVIVING witness (its cluster's first writer) — which holds
+    * when near-duplicate clusters are verify-connected to their first
+    * writer, the overwhelmingly common case at threshold 0.5 where
+    * clusters are mutations of one original. A pipeline that must
+    * reproduce batch decisions exactly under adversarial chain-shaped
+    * clusters should merge dropped docs' rows into BOTH tables as well
+    * (trading index growth for exact batch equivalence) — then later
+    * increments see precisely the batched candidate and verify sets. */
   def dedupIncrementalStep(
       idxShingles: DataFrame, idxBands: DataFrame,
       incomingRaw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
