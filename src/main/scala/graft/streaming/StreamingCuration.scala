@@ -23,9 +23,14 @@ import graft.functions.expressions.MarkerHits
   * Batch-parity caveats, stated rather than hidden: dedup admits a
   * re-emission once a digest's state ages past the horizon (the
   * bounded-state contract — batch dedup sees the whole corpus), and
-  * near-dup/decontamination/budget stages are corpus-global decisions
-  * that belong in a periodic batch compaction over the accumulated
-  * output, not in the per-event path.
+  * near-dup is a corpus-global decision that belongs in a periodic
+  * batch compaction over the accumulated output (or the stored-index
+  * incremental form, `Dedup.dedupIncrementalAgainst`, per micro-batch).
+  * Benchmark decontamination and mixture budgets, by contrast, DO run
+  * in the per-event path now: the Bloom-bitmap probe is a stateless
+  * per-row expression ([[StreamingDecontamination]]; pass `bitmap` to
+  * add the stage here) and the per-source token quota is an
+  * O(#sources)-state running reduce ([[StreamingTokenBudget]]).
   *
   * At scale this is one stateless scan per micro-batch plus one
   * digest-keyed state store bounded by the horizon's cardinality.
@@ -35,12 +40,19 @@ object StreamingCuration {
   /** Quality + language + scrub + dedup + fingerprint over a streaming
     * DataFrame with columns (doc_id, text, source) and event-time column
     * `tsCol`. Output: curated rows with `fingerprint` and `redacted`. */
+  /** @param bitmap optional benchmark Bloom bitmap
+    *               ([[graft.functions.Dedup.benchmarkBitmap]]): when
+    *               given, contaminated docs (≥ `minOverlap` hits) are
+    *               dropped before the stateful dedup stage — stateless,
+    *               decision parity with the batch bitmap gate. */
   def curate(
       docs: DataFrame,
       tsCol: String,
       horizon: String,
       minTokens: Int = 10,
-      minAlphaRatio: Double = 0.6): DataFrame = {
+      minAlphaRatio: Double = 0.6,
+      bitmap: Option[Array[Byte]] = None,
+      minOverlap: Int = 4): DataFrame = {
     val toks = Portable.tokens(col("text"))
     val enHits = MarkerHits(col("toks"), TextAnalysis.langMarkers.head._2)
     val scrubbed = docs
@@ -58,7 +70,10 @@ object StreamingCuration {
       .filter(col("en_hits") > 0)
       .withColumn("redacted", redact(col("text")))
       .withColumn("digest", md5(col("text")))
-    StreamingDedup.withinWatermark(scrubbed, tsCol, horizon, Seq("digest"))
+    val decontaminated = bitmap.fold(scrubbed)(bm =>
+      scrubbed.filter(
+        graft.functions.Dedup.bloomOverlapCount(col("text"), bm) < minOverlap))
+    StreamingDedup.withinWatermark(decontaminated, tsCol, horizon, Seq("digest"))
       .withColumn("fingerprint", Portable.rollingFingerprint(col("toks")))
       .drop("toks", "en_hits")
   }

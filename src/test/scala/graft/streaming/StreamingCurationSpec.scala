@@ -75,4 +75,42 @@ class StreamingCurationSpec extends SparkTestBase {
       assert(streaming == batch)
     } finally query.stop()
   }
+
+  test("optional bitmap stage drops exactly the batch-quarantined docs") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Dedup
+
+    // one batch-quarantined doc (every-13th docs are self-contaminated:
+    // their 8-token prefix IS a benchmark item) and one batch-kept doc,
+    // with their REAL corpus texts
+    val decisions = Dedup.decontaminateBloomBitmap(spark, sf0001)
+      .select("doc_id", "action").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qId = decisions.collectFirst { case (id, "quarantine") => id }.get
+    val kId = decisions.collectFirst { case (id, "keep") => id }.get
+    val texts = graft.Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("doc_id").isin(qId, kId))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val feed = Seq(doc(qId, 0, texts(qId)), doc(kId, 1, texts(kId)))
+
+    def run(bitmap: Option[Array[Byte]], sink: String): Set[Long] = {
+      val stream = MemoryStream[RawDoc]
+      val out = StreamingCuration
+        .curate(stream.toDF(), "ts", "1 hour", bitmap = bitmap)
+        .select("doc_id")
+      val query = Sinks.toMemory(out, sink)
+      try {
+        stream.addData(feed); query.processAllAvailable()
+        Sinks.collected[Long](spark, sink).toSet
+      } finally query.stop()
+    }
+
+    val without = run(None, "cur_nobm")
+    assert(without == Set(qId, kId),
+      s"both real docs must pass the quality/language gates; got $without")
+    val withBm = run(Some(Dedup.benchmarkBitmap(spark, sf0001)), "cur_bm")
+    assert(withBm == Set(kId), s"bitmap must drop exactly $qId; got $withBm")
+  }
 }
