@@ -52,6 +52,7 @@ object Plans {
     "q47_top_qty_customers", // Q18 shape: HAVING-filtered fact aggregate below the join
     "q48_small_qty_revenue", // Q17 shape: per-group fact aggregate joined back, integer threshold
     "q49_rollup",          // multi-level aggregate: one Expand + one shuffle, no re-scan
+    "q50_funnel",          // chained conditional mins, one user_id partitioning end to end
     "q42_upsert",          // CDC full-outer merge, change side wins
     "pack_sequences",      // per-source running-offset window + roll-up
     "embed_centroids",     // fixed-point (label, dim) combiner aggregate

@@ -200,6 +200,42 @@ object Relational {
       .orderBy(col("gid").asc, col("o_year").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Q50 — FUNNEL (sequential pattern detection): per user, the first
+    * view, the first click strictly AFTER that view, and the first
+    * purchase strictly AFTER that click — the product-analytics shape
+    * SQL engines express as chained conditional mins (MATCH_RECOGNIZE's
+    * everyday special case). Output: per-cohort stage counts.
+    *
+    * Scale shape: every stage is a filtered aggregate or join keyed on
+    * user_id — ONE hash partitioning carries the whole chain (the
+    * type filters prune each stage's input at the scan), and only the
+    * final ≤10-row cohort aggregate leaves the user partitioning.
+    * Strict `>` ordering on µs-exact timestamps keeps stage boundaries
+    * engine-deterministic. */
+  def q50Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, Seq("user_id"))
+      .filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val tp = ev.filter(col("event_type") === "purchase")
+      .join(tc, Seq("user_id"))
+      .filter(col("ts") > col("tc"))
+      .groupBy("user_id").agg(min("ts").as("tp"))
+    ev.select("user_id").distinct()
+      .join(tv, Seq("user_id"), "left")
+      .join(tc, Seq("user_id"), "left")
+      .join(tp, Seq("user_id"), "left")
+      .groupBy(pmod(col("user_id"), lit(10)).cast("long").as("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("tv")).as("n_viewed"),
+        count(col("tc")).as("n_clicked_after_view"),
+        count(col("tp")).as("n_purchased_after_click"))
+      .orderBy("cohort")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1132,5 +1168,6 @@ object Relational {
     "q47_top_qty_customers" -> (q47TopQuantityCustomers _),
     "q48_small_qty_revenue" -> (q48SmallQtyRevenue _),
     "q49_rollup"            -> (q49Rollup _),
+    "q50_funnel"            -> (q50Funnel _),
   )
 }

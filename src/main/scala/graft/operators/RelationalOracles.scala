@@ -448,6 +448,29 @@ object RelationalOracles {
          |GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
          |ORDER BY gid, o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    // funnel: chained conditional mins (first view, first click after
+    // it, first purchase after that), per-cohort stage counts; strict >
+    // on µs-exact timestamps keeps stage boundaries deterministic
+    "q50_funnel" ->
+      """WITH tv AS (SELECT user_id, min(ts) AS tv FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |tc AS (SELECT e.user_id, min(e.ts) AS tc
+        |       FROM events e JOIN tv USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > tv.tv GROUP BY 1),
+        |tp AS (SELECT e.user_id, min(e.ts) AS tp
+        |       FROM events e JOIN tc USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > tc.tc GROUP BY 1)
+        |SELECT CAST(u.user_id % 10 AS BIGINT) AS cohort,
+        |  count(*) AS n_users,
+        |  count(tv.tv) AS n_viewed,
+        |  count(tc.tc) AS n_clicked_after_view,
+        |  count(tp.tp) AS n_purchased_after_click
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN tv USING (user_id)
+        |LEFT JOIN tc USING (user_id)
+        |LEFT JOIN tp USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // PIT join: DuckDB's native ASOF JOIN against the end-of-day
     // dimension (arg_max = Spark's max_by; DATE subtraction = datediff)
     "q45_pit_join" ->
