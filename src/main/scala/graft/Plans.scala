@@ -72,7 +72,10 @@ object Plans {
     "text_freq_class_head", // broadcast top-K vocab map literal, zero scoring joins
     "ann_ivf_recall",      // planted-dup recall gate over the trained-codebook IVF path
     "q41_percentile_band", // shared multi-column band refinement: one sketch agg, one window, one wide final agg
-    "token_budget_temperature") // integer temperature token targets + running-sum admission
+    "token_budget_temperature", // integer temperature token targets + running-sum admission
+    "q51_exclusive_fault", // Q21 shape rewritten: per-order window counters, zero self-joins
+    "dedup_semantic",      // SemDeDup: codebook broadcast + top-2 cell pair join
+    "approx_ndv_overlap")  // HLL register max-merge union, no fact rescan
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

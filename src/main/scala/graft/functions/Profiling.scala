@@ -375,7 +375,15 @@ object Profiling {
     * with M_j ∈ [1, maxRank] ⇒ exponent ∈ [0, maxRank-1]; the total is
     * ≤ m·2^43 < 2^53, inside exact BIGINT (and double) range in both
     * engines. */
-  def hllSummary(toks: DataFrame, group: String, tok: String): DataFrame = {
+  def hllSummary(toks: DataFrame, group: String, tok: String): DataFrame =
+    hllSummarize(hllRegisters(toks, group, tok), group)
+
+  /** HLL REGISTER TABLE of a (group, tok) frame: one row per (group,
+    * bucket) with the max rank — the MERGEABLE form of the sketch.
+    * Registers of disjoint scans (shards, days, tables) union by
+    * per-bucket max without touching the underlying data again; see
+    * [[approxNdvOverlap]] for the set-algebra consumer. */
+  def hllRegisters(toks: DataFrame, group: String, tok: String): DataFrame = {
     import graft.functions.Portable.{h32, h32b}
     val h52 = h32(col(tok)) * lit(1L << 20) + pmod(h32b(col(tok)), lit(1L << 20))
     val w = shiftrightunsigned(col("h52"), HllP)
@@ -387,13 +395,18 @@ object Profiling {
         rank.as("rank"))
       .groupBy(group, "bucket")
       .agg(max(col("rank")).as("r"))
+  }
+
+  /** Fold a register table ([[hllRegisters]] shape: group, bucket, r)
+    * into the per-group integer summary the gates emit. */
+  def hllSummarize(regs: DataFrame, group: String): DataFrame =
+    regs
       .groupBy(group)
       .agg(
         count(lit(1)).as("n_buckets_hit"),
         sum(col("r")).as("sum_rank"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($HllMaxRank - r AS INT))"))
           .as("z_scaled"))
-  }
 
   def approxNdv(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Portable.tokens
@@ -405,6 +418,54 @@ object Profiling {
     hllSummary(toks, "source", "tok").join(exact, Seq("source"))
       .select("source", "n_buckets_hit", "sum_rank", "z_scaled", "n_exact")
       .orderBy("source")
+  }
+
+  /** HLL SET ALGEBRA (`approx_ndv_overlap`): distinct-customer sketches
+    * of two order years, UNIONED BY MERGING REGISTERS — per-bucket max
+    * over a full-outer bucket join of the two 2^p-row register tables,
+    * never rescanning the fact — with the intersection estimate derived
+    * by inclusion-exclusion (est(A) + est(B) − est(A∪B), the standard
+    * HLL intersection rule; accuracy spec-pinned in HllSketchSpec).
+    * This is the property that makes sketches infrastructure rather
+    * than one-shot aggregates: per-shard/day register tables are stored
+    * small (2^p rows) and any union of shards is answerable later by
+    * max-merge alone.
+    *
+    * Scale shape: one fact scan builds both sets' registers (map tasks
+    * emit ≤ sets·2^p partial rows), the merge join touches ≤ 2·2^p
+    * rows, and the exact n_exact fidelity columns are the gate-SF
+    * display only (a production profile drops them — they ARE the
+    * distinct-shuffle the sketch replaces). The gate emits the merged
+    * register summaries as exact integers; rank ≥ 1 makes −1 a safe
+    * absent-bucket sentinel under greatest(). */
+  def approxNdvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(
+        when(year(col("o_orderdate")) === 1996, "a").otherwise("b").as("set_id"),
+        col("o_custkey").cast("string").as("ck"))
+    val regs = hllRegisters(base, "set_id", "ck")
+    val merged = regs.filter(col("set_id") === "a")
+      .select(col("bucket"), col("r").as("ra"))
+      .join(
+        regs.filter(col("set_id") === "b")
+          .select(col("bucket").as("bucket_b"), col("r").as("rb")),
+        col("bucket") === col("bucket_b"), "full_outer")
+      .select(
+        lit("union").as("set_id"),
+        coalesce(col("bucket"), col("bucket_b")).as("bucket"),
+        greatest(coalesce(col("ra"), lit(-1L)), coalesce(col("rb"), lit(-1L)))
+          .as("r"))
+    val exact = base
+      .groupBy("set_id")
+      .agg(countDistinct(col("ck")).as("n_exact"))
+      .unionByName(base
+        .agg(countDistinct(col("ck")).as("n_exact"))
+        .select(lit("union").as("set_id"), col("n_exact")))
+    hllSummarize(regs.unionByName(merged), "set_id")
+      .join(exact, Seq("set_id"))
+      .select("set_id", "n_buckets_hit", "sum_rank", "z_scaled", "n_exact")
+      .orderBy("set_id")
   }
 
   /** Count-Min sketch geometry (Cormode & Muthukrishnan 2005): d rows ×

@@ -177,6 +177,79 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * duplicates are found within LEARNED k-means clusters instead of
+    * [[dedupEmbedding]]'s sign-hash buckets — the candidate space aligns
+    * with the embedding geometry, which is what lets the paper prune
+    * semantically-redundant (not just near-identical) documents.
+    *
+    * Shape: trained coarse codebook ([[ivfCodebookTrained]] — bounded
+    * deterministic sample, sequential Lloyd), every vector assigned to
+    * its TOP-2 cells (the nprobe=2 boundary repair from [[annIvfProbe2]],
+    * here applied to BOTH sides: a pair straddling one cell boundary
+    * still meets in the other's cell), candidate pairs only within a
+    * shared cell, exact cosine ≥ [[EmbDupThreshold]] verification, and
+    * keep-lowest-vec_id as the deterministic stand-in for the paper's
+    * keep-one-per-ε-ball rule.
+    *
+    * Scale design (100 TB): within-cluster pairwise work is Σ occ² — the
+    * production form picks k ∝ n/occ (SemDeDup used 50k clusters for
+    * LAION) so candidate pairs stay ≤ 2·occ·n (linear), training on the
+    * same bounded sample via minibatch k-means; assignment stays one
+    * O(k·dim) broadcast + map-side argmax regardless of k. This gate
+    * keeps the corpus-independent [[IvfCodebookK]] codebook so the
+    * locality contract is the one `ann_ivf_recall` already proves.
+    * K-means is deliberately not mirrored in SQL, so the gate is the
+    * planted-pair assertion form: every planted cosine-0.995 copy must
+    * be dropped (the oracle asserts 1 per copy); `SemanticDedupSpec`
+    * pins soundness (every drop has a genuine ≥-threshold lower-id
+    * partner) and exactness vs the brute-force drop set. */
+  def dedupSemanticDrops(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusWithNearDupVectors(s, dir)
+    val cells = assignCellsTop2(corpus, ivfCodebookTrained(s, corpus))
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
+      .withColumn("sim", sim(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= EmbDupThreshold)
+      .select(col("a.vec_id").as("dup_id"))
+      .distinct()
+  }
+
+  /** Planted-pair assertion gate over [[dedupSemanticDrops]]: one row per
+    * planted copy, `dropped` = 1 iff semantic dedup dropped it (its
+    * source has the lower id and cosine ≥ 0.995, so a correct
+    * cluster-bounded dedup must). */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val planted = corpusWithNearDupVectors(s, dir)
+      .filter(col("vec_id") >= PlantOffset)
+      .select(col("vec_id"))
+    planted
+      .join(dedupSemanticDrops(s, dir), col("vec_id") === col("dup_id"), "left")
+      .select((col("vec_id") - PlantOffset).as("src_id"),
+        col("dup_id").isNotNull.cast("long").as("dropped"))
+      .orderBy("src_id")
+  }
+
+  /** Top-2 cell assignment ([[assignCells]]'s argmax widened to the two
+    * nearest centroids): same broadcast join, the per-vector top-2 picked
+    * by sorting the k candidate rows map-side (collect_list collapses
+    * before any exchange — one 2-row-per-vector output, the raw k-fan
+    * never shuffles). Ties break to the lowest cent_id, as everywhere. */
+  private def assignCellsTop2(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.join(broadcast(cents))
+      .withColumn("csim", sim(col("embedding"), col("cv")))
+      .groupBy("vec_id")
+      .agg(
+        first(col("embedding")).as("embedding"),
+        slice(
+          sort_array(collect_list(struct(
+            (-col("csim")).as("nsim"), col("cent_id").as("cent_id")))),
+          1, 2).as("top2"))
+      .select(col("vec_id"), col("embedding"),
+        explode(col("top2.cent_id")).as("cell"))
+
   /** Fixed-point scale for [[embedCentroids]]: float components scaled
     * to integer millionths before summing. */
   val CentroidScale = 1000000L

@@ -216,6 +216,46 @@ object ExtensionOracles {
          |ORDER BY sk.source""".stripMargin
     },
 
+    // HLL set algebra: same register construction as approx_ndv over
+    // two order-year customer sets, with the union's registers derived
+    // by the SAME per-bucket max full-outer merge the Spark side runs
+    // (rank >= 1, so -1 is a safe absent-bucket sentinel)
+    "approx_ndv_overlap" -> {
+      import graft.functions.Profiling.{HllM, HllMaxRank, HllP}
+      s"""WITH base AS (
+         |  SELECT CASE WHEN year(o_orderdate) = 1996 THEN 'a' ELSE 'b' END AS set_id,
+         |         CAST(o_custkey AS VARCHAR) AS ck
+         |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+         |h AS (SELECT set_id,
+         |  ${h32("ck")} * ${1L << 20} + (${h32b("ck")} % ${1L << 20}) AS h52
+         |FROM base),
+         |r AS (SELECT set_id, h52 % $HllM AS bucket,
+         |  CASE WHEN h52 // ${1L << HllP} = 0 THEN $HllMaxRank
+         |       ELSE $HllMaxRank - length(format('{:b}', h52 // ${1L << HllP})) END AS rank
+         |FROM h),
+         |reg AS (SELECT set_id, bucket, max(rank) AS r FROM r GROUP BY set_id, bucket),
+         |mreg AS (
+         |  SELECT 'union' AS set_id,
+         |         COALESCE(ra.bucket, rb.bucket) AS bucket,
+         |         greatest(COALESCE(ra.r, -1), COALESCE(rb.r, -1)) AS r
+         |  FROM (SELECT bucket, r FROM reg WHERE set_id = 'a') ra
+         |  FULL JOIN (SELECT bucket, r FROM reg WHERE set_id = 'b') rb
+         |    ON ra.bucket = rb.bucket),
+         |allreg AS (SELECT * FROM reg UNION ALL SELECT * FROM mreg),
+         |sk AS (SELECT set_id,
+         |  CAST(count(*) AS BIGINT) AS n_buckets_hit,
+         |  CAST(sum(r) AS BIGINT) AS sum_rank,
+         |  CAST(sum(CAST(1 AS BIGINT) << ($HllMaxRank - r)) AS BIGINT) AS z_scaled
+         |FROM allreg GROUP BY set_id),
+         |ex AS (SELECT set_id, CAST(count(DISTINCT ck) AS BIGINT) AS n_exact
+         |       FROM base GROUP BY set_id
+         |       UNION ALL
+         |       SELECT 'union', CAST(count(DISTINCT ck) AS BIGINT) FROM base)
+         |SELECT sk.set_id, n_buckets_hit, sum_rank, z_scaled, n_exact
+         |FROM sk JOIN ex ON sk.set_id = ex.set_id
+         |ORDER BY sk.set_id""".stripMargin
+    },
+
     // integer-exact equi-width histogram mirror: same scaled-cent
     // values, same `div` bucket rule, same ceil-edge formula — all
     // BIGINT math, so bucket boundaries agree bit-for-bit
@@ -910,6 +950,17 @@ object ExtensionOracles {
       s"""SELECT CAST(vec_id AS BIGINT) AS qid, CAST(1 AS BIGINT) AS recall_ok
          |FROM embeddings WHERE vec_id < ${Similarity.NQueryVectors}
          |ORDER BY qid""".stripMargin,
+
+    // SemDeDup planted-pair gate: the oracle asserts dropped=1 for every
+    // planted cosine-0.995 copy — a codebook whose top-2 cell
+    // assignments separate a planted pair flips a row to 0 and fails
+    // the hash. k-means is deliberately NOT mirrored in SQL (same
+    // strategy as the trained ANN recall gates below); soundness and
+    // brute-force exactness are pinned in SemanticDedupSpec.
+    "dedup_semantic" ->
+      s"""SELECT CAST(vec_id AS BIGINT) AS src_id, CAST(1 AS BIGINT) AS dropped
+         |FROM embeddings WHERE vec_id % 9 = 0
+         |ORDER BY src_id""".stripMargin,
 
     // trained-IVF recall gate, planted-near-dup form: the oracle asserts
     // dup_found=1 for every planted query — searching from each planted

@@ -80,6 +80,7 @@ object Extensions {
     // both codebooks are hash-picked
     "ann_ivf_pq"       -> (Similarity.annIvfPq _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
+    "dedup_semantic"   -> (Similarity.dedupSemantic _),
     "knn_join"         -> (Similarity.knnJoin _),
     "embed_centroids"  -> (Similarity.embedCentroids _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
@@ -96,6 +97,7 @@ object Extensions {
     // driver-side — ln() ulp is not pinned cross-engine); accuracy of
     // the estimate itself is spec-pinned in HllSketchSpec
     "approx_ndv"       -> (graft.functions.Profiling.approxNdv _),
+    "approx_ndv_overlap" -> (graft.functions.Profiling.approxNdvOverlap _),
     // Count-Min point-frequency estimates: fully deterministic — both
     // engines compute identical md5-slice buckets, so even collision
     // inflation matches; error bounds/additivity pinned in CountMinSpec

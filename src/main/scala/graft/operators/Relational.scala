@@ -236,6 +236,44 @@ object Relational {
       .orderBy("cohort")
   }
 
+  /** Q51 — TPC-H Q21 EXCLUSIVE-FAULT SUPPLIER (reshaped to this schema:
+    * "fault" = a returned line, `l_returnflag = 'R'`): suppliers who had
+    * a returned line in a multi-supplier order where NO OTHER supplier's
+    * lines were returned — the classic double-correlated EXISTS +
+    * NOT EXISTS self-join, the one plan shape the semi/anti gates (q6/q7)
+    * don't exercise because here BOTH subqueries correlate to the same
+    * fact table.
+    *
+    * Scale shape: the textbook plan self-joins lineitem twice (semi +
+    * anti on l_orderkey). This implementation REWRITES the correlation
+    * into per-order supplier statistics — one (l_orderkey, l_suppkey)
+    * partial+final aggregate, then an unbounded window over l_orderkey
+    * (count of suppliers + count of faulted suppliers), so the whole
+    * decision `has_fault ∧ n_fault_supp = 1 ∧ n_supp > 1` is computed
+    * with TWO fact exchanges and ZERO self-joins. The DuckDB oracle runs
+    * the EXISTS/NOT EXISTS formulation — the gate hash proves the
+    * rewrite. At 100 TB the window state per order is just two counters
+    * over ≤ #suppliers-per-order rows (single digits), while the
+    * self-join form would shuffle the fact twice more. */
+  def q51ExclusiveFault(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("has_fault"))
+    val w = Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_fault_supp", sum(col("has_fault")).over(w))
+      .filter(col("has_fault") === 1 && col("n_fault_supp") === 1 &&
+        col("n_supp") > 1)
+      .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("s_name").asc)
+      .limit(20)
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1169,5 +1207,6 @@ object Relational {
     "q48_small_qty_revenue" -> (q48SmallQtyRevenue _),
     "q49_rollup"            -> (q49Rollup _),
     "q50_funnel"            -> (q50Funnel _),
+    "q51_exclusive_fault"   -> (q51ExclusiveFault _),
   )
 }

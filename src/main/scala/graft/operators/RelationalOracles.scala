@@ -471,6 +471,24 @@ object RelationalOracles {
         |LEFT JOIN tp USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Q21 shape: the oracle deliberately keeps the textbook correlated
+    // EXISTS / NOT EXISTS formulation (both subqueries correlate to the
+    // same fact) — the Spark side runs the rewritten per-order-stats
+    // window plan, so the hash match proves the rewrite's equivalence
+    "q51_exclusive_fault" ->
+      """WITH f AS (SELECT DISTINCT l_orderkey, l_suppkey
+        |           FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT s.s_name, count(*) AS n_orders
+        |FROM f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = f.l_orderkey
+        |                AND l2.l_suppkey <> f.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = f.l_orderkey
+        |                    AND l3.l_suppkey <> f.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY n_orders DESC, s_name ASC LIMIT 20""".stripMargin,
+
     // PIT join: DuckDB's native ASOF JOIN against the end-of-day
     // dimension (arg_max = Spark's max_by; DATE subtraction = datediff)
     "q45_pit_join" ->

@@ -50,4 +50,35 @@ class HllSketchSpec extends SparkTestBase {
     assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2)
       && a.getLong(3) == b.getLong(3))
   }
+
+  test("overlap gate: merged-register union summary == rescan of the concatenated set") {
+    val rows = Profiling.approxNdvOverlap(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("a", "b", "union"))
+    // rescan path: both years' customers fed as ONE group — the union
+    // row produced by register max-merge must match it field for field
+    val base = graft.Tables.orders(spark, sf0001)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(lit("u").as("g"), col("o_custkey").cast("string").as("ck"))
+    val rescan = Profiling.hllSummary(base, "g", "ck").collect().head
+    val u = rows("union")
+    assert(u.getLong(1) == rescan.getLong(1) && u.getLong(2) == rescan.getLong(2)
+      && u.getLong(3) == rescan.getLong(3),
+      s"merge $u vs rescan $rescan")
+  }
+
+  test("inclusion-exclusion intersection estimate tracks the exact overlap") {
+    val rows = Profiling.approxNdvOverlap(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def est(k: String) =
+      Profiling.hllEstimate(rows(k).getLong(1), rows(k).getLong(3).toDouble)
+    val interEst = est("a") + est("b") - est("union")
+    // exact intersection by inclusion-exclusion over the exact columns
+    val interExact = (rows("a").getLong(4) + rows("b").getLong(4)
+      - rows("union").getLong(4)).toDouble
+    assert(interExact > 0, "fixture lost its overlapping customers")
+    // three sketches' errors compound: allow 3× the single-sketch 15%
+    val relErr = math.abs(interEst - interExact) / interExact
+    assert(relErr < 0.45, s"intersection est $interEst vs exact $interExact")
+  }
 }

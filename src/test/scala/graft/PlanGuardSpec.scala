@@ -29,7 +29,9 @@ class PlanGuardSpec extends SparkTestBase {
     * ann_pq_recall composes the two by-design scans above (brute
     * baseline + trained-codebook ADC scan); ann_ivf_recall is the same
     * K-bounded centroid-assignment cross join as ann_ivf (over the
-    * planted-dup corpus);
+    * planted-dup corpus); dedup_semantic assigns every vector its top-2
+    * cells through that same K-bounded codebook cross join (the
+    * within-cell pair join itself is a plain equi-join on cell);
     * sample_temperature and token_budget_temperature cross-join the
     * |strata|-row weight table against its ONE-ROW weight-total
     * aggregate to derive targets. (decontaminate_bloom_bitmap needs no
@@ -39,6 +41,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
     "ann_ivf_pq",
     "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_recall",
+    "dedup_semantic",
     "sample_temperature", "token_budget_temperature")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
