@@ -85,6 +85,8 @@ object Bench {
       "streaming_ndv" -> (() => StreamingBench.ndvPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
+      "streaming_semantic_dedup" ->
+        (() => StreamingBench.semanticDedupPipeline(spark, sfDir)),
       "streaming_incremental_dedup" ->
         (() => StreamingBench.incrementalDedupPipeline(spark, sfDir)),
       "streaming_decontaminate" ->

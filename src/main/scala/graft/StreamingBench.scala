@@ -125,6 +125,7 @@ object StreamingBench {
     }
     if (any("streaming_incremental_dedup")) incDedupSeed(spark, sfDir)
     if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
+    if (any("streaming_semantic_dedup")) semDedupSeed(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
@@ -133,7 +134,8 @@ object StreamingBench {
   def clearMemo(): Unit = {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
-    bloomMemo.clear(); tokenBudgetMemo.clear(); progressLog.clear()
+    bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
+    progressLog.clear()
   }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
@@ -658,6 +660,79 @@ object StreamingBench {
       runTwoBatches(spark, stream, out.toDF().as[StreamingNearDup.CandidatePair],
         (b1.toIndexedSeq, b2.toIndexedSeq), "near_dup")(
         requireCount("near_dup", expected)))
+  }
+
+  /** Codebook, sorted feed, and exact expected emission count for
+    * [[semanticDedupPipeline]], built once per sfDir in the untimed
+    * prepare. The expected count is a driver-side replay of the
+    * per-cell state machine (same top-2 routing, same cosine, same cap,
+    * same intra-batch vec_id order) — an engine/model equality check,
+    * not a recount of engine output. */
+  private val semMemo = scala.collection.mutable.HashMap.empty[
+    String, (Array[Array[Float]], Array[(Long, Array[Float])], Long)]
+
+  private val SemMaxCell = 512
+
+  private def semDedupSeed(spark: SparkSession, sfDir: String)
+      : (Array[Array[Float]], Array[(Long, Array[Float])], Long) =
+    semMemo.getOrElseUpdate(sfDir, {
+      import graft.functions.Similarity
+      import graft.streaming.StreamingSemanticDedup
+      val corpus = Similarity.corpusWithNearDupVectors(spark, sfDir)
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1)
+      val book = Similarity
+        .ivfCodebookTrained(spark, Similarity.corpusWithNearDupVectors(spark, sfDir))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1).map(_._2)
+      val held = scala.collection.mutable.HashMap
+        .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+      var expected = 0L
+      val (b1, b2) = corpus.splitAt(corpus.length / 2)
+      Seq(b1, b2).foreach { batch =>
+        val perCell = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]]
+        batch.foreach { case (id, v) =>
+          StreamingSemanticDedup.topCells(v, book).foreach(c =>
+            perCell.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty)
+              += ((id, v)))
+        }
+        perCell.foreach { case (c, arrivals) =>
+          val acc = held.getOrElseUpdate(
+            c, scala.collection.mutable.ArrayBuffer.empty)
+          arrivals.sortInPlaceBy(_._1).foreach { case (id, v) =>
+            acc.foreach { case (_, ov) =>
+              if (StreamingSemanticDedup.cosine6(v, ov)
+                  >= Similarity.EmbDupThreshold) expected += 1
+            }
+            if (acc.size < SemMaxCell) acc += ((id, v))
+          }
+        }
+      }
+      (book, corpus, expected)
+    })
+
+  /** Streaming SemDeDup: the near-dup embedding corpus through the
+    * cell-keyed state in two batches against the offline-trained
+    * codebook; the expected emission count is the exact driver-side
+    * replay in [[semDedupSeed]]. */
+  def semanticDedupPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSemanticDedup
+    val (book, corpus, expected) = semDedupSeed(spark, sfDir)
+    val (b1, b2) = corpus.splitAt(corpus.length / 2)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val out = StreamingSemanticDedup.pairs(stream.toDS(), book,
+      maxCell = SemMaxCell)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream,
+        out.toDF().as[StreamingSemanticDedup.DupPair],
+        (b1.toIndexedSeq, b2.toIndexedSeq), "semantic_dedup")(
+        requireCount("semantic_dedup", expected)))
   }
 
   /** Bitmap + expected quarantine count for [[decontaminationPipeline]],

@@ -237,7 +237,7 @@ object Similarity {
     * by sorting the k candidate rows map-side (collect_list collapses
     * before any exchange — one 2-row-per-vector output, the raw k-fan
     * never shuffles). Ties break to the lowest cent_id, as everywhere. */
-  private def assignCellsTop2(emb: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def assignCellsTop2(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.join(broadcast(cents))
       .withColumn("csim", sim(col("embedding"), col("cv")))
       .groupBy("vec_id")
