@@ -410,6 +410,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** EPOCH-AWARE mixture construction (`mix_epochs`) — the UPSAMPLING
+    * side of the token-budget family: [[tokenBudgetMix]] truncates a
+    * source at its budget; real pretraining mixes also REPEAT
+    * under-weighted high-value sources for multiple epochs (the
+    * Pile/Llama-style recipe). Each source gets an integer token budget
+    * `B_s = w_s · 2·ΣT div Σw` (mixture weight w_s = suffix mod 5 + 1 —
+    * a fixed deterministic stand-in for a curated weight table; 2×
+    * corpus total keeps both regimes populated at every SF). A source
+    * delivers `q = B_s div T_s` full epochs of every document plus a
+    * FRACTIONAL epoch: the hash-ordered document prefix whose token
+    * mass covers the remainder `r = B_s mod T_s` (greedy — the boundary
+    * document overshoots, exactly like the budget gates' final admit).
+    * `n_repeats = q + [cum_prev < r]`, all integer arithmetic, so the
+    * selection is reproducible and auditable — rerunning the mix
+    * yields byte-identical epoch plans.
+    *
+    * Scale shape: one scan + one |sources|-row aggregate (broadcast
+    * back with the two ONE-ROW totals as by-construction cross joins);
+    * the fractional-epoch window partitions by source — same
+    * giant-stratum note as the budget gates (salt+merge à la q40 if a
+    * source outgrows one task's sort). */
+  def mixEpochs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        h32(col("doc_id").cast("string")).as("hk"))
+    val perSource = docs.groupBy("source")
+      .agg(sum(col("n_tokens")).as("t_tokens"))
+      .withColumn("w", substring(col("source"), 4, 10).cast("long") % 5 + 1)
+    val total = perSource.agg(sum(col("t_tokens")).as("grand"))
+    val totalW = perSource.agg(sum(col("w")).as("tw"))
+    val budgets = perSource
+      .crossJoin(broadcast(total)).crossJoin(broadcast(totalW))
+      .withColumn("b", expr("w * 2 * grand div tw"))
+      .select(col("source"),
+        expr("b div t_tokens").as("q"), expr("b % t_tokens").as("r"))
+    val win = Window.partitionBy("source").orderBy("hk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.join(broadcast(budgets), Seq("source"))
+      .withColumn("cum_prev", coalesce(sum(col("n_tokens")).over(win), lit(0L)))
+      .withColumn("n_repeats",
+        col("q") + when(col("cum_prev") < col("r"), 1L).otherwise(0L))
+      .select("doc_id", "source", "n_tokens", "n_repeats")
+      .orderBy("doc_id")
+  }
+
   /** BM25 parameters (Robertson/Sparck Jones defaults) and the fixed
     * query term list for the [[bm25Score]] gate. */
   val Bm25K1 = 1.2

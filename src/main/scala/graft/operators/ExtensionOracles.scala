@@ -216,6 +216,35 @@ object ExtensionOracles {
          |ORDER BY sk.source""".stripMargin
     },
 
+    // epoch-aware mixture: integer budgets B_s = w·2·grand div Σw,
+    // full epochs q = B div T, fractional epoch = hash-ordered prefix
+    // covering r = B mod T — all integer arithmetic, exclusive-prefix
+    // window mirrored ROWS ... 1 PRECEDING; every sub-expression
+    // parenthesized before // (the round-10 interpolation lesson)
+    "mix_epochs" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len($toks) AS BIGINT) AS n_tokens,
+         |    ${h32("CAST(doc_id AS VARCHAR)")} AS hk
+         |  FROM documents),
+         |ps AS (SELECT source, sum(n_tokens) AS t_tokens,
+         |    (CAST(substring(source, 4) AS BIGINT) % 5) + 1 AS w
+         |  FROM d GROUP BY source),
+         |tot AS (SELECT sum(t_tokens) AS grand, sum(w) AS tw FROM ps),
+         |bud AS (SELECT source,
+         |    ((w * 2 * grand) // tw) // t_tokens AS q,
+         |    ((w * 2 * grand) // tw) % t_tokens AS r
+         |  FROM ps, tot),
+         |c AS (SELECT doc_id, source, n_tokens, hk,
+         |    COALESCE(sum(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY hk, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+         |  FROM d)
+         |SELECT c.doc_id, c.source, c.n_tokens,
+         |  CAST(b.q + CASE WHEN c.cum_prev < b.r THEN 1 ELSE 0 END AS BIGINT)
+         |    AS n_repeats
+         |FROM c JOIN bud b ON c.source = b.source
+         |ORDER BY c.doc_id""".stripMargin,
+
     // HLL set algebra: same register construction as approx_ndv over
     // two order-year customer sets, with the union's registers derived
     // by the SAME per-bucket max full-outer merge the Spark side runs

@@ -49,6 +49,7 @@ object Extensions {
     "sample_pps" -> ((s: SparkSession, dir: String) => Dedup.samplePps(s, dir)),
     "token_budget_mix" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetMix(s, dir)),
     "token_budget_temperature" -> ((s: SparkSession, dir: String) => TextAnalysis.tokenBudgetTemperature(s, dir)),
+    "mix_epochs" -> (TextAnalysis.mixEpochs _),
     "pack_sequences"   -> (TextAnalysis.packSequences _),
     "bm25_score"       -> (TextAnalysis.bm25Score _),
     "chunk_overlap"    -> (TextAnalysis.chunkOverlap _),

@@ -274,6 +274,41 @@ object Relational {
       .limit(20)
   }
 
+  /** Q52 — TPC-H Q22 IDLE CAPITAL (reshaped to this schema: "idle" =
+    * no order since 2000-01-01): rich customers — balance above the
+    * positive-balance average — with no recent order, summed per
+    * nation. The one classic combination the suite hadn't composed: an
+    * UNCORRELATED scalar aggregate feeding a row filter, an anti join
+    * against a date-filtered fact, and a final group-by.
+    *
+    * Scale shape: the global average is a ONE-ROW aggregate broadcast
+    * as a cross join (by-construction single row, PlanGuardSpec
+    * allowlist) — the threshold filter then runs at scan speed; the
+    * anti join's right side is the date-filtered orders projection
+    * (AQE broadcasts it when small; otherwise both sides shuffle on
+    * custkey once). Balances go through exact integer cents —
+    * `cents·n_pos > sum_pos` is the cross-multiplied average compare,
+    * so no double summation order can flip a boundary customer in
+    * either engine. */
+  def q52IdleCapital(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val stats = cust.filter(col("cents") > 0)
+      .agg(sum(col("cents")).as("s_pos"), count(lit(1)).as("n_pos"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    cust
+      .join(broadcast(stats))
+      .filter(col("cents") * col("n_pos") > col("s_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("cents")).cast("double") / 100.0).as("total_bal"))
+      .orderBy("c_nationkey")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1208,5 +1243,6 @@ object Relational {
     "q49_rollup"            -> (q49Rollup _),
     "q50_funnel"            -> (q50Funnel _),
     "q51_exclusive_fault"   -> (q51ExclusiveFault _),
+    "q52_idle_capital"      -> (q52IdleCapital _),
   )
 }

@@ -489,6 +489,25 @@ object RelationalOracles {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY 1 ORDER BY n_orders DESC, s_name ASC LIMIT 20""".stripMargin,
 
+    // Q22 shape: integer-cents balances, cross-multiplied average
+    // threshold (cents·n_pos > sum_pos — no double division or
+    // order-dependent double sum on either engine), NOT EXISTS against
+    // the recent-orders fact
+    "q52_idle_capital" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |st AS (SELECT sum(cents) AS s_pos, count(*) AS n_pos
+        |       FROM c WHERE cents > 0)
+        |SELECT c_nationkey, count(*) AS n_customers,
+        |  CAST(sum(cents) AS DOUBLE) / 100.0 AS total_bal
+        |FROM c, st
+        |WHERE cents * n_pos > s_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // PIT join: DuckDB's native ASOF JOIN against the end-of-day
     // dimension (arg_max = Spark's max_by; DATE subtraction = datediff)
     "q45_pit_join" ->

@@ -1107,6 +1107,36 @@ class ExtensionsSpec extends SparkTestBase {
         s"doc ${r.getLong(0)} holds a full selection interval but was not drawn"))
   }
 
+  test("mix_epochs: repeated token mass covers each source's budget within one boundary doc") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.mixEpochs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // reconstruct each source's integer budget exactly as the operator:
+    // B_s = w·2·grand div Σw
+    val bySource = rows.groupBy(_._2)
+    val tTokens = bySource.view.mapValues(_.map(_._3).sum).toMap
+    val grand = tTokens.values.sum
+    def w(src: String) = src.drop(3).toLong % 5 + 1
+    // toSeq first: mapping a key SET through w would dedup equal weights
+    val tw = tTokens.keys.toSeq.map(w).sum
+    bySource.foreach { case (src, docs) =>
+      val b = w(src) * 2 * grand / tw
+      val delivered = docs.map(d => d._3 * d._4).sum
+      val maxDoc = docs.map(_._3).max
+      // greedy fractional prefix: delivered ∈ [B, B + largest doc)
+      assert(delivered >= b && delivered < b + maxDoc,
+        s"$src delivered $delivered for budget $b (max doc $maxDoc)")
+      // every doc repeats at least the full-epoch count, spread ≤ 1
+      val reps = docs.map(_._4)
+      assert(reps.max - reps.min <= 1, s"$src repeats spread ${reps.toSet}")
+    }
+    // the weight rule must populate BOTH regimes on this corpus:
+    // fraction-only sources (some docs at 0 repeats) and multi-epoch ones
+    val allReps = rows.map(_._4)
+    assert(allReps.contains(0L), "no fraction-only source — weight rule degenerate")
+    assert(allReps.max >= 2L, "no multi-epoch source — upsampling untested")
+  }
+
   test("normalized exact dedup catches the case/whitespace variants byte dedup misses") {
     val s = spark
     import s.implicits._
