@@ -75,7 +75,10 @@ object Plans {
     "token_budget_temperature", // integer temperature token targets + running-sum admission
     "q51_exclusive_fault", // Q21 shape rewritten: per-order window counters, zero self-joins
     "dedup_semantic",      // SemDeDup: codebook broadcast + top-2 cell pair join
-    "approx_ndv_overlap")  // HLL register max-merge union, no fact rescan
+    "approx_ndv_overlap",  // HLL register max-merge union, no fact rescan
+    "q52_idle_capital",    // Q22 shape: 1-row stats broadcast + anti join, integer cents
+    "mix_epochs",          // integer epoch plans: budgets + greedy hash-prefix fraction
+    "q53_json_extract")    // schema'd from_json, parse pruned to the referenced field
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -309,6 +309,28 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** Q53 — SEMI-STRUCTURED EXTRACTION: the events table carries a JSON
+    * string column (`props`); real event pipelines aggregate over
+    * fields buried in it. Uses `from_json` with an EXPLICIT schema —
+    * one schema'd parse per row inside codegen, and Catalyst's
+    * OptimizeJsonExprs prunes the parse to just the referenced field —
+    * rather than per-field `get_json_object` calls (each re-parses the
+    * string) or schema inference (a full extra pass at 100 TB).
+    * Unparseable/absent fields become NULL and fall out of the
+    * aggregates naturally — the count(k) column makes that visible. */
+  def q53JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "k", org.apache.spark.sql.types.LongType)))
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), schema).getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1244,5 +1266,6 @@ object Relational {
     "q50_funnel"            -> (q50Funnel _),
     "q51_exclusive_fault"   -> (q51ExclusiveFault _),
     "q52_idle_capital"      -> (q52IdleCapital _),
+    "q53_json_extract"      -> (q53JsonExtract _),
   )
 }

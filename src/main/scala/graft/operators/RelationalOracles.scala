@@ -489,6 +489,16 @@ object RelationalOracles {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY 1 ORDER BY n_orders DESC, s_name ASC LIMIT 20""".stripMargin,
 
+    // JSON extraction: DuckDB's json_extract_string mirrors the schema'd
+    // from_json field read; both engines yield NULL for absent/invalid k
+    "q53_json_extract" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(k) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Q22 shape: integer-cents balances, cross-multiplied average
     // threshold (cents·n_pos > sum_pos — no double division or
     // order-dependent double sum on either engine), NOT EXISTS against
