@@ -78,7 +78,8 @@ object Plans {
     "approx_ndv_overlap",  // HLL register max-merge union, no fact rescan
     "q52_idle_capital",    // Q22 shape: 1-row stats broadcast + anti join, integer cents
     "mix_epochs",          // integer epoch plans: budgets + greedy hash-prefix fraction
-    "q53_json_extract")    // schema'd from_json, parse pruned to the referenced field
+    "q53_json_extract",    // schema'd from_json, parse pruned to the referenced field
+    "q54_copurchase")      // basket arrays + map-side pair comprehension, one exchange
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

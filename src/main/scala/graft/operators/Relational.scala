@@ -331,6 +331,37 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q54 — CO-OCCURRENCE (market-basket pair counts): parts bought
+    * together in one order, ranked by how many orders pair them — the
+    * frequent-itemset shape behind "customers also bought" and feature
+    * co-occurrence matrices.
+    *
+    * Scale shape: the textbook form self-joins the fact on orderkey
+    * (two fact shuffles, and the join ITSELF materializes the
+    * quadratic). Here the fact aggregates to per-order sorted part
+    * arrays first — ONE fact exchange — and pair generation is a
+    * map-side array comprehension over each basket (quadratic only in
+    * basket size, which is single-digits by domain; total pairs stay
+    * ~avg_basket·n). The pair aggregate then map-side-combines the hot
+    * pairs before its exchange. The DuckDB oracle runs the self-join
+    * form — the gate hash proves the rewrite. */
+  def q54Copurchase(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    baskets
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .select(col("p.pa"), col("p.pb"))
+      .groupBy("pa", "pb")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("pa").asc, col("pb").asc)
+      .limit(20)
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1267,5 +1298,6 @@ object Relational {
     "q51_exclusive_fault"   -> (q51ExclusiveFault _),
     "q52_idle_capital"      -> (q52IdleCapital _),
     "q53_json_extract"      -> (q53JsonExtract _),
+    "q54_copurchase"        -> (q54Copurchase _),
   )
 }

@@ -489,6 +489,17 @@ object RelationalOracles {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY 1 ORDER BY n_orders DESC, s_name ASC LIMIT 20""".stripMargin,
 
+    // co-occurrence: the oracle keeps the textbook fact self-join on
+    // orderkey; the Spark side aggregates baskets first and generates
+    // pairs map-side — the hash proves the rewrite
+    "q54_copurchase" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_orders
+        |FROM d a JOIN d b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20""".stripMargin,
+
     // JSON extraction: DuckDB's json_extract_string mirrors the schema'd
     // from_json field read; both engines yield NULL for absent/invalid k
     "q53_json_extract" ->
