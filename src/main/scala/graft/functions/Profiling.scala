@@ -468,6 +468,77 @@ object Profiling {
       .orderBy("set_id")
   }
 
+  /** KMV sketch size: estimate standard error ≈ 1/√(k−2) ≈ 6.3%. */
+  val KmvK = 256
+
+  /** KMV / THETA-style distinct sketch (`approx_distinct_kmv` — Bar-
+    * Yossef et al. 2002; the Apache DataSketches theta family): each
+    * set keeps its k SMALLEST distinct hash values. Where HLL registers
+    * only union cleanly, KMV supports INTERSECTION natively: the k-min
+    * set of A∪B is the k smallest of kA ∪ kB (never re-touching the
+    * data), and |kU ∩ kA ∩ kB| / k estimates Jaccard directly — times
+    * the union estimate, an intersection cardinality with bounded
+    * relative error where inclusion-exclusion's error explodes for
+    * small overlaps. The sketch is a SET OF EXACT BIGINTs, so the gate
+    * hash-checks the entire sketch state cross-engine (stronger than a
+    * summary check), and the estimate is derived driver-side
+    * ([[kmvEstimate]], accuracy spec-pinned).
+    *
+    * Scale shape: the per-set k-min is a rank-≤-k window filter —
+    * Spark's InferWindowGroupLimit turns it into a map-side per-
+    * partition top-k BEFORE the exchange (the q10 WindowGroupLimit
+    * machinery), so each map task ships ≤ sets·k values; the union
+    * merge then ranks ≤ 2k rows. Output: one row per set (a, b,
+    * union) with the sketch size, the k-th smallest value (the theta
+    * threshold), an exact-NDV fidelity column, and on the union row
+    * the shared-value count that numerates the Jaccard estimate. */
+  def approxDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
+      .select(
+        when(year(col("o_orderdate")) === 1996, "a").otherwise("b").as("set_id"),
+        col("o_custkey").cast("string").as("ck"))
+    val hashed = base.select(col("set_id"), h52Of(col("ck")).as("h")).distinct()
+    val w = Window.partitionBy("set_id").orderBy("h")
+    val kmins = hashed
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .select("set_id", "h")
+    val wu = Window.partitionBy(lit(1)).orderBy("h")
+    val unionK = kmins.select(col("h")).distinct()
+      .withColumn("rn", row_number().over(wu))
+      .filter(col("rn") <= KmvK)
+      .select(lit("union").as("set_id"), col("h"))
+    val inBoth = kmins.filter(col("set_id") === "a").select(col("h").as("ha"))
+      .join(kmins.filter(col("set_id") === "b").select(col("h").as("hb")),
+        col("ha") === col("hb"))
+      .select(col("ha").as("h"))
+    val shared = unionK.join(inBoth, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_shared"))
+    val exact = base
+      .groupBy("set_id")
+      .agg(countDistinct(col("ck")).as("n_exact"))
+      .unionByName(base
+        .agg(countDistinct(col("ck")).as("n_exact"))
+        .select(lit("union").as("set_id"), col("n_exact")))
+    kmins.unionByName(unionK)
+      .groupBy("set_id")
+      .agg(count(lit(1)).as("n_vals"), max(col("h")).as("kth_val"))
+      .join(exact, Seq("set_id"))
+      .crossJoin(broadcast(shared))
+      .select(col("set_id"), col("n_vals"), col("kth_val"), col("n_exact"),
+        when(col("set_id") === "union", col("n_shared")).otherwise(0L)
+          .as("n_shared"))
+      .orderBy("set_id")
+  }
+
+  /** Driver-side KMV estimate from the gate columns: (k−1)·2^52 / kth
+    * when the sketch is full, else the exact count it holds. */
+  def kmvEstimate(nVals: Long, kthVal: Long): Double =
+    if (nVals < KmvK) nVals.toDouble
+    else (nVals - 1).toDouble * (1L << 52).toDouble / kthVal.toDouble
+
   /** Count-Min sketch geometry (Cormode & Muthukrishnan 2005): d rows ×
     * 2^wBits buckets over the same 52-bit md5-derived hash as the HLL
     * family. Row i's bucket is the i-th wBits-bit slice of h52
@@ -480,7 +551,7 @@ object Profiling {
   val CmsWBits = 11
   val CmsW: Int = 1 << CmsWBits
 
-  private def h52Of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def h52Of(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import graft.functions.Portable.{h32, h32b}
     h32(c) * lit(1L << 20) + pmod(h32b(c), lit(1L << 20))
   }

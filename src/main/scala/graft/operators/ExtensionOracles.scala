@@ -245,6 +245,46 @@ object ExtensionOracles {
          |FROM c JOIN bud b ON c.source = b.source
          |ORDER BY c.doc_id""".stripMargin,
 
+    // KMV/theta sketch: the k-min sets are exact BIGINTs, so the oracle
+    // replicates the ENTIRE sketch state — per-set k smallest distinct
+    // h52, union merge from the k-sets alone, shared-value Jaccard
+    // numerator on the union row
+    "approx_distinct_kmv" -> {
+      import graft.functions.Profiling.KmvK
+      s"""WITH base AS (
+         |  SELECT CASE WHEN year(o_orderdate) = 1996 THEN 'a' ELSE 'b' END AS set_id,
+         |         CAST(o_custkey AS VARCHAR) AS ck
+         |  FROM orders WHERE year(o_orderdate) IN (1996, 1997)),
+         |h AS (SELECT DISTINCT set_id,
+         |  ${h32("ck")} * ${1L << 20} + (${h32b("ck")} % ${1L << 20}) AS h
+         |FROM base),
+         |km AS (SELECT set_id, h FROM (
+         |  SELECT set_id, h,
+         |    row_number() OVER (PARTITION BY set_id ORDER BY h) AS rn FROM h)
+         |  WHERE rn <= $KmvK),
+         |uk AS (SELECT 'union' AS set_id, h FROM (
+         |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |  FROM (SELECT DISTINCT h FROM km))
+         |  WHERE rn <= $KmvK),
+         |sh AS (SELECT count(*) AS n_shared FROM uk
+         |       WHERE h IN (SELECT ka.h FROM
+         |         (SELECT h FROM km WHERE set_id = 'a') ka
+         |         JOIN (SELECT h FROM km WHERE set_id = 'b') kb
+         |           ON ka.h = kb.h)),
+         |allk AS (SELECT * FROM km UNION ALL SELECT * FROM uk),
+         |sk AS (SELECT set_id, CAST(count(*) AS BIGINT) AS n_vals,
+         |       CAST(max(h) AS BIGINT) AS kth_val FROM allk GROUP BY set_id),
+         |ex AS (SELECT set_id, CAST(count(DISTINCT ck) AS BIGINT) AS n_exact
+         |       FROM base GROUP BY set_id
+         |       UNION ALL
+         |       SELECT 'union', CAST(count(DISTINCT ck) AS BIGINT) FROM base)
+         |SELECT sk.set_id, n_vals, kth_val, n_exact,
+         |  CAST(CASE WHEN sk.set_id = 'union' THEN sh.n_shared ELSE 0 END
+         |    AS BIGINT) AS n_shared
+         |FROM sk JOIN ex ON sk.set_id = ex.set_id, sh
+         |ORDER BY sk.set_id""".stripMargin
+    },
+
     // HLL set algebra: same register construction as approx_ndv over
     // two order-year customer sets, with the union's registers derived
     // by the SAME per-bucket max full-outer merge the Spark side runs

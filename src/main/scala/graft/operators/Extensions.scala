@@ -99,6 +99,7 @@ object Extensions {
     // the estimate itself is spec-pinned in HllSketchSpec
     "approx_ndv"       -> (graft.functions.Profiling.approxNdv _),
     "approx_ndv_overlap" -> (graft.functions.Profiling.approxNdvOverlap _),
+    "approx_distinct_kmv" -> (graft.functions.Profiling.approxDistinctKmv _),
     // Count-Min point-frequency estimates: fully deterministic — both
     // engines compute identical md5-slice buckets, so even collision
     // inflation matches; error bounds/additivity pinned in CountMinSpec
