@@ -79,7 +79,8 @@ object Plans {
     "q52_idle_capital",    // Q22 shape: 1-row stats broadcast + anti join, integer cents
     "mix_epochs",          // integer epoch plans: budgets + greedy hash-prefix fraction
     "q53_json_extract",    // schema'd from_json, parse pruned to the referenced field
-    "q54_copurchase")      // basket arrays + map-side pair comprehension, one exchange
+    "q54_copurchase",      // basket arrays + map-side pair comprehension, one exchange
+    "q55_triangles")       // degree-oriented wedges + broadcast close, DOULION sample
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -362,6 +362,103 @@ object Relational {
       .limit(20)
   }
 
+  /** Sampling rate denominator for [[q55Triangles]]'s DOULION stage:
+    * an edge survives iff h32(pa|pb) ≡ 0 (mod this). */
+  val TriangleSampleMod = 4L
+
+  /** Q55 — TRIANGLE COUNT of the co-purchase graph (parts as nodes,
+    * edge = bought together in ≥1 order): the canonical "needs a
+    * distributed trick" graph statistic, shipped with BOTH tricks a
+    * 100-TB graph needs.
+    *
+    * Trick 1 — degree orientation: orient every edge from its
+    * lower-(degree, id) endpoint to its higher one; out-degree is then
+    * bounded by ~√m, oriented wedges by O(m^1.5), and each triangle is
+    * counted EXACTLY once (its two lowest-ordered edges form the
+    * wedge, the third closes it). The closing edge set broadcasts so
+    * the wedge stream never shuffles.
+    *
+    * Trick 2 — DOULION edge sampling (Tsourakakis et al. 2009): count
+    * on the subgraph of edges whose pair-hash ≡ 0 mod
+    * [[TriangleSampleMod]] and estimate T̂ = T_sampled · mod³. The
+    * full wedge universe here is ~Σ C(d,2) ≈ 148 M at sf0.1 (the graph
+    * is dense-random, not power-law — orientation alone leaves ~37 M
+    * wedges, benched 5-12 s); sampling at 1/4 cuts wedges 16× and
+    * triangles 64×. HASH-sampling (not rand()) keeps the subgraph
+    * deterministic, so the gate hash-checks exact sampled counts
+    * cross-engine and the estimator accuracy is spec-pinned
+    * (RelationalSpec, vs the exact count at sf0.001 ≈ 0.9% expected
+    * error). Edges come from the q54 basket comprehension — never a
+    * fact self-join; the DuckDB oracle counts the sampled subgraph by
+    * the id-ordered 3-way join, a DIFFERENT once-per-triangle scheme,
+    * so the hash match proves the orientation machinery too. */
+  def q55Triangles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable
+    // the full edge list feeds the n_edges count and the sampler; the
+    // sampled list feeds THREE consumers (degrees, both orientation
+    // sides) — materialize both (2 longs per edge; without this every
+    // reference re-runs the basket explosion + distinct: 14.3 s → the
+    // CC gates' checkpoint justification)
+    val allEdges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> " +
+          "transform(slice(parts, i + 2, size(parts)), " +
+          "y -> struct(x AS pa, y AS pb))))")).as("p"))
+      .select(col("p.pa"), col("p.pb"))
+      .distinct()
+      .localCheckpoint()
+    val edges = allEdges
+      .filter(pmod(Portable.h32(
+        concat_ws("|", col("pa"), col("pb"))), lit(TriangleSampleMod)) === 0L)
+      .localCheckpoint()
+    val deg = edges.select(col("pa").as("v"))
+      .unionAll(edges.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = edges
+      .join(deg.withColumnRenamed("v", "pa").withColumnRenamed("d", "da"), Seq("pa"))
+      .join(deg.withColumnRenamed("v", "pb").withColumnRenamed("d", "db"), Seq("pb"))
+    val oriented = withDeg.select(
+      when(struct(col("da"), col("pa")) < struct(col("db"), col("pb")),
+        struct(col("pa").as("src"), col("pb").as("dst"),
+          col("db").as("dd"), col("pb").as("di")))
+        .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+          col("da").as("dd"), col("pa").as("di"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.dd"), col("e.di"))
+    // wedge enumeration as an oriented SELF-JOIN on src — measured
+    // FASTER here than the q54 array-comprehension trick (11.7 s vs
+    // 7.0 s): adjacency lists run to hundreds of neighbors, and the
+    // interpreted slice-per-position comprehension is quadratic in
+    // allocations at that width, while the hash join enumerates pairs
+    // tightly. The basket trick wins only when group size is tiny
+    // (q54's ≤13-item baskets).
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.dd"), col("e1.di")) < struct(col("e2.dd"), col("e2.di")))
+      .select(col("e1.dst").as("wv"), col("e2.dst").as("ww"))
+    // the closing check must NOT shuffle the wedge stream (wedges ≈
+    // Σ outdeg² — tens of millions here): broadcast the 2-long edge
+    // set so wedges flow map-side from the enumeration straight into
+    // the count. At a scale where the edge set outgrows broadcast,
+    // drop the hint and both sides shuffle on (wv, ww) — the standard
+    // MR triangle join — with the wedge side staying the bound.
+    val triangles = wedges
+      .join(broadcast(oriented.select(col("src").as("wv"), col("dst").as("ww"))),
+        Seq("wv", "ww"), "left_semi")
+    allEdges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(
+        edges.agg(count(lit(1)).as("n_edges_sampled"))))
+      .crossJoin(broadcast(
+        deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges_sampled"))))
+      .crossJoin(broadcast(
+        triangles.agg(count(lit(1)).as("n_triangles_sampled"))))
+      .select("n_edges", "n_edges_sampled", "n_wedges_sampled",
+        "n_triangles_sampled")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1299,5 +1396,6 @@ object Relational {
     "q52_idle_capital"      -> (q52IdleCapital _),
     "q53_json_extract"      -> (q53JsonExtract _),
     "q54_copurchase"        -> (q54Copurchase _),
+    "q55_triangles"         -> (q55Triangles _),
   )
 }

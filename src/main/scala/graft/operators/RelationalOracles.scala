@@ -489,6 +489,34 @@ object RelationalOracles {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY 1 ORDER BY n_orders DESC, s_name ASC LIMIT 20""".stripMargin,
 
+    // triangles: identical hash-sampled (DOULION) subgraph, counted via
+    // the id-ordered 3-way edge join (each triangle a<b<c once) — a
+    // different once-per-triangle scheme than the Spark side's degree
+    // orientation, so the hash match proves the orientation machinery,
+    // not just the arithmetic
+    "q55_triangles" -> {
+      import graft.operators.Relational.TriangleSampleMod
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ae AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |      FROM d a JOIN d b
+        |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT pa, pb FROM ae
+        |      WHERE CAST('0x' || substring(md5(
+        |          CAST(pa AS VARCHAR) || '|' || CAST(pb AS VARCHAR)), 1, 8)
+        |        AS BIGINT) % """.stripMargin + TriangleSampleMod + """ = 0),
+        |deg AS (SELECT v, count(*) AS dg FROM (
+        |        SELECT pa AS v FROM e UNION ALL SELECT pb AS v FROM e)
+        |        GROUP BY v)
+        |SELECT (SELECT count(*) FROM ae) AS n_edges,
+        |  (SELECT count(*) FROM e) AS n_edges_sampled,
+        |  CAST((SELECT sum((dg * (dg - 1)) // 2) FROM deg) AS BIGINT)
+        |    AS n_wedges_sampled,
+        |  (SELECT count(*) FROM e e1
+        |   JOIN e e2 ON e1.pb = e2.pa
+        |   JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb)
+        |    AS n_triangles_sampled""".stripMargin
+    },
+
     // co-occurrence: the oracle keeps the textbook fact self-join on
     // orderkey; the Spark side aggregates baskets first and generates
     // pairs map-side — the hash proves the rewrite

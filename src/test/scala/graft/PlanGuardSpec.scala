@@ -36,14 +36,19 @@ class PlanGuardSpec extends SparkTestBase {
     * |strata|-row weight table against its ONE-ROW weight-total
     * aggregate to derive targets; mix_epochs the same against its two
     * ONE-ROW totals (grand token mass, weight sum); q52_idle_capital
-    * the same against its ONE-ROW positive-balance average row. (decontaminate_bloom_bitmap needs no
+    * the same against its ONE-ROW positive-balance average row;
+    * q55_triangles assembles its single output row from three ONE-ROW
+    * aggregates (edge count, wedge sum, triangle count);
+    * approx_distinct_kmv attaches its ONE-ROW shared-count aggregate
+    * to the three per-set summary rows. (decontaminate_bloom_bitmap needs no
     * entry: its 128 KB bitmap embeds as a plan literal, so the probe is
     * a plain codegen'd filter — no join of any kind.) */
   private val bnljByDesign = Set(
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
     "ann_ivf_pq",
     "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_recall",
-    "dedup_semantic", "mix_epochs", "q52_idle_capital",
+    "dedup_semantic", "mix_epochs", "q52_idle_capital", "q55_triangles",
+    "approx_distinct_kmv",
     "sample_temperature", "token_budget_temperature")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */

@@ -240,6 +240,35 @@ class RelationalSpec extends SparkTestBase {
     assert(got == ref, s"PIT diverges from the naive reference:\n$got\nvs\n$ref")
   }
 
+  test("q55 DOULION estimate within 10% of the exact triangle count at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val row = operators.Relational.q55Triangles(spark, sf0001).collect().head
+    val sampled = row.getAs[Long]("n_triangles_sampled")
+    val mod = operators.Relational.TriangleSampleMod
+    val est = sampled.toDouble * mod * mod * mod
+    // exact count on the FULL sf0.001 graph via the id-ordered 3-way
+    // join — the oracle's scheme, independent of the gate's machinery
+    val edges = Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as("a")
+      .join(Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey"), col("l_partkey")).distinct().as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .distinct()
+      .localCheckpoint()
+    val exact = edges.as("e1")
+      .join(edges.as("e2"), col("e1.pb") === col("e2.pa"))
+      .join(edges.as("e3"),
+        col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"),
+        "left_semi")
+      .count()
+    assert(exact > 0)
+    val relErr = math.abs(est - exact) / exact.toDouble
+    assert(relErr < 0.10, s"estimate $est vs exact $exact (err $relErr)")
+  }
+
   test("q42 upsert: deletes drop, inserts appear, updates win, rest unchanged") {
     val base = graft.Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_orderstatus").collect()
