@@ -83,6 +83,7 @@ object Bench {
       "streaming_interval_join_rocksdb" ->
         (() => StreamingBench.intervalJoinPipelineRocksDB(spark, sfDir)),
       "streaming_ndv" -> (() => StreamingBench.ndvPipeline(spark, sfDir)),
+      "streaming_kmv" -> (() => StreamingBench.kmvPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

@@ -565,6 +565,31 @@ object StreamingBench {
         requireCount("ndv", expected)))
   }
 
+  /** KMV twin of [[ndvPipeline]]: same feed, same snapshot-count model
+    * (one snapshot per active group per batch), the k-min state bounded
+    * at KmvK longs per group. */
+  def kmvPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val groups = 4
+    val rows = eventRows(spark, sfDir)
+    val users = rows.map(e => e.user_id.toString)
+    val stream = MemoryStream[String]
+    val out = graft.streaming.StreamingKmv.kmv(stream.toDS(), groups)
+    val batches = users.toIndexedSeq.splitAt(users.length / 2)
+    val expected = memoExpected("kmv", sfDir) {
+      def grp(t: String) = math.floorMod(t.hashCode, groups)
+      (0 until groups).map { g =>
+        (if (batches._1.exists(grp(_) == g)) 1 else 0) +
+          (if (batches._2.exists(grp(_) == g)) 1 else 0)
+      }.sum.toLong
+    }
+    withStatePartitions(spark, groups)(
+      runTwoBatches(spark, stream, out, batches, "kmv")(
+        requireCount("kmv", expected)))
+  }
+
   /** Fixed watchlist for the streaming CMS line: user ids that exist at
     * every SF plus one that never does (estimates are defined for both). */
   private val CmProbes: Seq[String] = (0 until 8).map(i => (i * 97).toString)

@@ -536,7 +536,11 @@ object Profiling {
   /** Driver-side KMV estimate from the gate columns: (k−1)·2^52 / kth
     * when the sketch is full, else the exact count it holds. */
   def kmvEstimate(nVals: Long, kthVal: Long): Double =
-    if (nVals < KmvK) nVals.toDouble
+    kmvEstimate(nVals, kthVal, KmvK)
+
+  /** [[kmvEstimate]] for a sketch built at a non-default k. */
+  def kmvEstimate(nVals: Long, kthVal: Long, k: Int): Double =
+    if (nVals < k) nVals.toDouble
     else (nVals - 1).toDouble * (1L << 52).toDouble / kthVal.toDouble
 
   /** Count-Min sketch geometry (Cormode & Muthukrishnan 2005): d rows ×
