@@ -80,7 +80,8 @@ object Plans {
     "mix_epochs",          // integer epoch plans: budgets + greedy hash-prefix fraction
     "q53_json_extract",    // schema'd from_json, parse pruned to the referenced field
     "q54_copurchase",      // basket arrays + map-side pair comprehension, one exchange
-    "q55_triangles")       // degree-oriented wedges + broadcast close, DOULION sample
+    "q55_triangles",       // degree-oriented wedges + broadcast close, DOULION sample
+    "q56_funnel_latency")  // funnel chain + shared-exchange percentile fold
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -459,6 +459,43 @@ object Relational {
         "n_triangles_sampled")
   }
 
+  /** Q56 — FUNNEL CONVERSION LATENCY: how long users take from first
+    * view to first click after it, as per-cohort interpolated
+    * percentiles — the time-to-convert companion of q50's stage counts
+    * (the product-analytics pair every funnel dashboard ships).
+    *
+    * Scale shape: the latency build is q50's chain (every stage keyed
+    * on user_id — one partitioning end to end), and the percentile fold
+    * is the shared-exchange [[sortedPercentilesMulti]] machinery —
+    * latencies are exact integer µs diffs, so the interpolation
+    * arithmetic is the bit-exact-vs-quantile_cont discipline q28/q38
+    * pinned. Per-cohort sorts partition 10 ways; a single giant cohort
+    * takes the q41 band-refinement escape. */
+  def q56FunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_type", "ts")
+    val tv = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val tc = ev.filter(col("event_type") === "click")
+      .join(tv, Seq("user_id")).filter(col("ts") > col("tv"))
+      .groupBy("user_id").agg(min("ts").as("tc"))
+    val lat = tv.join(tc, Seq("user_id"))
+      .select(pmod(col("user_id"), lit(10)).cast("long").as("cohort"),
+        (unix_micros(col("tc")) - unix_micros(col("tv")))
+          .cast("double").as("lat_us"))
+    val counts = lat.groupBy("cohort").agg(count(lit(1)).as("n_converted"))
+    sortedPercentilesMulti(lat, "cohort",
+      Seq("lat_us" -> Seq(("p50_us", 0.5), ("p90_us", 0.9))))
+      .join(counts, Seq("cohort"))
+      // report in SECONDS: at the raw µs magnitude (~1e11) the two
+      // engines' interpolation differs in the last ulp (~6e-5), which
+      // a 6-decimal round can't absorb; divided to ~1e5 the ulp noise
+      // sits at ~6e-11 — far below the rounding grain
+      .select(col("cohort"), col("n_converted"),
+        round(col("p50_us") / 1000000.0, 6).as("p50_s"),
+        round(col("p90_us") / 1000000.0, 6).as("p90_s"))
+      .orderBy("cohort")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1397,5 +1434,6 @@ object Relational {
     "q53_json_extract"      -> (q53JsonExtract _),
     "q54_copurchase"        -> (q54Copurchase _),
     "q55_triangles"         -> (q55Triangles _),
+    "q56_funnel_latency"    -> (q56FunnelLatency _),
   )
 }

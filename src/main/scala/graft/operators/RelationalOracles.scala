@@ -528,6 +528,22 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20""".stripMargin,
 
+    // funnel latency: q50's chained-min CTEs feeding quantile_cont on
+    // exact integer-µs diffs (the q28 bit-exact interpolation parity)
+    "q56_funnel_latency" ->
+      """WITH tv AS (SELECT user_id, min(ts) AS tv FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |tc AS (SELECT e.user_id, min(e.ts) AS tc
+        |       FROM events e JOIN tv USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > tv.tv GROUP BY 1),
+        |lat AS (SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+        |        CAST(epoch_us(tc.tc) - epoch_us(tv.tv) AS DOUBLE) AS lat_us
+        |        FROM tv JOIN tc USING (user_id))
+        |SELECT cohort, count(*) AS n_converted,
+        |  round(quantile_cont(lat_us, 0.5) / 1000000.0, 6) AS p50_s,
+        |  round(quantile_cont(lat_us, 0.9) / 1000000.0, 6) AS p90_s
+        |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // JSON extraction: DuckDB's json_extract_string mirrors the schema'd
     // from_json field read; both engines yield NULL for absent/invalid k
     "q53_json_extract" ->
