@@ -496,6 +496,66 @@ object Relational {
       .orderBy("cohort")
   }
 
+  /** Q57 — RETENTION COHORTS (the product-analytics retention
+    * triangle): users grouped by the week of their first event; for
+    * each cohort and offset k, how many were active k weeks later.
+    * Weeks are integer `epoch_days div 7` — identical arithmetic in
+    * both engines, no locale/week-start semantics to diverge on.
+    *
+    * Scale shape: one (user, week) distinct — the only fact shuffle —
+    * then everything stays on the user_id partitioning (first-week
+    * aggregate + self join) until the final ≤ weeks·horizon-row
+    * cohort aggregate. */
+  def q57Retention(s: SparkSession, dir: String): DataFrame = {
+    val RetentionHorizon = 3
+    val wk = expr("datediff(to_date(ts), DATE '1970-01-01') div 7")
+    val active = Tables.events(s, dir)
+      .select(col("user_id"), wk.as("wk"))
+      .distinct()
+    val first = active.groupBy("user_id").agg(min(col("wk")).as("wk0"))
+    active.join(first, Seq("user_id"))
+      .select(col("wk0"), (col("wk") - col("wk0")).as("k"))
+      .filter(col("k") <= RetentionHorizon)
+      .groupBy("wk0", "k")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("wk0", "k")
+  }
+
+  /** DQ — DATA-QUALITY AUDIT (Deequ-style constraint suite): each rule
+    * is one declarative check — referential integrity (anti joins),
+    * key uniqueness, null and domain-violation rates — reported as
+    * (rule, n_violations, n_checked) so a pipeline can gate on
+    * violations = 0 (most rules hold on this data BY CONSTRUCTION;
+    * the audit proving zero is the point).
+    *
+    * Scale shape: every rule is a scan + aggregate or a key-partitioned
+    * anti join — no rule materializes violating ROWS to the driver;
+    * the union is of 1-row aggregates. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    def rule(name: String, violations: DataFrame, checked: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(checked.agg(count(lit(1)).as("n_checked"))))
+        .select(lit(name).as("rule"), col("n_violations"), col("n_checked"))
+    rule("lineitem_orphan_order",
+        li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti"), li)
+      .unionByName(rule("orders_duplicate_key",
+        ord.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1), ord))
+      .unionByName(rule("lineitem_null_quantity",
+        li.filter(col("l_quantity").isNull), li))
+      .unionByName(rule("lineitem_nonpositive_quantity",
+        li.filter(col("l_quantity") <= 0), li))
+      .unionByName(rule("orders_status_domain",
+        ord.filter(!col("o_orderstatus").isin("O", "F", "P")), ord))
+      .unionByName(rule("customer_missing_nation",
+        Tables.customer(s, dir).join(Tables.nation(s, dir),
+          col("c_nationkey") === col("n_nationkey"), "left_anti"),
+        Tables.customer(s, dir)))
+      .orderBy("rule")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1435,5 +1495,7 @@ object Relational {
     "q54_copurchase"        -> (q54Copurchase _),
     "q55_triangles"         -> (q55Triangles _),
     "q56_funnel_latency"    -> (q56FunnelLatency _),
+    "q57_retention"         -> (q57Retention _),
+    "dq_checks"             -> (dqChecks _),
   )
 }

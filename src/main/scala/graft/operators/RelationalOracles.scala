@@ -528,6 +528,52 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20""".stripMargin,
 
+    // retention cohorts: integer epoch-day // 7 weeks on both engines
+    "q57_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+        |  FROM events),
+        |f AS (SELECT user_id, min(wk) AS wk0 FROM a GROUP BY 1)
+        |SELECT CAST(f.wk0 AS BIGINT) AS wk0,
+        |  CAST(a.wk - f.wk0 AS BIGINT) AS k,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |WHERE a.wk - f.wk0 <= 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DQ audit: each rule mirrored as a scalar-subquery pair
+    "dq_checks" ->
+      """SELECT * FROM (
+        |SELECT 'lineitem_orphan_order' AS rule,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |    AS n_violations,
+        |  (SELECT count(*) FROM lineitem) AS n_checked
+        |UNION ALL
+        |SELECT 'orders_duplicate_key',
+        |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |    GROUP BY 1 HAVING count(*) > 1)),
+        |  (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'lineitem_null_quantity',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL),
+        |  (SELECT count(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_quantity',
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0),
+        |  (SELECT count(*) FROM lineitem)
+        |UNION ALL
+        |SELECT 'orders_status_domain',
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderstatus NOT IN ('O', 'F', 'P')),
+        |  (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 'customer_missing_nation',
+        |  (SELECT count(*) FROM customer c WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+        |  (SELECT count(*) FROM customer)
+        |) ORDER BY rule""".stripMargin,
+
     // funnel latency: q50's chained-min CTEs feeding quantile_cont on
     // exact integer-µs diffs (the q28 bit-exact interpolation parity)
     "q56_funnel_latency" ->

@@ -40,7 +40,8 @@ class PlanGuardSpec extends SparkTestBase {
     * q55_triangles assembles its single output row from three ONE-ROW
     * aggregates (edge count, wedge sum, triangle count);
     * approx_distinct_kmv attaches its ONE-ROW shared-count aggregate
-    * to the three per-set summary rows. (decontaminate_bloom_bitmap needs no
+    * to the three per-set summary rows; dq_checks pairs each rule's
+    * ONE-ROW violation count with its ONE-ROW checked count. (decontaminate_bloom_bitmap needs no
     * entry: its 128 KB bitmap embeds as a plan literal, so the probe is
     * a plain codegen'd filter — no join of any kind.) */
   private val bnljByDesign = Set(
@@ -48,7 +49,7 @@ class PlanGuardSpec extends SparkTestBase {
     "ann_ivf_pq",
     "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_recall",
     "dedup_semantic", "mix_epochs", "q52_idle_capital", "q55_triangles",
-    "approx_distinct_kmv",
+    "approx_distinct_kmv", "dq_checks",
     "sample_temperature", "token_budget_temperature")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
