@@ -556,6 +556,62 @@ object Relational {
       .orderBy("rule")
   }
 
+  /** Q58 — EVENT TRANSITION MATRIX (sequence/path analytics): for each
+    * user's event stream in (ts, event_id) order, count (previous →
+    * current) event-type transitions — the Markov-chain view behind
+    * user-journey and next-action analysis; first events transition
+    * from the synthetic '_start' state.
+    *
+    * Scale shape: ONE user_id exchange carries the whole query — the
+    * lag window sorts within user partitions, and the transition-pair
+    * aggregate map-side-combines to ≤ (types+1)² rows before its tiny
+    * final shuffle. The (ts, event_id) tiebreak makes the sequence —
+    * and therefore every count — engine-deterministic. */
+  def q58Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type",
+        coalesce(lag(col("event_type"), 1).over(w), lit("_start")))
+      .groupBy(col("prev_type"), col("event_type").as("cur_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "cur_type")
+  }
+
+  /** Q59 — ROBUST ANOMALY DETECTION (median/MAD): per event type, the
+    * median of value, the median absolute deviation around it, and how
+    * many events sit beyond 3·MAD — the outlier rule monitoring
+    * pipelines prefer over mean/stddev because one spike can't drag
+    * the threshold.
+    *
+    * Scale shape: two passes of the shared-exchange percentile fold on
+    * the SAME event_type partitioning (median, then MAD over the
+    * broadcast-joined deviations) + one counting pass. Values go
+    * through exact integer cents, so deviations are exact binary
+    * fractions and the 3·MAD comparison cannot ulp-flip cross-engine;
+    * the report divides back to dollars under the q56 magnitude rule. */
+  def q59AnomalyMad(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").cast("double").as("vi"))
+    val med = sortedPercentilesMulti(ev, "event_type",
+      Seq("vi" -> Seq(("med", 0.5))))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("vi") - col("med")))
+    val mad = sortedPercentilesMulti(
+      dev.select(col("event_type"), col("adev")), "event_type",
+      Seq("adev" -> Seq(("mad", 0.5))))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum((col("adev") > col("mad") * 3).cast("long")).as("n_outliers"),
+        first(col("med")).as("med_c"), first(col("mad")).as("mad_c"))
+      .select(col("event_type"), col("n_events"), col("n_outliers"),
+        round(col("med_c") / 100.0, 6).as("median_value"),
+        round(col("mad_c") / 100.0, 6).as("mad_value"))
+      .orderBy("event_type")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1496,6 +1552,8 @@ object Relational {
     "q55_triangles"         -> (q55Triangles _),
     "q56_funnel_latency"    -> (q56FunnelLatency _),
     "q57_retention"         -> (q57Retention _),
+    "q58_transitions"       -> (q58Transitions _),
+    "q59_anomaly_mad"       -> (q59AnomalyMad _),
     "dq_checks"             -> (dqChecks _),
   )
 }

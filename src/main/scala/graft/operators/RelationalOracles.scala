@@ -528,6 +528,38 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, pa ASC, pb ASC LIMIT 20""".stripMargin,
 
+    // transition matrix: identical lag window with the (ts, event_id)
+    // tiebreak, '_start' for first events
+    "q58_transitions" ->
+      """WITH t AS (SELECT
+        |    COALESCE(lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), '_start')
+        |      AS prev_type,
+        |    event_type AS cur_type
+        |  FROM events)
+        |SELECT prev_type, cur_type, count(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // median/MAD anomaly rule on exact integer cents; quantile_cont is
+    // the interpolation twin of the Spark percentile fold
+    "q59_anomaly_mad" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) AS vi
+        |  FROM events),
+        |m AS (SELECT event_type, quantile_cont(vi, 0.5) AS med
+        |      FROM v GROUP BY 1),
+        |d AS (SELECT v.event_type, abs(v.vi - m.med) AS adev, m.med
+        |      FROM v JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN d.adev > md.mad * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(any_value(d.med) / 100.0, 6) AS median_value,
+        |  round(any_value(md.mad) / 100.0, 6) AS mad_value
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // retention cohorts: integer epoch-day // 7 weeks on both engines
     "q57_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
