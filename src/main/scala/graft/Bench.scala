@@ -84,6 +84,8 @@ object Bench {
         (() => StreamingBench.intervalJoinPipelineRocksDB(spark, sfDir)),
       "streaming_ndv" -> (() => StreamingBench.ndvPipeline(spark, sfDir)),
       "streaming_kmv" -> (() => StreamingBench.kmvPipeline(spark, sfDir)),
+      "streaming_transitions" ->
+        (() => StreamingBench.transitionsPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

@@ -126,6 +126,7 @@ object StreamingBench {
     if (any("streaming_incremental_dedup")) incDedupSeed(spark, sfDir)
     if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
     if (any("streaming_semantic_dedup")) semDedupSeed(spark, sfDir)
+    if (any("streaming_transitions")) transRows(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
@@ -135,7 +136,7 @@ object StreamingBench {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
-    progressLog.clear()
+    transMemo.clear(); progressLog.clear()
   }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
@@ -588,6 +589,36 @@ object StreamingBench {
     withStatePartitions(spark, groups)(
       runTwoBatches(spark, stream, out, batches, "kmv")(
         requireCount("kmv", expected)))
+  }
+
+  private val transMemo = scala.collection.mutable.HashMap
+    .empty[String, Array[graft.streaming.StreamingTransitions.Ev]]
+
+  private def transRows(spark: SparkSession, sfDir: String)
+      : Array[graft.streaming.StreamingTransitions.Ev] =
+    transMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      Tables.events(spark, sfDir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .as[graft.streaming.StreamingTransitions.Ev].collect()
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    })
+
+  /** Streaming transition extraction: the whole events table through
+    * the last-type keyed state in two in-order batches; exactly ONE
+    * output row per input event is the exact count model. */
+  def transitionsPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingTransitions.transitions(stream.toDS())
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "transitions")(
+        requireCount("transitions", rows.length.toLong)))
   }
 
   /** Fixed watchlist for the streaming CMS line: user ids that exist at

@@ -414,6 +414,17 @@ object Relational {
       .filter(pmod(Portable.h32(
         concat_ws("|", col("pa"), col("pb"))), lit(TriangleSampleMod)) === 0L)
       .localCheckpoint()
+    allEdges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(triangleStats(edges)))
+      .select("n_edges", "n_edges_sampled", "n_wedges_sampled",
+        "n_triangles_sampled")
+  }
+
+  /** Degree-oriented triangle counter over an undirected edge list
+    * (`pa < pb`, distinct): one row (n_edges_sampled, n_wedges_sampled,
+    * n_triangles_sampled) — the [[q55Triangles]] core, exposed so the
+    * random-graph fuzz spec can drive it against a brute-force model. */
+  private[graft] def triangleStats(edges: DataFrame): DataFrame = {
     val deg = edges.select(col("pa").as("v"))
       .unionAll(edges.select(col("pb").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -448,15 +459,11 @@ object Relational {
     val triangles = wedges
       .join(broadcast(oriented.select(col("src").as("wv"), col("dst").as("ww"))),
         Seq("wv", "ww"), "left_semi")
-    allEdges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(broadcast(
-        edges.agg(count(lit(1)).as("n_edges_sampled"))))
+    edges.agg(count(lit(1)).as("n_edges_sampled"))
       .crossJoin(broadcast(
         deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges_sampled"))))
       .crossJoin(broadcast(
         triangles.agg(count(lit(1)).as("n_triangles_sampled"))))
-      .select("n_edges", "n_edges_sampled", "n_wedges_sampled",
-        "n_triangles_sampled")
   }
 
   /** Q56 — FUNNEL CONVERSION LATENCY: how long users take from first

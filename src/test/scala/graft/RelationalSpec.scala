@@ -269,6 +269,37 @@ class RelationalSpec extends SparkTestBase {
     assert(relErr < 0.10, s"estimate $est vs exact $exact (err $relErr)")
   }
 
+  test("triangle machinery fuzz: random graphs == brute-force count") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.15
+      } yield (a.toLong, b.toLong)).toVector
+      val adj = edges.toSet
+      val brute = (for {
+        a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if adj((a, b)) && adj((b, c)) && adj((a, c))
+      } yield 1).size.toLong
+      val wedges = {
+        val deg = edges.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong)
+        deg.values.map(d => d * (d - 1) / 2).sum
+      }
+      val got = operators.Relational.triangleStats(
+          edges.toDF("pa", "pb")).collect().head
+      assert(got.getAs[Long]("n_edges_sampled") == edges.size.toLong)
+      assert(got.getAs[Long]("n_wedges_sampled") == wedges,
+        s"seed $seed wedges")
+      assert(got.getAs[Long]("n_triangles_sampled") == brute,
+        s"seed $seed: engine ${got.getAs[Long]("n_triangles_sampled")} vs brute $brute")
+    }
+  }
+
   test("q42 upsert: deletes drop, inserts appear, updates win, rest unchanged") {
     val base = graft.Tables.orders(spark, sf0001)
       .select("o_orderkey", "o_custkey", "o_orderstatus").collect()
