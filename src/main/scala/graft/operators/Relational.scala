@@ -619,6 +619,33 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q60 — GAPS AND ISLANDS (activity streaks): per user, the number
+    * of maximal runs of CONSECUTIVE active days and the longest run —
+    * the classic islands idiom (day − dense day-rank is constant within
+    * an island), the streak/uptime shape engagement and SLA reporting
+    * both need. Integer epoch days, so island identity is pure BIGINT
+    * arithmetic on both engines.
+    *
+    * Scale shape: one (user, day) distinct — the only fact shuffle —
+    * then the rank window, the island aggregate, and the per-user
+    * roll-up all ride the same user_id partitioning; output is one row
+    * per user. */
+  def q60ActiveIslands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("day"))
+      .distinct()
+      .withColumn("island", col("day") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_streak"),
+        sum(col("len")).as("n_active_days"))
+      .orderBy("user_id")
+  }
+
   /** Q4 — global sort + limit (top-k by totalprice). */
   def q4SortLimit(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -1561,6 +1588,7 @@ object Relational {
     "q57_retention"         -> (q57Retention _),
     "q58_transitions"       -> (q58Transitions _),
     "q59_anomaly_mad"       -> (q59AnomalyMad _),
+    "q60_active_islands"    -> (q60ActiveIslands _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -560,6 +560,23 @@ object RelationalOracles {
         |FROM d JOIN md USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // gaps and islands: day − row_number is constant within an island;
+    // integer epoch days on both engines
+    "q60_active_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |i AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS island
+        |  FROM d),
+        |runs AS (SELECT user_id, island, count(*) AS len
+        |         FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // retention cohorts: integer epoch-day // 7 weeks on both engines
     "q57_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
