@@ -81,7 +81,14 @@ object Plans {
     "q53_json_extract",    // schema'd from_json, parse pruned to the referenced field
     "q54_copurchase",      // basket arrays + map-side pair comprehension, one exchange
     "q55_triangles",       // degree-oriented wedges + broadcast close, DOULION sample
-    "q56_funnel_latency")  // funnel chain + shared-exchange percentile fold
+    "q56_funnel_latency",  // funnel chain + shared-exchange percentile fold
+    "q57_retention",       // (user, week) distinct + user-partitioned cohort chain
+    "q58_transitions",     // one user exchange: lag window into tiny pair aggregate
+    "q59_anomaly_mad",     // two percentile passes on one event_type partitioning
+    "q60_active_islands",  // islands via day - rank, one user partitioning
+    "dq_checks",           // six audit rules, all 1-row aggregates + anti joins
+    "approx_distinct_kmv", // per-set map-side top-k + k-set-only union merge
+    "mix_epochs")          // integer epoch budgets + greedy hash-prefix fraction
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
