@@ -250,6 +250,52 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         explode(col("top2.cent_id")).as("cell"))
 
+  /** Selection count for [[sampleKcenter]]. */
+  val KcenterK = 8
+
+  /** GREEDY K-CENTER diversity selection (Gonzalez 1985, the 2-approx
+    * farthest-point heuristic; the coreset-style "pick maximally
+    * diverse exemplars" selection data-curation pipelines use to seed
+    * labeling sets and balance mixtures): start from the lowest
+    * vec_id, then k−1 times pick the vector FARTHEST (max over
+    * candidates of the min cosine distance to the selected set). Every
+    * pairwise distance goes through the rounded-to-6 cosine, so the
+    * argmax compares values on a 1e-6 grid with a vec_id tiebreak —
+    * fully deterministic, and the DuckDB oracle replays the ENTIRE
+    * greedy iteration as a k-step CTE chain (this gate is the one
+    * place the oracle mirrors an iterative algorithm end to end).
+    *
+    * Scale shape: k passes, each one broadcast of ≤ k vectors + a
+    * scan-speed min-of-k distance projection + TakeOrdered(1) — no
+    * shuffle at all; at corpus scale the per-pass scan is the cost and
+    * production k-center accelerates it with the ANN index family
+    * above (probe only vectors near the current selection's cells). */
+  def sampleKcenter(s: SparkSession, dir: String, k: Int = KcenterK): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val first = emb.orderBy("vec_id").limit(1).collect().head
+    // distance to the empty selection is capped at the cosine-distance
+    // maximum 2.0 — the documented rank-1 sentinel (both engines emit it)
+    var sel = Vector((first.getLong(0), first.getSeq[Float](1), 2.0))
+    while (sel.size < k) {
+      val minD = sel
+        .map { case (_, v, _) =>
+          lit(1.0) - round(expressions.CosineSimilarity(
+            col("embedding"), typedlit(v)), 6)
+        }
+        .reduce(least(_, _))
+      val selIds = sel.map(_._1)
+      val next = emb.filter(!col("vec_id").isin(selIds: _*))
+        .select(col("vec_id"), col("embedding"), minD.as("d"))
+        .orderBy(col("d").desc, col("vec_id").asc)
+        .limit(1).collect().head
+      sel = sel :+ ((next.getLong(0), next.getSeq[Float](1), next.getDouble(2)))
+    }
+    import s.implicits._
+    sel.zipWithIndex
+      .map { case ((id, _, d), i) => (i + 1L, id, d) }
+      .toDF("rank", "vec_id", "sel_dist")
+  }
+
   /** Fixed-point scale for [[embedCentroids]]: float components scaled
     * to integer millionths before summing. */
   val CentroidScale = 1000000L

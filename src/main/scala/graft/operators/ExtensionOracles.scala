@@ -245,6 +245,46 @@ object ExtensionOracles {
          |FROM c JOIN bud b ON c.source = b.source
          |ORDER BY c.doc_id""".stripMargin,
 
+    // greedy k-center: the ONE oracle that replays an iterative
+    // algorithm end to end — each greedy step is a CTE pair (min
+    // distance to the selected set, argmax pick), chained k−1 times;
+    // every pairwise distance rounds to the same 1e-6 grid as the
+    // Spark side, so the argmax decisions are bit-identical
+    "sample_kcenter" -> {
+      import graft.functions.Similarity.KcenterK
+      val dotCS =
+        """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          |      list_transform(range(len(c.embedding)), i -> CAST(c.embedding[i+1] AS DOUBLE) * CAST(s.embedding[i+1] AS DOUBLE))),
+          |      (a, b) -> a + b)""".stripMargin
+      // every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+      // an inlined k-step chain (each level referencing the previous
+      // 3×) re-evaluates the distance folds exponentially — the
+      // un-materialized form ran minutes, materialized it's instant
+      val iters = (2 to KcenterK).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT c.vec_id, c.embedding, c.nrm,
+           |  min(1 - round($dotCS / (c.nrm * s.nrm), 6)) AS d
+           |  FROM e c, s${i - 1} s
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s${i - 1})
+           |  GROUP BY c.vec_id, c.embedding, c.nrm),
+           |p$i AS MATERIALIZED (SELECT $i AS rank, vec_id, embedding, nrm, d AS sel_dist
+           |  FROM d$i ORDER BY d DESC, vec_id LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT * FROM s${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+         |      (a, b) -> a + b)) AS nrm
+         |  FROM embeddings),
+         |s1 AS MATERIALIZED (SELECT 1 AS rank, vec_id, embedding, nrm,
+         |       CAST(2.0 AS DOUBLE) AS sel_dist
+         |       FROM e ORDER BY vec_id LIMIT 1),
+         |$iters
+         |SELECT CAST(rank AS BIGINT) AS rank, CAST(vec_id AS BIGINT) AS vec_id,
+         |  sel_dist
+         |FROM s$KcenterK ORDER BY rank""".stripMargin
+    },
+
     // KMV/theta sketch: the k-min sets are exact BIGINTs, so the oracle
     // replicates the ENTIRE sketch state — per-set k smallest distinct
     // h52, union merge from the k-sets alone, shared-value Jaccard

@@ -82,6 +82,7 @@ object Extensions {
     "ann_ivf_pq"       -> (Similarity.annIvfPq _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "dedup_semantic"   -> (Similarity.dedupSemantic _),
+    "sample_kcenter"   -> ((s: SparkSession, dir: String) => Similarity.sampleKcenter(s, dir)),
     "knn_join"         -> (Similarity.knnJoin _),
     "embed_centroids"  -> (Similarity.embedCentroids _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),

@@ -1137,6 +1137,40 @@ class ExtensionsSpec extends SparkTestBase {
     assert(allReps.max >= 2L, "no multi-epoch source — upsampling untested")
   }
 
+  test("k-center: greedy invariants hold against driver-side recomputation") {
+    val sel = Similarity.sampleKcenter(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(sel.map(_._1).toSeq == (1L to 8L))
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      1.0 - BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // each pick's recorded distance == its true min distance to the
+    // earlier picks, and the greedy sequence is non-increasing
+    (1 until sel.length).foreach { i =>
+      val d = sel.take(i).map(p => dist(vecs(sel(i)._2), vecs(p._2))).min
+      assert(math.abs(d - sel(i)._3) < 1e-9, s"rank ${i + 1} distance")
+      if (i >= 2) assert(sel(i)._3 <= sel(i - 1)._3 + 1e-9,
+        s"greedy sequence increased at rank ${i + 1}")
+    }
+    // farthest-point property: no unselected vector is farther from the
+    // selected set than the last pick was at its selection
+    val picked = sel.map(_._2).toSet
+    val maxRemaining = vecs.keys.filterNot(picked).map(v =>
+      sel.map(p => dist(vecs(v), vecs(p._2))).min).max
+    assert(maxRemaining <= sel.last._3 + 1e-9,
+      s"remaining $maxRemaining vs last pick ${sel.last._3}")
+  }
+
   test("normalized exact dedup catches the case/whitespace variants byte dedup misses") {
     val s = spark
     import s.implicits._
