@@ -7,6 +7,24 @@ import graft.functions.Dedup
   * final corpus respects every gate, and the run is reproducible. */
 class PipelineDemoSpec extends SparkTestBase {
 
+  test("vector pipeline: drops planted duplicates, keeps surviving exemplars flagged") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Similarity
+    val (curated, counts) = examples.VectorPipelineDemo.curate(spark, sf0001)
+    val m = counts.toMap
+    // every planted copy is a semantic drop, so curated = raw − drops
+    assert(m("curated") == m("raw") - m("semantic_drops"))
+    assert(m("semantic_drops") > 0)
+    assert(!curated.filter(col("vec_id") >= Similarity.PlantOffset)
+      .collect().exists(_ => true), "a planted copy survived curation")
+    // k-center exemplars that weren't dropped carry the flag
+    val exemplarIds = Similarity.sampleKcenter(spark, sf0001)
+      .collect().map(_.getLong(1)).toSet
+    val flagged = curated.filter(col("is_exemplar") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.subsetOf(exemplarIds) && flagged.nonEmpty)
+  }
+
   test("curation pipeline composes the operator gates consistently") {
     val (curated, counts) = PipelineDemo.curate(spark, sf0001)
     val m = counts.toMap
