@@ -236,9 +236,15 @@ object Bench {
     //      slowest lines — enough to adjudicate the round;
     //   3. stage/progress detail also mirrors to stderr at the probe sites.
     println(line)
+    // Filtered/dev invocations (any name args) must NOT clobber the
+    // canonical full-suite record: a 7-line spot-check once silently
+    // replaced the driver's official 149-line round record. Dev runs go
+    // to a side path unless SPARK_GRAFT_BENCH_FULL overrides explicitly.
+    val defaultFullName =
+      if (only.isEmpty) "BENCH_FULL_LOCAL.json" else "BENCH_FULL_DEV.json"
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      if (new java.io.File("/root/repo").isDirectory) "/root/repo/BENCH_FULL_LOCAL.json"
-      else "BENCH_FULL_LOCAL.json")
+      if (new java.io.File("/root/repo").isDirectory) s"/root/repo/$defaultFullName"
+      else defaultFullName)
     try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

@@ -207,7 +207,11 @@ object Similarity {
     * partner) and exactness vs the brute-force drop set. */
   def dedupSemanticDrops(s: SparkSession, dir: String): DataFrame = {
     val corpus = corpusWithNearDupVectors(s, dir)
-    val cells = assignCellsTop2(corpus, ivfCodebookTrained(s, corpus))
+    // localCheckpoint: the cells frame feeds BOTH sides of the pair
+    // self-join — without it the corpus scan + top-2 codebook assignment
+    // runs twice (the q55 multi-consumer lineage rule).
+    val cells =
+      assignCellsTop2(corpus, ivfCodebookTrained(s, corpus)).localCheckpoint()
     cells.as("a")
       .join(cells.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") > col("b.vec_id"))
@@ -295,6 +299,135 @@ object Similarity {
       .map { case ((id, _, d), i) => (i + 1L, id, d) }
       .toDF("rank", "vec_id", "sel_dist")
   }
+
+  /** Safety margin for the [[kcenterGreedyCellPruned]] prune bound: the
+    * gate distance is `1 − round(cos, 6)` (≤ 5e-7 off the true value)
+    * and the driver-side centroid angles are recomputed in a different
+    * fold order than the executor expression (~1e-15 relative); 2e-6
+    * dominates both, so a pruned cell provably contains no vector whose
+    * rounded distance to the new center beats its current minimum. */
+  private val KcenterPruneMargin = 2e-6
+
+  /** IVF-ACCELERATED greedy k-center — the production form of
+    * [[sampleKcenter]], bit-identical output (the `sample_kcenter_ivf`
+    * gate replays the SAME k-step CTE oracle), with two structural wins
+    * over the textbook loop:
+    *
+    *  1. INCREMENTAL min-distance (the classic Gonzalez optimization):
+    *     a per-vector running `d` column folds `least(d, dist-to-newest)`
+    *     each pass, so every pass computes ONE cosine per probed vector
+    *     instead of |selected| — O(n·k·dim) total instead of O(n·k²·dim).
+    *     `min` over identical rounded operands is order-insensitive, so
+    *     the accumulated `d` equals the exact recompute double-for-double.
+    *  2. CELL PRUNING (triangle inequality on ANGLES — cosine distance
+    *     itself violates it, angles on the sphere don't): vectors sit in
+    *     trained IVF cells ([[ivfCodebookTrained]]) with a precomputed
+    *     angular radius rθ(c) = max member↔centroid angle. Adding center
+    *     z can only shrink some member's `d` if
+    *     `1 − cos(θ(μc, z) − rθ(c)) − margin < max_d(c)`; cells failing
+    *     that test are skipped outright — no cosine is evaluated for any
+    *     of their members that pass (cells "near the current selection"
+    *     are exactly the ones that keep probing). The per-cell `max_d`
+    *     ledger also bounds the argmax: only cells holding the exact
+    *     global maximum are scanned for the next pick.
+    *
+    * Pruning power is geometry-dependent: on a CLUSTERED corpus (real
+    * embedding spaces; the spec's synthetic clusters) later passes probe
+    * a small fraction of n, while on an isotropic corpus (this repo's
+    * uniform test vectors — cell radii ≈ typical pairwise angle, see
+    * [[annIvfRecall]]'s scaladoc for the same phenomenon) the bound
+    * rarely fires and the loop degrades gracefully to the incremental
+    * exact scan. Either way the output is EXACT — pruning is a sufficient
+    * condition for "no change", never an approximation.
+    *
+    * Driver traffic stays bounded: the codebook collect (≤ 2048-row
+    * train sample, k·dim centroids), one 32-row cell-stats aggregate,
+    * and per pass one ≤|cells|-row `max_d` refresh + the 1-row argmax —
+    * the [[sampleKcenter]] discipline. Per-pass `localCheckpoint` cuts
+    * the k-deep `when(...)` lineage (the CC fixpoint rule). */
+  private[graft] def kcenterGreedyCellPruned(
+      s: SparkSession, emb0: DataFrame, k: Int): (DataFrame, Seq[Long]) = {
+    val emb = emb0.select(col("vec_id"), col("embedding"))
+    val cents = ivfCodebookTrained(s, emb)
+    val centVecs: Map[Long, Array[Double]] = cents.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).iterator.map(_.toDouble).toArray).toMap
+    val assigned = assignCells(emb, cents).localCheckpoint()
+    // Per-cell angular radius + population: ONE aggregate over the
+    // UNROUNDED cosine (the bound lives on true angles; the margin
+    // absorbs float noise). clamp before acos — norm-one products can
+    // graze ±1 by an ulp.
+    val cellStats = assigned
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .withColumn("ctheta", acos(greatest(lit(-1.0),
+        least(lit(1.0), expressions.CosineSimilarity(col("embedding"), col("cv"))))))
+      .groupBy("cell")
+      .agg(max(col("ctheta")).as("rtheta"), count(lit(1)).as("sz"))
+      .collect()
+    val rTheta: Map[Long, Double] =
+      cellStats.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cellSize: Map[Long, Long] =
+      cellStats.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def driverAngle(a: Array[Double], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val bi = b(i).toDouble
+        dot += a(i) * bi; na += a(i) * a(i); nb += bi * bi; i += 1
+      }
+      math.acos(math.max(-1.0, math.min(1.0, dot / math.sqrt(na * nb))))
+    }
+
+    val firstRow = emb.orderBy("vec_id").limit(1).collect().head
+    var selIds = Vector(firstRow.getLong(0))
+    var sel = Vector((1L, firstRow.getLong(0), 2.0))
+    var zVec: Seq[Float] = firstRow.getSeq[Float](1)
+    // d starts at the 2.0 cosine-distance ceiling (the rank-1 sentinel
+    // both engines emit), so pass 1's least() fold lands exactly on
+    // dist-to-first — same as the exact loop's first iteration.
+    var frame = assigned.withColumn("d", lit(2.0)).localCheckpoint()
+    var maxD: Map[Long, Double] = cellSize.keys.map(_ -> 2.0).toMap
+    val probed = Seq.newBuilder[Long]
+    while (sel.size < k) {
+      // Load-bearing init invariant: with maxD = 2.0 sentinel the update
+      // test (1 − cos(lb) − margin < maxD) is ALWAYS true (LHS ≤ 2 − ε),
+      // so pass 1 probes every cell — d transitions off the sentinel and
+      // every maxD entry is exact before pruning can ever fire.
+      val updateCells = cellSize.keys.filter { c =>
+        val lb = driverAngle(centVecs(c), zVec) - rTheta(c)
+        lb <= 0 || (1.0 - math.cos(lb)) - KcenterPruneMargin < maxD(c)
+      }.toSeq.sorted
+      probed += updateCells.iterator.map(cellSize).sum
+      val inUpdate = col("cell").isin(updateCells.map(Long.box): _*)
+      val newD = lit(1.0) -
+        round(expressions.CosineSimilarity(col("embedding"), typedlit(zVec)), 6)
+      frame = frame
+        .withColumn("d", when(inUpdate, least(col("d"), newD)).otherwise(col("d")))
+        .localCheckpoint()
+      maxD = maxD ++ frame.filter(inUpdate)
+        .groupBy("cell").agg(max(col("d")).as("md")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+      val gm = maxD.values.max
+      val candCells = maxD.collect { case (c, m) if m == gm => Long.box(c) }.toSeq
+      val next = frame
+        .filter(col("cell").isin(candCells: _*) &&
+          !col("vec_id").isin(selIds.map(Long.box): _*))
+        .orderBy(col("d").desc, col("vec_id").asc)
+        .limit(1).collect().head
+      selIds = selIds :+ next.getLong(0)
+      sel = sel :+ ((sel.size + 1L, next.getLong(0),
+        next.getDouble(next.fieldIndex("d"))))
+      zVec = next.getSeq[Float](next.fieldIndex("embedding"))
+    }
+    import s.implicits._
+    (sel.toDF("rank", "vec_id", "sel_dist"), probed.result())
+  }
+
+  /** Gate wrapper over [[kcenterGreedyCellPruned]] on the embeddings
+    * table — same schema and (provably) same rows as [[sampleKcenter]];
+    * the oracle is the identical k-step MATERIALIZED CTE replay. */
+  def sampleKcenterIvf(s: SparkSession, dir: String, k: Int = KcenterK): DataFrame =
+    kcenterGreedyCellPruned(
+      s, Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")), k)._1
 
   /** Fixed-point scale for [[embedCentroids]]: float components scaled
     * to integer millionths before summing. */

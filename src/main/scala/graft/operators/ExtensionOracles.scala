@@ -1297,6 +1297,11 @@ object ExtensionOracles {
     // default star-contraction CC — one oracle serves both gate queries
     "dedup_components_minlabel" -> base("dedup_components"),
 
+    // IVF-accelerated k-center is BIT-IDENTICAL to the exact greedy by
+    // construction (pruning is a sufficient no-change proof, never an
+    // approximation) — the same k-step CTE replay adjudicates both
+    "sample_kcenter_ivf" -> base("sample_kcenter"),
+
     // canonical-per-cluster: same transitive-closure components, winner =
     // longest doc then smallest id, folded into one packed min() —
     // (1024 - n_toks) * 2^51 + doc_id, decoded with & / >>

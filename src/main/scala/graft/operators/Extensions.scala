@@ -83,6 +83,9 @@ object Extensions {
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     "dedup_semantic"   -> (Similarity.dedupSemantic _),
     "sample_kcenter"   -> ((s: SparkSession, dir: String) => Similarity.sampleKcenter(s, dir)),
+    // production form: incremental min-distance + IVF-cell pruning,
+    // provably bit-identical output (same CTE-replay oracle)
+    "sample_kcenter_ivf" -> ((s: SparkSession, dir: String) => Similarity.sampleKcenterIvf(s, dir)),
     "knn_join"         -> (Similarity.knnJoin _),
     "embed_centroids"  -> (Similarity.embedCentroids _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),

@@ -640,10 +640,11 @@ object RelationalOracles {
         |FROM lat GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // JSON extraction: DuckDB's json_extract_string mirrors the schema'd
-    // from_json field read; both engines yield NULL for absent/invalid k
+    // from_json field read; TRY_CAST mirrors Spark's from_json(LongType)
+    // null-on-unparseable semantics (plain CAST would raise in DuckDB)
     "q53_json_extract" ->
       """WITH e AS (SELECT event_type,
-        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, count(k) AS n_with_k,
         |  CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k

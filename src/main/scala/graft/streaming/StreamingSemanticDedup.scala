@@ -98,7 +98,10 @@ object StreamingSemanticDedup {
         }
         if (acc.size < maxCell) acc = acc :+ ((id, v))
       }
-      state.update(acc)
+      // Skip the state-store write for full cells that accepted nothing:
+      // rewriting an unchanged maxCell-sized entry every batch is pure
+      // churn (RocksDB compaction pressure at scale).
+      if (acc ne held) state.update(acc)
       idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))
       out.result().iterator
     }
