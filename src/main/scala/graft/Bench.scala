@@ -86,6 +86,10 @@ object Bench {
       "streaming_kmv" -> (() => StreamingBench.kmvPipeline(spark, sfDir)),
       "streaming_transitions" ->
         (() => StreamingBench.transitionsPipeline(spark, sfDir)),
+      "streaming_funnel" ->
+        (() => StreamingBench.funnelPipeline(spark, sfDir)),
+      "streaming_retention" ->
+        (() => StreamingBench.retentionPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

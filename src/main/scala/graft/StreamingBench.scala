@@ -126,7 +126,10 @@ object StreamingBench {
     if (any("streaming_incremental_dedup")) incDedupSeed(spark, sfDir)
     if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
     if (any("streaming_semantic_dedup")) semDedupSeed(spark, sfDir)
-    if (any("streaming_transitions")) transRows(spark, sfDir)
+    if (any("streaming_transitions", "streaming_funnel", "streaming_retention"))
+      transRows(spark, sfDir)
+    if (any("streaming_funnel")) funnelExpected(spark, sfDir)
+    if (any("streaming_retention")) retentionExpected(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
@@ -619,6 +622,56 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "transitions")(
         requireCount("transitions", rows.length.toLong)))
+  }
+
+  /** Σ of batch q50's four cohort counters — the funnel line's exact
+    * output-row model (every stage advancement emits exactly one row). */
+  private def funnelExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("funnel", sfDir) {
+      graft.operators.Relational.q50Funnel(spark, sfDir).collect()
+        .map(r => r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
+    }
+
+  /** Streaming conversion funnel: the whole events table through the
+    * per-user stage machine (three-longs GroupState) in two in-order
+    * batches; output rows == Σ batch-q50 cohort counters. */
+  def funnelPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val expected = funnelExpected(spark, sfDir)
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingFunnel.stages(stream.toDS())
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "funnel")(
+        requireCount("funnel", expected)))
+  }
+
+  /** Σ of batch q57's `n_users` — the retention line's exact output-row
+    * model (each (user, in-horizon week) pair emits exactly one hit). */
+  private def retentionExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("retention", sfDir) {
+      graft.operators.Relational.q57Retention(spark, sfDir).collect()
+        .map(_.getLong(2)).sum
+    }
+
+  /** Streaming retention triangle: the whole events table through the
+    * per-user cohort+bitmask state in two in-order batches; output rows
+    * == Σ batch-q57 cohort counters. */
+  def retentionPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val expected = retentionExpected(spark, sfDir)
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingRetention.hits(stream.toDS())
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "retention")(
+        requireCount("retention", expected)))
   }
 
   /** Fixed watchlist for the streaming CMS line: user ids that exist at
