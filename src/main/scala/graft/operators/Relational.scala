@@ -1527,6 +1527,95 @@ object Relational {
       .orderBy("d_status")
   }
 
+  /** Fixed-point scale for [[q61Pagerank]]: total rank mass, split
+    * integer-exactly across nodes. 1e12 leaves ~7 digits of rank
+    * resolution even at 100k+ nodes. */
+  val PagerankScale = 1000000000000L
+
+  /** Fixed iteration count for [[q61Pagerank]] — fixed (not
+    * convergence-tested) so the DuckDB oracle can replay the exact
+    * same rounds as a chained MATERIALIZED CTE (the kcenter recipe). */
+  val PagerankIters = 5
+
+  /** Q61 — PAGERANK over the directed "bought-next" product graph
+    * (edge pa→pb iff pb is the next line after pa inside some order):
+    * the second member of the iterative graph family
+    * (dedup_components = fixpoint closure, q61 = fixed-round
+    * degree-normalized mass propagation — the shape every graph stack
+    * ships as its centrality primitive).
+    *
+    * CROSS-ENGINE DETERMINISM: all arithmetic is BIGINT on a
+    * [[PagerankScale]] fixed-point grid — contributions are
+    * `rank div out_degree`, damping is `(85 · mass) div 100` — so
+    * sums are order-independent and both engines land on identical
+    * integers (no double accumulation anywhere). Nodes that never
+    * appear in a source position (an order's last line only) are
+    * genuine DANGLING nodes; their mass is one 1-row aggregate,
+    * broadcast back over all nodes per round (bnlj-by-design).
+    *
+    * Scale shape (100 TB): the edge build is one window over
+    * l_orderkey (orders are ≤ 7 lines) + one distinct exchange; the
+    * per-round cost is edges⋈ranks on the source key + one partial+
+    * final aggregate on the target key — the canonical 2-exchange
+    * PageRank round (production would bucket both by part key to
+    * drop the join exchange). Edge/degree frames materialize ONCE
+    * (localCheckpoint) and every round checkpoints its rank frame —
+    * without it round i's plan re-runs rounds 1..i−1 (the CC
+    * discipline). Driver traffic: zero rows — even the dangling mass
+    * stays in-plan as a broadcast. */
+  def q61Pagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankRanks(s, dir, PagerankIters)
+      .orderBy(col("r").desc, col("part").asc)
+      .select(col("part"), col("r").as("rank_scaled"))
+      .limit(100)
+
+  /** Full rank frame after `iters` rounds — spec-exposed so the
+    * convergence direction (shrinking L1 delta per round) is
+    * assertable round over round. */
+  private[graft] def pagerankRanks(
+      s: SparkSession, dir: String, iters: Int): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+    // l_linenumber is NOT unique per order in the synthetic data — the
+    // part key completes a total sort key (remaining ties are identical
+    // rows, so the consecutive-pair set is permutation-invariant)
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = li
+      .withColumn("pb", lead(col("l_partkey"), 1).over(w))
+      .filter(col("pb").isNotNull && col("l_partkey") =!= col("pb"))
+      .select(col("l_partkey").as("pa"), col("pb"))
+      .distinct()
+    val nodes = li.select(col("l_partkey").as("part")).distinct()
+      .localCheckpoint()
+    val odeg = edges.groupBy("pa").agg(count(lit(1)).as("deg"))
+    // source-side degree attached once, outside the loop — saves a
+    // join per round
+    val edgesDeg = edges.join(odeg, "pa").localCheckpoint()
+    val n = nodes.count()
+    val r0 = PagerankScale / n
+    val base = (r0 * 15L) / 100L
+    var ranks = nodes.withColumn("r", lit(r0)).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = edgesDeg
+        .join(ranks, col("pa") === col("part"))
+        .select(col("pb"), expr("r div deg").as("c"))
+        .groupBy("pb").agg(sum(col("c")).as("s"))
+      val dangling = ranks
+        .join(edgesDeg.select("pa").distinct(),
+          col("part") === col("pa"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      ranks = nodes
+        .crossJoin(broadcast(dangling))
+        .join(contrib, col("part") === col("pb"), "left")
+        .select(col("part"),
+          (lit(base) + expr(
+            s"(85 * (coalesce(s, CAST(0 AS BIGINT)) + (dang div $n))) div 100"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -1589,6 +1678,7 @@ object Relational {
     "q58_transitions"       -> (q58Transitions _),
     "q59_anomaly_mad"       -> (q59AnomalyMad _),
     "q60_active_islands"    -> (q60ActiveIslands _),
+    "q61_pagerank"          -> (q61Pagerank _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -562,6 +562,51 @@ object RelationalOracles {
 
     // gaps and islands: day − row_number is constant within an island;
     // integer epoch days on both engines
+    // PageRank: the SECOND oracle that replays an iterative algorithm
+    // end to end (the kcenter recipe) — one MATERIALIZED CTE triple
+    // (contribution sum, dangling mass, damped recombination) per
+    // round; every operation is BIGINT fixed-point (rank div degree,
+    // (85·mass) div 100), so sums are order-independent and both
+    // engines land on identical integers
+    "q61_pagerank" -> {
+      import graft.operators.Relational.{PagerankScale, PagerankIters}
+      val iters = (1 to PagerankIters).map { i =>
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.pb AS part, CAST(sum(r.r // o.deg) AS BIGINT) AS s
+           |  FROM edges e JOIN odeg o ON e.pa = o.pa
+           |    JOIN r${i - 1} r ON e.pa = r.part
+           |  GROUP BY e.pb),
+           |d$i AS MATERIALIZED (
+           |  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang
+           |  FROM r${i - 1} r LEFT JOIN odeg o ON r.part = o.pa
+           |  WHERE o.pa IS NULL),
+           |r$i AS MATERIALIZED (
+           |  SELECT n.part,
+           |    CAST((($PagerankScale // p.n) * 15) // 100
+           |      + (85 * (coalesce(c.s, 0) + (d.dang // p.n))) // 100
+           |      AS BIGINT) AS r
+           |  FROM nodes n CROSS JOIN p CROSS JOIN d$i d
+           |    LEFT JOIN c$i c ON n.part = c.part)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS MATERIALIZED (
+         |  SELECT l_partkey AS pa,
+         |    lead(l_partkey) OVER (PARTITION BY l_orderkey
+         |      ORDER BY l_linenumber, l_partkey) AS pb
+         |  FROM lineitem),
+         |edges AS MATERIALIZED (
+         |  SELECT DISTINCT pa, pb FROM seq
+         |  WHERE pb IS NOT NULL AND pa <> pb),
+         |nodes AS MATERIALIZED (SELECT DISTINCT l_partkey AS part FROM lineitem),
+         |odeg AS MATERIALIZED (SELECT pa, count(*) AS deg FROM edges GROUP BY 1),
+         |p AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+         |r0 AS MATERIALIZED (
+         |  SELECT part, CAST($PagerankScale // p.n AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN p),
+         |$iters
+         |SELECT part, r AS rank_scaled FROM r$PagerankIters
+         |ORDER BY r DESC, part ASC LIMIT 100""".stripMargin
+    },
+
     "q60_active_islands" ->
       """WITH d AS (SELECT DISTINCT user_id,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
