@@ -84,6 +84,8 @@ object Bench {
         (() => StreamingBench.intervalJoinPipelineRocksDB(spark, sfDir)),
       "streaming_ndv" -> (() => StreamingBench.ndvPipeline(spark, sfDir)),
       "streaming_kmv" -> (() => StreamingBench.kmvPipeline(spark, sfDir)),
+      "streaming_kmv_rocksdb" ->
+        (() => StreamingBench.kmvPipelineRocksDB(spark, sfDir)),
       "streaming_transitions" ->
         (() => StreamingBench.transitionsPipeline(spark, sfDir)),
       "streaming_funnel" ->
@@ -94,6 +96,8 @@ object Bench {
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->
         (() => StreamingBench.semanticDedupPipeline(spark, sfDir)),
+      "streaming_semantic_dedup_rocksdb" ->
+        (() => StreamingBench.semanticDedupPipelineRocksDB(spark, sfDir)),
       "streaming_incremental_dedup" ->
         (() => StreamingBench.incrementalDedupPipeline(spark, sfDir)),
       "streaming_decontaminate" ->

@@ -125,7 +125,8 @@ object StreamingBench {
     }
     if (any("streaming_incremental_dedup")) incDedupSeed(spark, sfDir)
     if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
-    if (any("streaming_semantic_dedup")) semDedupSeed(spark, sfDir)
+    if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
+      semDedupSeed(spark, sfDir)
     if (any("streaming_transitions", "streaming_funnel", "streaming_retention"))
       transRows(spark, sfDir)
     if (any("streaming_funnel")) funnelExpected(spark, sfDir)
@@ -843,6 +844,17 @@ object StreamingBench {
         (b1.toIndexedSeq, b2.toIndexedSeq), "semantic_dedup")(
         requireCount("semantic_dedup", expected)))
   }
+
+  /** [[semanticDedupPipeline]] on the RocksDB provider — the round-11
+    * state shape (vector lists per cell, the fattest per-key state in
+    * the suite) on the 100 TB large-state posture. */
+  def semanticDedupPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark)(semanticDedupPipeline(spark, sfDir))
+
+  /** [[kmvPipeline]] on the RocksDB provider — bounded k-longs-per-group
+    * sketch state through the disk-backed store. */
+  def kmvPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark)(kmvPipeline(spark, sfDir))
 
   /** Bitmap + expected quarantine count for [[decontaminationPipeline]],
     * built once per sfDir in the untimed prepare (the bitmap is the

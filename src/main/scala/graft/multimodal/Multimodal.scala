@@ -181,6 +181,53 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel resize behind the same media seam ([[PngDecoder]]'s
+    * transform sibling): decode via `javax.imageio`, aspect-preserving
+    * scale to `maxSide` using the SAME floor arithmetic as the
+    * metadata stub [[resizeFeatures]] (so the stub PREDICTS the real
+    * path's output dimensions — differential-spec-pinned), re-encode
+    * as PNG. An actual BufferedImage pixel transform, not metadata
+    * arithmetic; payloads ≤ maxSide pass through untouched. */
+  object PngResizer {
+    def resize(maxSide: Int)(r: MediaRow): MediaRow = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.media))
+      require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (math.max(w, h) <= maxSide) r
+      else {
+        val scale = maxSide.toDouble / math.max(w, h)
+        val nw = math.max(1, math.floor(w * scale).toInt)
+        val nh = math.max(1, math.floor(h * scale).toInt)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null); ()
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val bytes = bos.toByteArray
+        MediaRow(r.doc_id, bytes, r.format, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Partition-batched media transform through an arbitrary
+    * row-to-row codec stage (resize, transcode, watermark …) — the
+    * payload-to-payload sibling of [[decodeFeaturesWith]]. */
+  def transformMediaWith(media: Dataset[MediaRow])(
+      stage: MediaRow => MediaRow): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition init point for a real codec/native lib
+      rows.map(stage)
+    }
+  }
+
   /** Every-2nd-frame sampling over the synthesized media table through
     * the real mapPartitions pipeline ([[sampleFrames]]), as a gate query:
     * the DuckDB oracle recomputes the identical 256-byte slicing and

@@ -623,6 +623,50 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal real resize: pixel-level PNG scale matches the metadata stub's prediction") {
+    val s = spark
+    import s.implicits._
+    def makePng(id: Long): Multimodal.MediaRow = {
+      val w = (6 + id % 21).toInt
+      val h = (4 + id % 13).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y * 7 + id).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val bytes = bos.toByteArray
+      Multimodal.MediaRow(id, bytes, "img", bytes.length.toLong)
+    }
+    val rows = (0L until 48L).map(makePng)
+    val ds = s.createDataset(rows).repartition(4)
+    val maxSide = 10
+    // real path: pixel resize on executors, then real decode of the
+    // RE-ENCODED payloads
+    val resized = Multimodal.transformMediaWith(ds)(
+      Multimodal.PngResizer.resize(maxSide))
+    val realDims = Multimodal.decodeFeaturesWith(resized)(
+      Multimodal.PngDecoder.decode)
+      .collect().map(f => f.doc_id -> (f.width, f.height)).toMap
+    // stub path: metadata-only arithmetic over the ORIGINAL dims must
+    // predict exactly what the pixel path produced
+    val origDims = Multimodal.decodeFeaturesWith(ds)(Multimodal.PngDecoder.decode)
+    val predicted = Multimodal.resizeFeatures(origDims, maxSide)
+      .collect().map(f => f.doc_id -> (f.width, f.height)).toMap
+    assert(realDims == predicted,
+      s"pixel/metadata drift: ${(realDims.toSet diff predicted.toSet).take(5)}")
+    // already-small payloads pass through byte-identically
+    val byId = rows.map(r => r.doc_id -> r).toMap
+    resized.collect().foreach { r =>
+      val o = byId(r.doc_id)
+      val ow = (6 + r.doc_id % 21).toInt; val oh = (4 + r.doc_id % 13).toInt
+      if (math.max(ow, oh) <= maxSide)
+        assert(java.util.Arrays.equals(r.media, o.media),
+          s"doc ${r.doc_id}: small image was re-encoded")
+      else assert(!java.util.Arrays.equals(r.media, o.media))
+    }
+  }
+
   test("multimodal near-dup loop: binary -> embed -> sign-LSH -> cosine finds planted copies") {
     val s = spark
     import s.implicits._
