@@ -92,6 +92,8 @@ object Bench {
         (() => StreamingBench.funnelPipeline(spark, sfDir)),
       "streaming_retention" ->
         (() => StreamingBench.retentionPipeline(spark, sfDir)),
+      "streaming_attribution" ->
+        (() => StreamingBench.attributionPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

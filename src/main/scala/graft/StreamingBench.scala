@@ -127,7 +127,8 @@ object StreamingBench {
     if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
-    if (any("streaming_transitions", "streaming_funnel", "streaming_retention"))
+    if (any("streaming_transitions", "streaming_funnel", "streaming_retention",
+        "streaming_attribution"))
       transRows(spark, sfDir)
     if (any("streaming_funnel")) funnelExpected(spark, sfDir)
     if (any("streaming_retention")) retentionExpected(spark, sfDir)
@@ -648,6 +649,25 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "funnel")(
         requireCount("funnel", expected)))
+  }
+
+  /** Streaming last-touch attribution: the whole events table through
+    * the one-touch-per-user state in two in-order batches; exactly ONE
+    * output row per purchase event is the exact count model. */
+  def attributionPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val expected = memoExpected("attribution", sfDir) {
+      rows.count(_.event_type == "purchase").toLong
+    }
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingAttribution.hits(stream.toDS())
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "attribution")(
+        requireCount("attribution", expected)))
   }
 
   /** Σ of batch q57's `n_users` — the retention line's exact output-row

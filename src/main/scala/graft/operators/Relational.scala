@@ -1616,6 +1616,53 @@ object Relational {
     ranks
   }
 
+  /** Attribution lookback for [[q62Attribution]]: 7 days in µs. */
+  val AttributionLookbackUs = 7L * 86400L * 1000000L
+
+  /** Q62 — LAST-TOUCH ATTRIBUTION: every purchase is credited to the
+    * user's most recent marketing touch (view or click) STRICTLY
+    * before it and within a 7-day lookback; purchases with no
+    * qualifying touch report as `none`. The canonical "which channel
+    * converts" product query, and the third member of the
+    * one-user-exchange family (funnel, transitions, attribution all
+    * ride the SAME (user_id | ts, event_id) partitioning).
+    *
+    * Scale shape: ONE fact exchange — a user-partitioned window whose
+    * two `last(..., ignoreNulls)` frames (touch type + touch µs,
+    * guarded by the same marketing predicate, so they always read the
+    * same row) resolve attribution in a single pass — then a 3-row
+    * aggregate. No self-join: the textbook formulation joins purchases
+    * against touches on user with a range predicate (quadratic in
+    * events-per-user); the window form is linear and already ordered.
+    * Lag totals stay in integer seconds (µs difference div 1e6), so
+    * the cross-engine sums are exact BIGINTs. */
+  def q62Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val marketing = col("event_type").isin("view", "click")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      // both frames in ONE select so Catalyst plans a single Window
+      // operator (two withColumn calls interleave Projects that block
+      // CollapseWindow — measured as two passes over the sorted run)
+      .select(col("*"),
+        last(when(marketing, col("event_type")), ignoreNulls = true).over(w)
+          .as("t_type"),
+        last(when(marketing, col("us")), ignoreNulls = true).over(w)
+          .as("t_us"))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attribution",
+        when(col("t_us").isNull ||
+          col("us") - col("t_us") > AttributionLookbackUs, lit("none"))
+          .otherwise(col("t_type")))
+      .groupBy("attribution")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attribution") === "none", lit(0L))
+          .otherwise(expr("(us - t_us) div 1000000"))).as("total_lag_s"))
+      .orderBy("attribution")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -1679,6 +1726,7 @@ object Relational {
     "q59_anomaly_mad"       -> (q59AnomalyMad _),
     "q60_active_islands"    -> (q60ActiveIslands _),
     "q61_pagerank"          -> (q61Pagerank _),
+    "q62_attribution"       -> (q62Attribution _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -562,6 +562,36 @@ object RelationalOracles {
 
     // gaps and islands: day − row_number is constant within an island;
     // integer epoch days on both engines
+    // last-touch attribution: identical strictly-before window (ROWS …
+    // 1 PRECEDING over the same (us, event_id) total order), µs lag
+    // floored to integer seconds so sums are exact BIGINTs
+    "q62_attribution" -> {
+      import graft.operators.Relational.AttributionLookbackUs
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events),
+         |t AS (
+         |  SELECT *,
+         |    last_value(CASE WHEN event_type IN ('view', 'click')
+         |        THEN event_type END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_type,
+         |    last_value(CASE WHEN event_type IN ('view', 'click')
+         |        THEN us END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS t_us
+         |  FROM e),
+         |p AS (
+         |  SELECT CASE WHEN t_us IS NULL OR us - t_us > $AttributionLookbackUs
+         |      THEN 'none' ELSE t_type END AS attribution,
+         |    CASE WHEN t_us IS NULL OR us - t_us > $AttributionLookbackUs
+         |      THEN 0 ELSE (us - t_us) // 1000000 END AS lag_s
+         |  FROM t WHERE event_type = 'purchase')
+         |SELECT attribution, count(*) AS n_purchases,
+         |  CAST(sum(lag_s) AS BIGINT) AS total_lag_s
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // PageRank: the SECOND oracle that replays an iterative algorithm
     // end to end (the kcenter recipe) — one MATERIALIZED CTE triple
     // (contribution sum, dangling mass, damped recombination) per
