@@ -94,6 +94,8 @@ object Bench {
         (() => StreamingBench.retentionPipeline(spark, sfDir)),
       "streaming_attribution" ->
         (() => StreamingBench.attributionPipeline(spark, sfDir)),
+      "streaming_session_funnel" ->
+        (() => StreamingBench.sessionFunnelPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

@@ -128,10 +128,11 @@ object StreamingBench {
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_transitions", "streaming_funnel", "streaming_retention",
-        "streaming_attribution"))
+        "streaming_attribution", "streaming_session_funnel"))
       transRows(spark, sfDir)
     if (any("streaming_funnel")) funnelExpected(spark, sfDir)
     if (any("streaming_retention")) retentionExpected(spark, sfDir)
+    if (any("streaming_session_funnel")) sessionFunnelExpected(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
@@ -668,6 +669,38 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "attribution")(
         requireCount("attribution", expected)))
+  }
+
+  /** Σ of batch q63's four cohort counters — the session-funnel line's
+    * exact STAGE model (rows are per-event StageHits; the stage count
+    * is Σ sizes of the emitted stage arrays). */
+  private def sessionFunnelExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("session_funnel", sfDir) {
+      graft.operators.Relational.q63SessionFunnel(spark, sfDir).collect()
+        .map(r => r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
+    }
+
+  /** Event-time session funnel: the whole events table through the
+    * flagship TTL operator carrying per-session funnel state, two
+    * in-event-time-order batches with a 0-second watermark; Σ stage
+    * emissions == Σ batch-q63 cohort counters. */
+  def sessionFunnelPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.duration._
+    val rows = transRows(spark, sfDir)
+    val expected = sessionFunnelExpected(spark, sfDir)
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val ttl = (graft.operators.Relational.TtlMicros / 1000L).millis
+    val out = graft.streaming.StreamingFunnel.sessionStages(
+      stream.toDS().withWatermark("ts", "0 seconds"), ttl)
+      .toDF().select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("stages")).as("stage"))
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "session_funnel")(
+        requireCount("session_funnel", expected)))
   }
 
   /** Σ of batch q57's `n_users` — the retention line's exact output-row

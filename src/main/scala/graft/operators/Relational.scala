@@ -1663,6 +1663,52 @@ object Relational {
       .orderBy("attribution")
   }
 
+  /** Q63 — SESSION-SCOPED FUNNEL: the q50 conversion funnel restarted
+    * per session (gap > [[TtlMicros]] starts a new session — the same
+    * 30-minute rule as q14/q40), reported per cohort as
+    * sessions/viewed/clicked-after-view/purchased-after-click. This is
+    * the batch twin of the event-time-TTL streaming funnel
+    * ([[graft.streaming.StreamingFunnel.sessionStages]]): TTL eviction
+    * IS session semantics, which is exactly the reference flagship's
+    * point (MapWithState.java:51-393).
+    *
+    * Scale shape: ONE fact exchange on user_id carries everything —
+    * the gap window, the session-id running sum, and the three chained
+    * per-session min() windows all share it (hash-partitioning on a
+    * prefix of the (user, session) keys co-locates sessions by
+    * construction), then a session-level aggregate that is map-side
+    * combining on the same partitioning and a ≤10-row cohort fold. */
+  def q63SessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+    val prev = lag(col("us"), 1).over(byUser)
+    val wS = Window.partitionBy("user_id", "session_id")
+    ev
+      .withColumn("new_sess",
+        when(prev.isNull || col("us") - prev > TtlMicros, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(cum))
+      .withColumn("tv",
+        min(when(col("event_type") === "view", col("us"))).over(wS))
+      .withColumn("tc",
+        min(when(col("event_type") === "click" && col("us") > col("tv"),
+          col("us"))).over(wS))
+      .withColumn("tp",
+        min(when(col("event_type") === "purchase" && col("us") > col("tc"),
+          col("us"))).over(wS))
+      .groupBy("user_id", "session_id")
+      .agg(min(col("tv")).as("tv"), min(col("tc")).as("tc"),
+        min(col("tp")).as("tp"))
+      .groupBy(pmod(col("user_id"), lit(10)).cast("long").as("cohort"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count(col("tv")).as("n_viewed"),
+        count(col("tc")).as("n_clicked_after_view"),
+        count(col("tp")).as("n_purchased_after_click"))
+      .orderBy("cohort")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -1727,6 +1773,7 @@ object Relational {
     "q60_active_islands"    -> (q60ActiveIslands _),
     "q61_pagerank"          -> (q61Pagerank _),
     "q62_attribution"       -> (q62Attribution _),
+    "q63_session_funnel"    -> (q63SessionFunnel _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -562,6 +562,46 @@ object RelationalOracles {
 
     // gaps and islands: day − row_number is constant within an island;
     // integer epoch days on both engines
+    // session-scoped funnel: identical gap rule (strict >, 30-min µs),
+    // session-id running sum, and three chained per-session min()
+    // windows; integer µs everywhere
+    "q63_session_funnel" -> {
+      import graft.operators.Relational.TtlMicros
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+         |  FROM events),
+         |s AS (
+         |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+         |      OR us - lag(us) OVER w > $TtlMicros THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s2 AS (
+         |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM s),
+         |t1 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+         |    OVER ws AS tv
+         |  FROM s2 WINDOW ws AS (PARTITION BY user_id, session_id)),
+         |t2 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'click' AND us > tv
+         |      THEN us END) OVER ws AS tc
+         |  FROM t1 WINDOW ws AS (PARTITION BY user_id, session_id)),
+         |t3 AS (
+         |  SELECT *, min(CASE WHEN event_type = 'purchase' AND us > tc
+         |      THEN us END) OVER ws AS tp
+         |  FROM t2 WINDOW ws AS (PARTITION BY user_id, session_id)),
+         |p AS (
+         |  SELECT user_id, session_id, min(tv) AS tv, min(tc) AS tc,
+         |    min(tp) AS tp
+         |  FROM t3 GROUP BY 1, 2)
+         |SELECT CAST(user_id % 10 AS BIGINT) AS cohort,
+         |  count(*) AS n_sessions, count(tv) AS n_viewed,
+         |  count(tc) AS n_clicked_after_view,
+         |  count(tp) AS n_purchased_after_click
+         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // last-touch attribution: identical strictly-before window (ROWS …
     // 1 PRECEDING over the same (us, event_id) total order), µs lag
     // floored to integer seconds so sums are exact BIGINTs

@@ -86,6 +86,53 @@ object StreamingFunnel {
       out.result().iterator
     }
 
+  /** Per-session funnel state for [[sessionStages]]: `seen` marks that
+    * this session's `session` stage row was already emitted (the
+    * default-state reset a TTL gap performs clears it — a new session
+    * announces itself). */
+  case class SessFunnel(seen: Boolean, tv: Long, tc: Long, tp: Long)
+
+  /** One event's stage advancements (0–2 rows: a session's first event
+    * emits `session`, possibly plus its own stage). */
+  case class StageHits(user_id: Long, stages: Seq[String])
+
+  /** EVENT-TIME SESSION FUNNEL — the funnel on TTL-eviction semantics:
+    * a gap > `ttl` in a user's EVENT time restarts the funnel, so every
+    * session converts (or not) independently. Built directly on the
+    * flagship [[MapWithStateTTL.eventTime]] operator (watermark-driven
+    * state cleanup; the caller puts `.withWatermark` on the source), and
+    * the batch twin is `Relational.q63SessionFunnel` — spec-pinned equal
+    * cohort counters, which is the streaming/batch equivalence the
+    * reference's MapWithState PoC was after. Emitted stages: `session`,
+    * `view`, `click_after_view`, `purchase_after_click`. */
+  def sessionStages(
+      events: Dataset[Ev],
+      ttl: scala.concurrent.duration.FiniteDuration)
+      : Dataset[StageHits] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    MapWithStateTTL.eventTime(
+      events, ttl, defaultState = SessFunnel(false, -1L, -1L, -1L))(
+      _.user_id,
+      e => Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L,
+      _.event_id) { (user, e, st0) =>
+      val us = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+      val out = Seq.newBuilder[String]
+      var st = st0
+      if (!st.seen) { out += "session"; st = st.copy(seen = true) }
+      e.event_type match {
+        case "view" if st.tv < 0 =>
+          st = st.copy(tv = us); out += "view"
+        case "click" if st.tv >= 0 && us > st.tv && st.tc < 0 =>
+          st = st.copy(tc = us); out += "click_after_view"
+        case "purchase" if st.tc >= 0 && us > st.tc && st.tp < 0 =>
+          st = st.copy(tp = us); out += "purchase_after_click"
+        case _ => ()
+      }
+      (StageHits(user, out.result()), st)
+    }
+  }
+
   /** Stage-advancement stream for a keyed event stream. Downstream
     * `groupBy(cohort, stage).count()` is the live q50 dashboard. */
   def stages(

@@ -54,6 +54,45 @@ class StreamingFunnelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time session funnel == batch q63 cohort counters (TTL gap = session rule)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import scala.concurrent.duration._
+    val rows = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val stream = MemoryStream[Ev]
+    val ttl = (Relational.TtlMicros / 1000L).millis
+    val out = StreamingFunnel.sessionStages(
+      stream.toDS().withWatermark("ts", "0 seconds"), ttl)
+    val q = SourceKit.Sinks.toMemory(out.toDF(), "sess_funnel_out")
+    try {
+      val (b1, b2) = rows.toIndexedSeq.splitAt(rows.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("sess_funnel_out")
+        .select(pmod(col("user_id"), lit(10)).cast("long").as("cohort"),
+          explode(col("stages")).as("stage"))
+        .groupBy("cohort", "stage").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+        .withDefaultValue(0L)
+      val batch = Relational.q63SessionFunnel(spark, sf0001).collect()
+      assert(batch.nonEmpty)
+      batch.foreach { r =>
+        val c = r.getLong(0)
+        assert(streamed((c, "session")) == r.getLong(1), s"n_sessions cohort $c")
+        assert(streamed((c, "view")) == r.getLong(2), s"n_viewed cohort $c")
+        assert(streamed((c, "click_after_view")) == r.getLong(3),
+          s"n_clicked_after_view cohort $c")
+        assert(streamed((c, "purchase_after_click")) == r.getLong(4),
+          s"n_purchased_after_click cohort $c")
+      }
+    } finally q.stop()
+  }
+
   test("stage machine: ordering guards, idle eviction, no-op state writes") {
     import scala.concurrent.duration._
     import org.apache.spark.api.java.Optional
