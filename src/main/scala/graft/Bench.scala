@@ -96,6 +96,8 @@ object Bench {
         (() => StreamingBench.attributionPipeline(spark, sfDir)),
       "streaming_session_funnel" ->
         (() => StreamingBench.sessionFunnelPipeline(spark, sfDir)),
+      "streaming_dq" ->
+        (() => StreamingBench.dqPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

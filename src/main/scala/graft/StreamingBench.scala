@@ -102,7 +102,7 @@ object StreamingBench {
         "streaming_session_window", "streaming_enrich",
         "streaming_temporal_join", "streaming_running_reduce",
         "streaming_count_windows", "streaming_quantiles", "streaming_ndv",
-        "streaming_count_min", "streaming_dedup")) {
+        "streaming_count_min", "streaming_dedup", "streaming_dq")) {
       val rows = eventRows(spark, sfDir)
       if (wanted("streaming_session_window")) sessionExpected(rows, sfDir)
       if (wanted("streaming_count_windows")) countWindowsExpected(rows, sfDir)
@@ -669,6 +669,39 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "attribution")(
         requireCount("attribution", expected)))
+  }
+
+  /** Streaming DQ monitor: the events feed with deterministic planted
+    * violations (every 89th an orphan user, 97th a non-positive amount,
+    * 101st above-cap) screened by stream-static anti join + scan rules
+    * in two batches; output rows == the driver-side violation model. */
+  def dqPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDq
+    val rows = eventRows(spark, sfDir)
+    val users = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"))
+    val facts = rows.zipWithIndex.map { case (e, i) =>
+      StreamingDq.Fact(
+        e.event_id,
+        if (i % 89 == 0) e.user_id + 1000000000000L else e.user_id,
+        if (i % 97 == 0) -5L
+        else if (i % 101 == 0) StreamingDq.CentsCap + 7L
+        else e.cents)
+    }
+    val expected = memoExpected("dq", sfDir) {
+      val userSet = users.as[Long].collect().toSet
+      (facts.count(f => !userSet(f.user_id)) +
+        facts.count(_.cents <= 0L) +
+        facts.count(_.cents > StreamingDq.CentsCap)).toLong
+    }
+    val stream = MemoryStream[StreamingDq.Fact]
+    val out = StreamingDq.violations(stream.toDS(), users)
+    val batches = facts.toIndexedSeq.splitAt(facts.length / 2)
+    runTwoBatches(spark, stream, out, batches, "dq")(
+      requireCount("dq", expected))
   }
 
   /** Σ of batch q63's four cohort counters — the session-funnel line's
