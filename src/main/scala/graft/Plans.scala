@@ -88,7 +88,8 @@ object Plans {
     "q60_active_islands",  // islands via day - rank, one user partitioning
     "dq_checks",           // six audit rules, all 1-row aggregates + anti joins
     "approx_distinct_kmv", // per-set map-side top-k + k-set-only union merge
-    "q62_attribution")     // one user exchange: strictly-before last() window
+    "q62_attribution",     // one user exchange: strictly-before last() window
+    "q63_session_funnel")  // one user exchange: gap + session-id + 3 min() windows
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -69,4 +69,22 @@ class PlanGuardSpec extends SparkTestBase {
     }
     assert(offenders.isEmpty, s"scale-hostile joins crept in:\n${offenders.mkString("\n")}")
   }
+
+  test("one-exchange product-analytics family shuffles the fact exactly once on user_id") {
+    // q58/q62/q63's documented scale claim is structural: ONE
+    // hashpartitioning exchange on user_id carries the whole analysis
+    // (windows and the session sub-partitioning reuse it); the final
+    // tiny aggregate/orderBy exchanges move ≤ cohort-count rows, never
+    // the fact. Pin it so a refactor that sneaks in a second fact
+    // shuffle (e.g. a window keyed before the exchange-compatible
+    // prefix) fails loudly.
+    Seq("q58_transitions", "q62_attribution", "q63_session_funnel").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      val userExchanges = "Exchange hashpartitioning\\(user_id".r
+        .findAllIn(plan).size
+      assert(userExchanges == 1,
+        s"$q: expected exactly one user_id exchange, found $userExchanges")
+    }
+  }
 }
