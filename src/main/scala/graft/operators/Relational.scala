@@ -1591,18 +1591,30 @@ object Relational {
     // source-side degree attached once, outside the loop — saves a
     // join per round
     val edgesDeg = edges.join(odeg, "pa").localCheckpoint()
+    // the dangling-node set is FIXED across rounds (degrees never
+    // change) — materialize it once instead of re-running the
+    // source-distinct + anti join every round (was 5 extra shuffles)
+    val danglingNodes = nodes
+      .join(edgesDeg.select("pa").distinct(),
+        col("part") === col("pa"), "left_anti")
+      .select(col("part").as("dpart"))
+      .localCheckpoint()
     val n = nodes.count()
     val r0 = PagerankScale / n
     val base = (r0 * 15L) / 100L
     var ranks = nodes.withColumn("r", lit(r0)).localCheckpoint()
     for (_ <- 1 to iters) {
+      // ranks is catalog-sized (one row per product) — BROADCAST it so
+      // the edge frame never shuffles; the per-round exchange is only
+      // the map-side-combined contribution partials (≤ n rows per
+      // partition). A graph whose node set outgrows broadcast switches
+      // to the both-sides-bucketed join — the documented q55 fallback.
       val contrib = edgesDeg
-        .join(ranks, col("pa") === col("part"))
+        .join(broadcast(ranks), col("pa") === col("part"))
         .select(col("pb"), expr("r div deg").as("c"))
         .groupBy("pb").agg(sum(col("c")).as("s"))
       val dangling = ranks
-        .join(edgesDeg.select("pa").distinct(),
-          col("part") === col("pa"), "left_anti")
+        .join(danglingNodes, col("part") === col("dpart"), "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
       ranks = nodes
         .crossJoin(broadcast(dangling))
