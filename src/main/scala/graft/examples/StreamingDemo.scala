@@ -73,6 +73,34 @@ object StreamingDemo {
     spark.table("demo_rr").show(truncate = false)
     rrQuery.stop()
 
+    // --- live conversion funnel (keyed funnel state, round 12) ---
+    import graft.streaming.StreamingTransitions.Ev
+    def ev(sec: Long, id: Long, tpe: String) =
+      Ev(1L, new java.sql.Timestamp(sec * 1000), id, tpe)
+    val fStream = MemoryStream[Ev]
+    val fOut = graft.streaming.StreamingFunnel.stages(fStream.toDS())
+    val fQuery = Sinks.toMemory(fOut.toDF(), "demo_funnel")
+    fStream.addData(
+      ev(1, 1, "view"), ev(2, 2, "click"), ev(3, 3, "purchase"),
+      ev(4, 4, "click")) // second click: funnel already advanced, no row
+    fQuery.processAllAvailable()
+    println("Funnel stages (expect user, view, click_after_view, purchase_after_click):")
+    spark.table("demo_funnel").show(truncate = false)
+    fQuery.stop()
+
+    // --- live last-touch attribution (one Touch per user, round 12) ---
+    val aStream = MemoryStream[Ev]
+    val aOut = graft.streaming.StreamingAttribution.hits(aStream.toDS())
+    val aQuery = Sinks.toMemory(aOut.toDF(), "demo_attr")
+    aStream.addData(
+      ev(1, 1, "purchase"), // before any touch -> none
+      ev(2, 2, "click"), ev(5, 3, "purchase"), // -> click, lag 3 s
+      ev(6, 4, "view"), ev(9, 5, "purchase")) // view re-points -> view, lag 3 s
+    aQuery.processAllAvailable()
+    println("Attribution (expect none/0, click/3, view/3):")
+    spark.table("demo_attr").show(truncate = false)
+    aQuery.stop()
+
     spark.stop()
   }
 }
