@@ -109,6 +109,7 @@ object StreamingBench {
       if (wanted("streaming_quantiles")) quantilesExpected(rows, sfDir)
       if (wanted("streaming_ndv")) ndvExpected(rows, sfDir)
       if (wanted("streaming_count_min")) countMinExpected(rows, sfDir)
+      if (wanted("streaming_dq")) dqSeed(spark, sfDir)
     }
     if (any("streaming_topk")) {
       eventTypes(spark, sfDir); topKExpected(spark, sfDir)
@@ -142,7 +143,7 @@ object StreamingBench {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
-    transMemo.clear(); progressLog.clear()
+    transMemo.clear(); dqMemo.clear(); progressLog.clear()
   }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
@@ -675,28 +676,44 @@ object StreamingBench {
     * violations (every 89th an orphan user, 97th a non-positive amount,
     * 101st above-cap) screened by stream-static anti join + scan rules
     * in two batches; output rows == the driver-side violation model. */
+  private val dqMemo = scala.collection.mutable.HashMap
+    .empty[String, (Array[graft.streaming.StreamingDq.Fact], Long)]
+
+  /** Planted feed + expected violation count for [[dqPipeline]], built
+    * once per sfDir in the untimed prepare (the model discipline:
+    * no timed region pays model cost). */
+  private def dqSeed(spark: SparkSession, sfDir: String)
+      : (Array[graft.streaming.StreamingDq.Fact], Long) =
+    dqMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      import graft.streaming.StreamingDq
+      val rows = eventRows(spark, sfDir)
+      val facts = rows.zipWithIndex.map { case (e, i) =>
+        StreamingDq.Fact(
+          e.event_id,
+          if (i % 89 == 0) e.user_id + 1000000000000L else e.user_id,
+          if (i % 97 == 0) -5L
+          else if (i % 101 == 0) StreamingDq.CentsCap + 7L
+          else e.cents)
+      }
+      val userSet = Tables.customer(spark, sfDir)
+        .select(col("c_custkey")).as[Long].collect().toSet
+      val expected =
+        (facts.count(f => !userSet(f.user_id)) +
+          facts.count(_.cents <= 0L) +
+          facts.count(_.cents > StreamingDq.CentsCap)).toLong
+      (facts, expected)
+    })
+
   def dqPipeline(spark: SparkSession, sfDir: String): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingDq
-    val rows = eventRows(spark, sfDir)
+    val (facts, expected) = dqSeed(spark, sfDir)
     val users = Tables.customer(spark, sfDir)
       .select(col("c_custkey").as("user_id"))
-    val facts = rows.zipWithIndex.map { case (e, i) =>
-      StreamingDq.Fact(
-        e.event_id,
-        if (i % 89 == 0) e.user_id + 1000000000000L else e.user_id,
-        if (i % 97 == 0) -5L
-        else if (i % 101 == 0) StreamingDq.CentsCap + 7L
-        else e.cents)
-    }
-    val expected = memoExpected("dq", sfDir) {
-      val userSet = users.as[Long].collect().toSet
-      (facts.count(f => !userSet(f.user_id)) +
-        facts.count(_.cents <= 0L) +
-        facts.count(_.cents > StreamingDq.CentsCap)).toLong
-    }
     val stream = MemoryStream[StreamingDq.Fact]
     val out = StreamingDq.violations(stream.toDS(), users)
     val batches = facts.toIndexedSeq.splitAt(facts.length / 2)
