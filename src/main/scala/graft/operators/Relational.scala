@@ -1721,6 +1721,43 @@ object Relational {
       .orderBy("cohort")
   }
 
+  /** Trailing-window length for [[q64RollingWau]] (7 calendar days). */
+  val WauWindowDays = 7
+
+  /** Q64 — ROLLING 7-DAY ACTIVE USERS (WAU): for every calendar day in
+    * the data range, how many distinct users were active in the
+    * trailing [[WauWindowDays]]-day window — the dashboard metric every
+    * product ships next to the retention triangle.
+    *
+    * Scale shape: the naive forms are a 7-pass fact scan or an
+    * UNBOUNDED range self-join (activity × days); the shipped form is
+    * the bounded-expansion trick — distinct (user, day) once (the only
+    * fact exchange), each activity day exploded map-side to the ≤ 7
+    * window days it serves, distinct (user, window_day) (rows grow a
+    * FIXED 7×, never |days|×), then a per-day count. The calendar spine
+    * (so zero-activity days still report) is a 1-row min/max aggregate
+    * exploded and broadcast-joined — the q52 stats-broadcast pattern.
+    * All day arithmetic is integer epoch-days — nothing to ulp-flip. */
+  def q64RollingWau(s: SparkSession, dir: String): DataFrame = {
+    val w = WauWindowDays
+    val active = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"))
+      .distinct()
+    val contrib = active
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(w - 1))).as("wday"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("n_active"))
+    val spine = active.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("wday"))
+    spine
+      .join(contrib, Seq("wday"), "left")
+      .select(col("wday").as("day"),
+        coalesce(col("n_active"), lit(0L)).as("wau"))
+      .orderBy("day")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -1786,6 +1823,7 @@ object Relational {
     "q61_pagerank"          -> (q61Pagerank _),
     "q62_attribution"       -> (q62Attribution _),
     "q63_session_funnel"    -> (q63SessionFunnel _),
+    "q64_rolling_wau"       -> (q64RollingWau _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -562,6 +562,27 @@ object RelationalOracles {
 
     // gaps and islands: day − row_number is constant within an island;
     // integer epoch days on both engines
+    // rolling WAU: identical bounded 7-day expansion + distinct +
+    // calendar spine; all integer epoch-day arithmetic
+    "q64_rolling_wau" -> {
+      import graft.operators.Relational.WauWindowDays
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+         |  FROM events),
+         |c AS (
+         |  SELECT DISTINCT user_id, day + g AS wday
+         |  FROM a CROSS JOIN
+         |    (SELECT unnest(range(0, $WauWindowDays)) AS g)),
+         |n AS (SELECT wday, count(*) AS n_active FROM c GROUP BY 1),
+         |sp AS (SELECT unnest(range((SELECT min(day) FROM a),
+         |  (SELECT max(day) FROM a) + 1)) AS wday)
+         |SELECT CAST(sp.wday AS BIGINT) AS day,
+         |  CAST(coalesce(n.n_active, 0) AS BIGINT) AS wau
+         |FROM sp LEFT JOIN n ON sp.wday = n.wday
+         |ORDER BY 1""".stripMargin
+    },
+
     // session-scoped funnel: identical gap rule (strict >, 30-min µs),
     // session-id running sum, and three chained per-session min()
     // windows; integer µs everywhere
