@@ -98,6 +98,8 @@ object Bench {
         (() => StreamingBench.sessionFunnelPipeline(spark, sfDir)),
       "streaming_dq" ->
         (() => StreamingBench.dqPipeline(spark, sfDir)),
+      "streaming_wau" ->
+        (() => StreamingBench.wauPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

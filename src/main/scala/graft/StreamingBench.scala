@@ -129,11 +129,12 @@ object StreamingBench {
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_transitions", "streaming_funnel", "streaming_retention",
-        "streaming_attribution", "streaming_session_funnel"))
+        "streaming_attribution", "streaming_session_funnel", "streaming_wau"))
       transRows(spark, sfDir)
     if (any("streaming_funnel")) funnelExpected(spark, sfDir)
     if (any("streaming_retention")) retentionExpected(spark, sfDir)
     if (any("streaming_session_funnel")) sessionFunnelExpected(spark, sfDir)
+    if (any("streaming_wau")) wauExpected(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
@@ -719,6 +720,37 @@ object StreamingBench {
     val batches = facts.toIndexedSeq.splitAt(facts.length / 2)
     runTwoBatches(spark, stream, out, batches, "dq")(
       requireCount("dq", expected))
+  }
+
+  /** Exact WAU-hit model: Σ over users of |∪ [d, d+w−1]| over their
+    * distinct activity days (uncapped — the stream also covers trailing
+    * wdays past the last observed day). */
+  private def wauExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("wau", sfDir) {
+      val w = graft.operators.Relational.WauWindowDays
+      val userDays: Set[(Long, Long)] = transRows(spark, sfDir).iterator
+        .map(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L)))
+        .toSet
+      userDays.groupBy(_._1).valuesIterator
+        .map(ds => ds.flatMap { case (_, d) => d until (d + w) }.size.toLong)
+        .sum
+    }
+
+  /** Streaming rolling-WAU: the whole events table through the per-user
+    * coverage-bitmask state in two in-order batches; output rows ==
+    * the exact (user, wday) coverage model. */
+  def wauPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val expected = wauExpected(spark, sfDir)
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingWau.hits(stream.toDS())
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "wau")(
+        requireCount("wau", expected)))
   }
 
   /** Σ of batch q63's four cohort counters — the session-funnel line's
