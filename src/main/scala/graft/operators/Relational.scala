@@ -1758,6 +1758,44 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Q65 — RFM SEGMENTATION: customers scored into quartiles on
+    * Recency (last order day), Frequency (order count) and Monetary
+    * (lifetime cents), reported as segment sizes + segment value — the
+    * classic CRM cut. Each quartile is an `ntile(4)` over a TOTAL
+    * order (metric, then custkey — the window-total-order rule, or the
+    * two engines would split ties differently), so the assignment is
+    * engine-deterministic; money stays in exact integer cents.
+    *
+    * Scale shape: the fact collapses to one row per customer FIRST
+    * (the only fact exchange); the three ntile windows then run over
+    * ENTITY-sized data — a global sort each, fine for a customer
+    * dimension, and the documented giant-entity escape is the q41
+    * band trick (percentile-bracket the quartile boundaries, assign by
+    * comparison, rank only boundary ties). Final output is ≤ 64
+    * segment rows. */
+  def q65Rfm(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("datediff(to_date(o_orderdate), DATE '1970-01-01')")
+          .cast("long").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("n_orders"),
+        sum(col("cents")).as("m_cents"))
+    val rq = Window.orderBy(col("last_day").desc, col("o_custkey").asc)
+    val fq = Window.orderBy(col("n_orders").desc, col("o_custkey").asc)
+    val mq = Window.orderBy(col("m_cents").desc, col("o_custkey").asc)
+    perCust
+      .withColumn("r_q", ntile(4).over(rq).cast("long"))
+      .withColumn("f_q", ntile(4).over(fq).cast("long"))
+      .withColumn("m_q", ntile(4).over(mq).cast("long"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m_cents")).as("segment_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -1824,6 +1862,7 @@ object Relational {
     "q62_attribution"       -> (q62Attribution _),
     "q63_session_funnel"    -> (q63SessionFunnel _),
     "q64_rolling_wau"       -> (q64RollingWau _),
+    "q65_rfm"               -> (q65Rfm _),
     "dq_checks"             -> (dqChecks _),
   )
 }

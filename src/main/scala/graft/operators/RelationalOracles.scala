@@ -562,6 +562,28 @@ object RelationalOracles {
 
     // gaps and islands: day − row_number is constant within an island;
     // integer epoch days on both engines
+    // RFM: identical total-ordered ntile(4) windows (metric desc,
+    // custkey asc — both engines split ties the same way), exact cents
+    "q65_rfm" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |    max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+        |      AS last_day,
+        |    count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM orders GROUP BY 1),
+        |q AS (
+        |  SELECT *,
+        |    ntile(4) OVER (ORDER BY last_day DESC, o_custkey ASC) AS r_q,
+        |    ntile(4) OVER (ORDER BY n_orders DESC, o_custkey ASC) AS f_q,
+        |    ntile(4) OVER (ORDER BY m_cents DESC, o_custkey ASC) AS m_q
+        |  FROM pc)
+        |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+        |  CAST(m_q AS BIGINT) AS m_q, count(*) AS n_customers,
+        |  CAST(sum(m_cents) AS BIGINT) AS segment_cents
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     // rolling WAU: identical bounded 7-day expansion + distinct +
     // calendar spine; all integer epoch-day arithmetic
     "q64_rolling_wau" -> {
