@@ -1796,6 +1796,45 @@ object Relational {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** Fixed-point ppm scale for [[q66AssocRules]] ratios. */
+  val AssocPpm = 1000000L
+
+  /** Q66 — ASSOCIATION RULES over the co-purchase pairs: q54's top
+    * pairs extended with the numbers a recommender actually ranks by —
+    * support, directional confidence and lift, all as INTEGER ppm
+    * (`n_ab·1e6 div n_a` etc.), so the ratios are exact BIGINTs on
+    * both engines (no double division to ulp-flip).
+    *
+    * Scale shape: the pair counts reuse q54's one-exchange basket
+    * comprehension (map-side pair generation, never a fact self-join);
+    * per-item basket counts are ONE part-keyed aggregate joined twice
+    * onto the 20 surviving pairs (broadcast — the pair side is tiny by
+    * then); the basket total is a 1-row broadcast. */
+  def q66AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val items = d.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val total = d.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val pairs = q54Copurchase(s, dir)
+      .select(col("pa"), col("pb"), col("n_orders").as("n_ab"))
+    // the 20-row pair frame is the broadcast side of both item joins
+    // (items is part-dimension-sized — never build the big side)
+    val withA = items.select(col("l_partkey").as("pa"), col("n_item").as("n_a"))
+      .join(broadcast(pairs), Seq("pa"))
+    val withB = items.select(col("l_partkey").as("pb"), col("n_item").as("n_b"))
+      .join(broadcast(withA), Seq("pb"))
+    withB
+      .crossJoin(broadcast(total))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        expr(s"(n_ab * $AssocPpm) div n_baskets").as("support_ppm"),
+        expr(s"(n_ab * $AssocPpm) div n_a").as("conf_ab_ppm"),
+        expr(s"(n_ab * $AssocPpm) div n_b").as("conf_ba_ppm"),
+        expr(s"(n_ab * n_baskets * $AssocPpm) div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("n_ab").desc, col("pa").asc, col("pb").asc)
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -1863,6 +1902,7 @@ object Relational {
     "q63_session_funnel"    -> (q63SessionFunnel _),
     "q64_rolling_wau"       -> (q64RollingWau _),
     "q65_rfm"               -> (q65Rfm _),
+    "q66_assoc_rules"       -> (q66AssocRules _),
     "dq_checks"             -> (dqChecks _),
   )
 }

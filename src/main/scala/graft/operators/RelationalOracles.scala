@@ -562,6 +562,31 @@ object RelationalOracles {
 
     // gaps and islands: day − row_number is constant within an island;
     // integer epoch days on both engines
+    // association rules: q54's pair counts + per-item basket counts,
+    // ratios as exact integer ppm (BIGINT div on both engines)
+    "q66_assoc_rules" -> {
+      import graft.operators.Relational.AssocPpm
+      s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |p AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+         |  FROM d a JOIN d b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2
+         |  ORDER BY n_ab DESC, pa ASC, pb ASC LIMIT 20),
+         |i AS (SELECT l_partkey, count(*) AS n_item FROM d GROUP BY 1),
+         |t AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM d)
+         |SELECT p.pa, p.pb, p.n_ab,
+         |  CAST((p.n_ab * $AssocPpm) // t.n_baskets AS BIGINT) AS support_ppm,
+         |  CAST((p.n_ab * $AssocPpm) // ia.n_item AS BIGINT) AS conf_ab_ppm,
+         |  CAST((p.n_ab * $AssocPpm) // ib.n_item AS BIGINT) AS conf_ba_ppm,
+         |  CAST((p.n_ab * t.n_baskets * $AssocPpm) // (ia.n_item * ib.n_item)
+         |    AS BIGINT) AS lift_ppm
+         |FROM p JOIN i ia ON p.pa = ia.l_partkey
+         |  JOIN i ib ON p.pb = ib.l_partkey
+         |  CROSS JOIN t
+         |ORDER BY p.n_ab DESC, p.pa ASC, p.pb ASC""".stripMargin
+    },
+
     // RFM: identical total-ordered ntile(4) windows (metric desc,
     // custkey asc — both engines split ties the same way), exact cents
     "q65_rfm" ->

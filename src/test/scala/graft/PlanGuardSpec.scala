@@ -50,7 +50,10 @@ class PlanGuardSpec extends SparkTestBase {
     "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_recall",
     "dedup_semantic", "mix_epochs", "q52_idle_capital", "q55_triangles",
     "approx_distinct_kmv", "dq_checks",
-    "sample_temperature", "token_budget_temperature")
+    "sample_temperature", "token_budget_temperature",
+    // q66 attaches its ONE-ROW basket-total aggregate to the 20
+    // surviving pair rows
+    "q66_assoc_rules")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =
