@@ -1835,6 +1835,46 @@ object Relational {
       .orderBy(col("n_ab").desc, col("pa").asc, col("pb").asc)
   }
 
+  /** Age horizon (months) reported by [[q67LtvTriangle]]. */
+  val LtvHorizonMonths = 12
+
+  /** Q67 — LTV COHORT TRIANGLE: customers grouped by first-order month
+    * (integer `year·12 + month`), and for each cohort and age k (months
+    * since first order, ≤ [[LtvHorizonMonths]]) the CUMULATIVE revenue
+    * and per-customer LTV — the revenue sibling of the q57 retention
+    * triangle, in exact integer cents (`cum_cents div cohort_size` for
+    * the per-capita line — BIGINT on both engines).
+    *
+    * Scale shape: ONE fact exchange on custkey — the cohort month is a
+    * `min() over (partition by custkey)` window, not an aggregate +
+    * join-back — then a (cohort, age) aggregate (≤ months² rows) whose
+    * cumulative sum and cohort sizes are window/aggregate work over the
+    * tiny triangle. */
+  def q67LtvTriangle(s: SparkSession, dir: String): DataFrame = {
+    val wCust = Window.partitionBy("o_custkey")
+    val wAge = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("mth"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .withColumn("cohort", min(col("mth")).over(wCust))
+      .withColumn("age", col("mth") - col("cohort"))
+      .filter(col("age") <= LtvHorizonMonths)
+    val sizes = base.select(col("cohort"), col("o_custkey")).distinct()
+      .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
+    base
+      .groupBy(col("cohort"), col("age"))
+      .agg(sum(col("cents")).as("rev_cents"))
+      .withColumn("cum_cents", sum(col("rev_cents")).over(wAge))
+      .join(sizes, Seq("cohort"))
+      .select(col("cohort"), col("age"), col("cohort_size"),
+        col("cum_cents"),
+        expr("cum_cents div cohort_size").as("ltv_cents_per_cust"))
+      .orderBy("cohort", "age")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -1903,6 +1943,7 @@ object Relational {
     "q64_rolling_wau"       -> (q64RollingWau _),
     "q65_rfm"               -> (q65Rfm _),
     "q66_assoc_rules"       -> (q66AssocRules _),
+    "q67_ltv_triangle"      -> (q67LtvTriangle _),
     "dq_checks"             -> (dqChecks _),
   )
 }

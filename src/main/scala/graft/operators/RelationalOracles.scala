@@ -562,6 +562,34 @@ object RelationalOracles {
 
     // gaps and islands: day − row_number is constant within an island;
     // integer epoch days on both engines
+    // LTV triangle: identical integer month/cohort arithmetic,
+    // cumulative sum over the tiny (cohort, age) frame, exact cents
+    "q67_ltv_triangle" -> {
+      import graft.operators.Relational.LtvHorizonMonths
+      s"""WITH b AS (
+         |  SELECT o_custkey,
+         |    year(o_orderdate) * 12 + month(o_orderdate) AS mth,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |c AS (SELECT *, min(mth) OVER (PARTITION BY o_custkey) AS cohort
+         |  FROM b),
+         |f AS (SELECT o_custkey, cohort, mth - cohort AS age, cents
+         |  FROM c WHERE mth - cohort <= $LtvHorizonMonths),
+         |sz AS (SELECT cohort, count(DISTINCT o_custkey) AS cohort_size
+         |  FROM f GROUP BY 1),
+         |r AS (SELECT cohort, age, CAST(sum(cents) AS BIGINT) AS rev_cents
+         |  FROM f GROUP BY 1, 2),
+         |cum AS (SELECT cohort, age,
+         |  CAST(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_cents
+         |  FROM r)
+         |SELECT CAST(cum.cohort AS BIGINT) AS cohort,
+         |  CAST(age AS BIGINT) AS age, sz.cohort_size, cum_cents,
+         |  CAST(cum_cents // sz.cohort_size AS BIGINT) AS ltv_cents_per_cust
+         |FROM cum JOIN sz USING (cohort) ORDER BY 1, 2""".stripMargin
+    },
+
     // association rules: q54's pair counts + per-item basket counts,
     // ratios as exact integer ppm (BIGINT div on both engines)
     "q66_assoc_rules" -> {
