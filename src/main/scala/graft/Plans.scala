@@ -89,7 +89,11 @@ object Plans {
     "dq_checks",           // six audit rules, all 1-row aggregates + anti joins
     "approx_distinct_kmv", // per-set map-side top-k + k-set-only union merge
     "q62_attribution",     // one user exchange: strictly-before last() window
-    "q63_session_funnel")  // one user exchange: gap + session-id + 3 min() windows
+    "q63_session_funnel",  // one user exchange: gap + session-id + 3 min() windows
+    "q64_rolling_wau",     // bounded 7x expansion + distinct, 1-row spine
+    "q65_rfm",             // entity-sized ntile windows after the fact collapse
+    "q66_assoc_rules",     // pair comprehension + tiny-side broadcast ratios
+    "q67_ltv_triangle")    // cohort via min() window, tiny triangle cumsum
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
