@@ -1740,10 +1740,13 @@ object Relational {
     * All day arithmetic is integer epoch-days — nothing to ulp-flip. */
   def q64RollingWau(s: SparkSession, dir: String): DataFrame = {
     val w = WauWindowDays
+    // localCheckpoint: active feeds BOTH the expansion and the spine —
+    // without it the fact scan + distinct exchange runs twice
     val active = Tables.events(s, dir)
       .select(col("user_id"),
         expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"))
       .distinct()
+      .localCheckpoint()
     val contrib = active
       .select(col("user_id"),
         explode(sequence(col("day"), col("day") + lit(w - 1))).as("wday"))
@@ -1854,7 +1857,11 @@ object Relational {
     val wCust = Window.partitionBy("o_custkey")
     val wAge = Window.partitionBy("cohort").orderBy("age")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = Tables.orders(s, dir)
+    // collapse to (customer, age) rows on the SAME custkey exchange the
+    // cohort window created, and checkpoint — sizes and the triangle
+    // both read this customer-sized frame instead of re-running the
+    // fact scan + window twice
+    val perCustAge = Tables.orders(s, dir)
       .select(col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
           .cast("long").as("mth"),
@@ -1862,9 +1869,12 @@ object Relational {
       .withColumn("cohort", min(col("mth")).over(wCust))
       .withColumn("age", col("mth") - col("cohort"))
       .filter(col("age") <= LtvHorizonMonths)
-    val sizes = base.select(col("cohort"), col("o_custkey")).distinct()
+      .groupBy(col("o_custkey"), col("cohort"), col("age"))
+      .agg(sum(col("cents")).as("cents"))
+      .localCheckpoint()
+    val sizes = perCustAge.select(col("cohort"), col("o_custkey")).distinct()
       .groupBy("cohort").agg(count(lit(1)).as("cohort_size"))
-    base
+    perCustAge
       .groupBy(col("cohort"), col("age"))
       .agg(sum(col("cents")).as("rev_cents"))
       .withColumn("cum_cents", sum(col("rev_cents")).over(wAge))
