@@ -100,6 +100,8 @@ object Bench {
         (() => StreamingBench.dqPipeline(spark, sfDir)),
       "streaming_wau" ->
         (() => StreamingBench.wauPipeline(spark, sfDir)),
+      "streaming_funnel_latency" ->
+        (() => StreamingBench.funnelLatencyPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

@@ -129,12 +129,14 @@ object StreamingBench {
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_transitions", "streaming_funnel", "streaming_retention",
-        "streaming_attribution", "streaming_session_funnel", "streaming_wau"))
+        "streaming_attribution", "streaming_session_funnel", "streaming_wau",
+        "streaming_funnel_latency"))
       transRows(spark, sfDir)
     if (any("streaming_funnel")) funnelExpected(spark, sfDir)
     if (any("streaming_retention")) retentionExpected(spark, sfDir)
     if (any("streaming_session_funnel")) sessionFunnelExpected(spark, sfDir)
     if (any("streaming_wau")) wauExpected(spark, sfDir)
+    if (any("streaming_funnel_latency")) funnelLatencyExpected(spark, sfDir)
   }
 
   /** Release the collected feed arrays. Bench.main calls this once the
@@ -720,6 +722,31 @@ object StreamingBench {
     val batches = facts.toIndexedSeq.splitAt(facts.length / 2)
     runTwoBatches(spark, stream, out, batches, "dq")(
       requireCount("dq", expected))
+  }
+
+  /** Σ of batch q56's `n_converted` — the conversion-latency line's
+    * exact output-row model (one lag per converting user). */
+  private def funnelLatencyExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("funnel_latency", sfDir) {
+      graft.operators.Relational.q56FunnelLatency(spark, sfDir).collect()
+        .map(_.getLong(1)).sum
+    }
+
+  /** Streaming conversion latency: the events table through the funnel
+    * state machine emitting (tc − tv) at the click_after_view moment;
+    * output rows == Σ batch-q56 converter counts. */
+  def funnelLatencyPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val expected = funnelLatencyExpected(spark, sfDir)
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingFunnel.conversionLags(stream.toDS())
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "funnel_latency")(
+        requireCount("funnel_latency", expected)))
   }
 
   /** Exact WAU-hit model: Σ over users of |∪ [d, d+w−1]| over their

@@ -133,6 +133,41 @@ object StreamingFunnel {
     }
   }
 
+  case class ConversionLag(user_id: Long, lag_us: Long)
+
+  private[streaming] def lagUpdate(
+      idleTimeout: Option[FiniteDuration])(
+      user: Long, it: Iterator[Ev],
+      state: GroupState[FunnelState]): Iterator[ConversionLag] =
+    funnelUpdate(idleTimeout)(user, it, state)
+      .filter(_.stage == "click_after_view")
+      .map { adv =>
+        // tc was just committed; tv is in the (freshly updated) state
+        ConversionLag(user, state.get.tc - state.get.tv)
+      }
+
+  /** FIRST-CONVERSION LATENCY stream — q56's streaming twin: exactly
+    * one row per converting user at the moment the click_after_view
+    * stage is reached, carrying `tc − tv` in µs (the same min-based
+    * pair batch q56 aggregates into cohort percentiles). Downstream, a
+    * cohort percentile dashboard is a [[StreamingQuantiles]]-style
+    * sketch or a batch roll-up of the emitted lags. Shares
+    * [[funnelUpdate]]'s state machine (three longs per user, same
+    * eviction trade). */
+  def conversionLags(
+      events: Dataset[Ev],
+      idleTimeout: Option[FiniteDuration] = None): Dataset[ConversionLag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        lagUpdate(idleTimeout))
+  }
+
   /** Stage-advancement stream for a keyed event stream. Downstream
     * `groupBy(cohort, stage).count()` is the live q50 dashboard. */
   def stages(

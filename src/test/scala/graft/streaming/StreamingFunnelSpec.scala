@@ -93,6 +93,43 @@ class StreamingFunnelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("conversion lags == per-user min-based (tc - tv) model, one row per converter") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val stream = MemoryStream[Ev]
+    val out = StreamingFunnel.conversionLags(stream.toDS())
+    val q = SourceKit.Sinks.toMemory(out.toDF(), "lag_out")
+    try {
+      val (b1, b2) = rows.toIndexedSeq.splitAt(rows.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("lag_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent model from the batch-q56 definition: tv = min view
+      // ts, tc = min click ts strictly after tv
+      def us(e: Ev): Long =
+        Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+      val model = rows.groupBy(_.user_id).flatMap { case (u, evs) =>
+        val tv = evs.filter(_.event_type == "view").map(us).minOption
+        val tc = tv.flatMap(t =>
+          evs.filter(e => e.event_type == "click" && us(e) > t).map(us).minOption)
+        tv.zip(tc).map { case (v, c) => u -> (c - v) }
+      }
+      assert(model.nonEmpty)
+      assert(streamed == model,
+        s"diff: ${(streamed.toSet diff model.toSet) ++ (model.toSet diff streamed.toSet)}")
+      // and the converter count matches batch q56's cohort totals
+      val q56 = Relational.q56FunnelLatency(spark, sf0001).collect()
+        .map(_.getLong(1)).sum
+      assert(streamed.size.toLong == q56)
+    } finally q.stop()
+  }
+
   test("stage machine: ordering guards, idle eviction, no-op state writes") {
     import scala.concurrent.duration._
     import org.apache.spark.api.java.Optional
