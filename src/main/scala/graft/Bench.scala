@@ -102,6 +102,8 @@ object Bench {
         (() => StreamingBench.wauPipeline(spark, sfDir)),
       "streaming_funnel_latency" ->
         (() => StreamingBench.funnelLatencyPipeline(spark, sfDir)),
+      "streaming_funnel_rocksdb" ->
+        (() => StreamingBench.funnelPipelineRocksDB(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

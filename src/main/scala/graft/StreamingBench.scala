@@ -130,9 +130,10 @@ object StreamingBench {
       semDedupSeed(spark, sfDir)
     if (any("streaming_transitions", "streaming_funnel", "streaming_retention",
         "streaming_attribution", "streaming_session_funnel", "streaming_wau",
-        "streaming_funnel_latency"))
+        "streaming_funnel_latency", "streaming_funnel_rocksdb"))
       transRows(spark, sfDir)
-    if (any("streaming_funnel")) funnelExpected(spark, sfDir)
+    if (any("streaming_funnel", "streaming_funnel_rocksdb"))
+      funnelExpected(spark, sfDir)
     if (any("streaming_retention")) retentionExpected(spark, sfDir)
     if (any("streaming_session_funnel")) sessionFunnelExpected(spark, sfDir)
     if (any("streaming_wau")) wauExpected(spark, sfDir)
@@ -723,6 +724,12 @@ object StreamingBench {
     runTwoBatches(spark, stream, out, batches, "dq")(
       requireCount("dq", expected))
   }
+
+  /** [[funnelPipeline]] on the RocksDB provider — the product-analytics
+    * keyed state (three longs per user, whole user population as keys)
+    * on the 100 TB large-state posture. */
+  def funnelPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark)(funnelPipeline(spark, sfDir))
 
   /** Σ of batch q56's `n_converted` — the conversion-latency line's
     * exact output-row model (one lag per converting user). */
