@@ -1885,6 +1885,33 @@ object Relational {
       .orderBy("cohort", "age")
   }
 
+  /** Q68 — FREQUENT TRIPLES (Apriori level 3): the co-purchase
+    * analysis one itemset size deeper — top product TRIPLES bought
+    * together, q54's map-side comprehension extended to ordered
+    * 3-subsets. Baskets are ≤ 7 lines, so the per-order expansion is
+    * bounded at C(7,3) = 35 structs — still ONE fact exchange and
+    * zero self-joins, where the textbook form is a THREE-way fact
+    * join. (The oracle runs that three-way join; the gate hash proves
+    * the rewrite.) */
+  def q68FrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    baskets
+      .select(explode(expr(
+        "flatten(transform(parts, (x, i) -> " +
+          "flatten(transform(slice(parts, i + 2, size(parts)), (y, j) -> " +
+          "transform(slice(parts, i + j + 3, size(parts)), " +
+          "z -> struct(x AS pa, y AS pb, z AS pc))))))")).as("t"))
+      .select(col("t.pa"), col("t.pb"), col("t.pc"))
+      .groupBy("pa", "pb", "pc")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("pa").asc, col("pb").asc,
+        col("pc").asc)
+      .limit(20)
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -1954,6 +1981,7 @@ object Relational {
     "q65_rfm"               -> (q65Rfm _),
     "q66_assoc_rules"       -> (q66AssocRules _),
     "q67_ltv_triangle"      -> (q67LtvTriangle _),
+    "q68_frequent_triples"  -> (q68FrequentTriples _),
     "dq_checks"             -> (dqChecks _),
   )
 }

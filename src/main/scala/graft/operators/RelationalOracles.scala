@@ -562,6 +562,19 @@ object RelationalOracles {
 
     // gaps and islands: day − row_number is constant within an island;
     // integer epoch days on both engines
+    // frequent triples: the textbook THREE-way self-join the Spark
+    // side's bounded comprehension replaces — hash equality proves the
+    // rewrite
+    "q68_frequent_triples" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS pa, b.l_partkey AS pb, c.l_partkey AS pc,
+        |  count(*) AS n_orders
+        |FROM d a
+        |JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |JOIN d c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_orders DESC, pa ASC, pb ASC, pc ASC LIMIT 20""".stripMargin,
+
     // LTV triangle: identical integer month/cohort arithmetic,
     // cumulative sum over the tiny (cohort, age) frame, exact cents
     "q67_ltv_triangle" -> {
