@@ -93,7 +93,8 @@ object Plans {
     "q64_rolling_wau",     // bounded 7x expansion + distinct, 1-row spine
     "q65_rfm",             // entity-sized ntile windows after the fact collapse
     "q66_assoc_rules",     // pair comprehension + tiny-side broadcast ratios
-    "q67_ltv_triangle")    // cohort via min() window, tiny triangle cumsum
+    "q67_ltv_triangle",    // cohort via min() window, tiny triangle cumsum
+    "q68_frequent_triples") // 3-subset comprehension, no three-way join
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
