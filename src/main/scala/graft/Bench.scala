@@ -104,6 +104,8 @@ object Bench {
         (() => StreamingBench.funnelLatencyPipeline(spark, sfDir)),
       "streaming_funnel_rocksdb" ->
         (() => StreamingBench.funnelPipelineRocksDB(spark, sfDir)),
+      "streaming_anomaly" ->
+        (() => StreamingBench.anomalyPipeline(spark, sfDir)),
       "streaming_count_min" -> (() => StreamingBench.countMinPipeline(spark, sfDir)),
       "streaming_near_dup" -> (() => StreamingBench.nearDupPipeline(spark, sfDir)),
       "streaming_semantic_dedup" ->

@@ -111,6 +111,7 @@ object StreamingBench {
       if (wanted("streaming_count_min")) countMinExpected(rows, sfDir)
       if (wanted("streaming_dq")) dqSeed(spark, sfDir)
     }
+    if (any("streaming_anomaly")) anomalySeed(spark, sfDir)
     if (any("streaming_topk")) {
       eventTypes(spark, sfDir); topKExpected(spark, sfDir)
     }
@@ -147,7 +148,8 @@ object StreamingBench {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
-    transMemo.clear(); dqMemo.clear(); progressLog.clear()
+    transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
+    progressLog.clear()
   }
 
   private def eventRows(spark: SparkSession, sfDir: String): Array[BEv] =
@@ -754,6 +756,45 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "funnel_latency")(
         requireCount("funnel_latency", expected)))
+  }
+
+  private val anomalyMemo = scala.collection.mutable.HashMap
+    .empty[String, (Array[graft.streaming.StreamingAnomaly.Metric],
+      Map[String, (Double, Double)], Long)]
+
+  /** Metric feed + trained thresholds + expected breach count for
+    * [[anomalyPipeline]] — Σ of batch q59's `n_outliers` is the exact
+    * output-row model (replayed decisions equal the batch rule). */
+  private def anomalySeed(spark: SparkSession, sfDir: String)
+      : (Array[graft.streaming.StreamingAnomaly.Metric],
+        Map[String, (Double, Double)], Long) =
+    anomalyMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      val thresholds =
+        graft.streaming.StreamingAnomaly.trainThresholds(spark, sfDir)
+      val feed = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[graft.streaming.StreamingAnomaly.Metric].collect()
+      val expected = graft.operators.Relational.q59AnomalyMad(spark, sfDir)
+        .collect().map(_.getLong(2)).sum
+      (feed, thresholds, expected)
+    })
+
+  /** Streaming anomaly monitor: the events metric feed through the
+    * stateless trained median/MAD probe in two batches; output rows ==
+    * Σ batch-q59 outlier counts. */
+  def anomalyPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (feed, thresholds, expected) = anomalySeed(spark, sfDir)
+    val stream = MemoryStream[graft.streaming.StreamingAnomaly.Metric]
+    val out = graft.streaming.StreamingAnomaly.breaches(stream.toDS(), thresholds)
+    val batches = feed.toIndexedSeq.splitAt(feed.length / 2)
+    runTwoBatches(spark, stream, out, batches, "anomaly")(
+      requireCount("anomaly", expected))
   }
 
   /** Exact WAU-hit model: Σ over users of |∪ [d, d+w−1]| over their
