@@ -101,6 +101,28 @@ class FunnelFamilyPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("WAU hits == exact coverage-union model for any day sequence (rebases included)") {
+    val dayScriptGen: Gen[Script] = for {
+      n <- Gen.choose(1, 30)
+      // big jumps force mask rebases; repeats force dedup
+      days <- Gen.listOfN(n, Gen.choose(0L, 300L))
+      s1 <- Gen.choose(0, n)
+      s2 <- Gen.choose(0, n)
+    } yield {
+      val evs = days.sorted.zipWithIndex.map { case (d, i) =>
+        Ev(7L, new java.sql.Timestamp(d * 86400000L), i.toLong, "view")
+      }
+      Script(evs, List(s1 min s2, s1 max s2))
+    }
+    check(Prop.forAll(dayScriptGen) { script =>
+      val out = replay[StreamingWau.WauState, StreamingWau.WauHit](
+        script, StreamingWau.wauUpdate(7, None))
+      val days = script.evs.map(e => Math.floorDiv(e.ts.getTime, 86400000L)).distinct
+      val expect = days.flatMap(d => d until (d + 7)).distinct.sorted
+      out.map(_.wday).sorted == expect
+    })
+  }
+
   test("attribution hits == strictly-before window model for any script and split") {
     check(Prop.forAll(scriptGen) { script =>
       val lookback = graft.operators.Relational.AttributionLookbackUs
