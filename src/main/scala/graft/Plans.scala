@@ -91,7 +91,7 @@ object Plans {
     "q62_attribution",     // one user exchange: strictly-before last() window
     "q63_session_funnel",  // one user exchange: gap + session-id + 3 min() windows
     "q64_rolling_wau",     // bounded 7x expansion + distinct, 1-row spine
-    "q65_rfm",             // entity-sized ntile windows after the fact collapse
+    "q65_rfm",             // band-machinery quartiles: sketch brackets + banded boundary ranks, zero global sorts
     "q66_assoc_rules",     // pair comprehension + tiny-side broadcast ratios
     "q67_ltv_triangle",    // cohort via min() window, tiny triangle cumsum
     "q68_frequent_triples") // 3-subset comprehension, no three-way join

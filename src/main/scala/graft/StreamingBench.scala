@@ -24,9 +24,12 @@ object StreamingBench {
   case class BEv(event_id: Long, user_id: Long, ts: java.sql.Timestamp, cents: Long)
 
   /** Exact epoch µs: Timestamp.getTime is ms-truncated, sub-ms lives in
-    * getNanos — matches q14's unix_micros arithmetic exactly. */
+    * getNanos — matches q14's unix_micros arithmetic exactly. ONE shared
+    * definition ([[graft.streaming.StreamingTransitions.tsMicros]]): a
+    * local re-implementation here had already drifted to a truncating
+    * `/` (wrong for pre-1970 timestamps). */
   private def micros(ts: java.sql.Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    graft.streaming.StreamingTransitions.tsMicros(ts)
 
   /** Per-sfDir memo of the collected feed arrays: five pipelines feed
     * the identical events table per bench round — collecting it once

@@ -505,10 +505,12 @@ object Profiling {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= KmvK)
       .select("set_id", "h")
-    val wu = Window.partitionBy(lit(1)).orderBy("h")
+    // K smallest union hashes via sort+limit, NOT a global window: this
+    // plans as TakeOrderedAndProject (map-side partial top-K per
+    // partition, K-row final merge) — the union input is already ≤ 2K
+    // rows here, but the form stays scale-safe and never single-tasks
     val unionK = kmins.select(col("h")).distinct()
-      .withColumn("rn", row_number().over(wu))
-      .filter(col("rn") <= KmvK)
+      .orderBy("h").limit(KmvK)
       .select(lit("union").as("set_id"), col("h"))
     val inBoth = kmins.filter(col("set_id") === "a").select(col("h").as("ha"))
       .join(kmins.filter(col("set_id") === "b").select(col("h").as("hb")),

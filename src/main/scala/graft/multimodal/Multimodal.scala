@@ -214,6 +214,27 @@ object Multimodal {
         MediaRow(r.doc_id, bytes, r.format, bytes.length.toLong)
       }
     }
+
+    /** Tolerant sibling of [[resize]]: an undecodable payload (codec
+      * returns null or throws) passes through UNCHANGED instead of
+      * failing the whole task on one bad row — the DQ-style
+      * skip-don't-crash contract. Callers that need the bad rows
+      * surfaced filter them first with [[quarantine]]. */
+    def resizeOrPass(maxSide: Int)(r: MediaRow): MediaRow =
+      try {
+        if (javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.media)) == null) r
+        else resize(maxSide)(r)
+      } catch { case scala.util.control.NonFatal(_) => r }
+
+    /** Decodability probe for the quarantine path: true iff the payload
+      * would survive [[resize]] — run as a filter to split a corpus into
+      * a processable stream and a quarantine stream BEFORE the strict
+      * codec stage. */
+    def decodable(r: MediaRow): Boolean =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.media)) != null
+      catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** Partition-batched media transform through an arbitrary

@@ -349,7 +349,7 @@ object Relational {
     val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .agg(guardedBasket(sort_array(collect_set(col("l_partkey")))).as("parts"))
     baskets
       .select(explode(expr(
         "flatten(transform(parts, (x, i) -> " +
@@ -361,6 +361,24 @@ object Relational {
       .orderBy(col("n_orders").desc, col("pa").asc, col("pb").asc)
       .limit(20)
   }
+
+  /** Loud ceiling for the basket comprehensions (q54/q66/q68 and the
+    * q55 edge expansion): pair/triple generation is quadratic/cubic in
+    * basket size — bounded at ≤7 items on this data, UNBOUNDED in
+    * general. C(64,3) ≈ 42k structs per row is the most a single
+    * pathological basket may expand to before the job fails LOUDLY
+    * instead of slowly. */
+  val MaxBasketParts = 64
+
+  /** Wraps a basket-array column with the [[MaxBasketParts]] guard:
+    * an oversized basket raises a descriptive error at the aggregate
+    * that built it, never a silent quadratic explosion downstream. */
+  private[graft] def guardedBasket(parts: Column): Column =
+    when(size(parts) > MaxBasketParts,
+      raise_error(concat(
+        lit(s"basket exceeds MaxBasketParts=$MaxBasketParts: size="),
+        size(parts).cast("string"))))
+      .otherwise(parts)
 
   /** Sampling rate denominator for [[q55Triangles]]'s DOULION stage:
     * an edge survives iff h32(pa|pb) ≡ 0 (mod this). */
@@ -402,7 +420,7 @@ object Relational {
     val allEdges = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .agg(guardedBasket(sort_array(collect_set(col("l_partkey")))).as("parts"))
       .select(explode(expr(
         "flatten(transform(parts, (x, i) -> " +
           "transform(slice(parts, i + 2, size(parts)), " +
@@ -424,7 +442,12 @@ object Relational {
     * (`pa < pb`, distinct): one row (n_edges_sampled, n_wedges_sampled,
     * n_triangles_sampled) — the [[q55Triangles]] core, exposed so the
     * random-graph fuzz spec can drive it against a brute-force model. */
-  private[graft] def triangleStats(edges: DataFrame): DataFrame = {
+  private[graft] def triangleStats(
+      edges: DataFrame,
+      closeBroadcastMaxEdges: Long = GraphBroadcastMaxRows): DataFrame = {
+    // callers hand in a localCheckpoint'd edge frame, so this count is a
+    // cheap cached scan — it gates the closing-set broadcast below
+    val nEdges = edges.count()
     val deg = edges.select(col("pa").as("v"))
       .unionAll(edges.select(col("pb").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -453,11 +476,13 @@ object Relational {
     // the closing check must NOT shuffle the wedge stream (wedges ≈
     // Σ outdeg² — tens of millions here): broadcast the 2-long edge
     // set so wedges flow map-side from the enumeration straight into
-    // the count. At a scale where the edge set outgrows broadcast,
-    // drop the hint and both sides shuffle on (wv, ww) — the standard
-    // MR triangle join — with the wedge side staying the bound.
+    // the count. At a scale where the edge set outgrows broadcast
+    // (the count gate above), drop the hint and both sides shuffle on
+    // (wv, ww) — the standard MR triangle join — with the wedge side
+    // staying the bound. Plan-pinned both ways in the triangle spec.
+    val closing = oriented.select(col("src").as("wv"), col("dst").as("ww"))
     val triangles = wedges
-      .join(broadcast(oriented.select(col("src").as("wv"), col("dst").as("ww"))),
+      .join(if (nEdges <= closeBroadcastMaxEdges) broadcast(closing) else closing,
         Seq("wv", "ww"), "left_semi")
     edges.agg(count(lit(1)).as("n_edges_sampled"))
       .crossJoin(broadcast(
@@ -1537,6 +1562,14 @@ object Relational {
     * same rounds as a chained MATERIALIZED CTE (the kcenter recipe). */
   val PagerankIters = 5
 
+  /** Broadcast guard for the iterative-graph joins (q61's per-round
+    * rank frame, q55's closing edge set): frames at or under this many
+    * rows take the broadcast plan; bigger ones fall back to the
+    * shuffled both-sides join instead of OOMing the driver/executors.
+    * 2-3 longs per row → ~50M rows ≈ 1 GB serialized, a sane ceiling
+    * for executor broadcast memory at the 100-TB posture. */
+  val GraphBroadcastMaxRows = 50000000L
+
   /** Q61 — PAGERANK over the directed "bought-next" product graph
     * (edge pa→pb iff pb is the next line after pa inside some order):
     * the second member of the iterative graph family
@@ -1573,7 +1606,8 @@ object Relational {
     * convergence direction (shrinking L1 delta per round) is
     * assertable round over round. */
   private[graft] def pagerankRanks(
-      s: SparkSession, dir: String, iters: Int): DataFrame = {
+      s: SparkSession, dir: String, iters: Int,
+      broadcastMaxNodes: Long = GraphBroadcastMaxRows): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
     // l_linenumber is NOT unique per order in the synthetic data — the
@@ -1602,6 +1636,11 @@ object Relational {
     val n = nodes.count()
     val r0 = PagerankScale / n
     val base = (r0 * 15L) / 100L
+    // the node count is already on the driver — gate the per-round
+    // broadcast on it so a node set that outgrows broadcast memory
+    // DEGRADES to the shuffled both-sides join instead of OOMing
+    // (plan-pinned both ways in PagerankSpec)
+    val bcastRanks = n <= broadcastMaxNodes
     var ranks = nodes.withColumn("r", lit(r0)).localCheckpoint()
     for (_ <- 1 to iters) {
       // ranks is catalog-sized (one row per product) — BROADCAST it so
@@ -1610,7 +1649,8 @@ object Relational {
       // partition). A graph whose node set outgrows broadcast switches
       // to the both-sides-bucketed join — the documented q55 fallback.
       val contrib = edgesDeg
-        .join(broadcast(ranks), col("pa") === col("part"))
+        .join(if (bcastRanks) broadcast(ranks) else ranks,
+          col("pa") === col("part"))
         .select(col("pb"), expr("r div deg").as("c"))
         .groupBy("pb").agg(sum(col("c")).as("s"))
       val dangling = ranks
@@ -1761,23 +1801,12 @@ object Relational {
       .orderBy("day")
   }
 
-  /** Q65 — RFM SEGMENTATION: customers scored into quartiles on
-    * Recency (last order day), Frequency (order count) and Monetary
-    * (lifetime cents), reported as segment sizes + segment value — the
-    * classic CRM cut. Each quartile is an `ntile(4)` over a TOTAL
-    * order (metric, then custkey — the window-total-order rule, or the
-    * two engines would split ties differently), so the assignment is
-    * engine-deterministic; money stays in exact integer cents.
-    *
-    * Scale shape: the fact collapses to one row per customer FIRST
-    * (the only fact exchange); the three ntile windows then run over
-    * ENTITY-sized data — a global sort each, fine for a customer
-    * dimension, and the documented giant-entity escape is the q41
-    * band trick (percentile-bracket the quartile boundaries, assign by
-    * comparison, rank only boundary ties). Final output is ≤ 64
-    * segment rows. */
-  def q65Rfm(s: SparkSession, dir: String): DataFrame = {
-    val perCust = Tables.orders(s, dir)
+  /** The (customer, last_day, n_orders, m_cents) frame both q65 forms
+    * score — ONE fact exchange on custkey, checkpointed because the
+    * band path reads it four times (count, sketch, band scan,
+    * assignment). */
+  private[graft] def rfmPerCustomer(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
       .select(col("o_custkey"),
         expr("datediff(to_date(o_orderdate), DATE '1970-01-01')")
           .cast("long").as("day"),
@@ -1786,6 +1815,110 @@ object Relational {
       .agg(max(col("day")).as("last_day"),
         count(lit(1)).as("n_orders"),
         sum(col("cents")).as("m_cents"))
+      .localCheckpoint()
+
+  /** `ntile(k)` over `(metric DESC, key ASC)` for several metric
+    * columns WITHOUT a global sort — the [[bandPercentilesMulti]] band
+    * trick applied to quantile ASSIGNMENT. ntile's bucket b ends at
+    * desc-rank `cum(b) = b·⌊n/k⌋ + min(b, n mod k)`, so a row's bucket
+    * is determined by comparing its `(metric, key)` tuple against the
+    * k−1 BOUNDARY tuples (the rows AT those ranks):
+    *
+    *  1. one t-digest per metric brackets each boundary row's metric
+    *     value with `[lo, hi]` (sketch rank error ≤ n/accuracy; the
+    *     ±3/accuracy fraction margin covers it — the q41 argument);
+    *  2. one conditional aggregate counts rows strictly before each
+    *     band in desc order (`metric > hi`);
+    *  3. only band rows (≈ 6n/accuracy each) are ranked, in a window
+    *     partitioned by (metric, boundary) — never a global sort;
+    *  4. the boundary tuple is the band row whose absolute desc-rank
+    *     (`before + band rank`) equals cum(b); bucket = 1 + #boundaries
+    *     the row falls strictly after in `(metric desc, key asc)`.
+    *
+    * Ties are exact: the boundary is a full (metric, key) TUPLE, so
+    * rows sharing the boundary metric split on key exactly as the
+    * ntile's total order does (differential-spec-pinned against the
+    * window form on a tie-heavy corpus). A bracket that somehow missed
+    * its target rank fails LOUDLY (`assert_true` on the boundary row),
+    * never a silently shifted quantile.
+    *
+    * `metrics` maps metric column → output bucket column; `df` must be
+    * checkpointed/cached by the caller (it is scanned 3 + k times). */
+  private[graft] def ntileBandsDesc(
+      df: DataFrame, key: String, metrics: Seq[(String, String)],
+      k: Int, accuracy: Int = 10000): DataFrame = {
+    val n = df.count()
+    require(n >= k, s"ntileBandsDesc: need at least k=$k rows, got $n")
+    // desc-rank of the last row of bucket b, b = 1..k-1
+    val cums = (1L until k.toLong).map(b => b * (n / k) + math.min(b, n % k))
+    // asc-multiset fraction of the boundary row's metric value
+    val fracs = cums.map { c =>
+      val i = n - c
+      if (n == 1) 0.0 else i.toDouble / (n - 1)
+    }
+    val margin = 3.0 / accuracy
+    val bIdx = 1 until k
+    val boundAggs = metrics.zipWithIndex.map { case ((m, _), vi) =>
+      percentile_approx(col(m),
+        typedLit(fracs.map(f => math.max(0.0, f - margin)) ++
+          fracs.map(f => math.min(1.0, f + margin))), lit(accuracy)).as(s"bb_$vi")
+    }
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+      .select(metrics.indices.flatMap { vi =>
+        bIdx.map(b => element_at(col(s"bb_$vi"), b).as(s"lo_${vi}_$b")) ++
+          bIdx.map(b => element_at(col(s"bb_$vi"), k - 1 + b).as(s"hi_${vi}_$b"))
+      }: _*)
+    val withB = df.crossJoin(broadcast(bounds))
+    val beforeAggs = metrics.zipWithIndex.flatMap { case ((m, _), vi) =>
+      bIdx.map(b =>
+        sum(when(col(m) > col(s"hi_${vi}_$b"), 1L).otherwise(0L))
+          .as(s"before_${vi}_$b"))
+    }
+    val befores = withB.agg(beforeAggs.head, beforeAggs.tail: _*)
+    val bands = metrics.zipWithIndex.flatMap { case ((m, _), vi) =>
+      bIdx.map { b =>
+        withB.filter(col(m) >= col(s"lo_${vi}_$b") && col(m) <= col(s"hi_${vi}_$b"))
+          .select(lit(vi).as("vi"), lit(b).as("bi"),
+            col(m).as("bv"), col(key).as("bk"))
+      }
+    }.reduce(_ unionByName _)
+    val wBand = Window.partitionBy("vi", "bi")
+      .orderBy(col("bv").desc, col("bk").asc)
+    val ranked = bands.withColumn("rn", row_number().over(wBand).cast("long"))
+      .crossJoin(broadcast(befores))
+    val bndAggs = metrics.indices.flatMap { vi =>
+      bIdx.map { b =>
+        max(when(col("vi") === vi && col("bi") === b &&
+          col(s"before_${vi}_$b") + col("rn") === cums(b - 1),
+          struct(col("bv"), col("bk")))).as(s"bnd_${vi}_$b")
+      }
+    }
+    val bndNames = metrics.indices.flatMap(vi => bIdx.map(b => s"bnd_${vi}_$b"))
+    val bnd = ranked.agg(bndAggs.head, bndAggs.tail: _*)
+      // LOUD band-miss guard: assert_true throws if any boundary rank
+      // fell outside its bracket; on success it returns null, keeping
+      // the single row
+      .filter(assert_true(
+        bndNames.map(c => col(c).isNotNull).reduce(_ && _),
+        lit("ntileBandsDesc: a percentile bracket missed its boundary rank")
+      ).isNull)
+    df.crossJoin(broadcast(bnd))
+      .select(df.columns.map(col) ++ metrics.zipWithIndex.map { case ((m, out), vi) =>
+        bIdx.map { b =>
+          // strictly AFTER the boundary tuple in (metric desc, key asc)
+          (col(m) < col(s"bnd_${vi}_${b}.bv") ||
+            (col(m) === col(s"bnd_${vi}_${b}.bv") &&
+              col(key) > col(s"bnd_${vi}_${b}.bk"))).cast("long")
+        }.reduce(_ + _).+(lit(1L)).as(out)
+      }: _*)
+  }
+
+  /** The original window-form RFM scorer — three `ntile(4)` over a
+    * TOTAL order (metric desc, custkey asc). Single-partition sorts by
+    * construction ("No Partition Defined"), so it is NOT the gate path
+    * at the 100-TB posture; kept as the differential ORACLE the band
+    * form is spec-pinned against (RfmBandSpec). */
+  private[graft] def rfmSegmentsNtile(perCust: DataFrame): DataFrame = {
     val rq = Window.orderBy(col("last_day").desc, col("o_custkey").asc)
     val fq = Window.orderBy(col("n_orders").desc, col("o_custkey").asc)
     val mq = Window.orderBy(col("m_cents").desc, col("o_custkey").asc)
@@ -1793,11 +1926,36 @@ object Relational {
       .withColumn("r_q", ntile(4).over(rq).cast("long"))
       .withColumn("f_q", ntile(4).over(fq).cast("long"))
       .withColumn("m_q", ntile(4).over(mq).cast("long"))
+  }
+
+  /** Band-form RFM scorer: [[ntileBandsDesc]] on the three metrics —
+    * value-identical to [[rfmSegmentsNtile]] (spec-pinned), zero
+    * single-partition sorts. */
+  private[graft] def rfmSegmentsBand(perCust: DataFrame): DataFrame =
+    ntileBandsDesc(perCust, "o_custkey",
+      Seq(("last_day", "r_q"), ("n_orders", "f_q"), ("m_cents", "m_q")), 4)
+
+  /** Q65 — RFM SEGMENTATION: customers scored into quartiles on
+    * Recency (last order day), Frequency (order count) and Monetary
+    * (lifetime cents), reported as segment sizes + segment value — the
+    * classic CRM cut. Each quartile is ntile(4) over a TOTAL order
+    * (metric, then custkey — the window-total-order rule), computed by
+    * the [[ntileBandsDesc]] band machinery so NO single-partition sort
+    * appears anywhere in the plan; money stays in exact integer cents.
+    *
+    * Scale shape: the fact collapses to one row per customer FIRST
+    * (the only fact exchange); the quartile boundaries come from one
+    * t-digest aggregate + one counting aggregate + a window over the
+    * ≈6n/accuracy boundary bands (partitioned per band); assignment is
+    * a broadcast comparison. At 10⁹ customers the biggest single task
+    * is a band sort of ~6·10⁵ rows — vs the ntile form's three full
+    * 10⁹-row single-task sorts. Final output is ≤ 64 segment rows. */
+  def q65Rfm(s: SparkSession, dir: String): DataFrame =
+    rfmSegmentsBand(rfmPerCustomer(s, dir))
       .groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("m_cents")).as("segment_cents"))
       .orderBy("r_q", "f_q", "m_q")
-  }
 
   /** Fixed-point ppm scale for [[q66AssocRules]] ratios. */
   val AssocPpm = 1000000L
@@ -1897,7 +2055,7 @@ object Relational {
     val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .agg(guardedBasket(sort_array(collect_set(col("l_partkey")))).as("parts"))
     baskets
       .select(explode(expr(
         "flatten(transform(parts, (x, i) -> " +

@@ -34,7 +34,7 @@ object StreamingAttribution {
   val Marketing: Set[String] = Set("view", "click")
 
   private def micros(t: java.sql.Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    StreamingTransitions.tsMicros(t)
 
   private[streaming] def attributionUpdate(
       lookbackUs: Long, idleTimeout: Option[FiniteDuration])(

@@ -51,7 +51,7 @@ object StreamingFunnel {
   case class StageAdvance(user_id: Long, stage: String, ts: java.sql.Timestamp)
 
   private def micros(t: java.sql.Timestamp): Long =
-    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    StreamingTransitions.tsMicros(t)
 
   private[streaming] def funnelUpdate(
       idleTimeout: Option[FiniteDuration])(
@@ -114,9 +114,9 @@ object StreamingFunnel {
     MapWithStateTTL.eventTime(
       events, ttl, defaultState = SessFunnel(false, -1L, -1L, -1L))(
       _.user_id,
-      e => Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L,
+      e => StreamingTransitions.tsMicros(e.ts),
       _.event_id) { (user, e, st0) =>
-      val us = Math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+      val us = StreamingTransitions.tsMicros(e.ts)
       val out = Seq.newBuilder[String]
       var st = st0
       if (!st.seen) { out += "session"; st = st.copy(seen = true) }

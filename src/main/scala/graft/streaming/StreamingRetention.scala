@@ -70,6 +70,11 @@ object StreamingRetention {
       events: Dataset[StreamingTransitions.Ev],
       horizon: Int = DefaultHorizon,
       idleTimeout: Option[FiniteDuration] = None): Dataset[RetentionHit] = {
+    // the seen-k bitmask is one long; horizon 63 would make `1L << k`
+    // wrap for late weeks (JVM shifts by k & 63) and silently
+    // double-count — same guard discipline as StreamingWau's window
+    require(horizon >= 0 && horizon <= 62,
+      "retention horizon must fit the 64-bit seen-week bitmask (0..62)")
     val spark = events.sparkSession
     import spark.implicits._
     val timeoutConf =

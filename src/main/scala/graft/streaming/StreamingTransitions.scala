@@ -28,6 +28,15 @@ object StreamingTransitions {
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, event_type: String)
   case class Transition(user_id: Long, prev_type: String, cur_type: String)
 
+  /** THE µs-from-Timestamp conversion for the whole streaming family
+    * (funnel, attribution, bench models): floorDiv seconds then add the
+    * sub-second nanos — matches `unix_micros` for pre-1970 values too,
+    * so the streaming/batch equivalence specs compare like for like.
+    * One definition; any drift (e.g. a truncating `/`) would silently
+    * split the streaming family from its batch gates. */
+  private[graft] def tsMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   private[streaming] def transitionUpdate(
       idleTimeout: Option[FiniteDuration])(
       user: Long, it: Iterator[Ev],

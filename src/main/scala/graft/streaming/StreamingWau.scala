@@ -36,7 +36,8 @@ object StreamingWau {
     Math.floorDiv(t.getTime, 86400000L)
 
   private[streaming] def wauUpdate(
-      windowDays: Int, idleTimeout: Option[FiniteDuration])(
+      windowDays: Int, idleTimeout: Option[FiniteDuration],
+      lateDrops: Option[org.apache.spark.util.LongAccumulator] = None)(
       user: Long, it: Iterator[StreamingTransitions.Ev],
       state: GroupState[WauState]): Iterator[WauHit] =
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
@@ -64,18 +65,30 @@ object StreamingWau {
             }
             k += 1
           }
-        } // else: behind the rolling window — beyond-watermark drop
+        } else {
+          // behind the rolling window — beyond-watermark drop. Correct
+          // per the watermark contract, but a live dashboard should SEE
+          // the loss: count it on the side channel (same visibility
+          // discipline as the DQ monitor's violation stream).
+          lateDrops.foreach(_.add(1L))
+        }
       }
       if (held.isEmpty || held.get != st) state.update(st)
       idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))
       out.result().iterator
     }
 
-  /** WAU-hit stream; `groupBy(wday).count()` is the live q64 curve. */
+  /** WAU-hit stream; `groupBy(wday).count()` is the live q64 curve.
+    * `lateDrops` (optional driver-registered accumulator) counts the
+    * activity days dropped for arriving behind the rebased window —
+    * zero on an in-order feed; a live dashboard alarms on it growing.
+    * (Accumulator semantics: task retries may over-count — fine for a
+    * loss-visibility metric, by design not part of the result.) */
   def hits(
       events: Dataset[StreamingTransitions.Ev],
       windowDays: Int = graft.operators.Relational.WauWindowDays,
-      idleTimeout: Option[FiniteDuration] = None): Dataset[WauHit] = {
+      idleTimeout: Option[FiniteDuration] = None,
+      lateDrops: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[WauHit] = {
     require(windowDays >= 1 && windowDays <= 32,
       "windowDays must fit the rolling 64-bit mask with room to rebase")
     val spark = events.sparkSession
@@ -86,6 +99,6 @@ object StreamingWau {
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
-        wauUpdate(windowDays, idleTimeout))
+        wauUpdate(windowDays, idleTimeout, lateDrops))
   }
 }

@@ -53,7 +53,11 @@ class PlanGuardSpec extends SparkTestBase {
     "sample_temperature", "token_budget_temperature",
     // q66 attaches its ONE-ROW basket-total aggregate to the 20
     // surviving pair rows
-    "q66_assoc_rules")
+    "q66_assoc_rules",
+    // q65's band machinery attaches three ONE-ROW broadcast frames
+    // (sketch bounds, before-counts, boundary tuples) to the
+    // customer frame — the documented by-design cross joins
+    "q65_rfm")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+
+import graft.operators.Relational
+
+/** Differential pin for the q65 band machinery: `ntileBandsDesc` must
+  * reproduce the window `ntile(4)` assignment EXACTLY — including tie
+  * splits, which the band path resolves through the boundary (metric,
+  * key) tuple — while planning zero partition-less windows (the
+  * single-partition global sorts that made the ntile form a
+  * scale-killer at the 100-TB posture, VERDICT r12 item 1).
+  */
+class RfmBandSpec extends SparkTestBase {
+
+  private def seg(df: DataFrame): Set[(Long, Long, Long, Long)] =
+    df.select("o_custkey", "r_q", "f_q", "m_q").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("band quartiles == ntile quartiles on the gate corpus") {
+    val perCust = Relational.rfmPerCustomer(spark, sf0001)
+    assert(seg(Relational.rfmSegmentsBand(perCust)) ==
+      seg(Relational.rfmSegmentsNtile(perCust)))
+  }
+
+  test("band quartiles == ntile quartiles on a tie-heavy corpus") {
+    // 197 customers over only 2/1/3 distinct metric values — every
+    // quartile boundary lands INSIDE a tie run (n_orders is even
+    // singular: ALL four buckets split one run), so the assignment is
+    // decided entirely by the custkey tie-break the boundary tuple
+    // carries; 197 = 4·49+1 also exercises the uneven-bucket arithmetic
+    import spark.implicits._
+    val perCust = (1 to 197).map { c =>
+      (c.toLong, (c % 2).toLong, 1L, ((c % 3) * 10).toLong)
+    }.toDF("o_custkey", "last_day", "n_orders", "m_cents").localCheckpoint()
+    assert(seg(Relational.rfmSegmentsBand(perCust)) ==
+      seg(Relational.rfmSegmentsNtile(perCust)))
+  }
+
+  test("band quartiles == ntile quartiles under permuted keys (n = 4k)") {
+    // shuffled non-contiguous keys + exact multiple of 4; metrics
+    // correlated with key so boundaries sit at value changes too
+    import spark.implicits._
+    val perCust = new scala.util.Random(42).shuffle((1 to 200).toList).zipWithIndex.map {
+      case (c, i) => (c.toLong * 7L, (i / 10).toLong, (i % 5).toLong, (i % 7).toLong * 100L)
+    }.toDF("o_custkey", "last_day", "n_orders", "m_cents").localCheckpoint()
+    assert(seg(Relational.rfmSegmentsBand(perCust)) ==
+      seg(Relational.rfmSegmentsNtile(perCust)))
+  }
+
+  test("q65 gate plan contains no partition-less window") {
+    val df = SparkEntry.queries("q65_rfm")(spark, sf0001)
+    val bare = df.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bare.isEmpty,
+      s"single-partition window crept back into q65: ${bare.mkString("\n")}")
+    // and the differential oracle form DOES plan them — proving the
+    // detector actually sees partition-less windows
+    val ntileForm = Relational.rfmSegmentsNtile(
+      Relational.rfmPerCustomer(spark, sf0001))
+    assert(ntileForm.queryExecution.optimizedPlan.collect {
+      case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    }.nonEmpty)
+  }
+}

@@ -79,4 +79,32 @@ class StreamingWauSpec extends SparkTestBase {
       7L, Iterator(ev(10, 6)), fresh).toSeq
     assert(out3.isEmpty)
   }
+
+  test("late-drop side channel counts exactly the behind-window days") {
+    import scala.concurrent.duration._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    def mkState() =
+      TestGroupState.create[WauState](
+        Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+        1000L, Optional.empty[Long], hasTimedOut = false)
+    def ev(dayN: Long, id: Long) =
+      Ev(7L, new java.sql.Timestamp(dayN * 86400000L), id, "view")
+    val drops = spark.sparkContext.longAccumulator("wauLateDrops")
+
+    // in-order feed: zero drops
+    StreamingWau.wauUpdate(7, Some(500.millis), Some(drops))(
+      7L, Iterator(ev(0, 1), ev(3, 2)), mkState()).toSeq
+    assert(drops.value == 0L)
+
+    // day 100 rebases the window to base 43; days 10 and 5 then arrive
+    // behind it — exactly two counted drops, and they emit nothing
+    val st = mkState()
+    StreamingWau.wauUpdate(7, Some(500.millis), Some(drops))(
+      7L, Iterator(ev(100, 3)), st).toSeq
+    val out = StreamingWau.wauUpdate(7, Some(500.millis), Some(drops))(
+      7L, Iterator(ev(10, 4), ev(5, 5)), st).toSeq
+    assert(out.isEmpty)
+    assert(drops.value == 2L)
+  }
 }
