@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{CountWindows, MapWithStateTTL, RunningReduce, StreamJoin, StreamingTemporalJoin, StreamingTopK, StreamingUpsert}
+import graft.streaming.{CountWindows, MapWithStateTTL, MapWithStateTWS, RunningReduce, StreamJoin, StreamingTemporalJoin, StreamingTopK, StreamingUpsert}
 
 /** Streaming side of the benchmark: pushes the whole `events` table of a
   * scale factor through the stateful operators (MemoryStream →
@@ -102,6 +102,7 @@ object StreamingBench {
       wanted: String => Boolean = _ => true): Unit = {
     def any(names: String*): Boolean = names.exists(wanted)
     if (any("streaming_ttl_pipeline", "streaming_ttl_rocksdb",
+        "streaming_tws_rocksdb",
         "streaming_session_window", "streaming_enrich",
         "streaming_temporal_join", "streaming_running_reduce",
         "streaming_count_windows", "streaming_quantiles", "streaming_ndv",
@@ -449,6 +450,30 @@ object StreamingBench {
 
   def ttlPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
     withRocksDB(spark)(ttlPipeline(spark, sfDir))
+
+  /** The flagship pipeline on the Spark-4 `transformWithState` API
+    * (MapWithStateTWS) — same feed, same running-sum kernel, same
+    * exact-count check as [[ttlPipeline]], so the line is directly
+    * comparable with `streaming_ttl_rocksdb` (transformWithState only
+    * runs on the RocksDB provider, hence no default-provider twin). */
+  def twsPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows(spark, sfDir)
+    val stream = MemoryStream[BEv]
+    val out = MapWithStateTWS.eventTime(
+      stream.toDS().withWatermark("ts", "0 seconds"),
+      ttl = 30.minutes, defaultState = 0L)(
+      _.user_id, e => micros(e.ts), _.event_id)(
+      (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) })
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, eventTimeBatches(rows), "tws")(
+        requireCount("tws", rows.length.toLong)))
+  }
+
+  def twsPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark)(twsPipeline(spark, sfDir))
 
   /** The HEAVIEST state shape (stream-stream interval join: 4 state
     * stores per partition, key-indexed row buffers both sides) on the
