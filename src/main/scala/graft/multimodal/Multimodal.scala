@@ -186,10 +186,14 @@ object Multimodal {
     * scale to `maxSide` using the SAME floor arithmetic as the
     * metadata stub [[resizeFeatures]] (so the stub PREDICTS the real
     * path's output dimensions — differential-spec-pinned), re-encode
-    * as PNG. An actual BufferedImage pixel transform, not metadata
+    * in `format`. `javax.imageio` decodes AND encodes both PNG and
+    * JPEG natively (only video is genuinely environment-bound), so
+    * both image formats ride this one codec; JPEG re-encode is lossy
+    * in pixels but exact in dimensions, which is what the stub
+    * predicts. An actual BufferedImage pixel transform, not metadata
     * arithmetic; payloads ≤ maxSide pass through untouched. */
-  object PngResizer {
-    def resize(maxSide: Int)(r: MediaRow): MediaRow = {
+  object ImageResizer {
+    def resize(maxSide: Int, format: String)(r: MediaRow): MediaRow = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.media))
       require(img != null, s"doc ${r.doc_id}: payload is not a decodable image")
@@ -209,7 +213,7 @@ object Multimodal {
           g.drawImage(img, 0, 0, nw, nh, null); ()
         } finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
+        javax.imageio.ImageIO.write(out, format, bos)
         val bytes = bos.toByteArray
         MediaRow(r.doc_id, bytes, r.format, bytes.length.toLong)
       }
@@ -219,12 +223,12 @@ object Multimodal {
       * returns null or throws) passes through UNCHANGED instead of
       * failing the whole task on one bad row — the DQ-style
       * skip-don't-crash contract. Callers that need the bad rows
-      * surfaced filter them first with [[quarantine]]. */
-    def resizeOrPass(maxSide: Int)(r: MediaRow): MediaRow =
+      * surfaced filter them first with [[decodable]]. */
+    def resizeOrPass(maxSide: Int, format: String = "png")(r: MediaRow): MediaRow =
       try {
         if (javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.media)) == null) r
-        else resize(maxSide)(r)
+        else resize(maxSide, format)(r)
       } catch { case scala.util.control.NonFatal(_) => r }
 
     /** Decodability probe for the quarantine path: true iff the payload
@@ -235,6 +239,16 @@ object Multimodal {
       try javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.media)) != null
       catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** PNG-specific alias kept for the original call sites/specs —
+    * [[ImageResizer]] with the PNG re-encode. */
+  object PngResizer {
+    def resize(maxSide: Int)(r: MediaRow): MediaRow =
+      ImageResizer.resize(maxSide, "png")(r)
+    def resizeOrPass(maxSide: Int)(r: MediaRow): MediaRow =
+      ImageResizer.resizeOrPass(maxSide, "png")(r)
+    def decodable(r: MediaRow): Boolean = ImageResizer.decodable(r)
   }
 
   /** Partition-batched media transform through an arbitrary

@@ -667,6 +667,84 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal real codec: javax.imageio JPEG decodes and resizes through the same seam") {
+    val s = spark
+    import s.implicits._
+    // same deterministic corpus shape as the PNG tests, encoded JPEG —
+    // javax.imageio handles JPEG natively, so only video is genuinely
+    // environment-bound (VERDICT r12 item 6)
+    def makeJpeg(id: Long): Multimodal.MediaRow = {
+      val w = (6 + id % 21).toInt
+      val h = (4 + id % 13).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y * 7 + id).toInt & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      val bytes = bos.toByteArray
+      Multimodal.MediaRow(id, bytes, "img", bytes.length.toLong)
+    }
+    val rows = (0L until 48L).map(makeJpeg)
+    val ds = s.createDataset(rows).repartition(4)
+    // decode: JPEG dims through the SAME PngDecoder seam (ImageIO is
+    // format-sniffing — the decoder is image-general despite the name)
+    val decoded = Multimodal.decodeFeaturesWith(ds)(Multimodal.PngDecoder.decode)
+    decoded.collect().foreach { f =>
+      assert((f.width, f.height) ==
+        (((6 + f.doc_id % 21).toInt, (4 + f.doc_id % 13).toInt)),
+        s"doc ${f.doc_id}: decoded ${f.width}x${f.height}")
+    }
+    // resize with JPEG re-encode: real pixel path dims == the metadata
+    // stub's prediction (JPEG is lossy in pixels, exact in dims)
+    val maxSide = 10
+    val resized = Multimodal.transformMediaWith(ds)(
+      Multimodal.ImageResizer.resize(maxSide, "jpg"))
+    val realDims = Multimodal.decodeFeaturesWith(resized)(
+      Multimodal.PngDecoder.decode)
+      .collect().map(f => f.doc_id -> (f.width, f.height)).toMap
+    val predicted = Multimodal.resizeFeatures(decoded, maxSide)
+      .collect().map(f => f.doc_id -> (f.width, f.height)).toMap
+    assert(realDims == predicted,
+      s"jpeg pixel/metadata drift: ${(realDims.toSet diff predicted.toSet).take(5)}")
+    // resized payloads are still JPEG (SOI marker), not PNG
+    resized.collect().foreach { r =>
+      assert((r.media(0) & 0xff) == 0xff && (r.media(1) & 0xff) == 0xd8,
+        s"doc ${r.doc_id}: re-encoded payload lost the JPEG SOI signature")
+    }
+  }
+
+  test("multimodal tolerant codec: bad payloads pass through resizeOrPass, decodable quarantines them") {
+    val s = spark
+    import s.implicits._
+    def makePng(id: Long): Multimodal.MediaRow = {
+      val img = new java.awt.image.BufferedImage(
+        20, 15, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      val bytes = bos.toByteArray
+      Multimodal.MediaRow(id, bytes, "img", bytes.length.toLong)
+    }
+    val garbage = Multimodal.MediaRow(99L, Array[Byte](1, 2, 3, 4, 5), "img", 5L)
+    val rows = (0L until 4L).map(makePng) :+ garbage
+    val ds = s.createDataset(rows).repartition(2)
+    // strict form fails the task on the garbage row
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.transformMediaWith(ds)(
+        Multimodal.ImageResizer.resize(10, "png")).collect()
+    }
+    // tolerant form: good rows resized, the bad row passes UNCHANGED
+    val tolerant = Multimodal.transformMediaWith(ds)(
+      Multimodal.ImageResizer.resizeOrPass(10))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(java.util.Arrays.equals(tolerant(99L).media, garbage.media))
+    assert(tolerant.size == 5 &&
+      (0L until 4L).forall(id => !java.util.Arrays.equals(tolerant(id).media, rows(id.toInt).media)))
+    // quarantine probe splits the corpus exactly
+    val good = ds.filter(Multimodal.ImageResizer.decodable _).collect().map(_.doc_id).toSet
+    assert(good == (0L until 4L).toSet)
+  }
+
   test("multimodal near-dup loop: binary -> embed -> sign-LSH -> cosine finds planted copies") {
     val s = spark
     import s.implicits._
