@@ -89,6 +89,8 @@ object Bench {
         (() => StreamingBench.kmvPipelineRocksDB(spark, sfDir)),
       "streaming_transitions" ->
         (() => StreamingBench.transitionsPipeline(spark, sfDir)),
+      "streaming_paths" ->
+        (() => StreamingBench.pathsPipeline(spark, sfDir)),
       "streaming_funnel" ->
         (() => StreamingBench.funnelPipeline(spark, sfDir)),
       "streaming_retention" ->

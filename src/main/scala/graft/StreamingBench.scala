@@ -133,7 +133,8 @@ object StreamingBench {
     if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
-    if (any("streaming_transitions", "streaming_funnel", "streaming_retention",
+    if (any("streaming_transitions", "streaming_paths", "streaming_funnel",
+        "streaming_retention",
         "streaming_attribution", "streaming_session_funnel", "streaming_wau",
         "streaming_funnel_latency", "streaming_funnel_rocksdb"))
       transRows(spark, sfDir)
@@ -660,6 +661,25 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "transitions")(
         requireCount("transitions", rows.length.toLong)))
+  }
+
+  /** Streaming 3-gram journey paths (the q69 twin): the whole events
+    * feed through the two-string suffix state in two in-order batches;
+    * exact count model Σ_user max(0, n − 2) — every event from a
+    * user's third on emits exactly one path row. */
+  def pathsPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val expected = rows.groupBy(_.user_id).valuesIterator
+      .map(es => math.max(0, es.length - 2).toLong).sum
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingPaths.paths(stream.toDS())
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "paths")(
+        requireCount("paths", expected)))
   }
 
   /** Σ of batch q50's four cohort counters — the funnel line's exact

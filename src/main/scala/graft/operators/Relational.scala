@@ -2070,6 +2070,37 @@ object Relational {
       .limit(20)
   }
 
+  /** Q69 — TOP USER-JOURNEY PATHS: the most common 3-event SEQUENCES
+    * (consecutive in a user's per-(ts, event_id) order), with each
+    * path's user reach — the sequence-mining sibling of q58's
+    * transition PAIRS (time-ordered journeys, where q68's triples are
+    * unordered baskets). The product query behind "what do users
+    * actually do before purchasing".
+    *
+    * Scale shape: ONE fact exchange on user_id; BOTH lead() columns
+    * ride a single window pass (two leads in one select — two
+    * withColumn calls would interleave Projects that block
+    * CollapseWindow), then a tiny (≤ |types|³) aggregate.
+    * `n_users` is an approx-free exact distinct on the already-tiny
+    * path groups. Determinism: (ts, event_id) is the established
+    * total per-user order (q58's contract). */
+  def q69PathTopk(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e1"))
+      .select(col("user_id"), col("e1"),
+        lead(col("e1"), 1).over(w).as("e2"),
+        lead(col("e1"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("e1").asc, col("e2").asc,
+        col("e3").asc)
+      .limit(20)
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -2140,6 +2171,7 @@ object Relational {
     "q66_assoc_rules"       -> (q66AssocRules _),
     "q67_ltv_triangle"      -> (q67LtvTriangle _),
     "q68_frequent_triples"  -> (q68FrequentTriples _),
+    "q69_path_topk"         -> (q69PathTopk _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -575,6 +575,20 @@ object RelationalOracles {
         |GROUP BY 1, 2, 3
         |ORDER BY n_orders DESC, pa ASC, pb ASC, pc ASC LIMIT 20""".stripMargin,
 
+    // top journey paths: the same (ts, event_id) per-user total order
+    // as q58; both leads over one window, exact distinct-user reach
+    "q69_path_topk" ->
+      """WITH p AS (SELECT user_id, event_type AS e1,
+        |    lead(event_type, 1) OVER w AS e2,
+        |    lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, count(*) AS n_paths,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20""".stripMargin,
+
     // LTV triangle: identical integer month/cohort arithmetic,
     // cumulative sum over the tiny (cohort, age) frame, exact cents
     "q67_ltv_triangle" -> {

@@ -85,7 +85,8 @@ class PlanGuardSpec extends SparkTestBase {
     // the fact. Pin it so a refactor that sneaks in a second fact
     // shuffle (e.g. a window keyed before the exchange-compatible
     // prefix) fails loudly.
-    Seq("q58_transitions", "q62_attribution", "q63_session_funnel").foreach { q =>
+    Seq("q58_transitions", "q62_attribution", "q63_session_funnel",
+        "q69_path_topk").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.executedPlan.toString
       val userExchanges = "Exchange hashpartitioning\\(user_id".r
