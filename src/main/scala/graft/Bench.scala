@@ -78,6 +78,8 @@ object Bench {
       "streaming_topk" -> (() => StreamingBench.topKPipeline(spark, sfDir)),
       "streaming_ttl_rocksdb" -> (() => StreamingBench.ttlPipelineRocksDB(spark, sfDir)),
       "streaming_tws_rocksdb" -> (() => StreamingBench.twsPipelineRocksDB(spark, sfDir)),
+      "streaming_profile_rocksdb" ->
+        (() => StreamingBench.profilePipelineRocksDB(spark, sfDir)),
       "streaming_dedup" -> (() => StreamingBench.dedupPipeline(spark, sfDir)),
       "streaming_quantiles" -> (() => StreamingBench.quantilesPipeline(spark, sfDir)),
       "streaming_interval_join" -> (() => StreamingBench.intervalJoinPipeline(spark, sfDir)),

@@ -133,6 +133,7 @@ object StreamingBench {
     if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
+    if (any("streaming_profile_rocksdb")) profileRows(spark, sfDir)
     if (any("streaming_transitions", "streaming_paths", "streaming_funnel",
         "streaming_retention",
         "streaming_attribution", "streaming_session_funnel", "streaming_wau",
@@ -153,6 +154,7 @@ object StreamingBench {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
+    profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
     progressLog.clear()
   }
@@ -681,6 +683,49 @@ object StreamingBench {
       runTwoBatches(spark, stream, out, batches, "paths")(
         requireCount("paths", expected)))
   }
+
+  /** Composite-state live profile (transformWithState MapState + two
+    * ValueStates; RocksDB-only by API contract): whole events feed in
+    * two in-order batches. Exact count model: each batch, every
+    * touched user emits one row per event type in its map — Σ over
+    * batches of Σ_{touched users} |types seen so far|. */
+  def profilePipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark) {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows = profileRows(spark, sfDir)
+      val (b1, b2) = rows.toIndexedSeq.splitAt(rows.length / 2)
+      val types1 = b1.groupBy(_.user_id).view
+        .mapValues(_.map(_.event_type).toSet).toMap
+      val types2 = b2.groupBy(_.user_id).view
+        .mapValues(_.map(_.event_type).toSet).toMap
+      val expected =
+        types1.valuesIterator.map(_.size.toLong).sum +
+          types2.map { case (u, ts) =>
+            (types1.getOrElse(u, Set.empty) ++ ts).size.toLong
+          }.sum
+      val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+      val out = graft.streaming.StreamingProfile.profiles(stream.toDS())
+      withStatePartitions(spark, 16)(
+        runTwoBatches(spark, stream, out, (b1, b2), "profile")(
+          requireCount("profile", expected)))
+    }
+
+  private val profileMemo =
+    scala.collection.mutable.Map.empty[String, Array[graft.streaming.StreamingProfile.PEv]]
+
+  private def profileRows(spark: SparkSession, sfDir: String)
+      : Array[graft.streaming.StreamingProfile.PEv] =
+    profileMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      Tables.events(spark, sfDir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .as[graft.streaming.StreamingProfile.PEv].collect()
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    })
 
   /** Σ of batch q50's four cohort counters — the funnel line's exact
     * output-row model (every stage advancement emits exactly one row). */

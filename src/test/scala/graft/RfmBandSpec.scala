@@ -49,6 +49,32 @@ class RfmBandSpec extends SparkTestBase {
       seg(Relational.rfmSegmentsNtile(perCust)))
   }
 
+  test("fuzz: band quartiles == ntile quartiles on 12 random tie-heavy frames") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1311)
+    (1 to 12).foreach { case_ =>
+      // n spans the uneven-bucket space (incl. n=4 minimum and n≡1..3
+      // mod 4); metric cardinalities 1..6 force boundary-splitting ties
+      val n = 4 + rnd.nextInt(300)
+      val cr = 1 + rnd.nextInt(6)
+      val cf = 1 + rnd.nextInt(6)
+      val cm = 1 + rnd.nextInt(6)
+      val keys = rnd.shuffle((1 to n).toList)
+      val perCust = keys.map { k =>
+        (k.toLong * (1 + rnd.nextInt(3)),
+          rnd.nextInt(cr).toLong, rnd.nextInt(cf).toLong,
+          rnd.nextInt(cm).toLong * 100L)
+      }.toDF("o_custkey", "last_day", "n_orders", "m_cents")
+        .dropDuplicates("o_custkey").localCheckpoint()
+      if (perCust.count() >= 4) {
+        val band = seg(Relational.rfmSegmentsBand(perCust))
+        val ntile = seg(Relational.rfmSegmentsNtile(perCust))
+        assert(band == ntile,
+          s"case $case_ (n=$n, card=($cr,$cf,$cm)): ${(band diff ntile).take(3)}")
+      }
+    }
+  }
+
   test("q65 gate plan contains no partition-less window") {
     val df = SparkEntry.queries("q65_rfm")(spark, sf0001)
     val bare = df.queryExecution.optimizedPlan.collect {
