@@ -75,6 +75,23 @@ class RfmBandSpec extends SparkTestBase {
     }
   }
 
+  test("band quartiles == ntile quartiles at n = 50k (sketch-error regime, low accuracy)") {
+    // accuracy 500 on 50k rows: the t-digest rank error (≤ n/accuracy =
+    // 100 rows) is REAL here, so this exercises the bracket-margin
+    // arithmetic, not just exact small-n sketches; cardinality 17 keeps
+    // tie runs ~3k rows long across every boundary
+    import spark.implicits._
+    val rnd = new scala.util.Random(65)
+    val perCust = (1 to 50000).map { k =>
+      (k.toLong, rnd.nextInt(17).toLong, rnd.nextInt(5).toLong,
+        rnd.nextInt(17).toLong * 100L)
+    }.toDF("o_custkey", "last_day", "n_orders", "m_cents").localCheckpoint()
+    val band = seg(Relational.ntileBandsDesc(perCust, "o_custkey",
+      Seq(("last_day", "r_q"), ("n_orders", "f_q"), ("m_cents", "m_q")),
+      4, accuracy = 500))
+    assert(band == seg(Relational.rfmSegmentsNtile(perCust)))
+  }
+
   test("q65 gate plan contains no partition-less window") {
     val df = SparkEntry.queries("q65_rfm")(spark, sf0001)
     val bare = df.queryExecution.optimizedPlan.collect {
