@@ -94,7 +94,8 @@ object Plans {
     "q65_rfm",             // band-machinery quartiles: sketch brackets + banded boundary ranks, zero global sorts
     "q66_assoc_rules",     // pair comprehension + tiny-side broadcast ratios
     "q67_ltv_triangle",    // cohort via min() window, tiny triangle cumsum
-    "q68_frequent_triples") // 3-subset comprehension, no three-way join
+    "q68_frequent_triples", // 3-subset comprehension, no three-way join
+    "q69_path_topk")       // two leads on ONE user window pass, tiny path aggregate
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
