@@ -144,4 +144,17 @@ class FunnelFamilyPropertySpec extends AnyFunSuite {
       out.map(h => (h.attribution, h.lag_s)) == expect
     })
   }
+
+  test("journey paths == sliding-3-gram model for any script and split") {
+    check(Prop.forAll(scriptGen) { script =>
+      val out = replay[StreamingPaths.PathState, StreamingPaths.PathHit](
+        script, StreamingPaths.pathUpdate(None))
+      // batch-q69 semantics: consecutive type triples over the
+      // (us, event_id) total order
+      val types = script.evs.sortBy(e => (us(e), e.event_id)).map(_.event_type)
+      val expect = types.sliding(3).filter(_.size == 3)
+        .map(t => StreamingPaths.PathHit(7L, t(0), t(1), t(2))).toList
+      out == expect
+    })
+  }
 }
