@@ -101,6 +101,35 @@ object StreamingDemo {
     spark.table("demo_attr").show(truncate = false)
     aQuery.stop()
 
+    // --- live journey 3-grams (two-string suffix state, round 13) ---
+    val pStream = MemoryStream[Ev]
+    val pOut = graft.streaming.StreamingPaths.paths(pStream.toDS())
+    val pQuery = Sinks.toMemory(pOut.toDF(), "demo_paths")
+    pStream.addData(
+      ev(1, 1, "view"), ev(2, 2, "view"), ev(3, 3, "click"),
+      ev(4, 4, "purchase"))
+    pQuery.processAllAvailable()
+    println("Journey paths (expect view,view,click then view,click,purchase):")
+    spark.table("demo_paths").show(truncate = false)
+    pQuery.stop()
+
+    // --- composite-state live profile on transformWithState (round 13;
+    //     the API requires the RocksDB state store provider) ---
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import graft.streaming.StreamingProfile.PEv
+    def pev(sec: Long, id: Long, tpe: String, cents: Long) =
+      PEv(id, 1L, new java.sql.Timestamp(sec * 1000), tpe, cents)
+    val prStream = MemoryStream[PEv]
+    val prOut = graft.streaming.StreamingProfile.profiles(prStream.toDS())
+    val prQuery = Sinks.toMemory(prOut.toDF(), "demo_profile")
+    prStream.addData(
+      pev(1, 1, "view", 0), pev(2, 2, "view", 0), pev(3, 3, "purchase", 1999))
+    prQuery.processAllAvailable()
+    println("Live profile (expect view n=2 and purchase n=1, both with user_cents 1999):")
+    spark.table("demo_profile").show(truncate = false)
+    prQuery.stop()
+
     spark.stop()
   }
 }
