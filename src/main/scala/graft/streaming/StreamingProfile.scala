@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Live per-user PROFILE maintenance on `transformWithState` COMPOSITE
   * state — the capability that API genuinely adds over
@@ -35,12 +35,13 @@ object StreamingProfile {
   case class ProfileRow(user_id: Long, event_type: String, n: Long,
       user_cents: Long, last_us: Long)
 
-  private class ProfileProcessor(ttl: TTLConfig)
-    extends StatefulProcessor[Long, PEv, ProfileRow] {
-
-    @transient private var counts: MapState[String, Long] = _
-    @transient private var cents: ValueState[Long] = _
-    @transient private var lastUs: ValueState[Long] = _
+  /** Shared body of both processor variants: the three composite state
+    * variables and the update-then-whole-profile-emission pass. */
+  private trait ProfileKernel { self: StatefulProcessor[Long, PEv, ProfileRow] =>
+    protected def ttl: TTLConfig
+    @transient protected var counts: MapState[String, Long] = _
+    @transient protected var cents: ValueState[Long] = _
+    @transient protected var lastUs: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       counts = getHandle.getMapState[String, Long](
@@ -81,6 +82,28 @@ object StreamingProfile {
     }
   }
 
+  private class ProfileProcessor(protected val ttl: TTLConfig)
+    extends StatefulProcessor[Long, PEv, ProfileRow] with ProfileKernel
+
+  /** Warm-start variant: the initial-state rows ARE ProfileRows (one
+    * per (user, type), all rows of a user carrying the same user-level
+    * totals) — exactly what a batch backfill aggregate produces, so
+    * the lambda-architecture handoff is `profiles(stream, init =
+    * batchAggregate)` with no translation layer. */
+  private class ProfileProcessorWithInit(protected val ttl: TTLConfig)
+    extends StatefulProcessorWithInitialState[Long, PEv, ProfileRow, ProfileRow]
+    with ProfileKernel {
+
+    override def handleInitialState(
+        user: Long, init: ProfileRow, tv: TimerValues): Unit = {
+      // called once per initial-state ROW: fold each (type, n) into the
+      // map; the user-level totals are identical on every row
+      counts.updateValue(init.event_type, init.n)
+      cents.update(init.user_cents)
+      lastUs.update(init.last_us)
+    }
+  }
+
   /** Profile-snapshot stream; the latest row per (user_id, event_type)
     * — selectable by max `n` — is the live profile. `ttl` (optional,
     * processing-time) expires every state variable of a cold user
@@ -99,5 +122,26 @@ object StreamingProfile {
         // operator needs no clock at all
         if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
         OutputMode.Append())
+  }
+
+  /** [[profiles]] WARM-STARTED from a batch backfill: `init` rows are
+    * ProfileRows exactly as a batch count/sum/max aggregate produces
+    * them, folded into the composite state before the first batch —
+    * the lambda-architecture handoff (backfill once, then stream) with
+    * no state-translation layer. Spec-pinned: backfill(first half) +
+    * stream(second half) == batch aggregate over everything. */
+  def profilesFrom(
+      events: Dataset[PEv],
+      init: Dataset[ProfileRow],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[ProfileRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new ProfileProcessorWithInit(ttl),
+        if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime(),
+        OutputMode.Append(),
+        init.groupByKey(_.user_id))
   }
 }
