@@ -87,12 +87,26 @@ object MapWithStateTWS {
       eventTimeMicros: In => Long, tiebreak: In => Long,
       f: (K, In, S) => (Out, S),
       sEnc: Encoder[TwsState[S]])
-    extends StatefulProcessor[K, In, Out] {
+    extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[K, In, Out, (K, S, Long)] {
 
     @transient private var state: ValueState[TwsState[S]] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState("s", sEnc, TTLConfig.NONE)
+
+    /** Warm start: one (key, value, lastEventUs) row per key — the
+      * shape a batch state snapshot produces. The eviction timer is
+      * armed immediately, so a bootstrapped key that never streams
+      * again is still cleaned up when the watermark passes
+      * lastUs + ttl. Only used through [[eventTimeFrom]]. */
+    override def handleInitialState(
+        key: K, init: (K, S, Long), tv: TimerValues): Unit = {
+      val timerMs = math.max(
+        (init._3 + ttlUs) / 1000 + 1,
+        tv.getCurrentWatermarkInMs() + 1)
+      getHandle.registerTimer(timerMs)
+      state.update(TwsState(init._2, init._3, timerMs))
+    }
 
     override def handleInputRows(
         key: K, rows: Iterator[In], tv: TimerValues): Iterator[Out] = {
@@ -175,4 +189,33 @@ object MapWithStateTWS {
           ttl.toMicros, defaultState, eventTimeMicros, tiebreak, f, sEnc),
         TimeMode.EventTime(),
         OutputMode.Append())
+
+  /** [[eventTime]] WARM-STARTED from a state snapshot: `init` holds one
+    * (key, state value, last event-time µs) row per key — the shape a
+    * batch replay of the history produces — folded into the keyed
+    * state (with its eviction timer armed) before the first
+    * micro-batch. The streaming continuation then behaves exactly as
+    * if the whole history had streamed: spec-pinned
+    * (snapshot(first half) + stream(second half) == full-stream run's
+    * second-half output, including gap resets ACROSS the handoff). */
+  def eventTimeFrom[In, K, S, Out](
+      ds: Dataset[In],
+      init: Dataset[(K, S, Long)],
+      ttl: FiniteDuration,
+      defaultState: S)(
+      keyOf: In => K,
+      eventTimeMicros: In => Long,
+      tiebreak: In => Long = (_: In) => 0L)(
+      f: (K, In, S) => (Out, S))(
+      implicit kEnc: Encoder[K],
+      sEnc: Encoder[TwsState[S]],
+      initEnc: Encoder[(K, S, Long)],
+      outEnc: Encoder[Out]): Dataset[Out] =
+    ds.groupByKey(keyOf)
+      .transformWithState(
+        new EventTimeProcessor[K, In, S, Out](
+          ttl.toMicros, defaultState, eventTimeMicros, tiebreak, f, sEnc),
+        TimeMode.EventTime(),
+        OutputMode.Append(),
+        init.groupByKey(_._1))
 }

@@ -104,6 +104,61 @@ class MapWithStateTWSSpec extends SparkTestBase {
     }
   }
 
+  test("event-time warm start: snapshot + streamed tail == full-stream tail output") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf0001)
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[Ev]
+      .collect()
+      .sortBy(e => (TsUtil.micros(e.ts), e.event_id))
+    val ttl = (Relational.TtlMicros / 1000).toInt.millis
+    val (head, tail) = evs.toIndexedSeq.splitAt(evs.length / 2)
+
+    def run(tag: String, feed: Seq[IndexedSeq[Ev]],
+        build: org.apache.spark.sql.Dataset[Ev] => org.apache.spark.sql.Dataset[(Long, Long, Long)])
+        : Seq[(Long, Long, Long)] = {
+      val stream = MemoryStream[Ev]
+      val query = Sinks.toMemory(
+        build(stream.toDS().withWatermark("ts", "0 seconds")), tag)
+      try {
+        feed.foreach { b => stream.addData(b); query.processAllAvailable() }
+        Sinks.collected[(Long, Long, Long)](spark, tag).sorted
+      } finally query.stop()
+    }
+
+    withRocksDB {
+      // baseline: the whole history streamed through the cold operator
+      val full = run("tws_warm_full", Seq(head, tail), ds =>
+        MapWithStateTWS.eventTime(ds, ttl, defaultState = 0L)(
+          _.user_id, e => TsUtil.micros(e.ts), _.event_id)(
+          (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) }))
+      // state snapshot after the head, derived by an INDEPENDENT
+      // driver-side replay of the fold semantics (gap > ttl resets)
+      val snapshot = head.groupBy(_.user_id).map { case (u, es) =>
+        var sum = 0L; var last = Long.MinValue
+        es.sortBy(e => (TsUtil.micros(e.ts), e.event_id)).foreach { e =>
+          val us = TsUtil.micros(e.ts)
+          if (last != Long.MinValue && us - last > Relational.TtlMicros) sum = 0L
+          sum += e.cents; last = us
+        }
+        (u, sum, last)
+      }.toSeq
+      val warm = run("tws_warm_tail", Seq(tail), ds =>
+        MapWithStateTWS.eventTimeFrom(
+          ds, s.createDataset(snapshot), ttl, defaultState = 0L)(
+          _.user_id, e => TsUtil.micros(e.ts), _.event_id)(
+          (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) }))
+      val tailIds = tail.map(_.event_id).toSet
+      val expect = full.filter(r => tailIds(r._1))
+      assert(warm.nonEmpty && warm == expect,
+        s"warm handoff diverged: ${warm.size} rows vs ${expect.size}")
+    }
+  }
+
   test("event-time: eviction timer physically drops idle state") {
     val s = spark
     import s.implicits._
