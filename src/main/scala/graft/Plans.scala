@@ -95,7 +95,8 @@ object Plans {
     "q66_assoc_rules",     // pair comprehension + tiny-side broadcast ratios
     "q67_ltv_triangle",    // cohort via min() window, tiny triangle cumsum
     "q68_frequent_triples", // 3-subset comprehension, no three-way join
-    "q69_path_topk")       // two leads on ONE user window pass, tiny path aggregate
+    "q69_path_topk",       // two leads on ONE user window pass, tiny path aggregate
+    "q70_kcore")           // fixed-round peel: degree agg + semi joins per round
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

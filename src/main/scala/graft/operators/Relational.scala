@@ -2101,6 +2101,80 @@ object Relational {
       .limit(20)
   }
 
+  /** Peeling rounds and degree threshold for [[q70Kcore]]. Rounds are
+    * FIXED, not run-to-fixpoint: peeling is monotone, so extra rounds
+    * past the fixpoint are no-ops, and a fixed count is what lets both
+    * engines replay the identical computation (the q61 recipe without
+    * even needing convergence reasoning). k = 30 sits below the
+    * bought-next graph's ~45 median degree but above its 14-21
+    * minimum, so peeling is REAL at every SF (measured: 200→178 nodes
+    * at sf0.001, 20000→19256 at sf0.1 over 8 rounds) without the
+    * total-collapse cascade a near-median threshold triggers. */
+  val KcoreK = 30
+  val KcoreRounds = 8
+
+  /** Q70 — K-CORE DECOMPOSITION of the bought-next graph (q61's edge
+    * set, canonicalized undirected): iteratively peel nodes of degree
+    * < k until (up to [[KcoreRounds]] rounds) the k-core remains — the
+    * standard "dense cohesive subgraph" statistic next to q55's
+    * triangles and q61's PageRank. (The all-pairs co-purchase graph is
+    * unusable here: its minimum degree exceeds any interesting k, so
+    * peeling would be a no-op.) Output: the surviving core's size plus
+    * its top nodes by in-core degree.
+    *
+    * Scale shape: per round ONE degree aggregate (union of both
+    * endpoint projections, map-side combined) + two semi joins back
+    * onto the edge list, localCheckpoint per round (the CC/PageRank
+    * iterative discipline — round i must not re-run rounds 1..i−1).
+    * Degrees are exact integers; the DuckDB oracle replays all rounds
+    * as a MATERIALIZED CTE chain to identical integers. */
+  /** Edge frame after `rounds` peeling rounds — spec-exposed so
+    * monotonicity (|E| non-increasing) and the fixpoint invariant
+    * (stable ⇒ every in-core degree ≥ k) are assertable per round. */
+  private[graft] def kcoreEdges(
+      s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    // q61's bought-next pairs (lead over the TOTAL (l_linenumber,
+    // l_partkey) order — the window-total-order rule), canonicalized
+    // to undirected (least, greatest) edges
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    var edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      .withColumn("pb0", lead(col("l_partkey"), 1).over(w))
+      .filter(col("pb0").isNotNull && col("l_partkey") =!= col("pb0"))
+      .select(least(col("l_partkey"), col("pb0")).as("pa"),
+        greatest(col("l_partkey"), col("pb0")).as("pb"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val deg = edges.select(col("pa").as("v"))
+        .unionAll(edges.select(col("pb").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= KcoreK).select("v").localCheckpoint()
+      edges = edges
+        .join(keep.withColumnRenamed("v", "pa"), Seq("pa"), "left_semi")
+        .join(keep.withColumnRenamed("v", "pb"), Seq("pb"), "left_semi")
+        .localCheckpoint()
+    }
+    edges
+  }
+
+  def q70Kcore(s: SparkSession, dir: String): DataFrame = {
+    val edges = kcoreEdges(s, dir, KcoreRounds)
+    val coreDeg = edges.select(col("pa").as("v"))
+      .unionAll(edges.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("core_deg"))
+    val stats = coreDeg.agg(
+      count(lit(1)).as("n_core_nodes"),
+      coalesce(sum(col("core_deg")), lit(0L)).as("sum_core_deg"))
+    coreDeg
+      .orderBy(col("core_deg").desc, col("v").asc)
+      .limit(50)
+      .crossJoin(broadcast(stats))
+      .select(col("v").as("part"), col("core_deg"),
+        col("n_core_nodes"), col("sum_core_deg"))
+      .orderBy(col("core_deg").desc, col("part").asc)
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -2172,6 +2246,7 @@ object Relational {
     "q67_ltv_triangle"      -> (q67LtvTriangle _),
     "q68_frequent_triples"  -> (q68FrequentTriples _),
     "q69_path_topk"         -> (q69PathTopk _),
+    "q70_kcore"             -> (q70Kcore _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -589,6 +589,43 @@ object RelationalOracles {
         |GROUP BY 1, 2, 3
         |ORDER BY n_paths DESC, e1 ASC, e2 ASC, e3 ASC LIMIT 20""".stripMargin,
 
+    // k-core: replay the FIXED peeling rounds as a materialized CTE
+    // chain (the q61 iterative-replay recipe; rounds past the fixpoint
+    // are no-ops, so fixed-round equality needs no convergence proof)
+    "q70_kcore" -> {
+      import graft.operators.Relational.{KcoreK, KcoreRounds}
+      val rounds = (0 until KcoreRounds).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT v FROM (
+           |    SELECT v, count(*) AS d FROM (
+           |      SELECT pa AS v FROM e$i UNION ALL SELECT pb AS v FROM e$i)
+           |    GROUP BY v) WHERE d >= $KcoreK),
+           |e${i + 1} AS MATERIALIZED (SELECT pa, pb FROM e$i
+           |  WHERE pa IN (SELECT v FROM k$i) AND pb IN (SELECT v FROM k$i))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH s0 AS MATERIALIZED (
+         |  SELECT l_partkey, lead(l_partkey) OVER (
+         |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS pb0
+         |  FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(l_partkey, pb0) AS pa,
+         |    GREATEST(l_partkey, pb0) AS pb
+         |  FROM s0 WHERE pb0 IS NOT NULL AND l_partkey <> pb0),
+         |$rounds,
+         |cd AS (SELECT v, count(*) AS core_deg FROM (
+         |    SELECT pa AS v FROM e$KcoreRounds
+         |    UNION ALL SELECT pb AS v FROM e$KcoreRounds) GROUP BY v),
+         |st AS (SELECT count(*) AS n_core_nodes,
+         |    CAST(COALESCE(sum(core_deg), 0) AS BIGINT) AS sum_core_deg
+         |  FROM cd),
+         |top AS (SELECT v, core_deg FROM cd
+         |  ORDER BY core_deg DESC, v ASC LIMIT 50)
+         |SELECT top.v AS part, top.core_deg, st.n_core_nodes,
+         |  st.sum_core_deg
+         |FROM top, st
+         |ORDER BY core_deg DESC, part ASC""".stripMargin
+    },
+
     // LTV triangle: identical integer month/cohort arithmetic,
     // cumulative sum over the tiny (cohort, age) frame, exact cents
     "q67_ltv_triangle" -> {

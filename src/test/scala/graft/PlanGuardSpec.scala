@@ -57,7 +57,9 @@ class PlanGuardSpec extends SparkTestBase {
     // q65's band machinery attaches three ONE-ROW broadcast frames
     // (sketch bounds, before-counts, boundary tuples) to the
     // customer frame — the documented by-design cross joins
-    "q65_rfm")
+    "q65_rfm",
+    // q70 attaches its ONE-ROW core-stats aggregate to the 50 top rows
+    "q70_kcore")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =
