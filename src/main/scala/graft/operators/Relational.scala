@@ -1843,7 +1843,11 @@ object Relational {
     * never a silently shifted quantile.
     *
     * `metrics` maps metric column → output bucket column; `df` must be
-    * checkpointed/cached by the caller (it is scanned 3 + k times). */
+    * checkpointed/cached by the caller (it is scanned 3 + k times).
+    * Metric columns must be NON-NULL (RFM metrics are aggregates, so
+    * they are by construction): a NULL metric would be invisible to
+    * the sketch/count stages but ranked by the window form — callers
+    * with nullable metrics filter or coalesce first. */
   private[graft] def ntileBandsDesc(
       df: DataFrame, key: String, metrics: Seq[(String, String)],
       k: Int, accuracy: Int = 10000): DataFrame = {
