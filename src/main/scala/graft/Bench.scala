@@ -80,6 +80,8 @@ object Bench {
       "streaming_tws_rocksdb" -> (() => StreamingBench.twsPipelineRocksDB(spark, sfDir)),
       "streaming_profile_rocksdb" ->
         (() => StreamingBench.profilePipelineRocksDB(spark, sfDir)),
+      "streaming_recent_rocksdb" ->
+        (() => StreamingBench.recentPipelineRocksDB(spark, sfDir)),
       "streaming_dedup" -> (() => StreamingBench.dedupPipeline(spark, sfDir)),
       "streaming_quantiles" -> (() => StreamingBench.quantilesPipeline(spark, sfDir)),
       "streaming_interval_join" -> (() => StreamingBench.intervalJoinPipeline(spark, sfDir)),

@@ -134,6 +134,7 @@ object StreamingBench {
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_profile_rocksdb")) profileRows(spark, sfDir)
+    if (any("streaming_recent_rocksdb")) transRows(spark, sfDir)
     if (any("streaming_transitions", "streaming_paths", "streaming_funnel",
         "streaming_retention",
         "streaming_attribution", "streaming_session_funnel", "streaming_wau",
@@ -710,6 +711,26 @@ object StreamingBench {
       withStatePartitions(spark, 16)(
         runTwoBatches(spark, stream, out, (b1, b2), "profile")(
           requireCount("profile", expected)))
+    }
+
+  /** ListState recent-events buffer (transformWithState; RocksDB-only
+    * by API contract): exact count model — one snapshot row per
+    * (touched user, batch). */
+  def recentPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark) {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows = transRows(spark, sfDir)
+      val (b1, b2) = rows.toIndexedSeq.splitAt(rows.length / 2)
+      val expected =
+        b1.map(_.user_id).distinct.size.toLong +
+          b2.map(_.user_id).distinct.size.toLong
+      val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+      val out = graft.streaming.StreamingRecent.recent(stream.toDS())
+      withStatePartitions(spark, 16)(
+        runTwoBatches(spark, stream, out, (b1, b2), "recent")(
+          requireCount("recent", expected)))
     }
 
   private val profileMemo =
