@@ -104,6 +104,41 @@ class MapWithStateTWSSpec extends SparkTestBase {
     }
   }
 
+  test("event-time: in-batch disorder is sorted away (shuffled feed == sorted feed)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Tables.events(spark, sf0001)
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[Ev]
+      .collect()
+      .sortBy(e => (TsUtil.micros(e.ts), e.event_id))
+    val ttl = (Relational.TtlMicros / 1000).toInt.millis
+    def run(tag: String, b1: Seq[Ev], b2: Seq[Ev]): Seq[(Long, Long, Long)] = {
+      val stream = MemoryStream[Ev]
+      val out = MapWithStateTWS.eventTime(
+        stream.toDS().withWatermark("ts", "0 seconds"), ttl, defaultState = 0L)(
+        _.user_id, e => TsUtil.micros(e.ts), _.event_id)(
+        (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) })
+      val query = Sinks.toMemory(out, tag)
+      try {
+        stream.addData(b1.toIndexedSeq); query.processAllAvailable()
+        stream.addData(b2.toIndexedSeq); query.processAllAvailable()
+        Sinks.collected[(Long, Long, Long)](spark, tag).sorted
+      } finally query.stop()
+    }
+    withRocksDB {
+      val (h, t) = evs.toIndexedSeq.splitAt(evs.length / 2)
+      val sortedOut = run("tws_order_sorted", h, t)
+      val rnd = new scala.util.Random(13)
+      val shuffledOut = run("tws_order_shuffled", rnd.shuffle(h), rnd.shuffle(t))
+      assert(shuffledOut.nonEmpty && shuffledOut == sortedOut,
+        "in-batch arrival order leaked into the fold")
+    }
+  }
+
   test("event-time warm start: snapshot + streamed tail == full-stream tail output") {
     val s = spark
     import s.implicits._
