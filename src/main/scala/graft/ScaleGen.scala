@@ -39,7 +39,7 @@ object ScaleGen {
   /** Replicate `df` ×f, offsetting each column in `offsetCols` by
     * replica · (max+1); `rewrite` post-processes with the replica id
     * column `r` still present (for the documents word-suffix). */
-  private def replicate(
+  private[graft] def replicate(
       df: DataFrame, f: Int, offsetCols: Seq[String],
       rewrite: DataFrame => DataFrame = identity): DataFrame = {
     val maxes = df.agg(
