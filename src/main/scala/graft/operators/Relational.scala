@@ -444,7 +444,7 @@ object Relational {
     * random-graph fuzz spec can drive it against a brute-force model. */
   private[graft] def triangleStats(
       edges: DataFrame,
-      closeBroadcastMaxEdges: Long = GraphBroadcastMaxRows): DataFrame = {
+      closeBroadcastMaxEdges: Long = -1L): DataFrame = {
     // callers hand in a localCheckpoint'd edge frame, so this count is a
     // cheap cached scan — it gates the closing-set broadcast below
     val nEdges = edges.count()
@@ -481,8 +481,14 @@ object Relational {
     // (wv, ww) — the standard MR triangle join — with the wedge side
     // staying the bound. Plan-pinned both ways in the triangle spec.
     val closing = oriented.select(col("src").as("wv"), col("dst").as("ww"))
+    // byte-aware guard: default threshold is the byte budget divided by
+    // the closing frame's ACTUAL schema width (negative override means
+    // "derive"; tests pass explicit row thresholds)
+    val maxEdges =
+      if (closeBroadcastMaxEdges >= 0L) closeBroadcastMaxEdges
+      else graphBroadcastRowBudget(closing)
     val triangles = wedges
-      .join(if (nEdges <= closeBroadcastMaxEdges) broadcast(closing) else closing,
+      .join(if (nEdges <= maxEdges) broadcast(closing) else closing,
         Seq("wv", "ww"), "left_semi")
     edges.agg(count(lit(1)).as("n_edges_sampled"))
       .crossJoin(broadcast(
@@ -1562,13 +1568,26 @@ object Relational {
     * same rounds as a chained MATERIALIZED CTE (the kcenter recipe). */
   val PagerankIters = 5
 
-  /** Broadcast guard for the iterative-graph joins (q61's per-round
-    * rank frame, q55's closing edge set): frames at or under this many
-    * rows take the broadcast plan; bigger ones fall back to the
+  /** Broadcast BYTE budget for the iterative-graph joins (q61's
+    * per-round rank frame, q55's closing edge set): a frame whose
+    * estimated serialized size (row count × schema width) fits under
+    * this takes the broadcast plan; bigger ones fall back to the
     * shuffled both-sides join instead of OOMing the driver/executors.
-    * 2-3 longs per row → ~50M rows ≈ 1 GB serialized, a sane ceiling
-    * for executor broadcast memory at the 100-TB posture. */
-  val GraphBroadcastMaxRows = 50000000L
+    * ~1 GiB is a sane ceiling for executor broadcast memory at the
+    * 100-TB posture (for the 2-long graph frames this reproduces the
+    * former 50M-row guard, but the budget now scales DOWN for wider
+    * frames instead of silently keeping the row constant). */
+  val GraphBroadcastMaxBytes = 1L << 30
+
+  /** Row budget [[GraphBroadcastMaxBytes]] buys for `df`'s schema:
+    * width is estimated from the column types' `defaultSize` (the
+    * same estimate Catalyst statistics use) plus a small per-row
+    * envelope. Deterministic — derived from the schema, not from
+    * plan statistics, which are unreliable after checkpoints. */
+  private[graft] def graphBroadcastRowBudget(df: DataFrame): Long = {
+    val width = df.schema.map(_.dataType.defaultSize.toLong).sum + 8L
+    GraphBroadcastMaxBytes / math.max(width, 1L)
+  }
 
   /** Q61 — PAGERANK over the directed "bought-next" product graph
     * (edge pa→pb iff pb is the next line after pa inside some order):
@@ -1607,7 +1626,7 @@ object Relational {
     * assertable round over round. */
   private[graft] def pagerankRanks(
       s: SparkSession, dir: String, iters: Int,
-      broadcastMaxNodes: Long = GraphBroadcastMaxRows): DataFrame = {
+      broadcastMaxNodes: Long = -1L): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
     // l_linenumber is NOT unique per order in the synthetic data — the
@@ -1639,8 +1658,11 @@ object Relational {
     // the node count is already on the driver — gate the per-round
     // broadcast on it so a node set that outgrows broadcast memory
     // DEGRADES to the shuffled both-sides join instead of OOMing
-    // (plan-pinned both ways in PagerankSpec)
-    val bcastRanks = n <= broadcastMaxNodes
+    // (plan-pinned both ways in PagerankSpec). Default threshold is
+    // byte-aware: the rank frame is (part: long, r: long), so the
+    // budget is derived from that width, not a fixed row count.
+    val bcastRanks = n <= (if (broadcastMaxNodes >= 0L) broadcastMaxNodes
+      else graphBroadcastRowBudget(nodes.withColumn("r", lit(r0))))
     var ranks = nodes.withColumn("r", lit(r0)).localCheckpoint()
     for (_ <- 1 to iters) {
       // ranks is catalog-sized (one row per product) — BROADCAST it so
@@ -1847,11 +1869,22 @@ object Relational {
     * Metric columns must be NON-NULL (RFM metrics are aggregates, so
     * they are by construction): a NULL metric would be invisible to
     * the sketch/count stages but ranked by the window form — callers
-    * with nullable metrics filter or coalesce first. */
+    * with nullable metrics filter or coalesce first. ENFORCED: a
+    * per-metric null probe rides the sizing aggregate (one action, no
+    * extra scan) and fails construction loudly on any null. */
   private[graft] def ntileBandsDesc(
       df: DataFrame, key: String, metrics: Seq[(String, String)],
       k: Int, accuracy: Int = 10000): DataFrame = {
-    val n = df.count()
+    val probeAggs = count(lit(1)).as("nn_all") +:
+      metrics.zipWithIndex.map { case ((m, _), vi) => count(col(m)).as(s"nn_$vi") }
+    val probe = df.agg(probeAggs.head, probeAggs.tail: _*).collect().head
+    val n = probe.getLong(0)
+    metrics.zipWithIndex.foreach { case ((m, _), vi) =>
+      val nonNull = probe.getLong(vi + 1)
+      require(nonNull == n,
+        s"ntileBandsDesc: metric column '$m' has ${n - nonNull} NULL row(s) — " +
+          "nulls are invisible to the sketch/count stages; filter or coalesce first")
+    }
     require(n >= k, s"ntileBandsDesc: need at least k=$k rows, got $n")
     // desc-rank of the last row of bucket b, b = 1..k-1
     val cums = (1L until k.toLong).map(b => b * (n / k) + math.min(b, n % k))

@@ -101,6 +101,16 @@ object MapWithStateTWS {
       * lastUs + ttl. Only used through [[eventTimeFrom]]. */
     override def handleInitialState(
         key: K, init: (K, S, Long), tv: TimerValues): Unit = {
+      // one-row-per-key snapshot contract, enforced by folding: on a
+      // duplicate-keyed snapshot the row with the LATEST lastUs wins
+      // and the loser's armed timer is deleted (a leftover timer would
+      // be harmless thanks to the timerMs guard in handleExpiredTimer,
+      // but folding keeps the surviving state deterministic)
+      if (state.exists()) {
+        val t = state.get()
+        if (init._3 <= t.lastUs) return
+        getHandle.deleteTimer(t.timerMs)
+      }
       val timerMs = math.max(
         (init._3 + ttlUs) / 1000 + 1,
         tv.getCurrentWatermarkInMs() + 1)
@@ -113,6 +123,9 @@ object MapWithStateTWS {
       // same in-batch total order (and the same one-key-one-batch heap
       // bound) as the flagship — see MapWithStateTTL.eventTime
       val events = rows.toVector.sortBy(in => (eventTimeMicros(in), tiebreak(in)))
+      // empty-batch guard (the ProfileKernel discipline): never persist
+      // defaultState or arm a timer for a key that brought no events
+      if (events.isEmpty) return Iterator.empty
       var (s, lastUs, oldTimer) =
         if (state.exists()) {
           val t = state.get()

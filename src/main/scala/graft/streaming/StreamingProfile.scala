@@ -75,9 +75,22 @@ object StreamingProfile {
         // row are then always the user's latest, so "latest snapshot
         // per (user, type)" is the exact live profile. Materialized —
         // the store iterator must not outlive this call.
-        counts.iterator().map { case (t, n) =>
+        val full = counts.iterator().toVector
+        if (ttl != TTLConfig.NONE) {
+          // MapState TTL is PER-ENTRY: with a TTL configured, refresh
+          // the UNTOUCHED types too, so an active user's whole profile
+          // shares one expiry clock (otherwise a cold type of a hot
+          // user would expire independently of user_cents/lastUs and
+          // the emitted "whole profile" would silently drop types).
+          // This trades the one-entry write amplification win for
+          // atomic per-user expiry — only on the TTL'd path.
+          full.foreach { case (t, n) =>
+            if (!touched.contains(t)) counts.updateValue(t, n)
+          }
+        }
+        full.map { case (t, n) =>
           ProfileRow(user, t, n, total, last)
-        }.toVector.iterator
+        }.iterator
       }
     }
   }
@@ -106,8 +119,11 @@ object StreamingProfile {
 
   /** Profile-snapshot stream; the latest row per (user_id, event_type)
     * — selectable by max `n` — is the live profile. `ttl` (optional,
-    * processing-time) expires every state variable of a cold user
-    * independently via the native TTLConfig sweep. */
+    * processing-time) expires every state variable of a cold user via
+    * the native TTLConfig sweep; each batch that touches a user
+    * refreshes ALL of that user's map entries (per-entry TTL made
+    * atomic per user — see handleInputRows), so only genuinely cold
+    * users expire, and they expire whole. */
   def profiles(
       events: Dataset[PEv],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[ProfileRow] = {

@@ -46,11 +46,23 @@ object StreamingRecent {
       if (arrivals.isEmpty) Iterator.empty
       else {
         val current = if (recent.exists()) recent.get().toVector else Vector.empty
-        val merged = (current ++ arrivals).takeRight(n)
-        if (current.size + arrivals.size <= n)
+        // cross-batch order: there is no watermark here, so a later
+        // batch CAN carry an event-time earlier than the buffer tail —
+        // re-sort on that (rare) disorder so "last n by (ts, event_id)"
+        // holds across batches, and keep the appendList fast path only
+        // for the in-order case it is safe for
+        val inOrder = current.isEmpty ||
+          Ordering[(Long, Long)].lteq(
+            (current.last.us, current.last.event_id),
+            (arrivals.head.us, arrivals.head.event_id))
+        val merged =
+          (if (inOrder) current ++ arrivals
+           else (current ++ arrivals).sortBy(e => (e.us, e.event_id)))
+            .takeRight(n)
+        if (inOrder && current.size + arrivals.size <= n)
           recent.appendList(arrivals.toArray) // pure log append, no rewrite
         else
-          recent.put(merged.toArray) // cap exceeded: one bounded rewrite
+          recent.put(merged.toArray) // cap exceeded or disorder: one bounded rewrite
         Iterator.single(RecentRow(user, merged))
       }
     }

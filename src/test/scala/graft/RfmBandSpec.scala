@@ -24,6 +24,21 @@ class RfmBandSpec extends SparkTestBase {
       seg(Relational.rfmSegmentsNtile(perCust)))
   }
 
+  test("a NULL metric fails construction loudly, not as a shifted quantile") {
+    // nulls are invisible to the percentile sketch / count stages but
+    // ranked by the window form — the null probe (which rides the
+    // sizing aggregate, no extra action) must reject them up front
+    import spark.implicits._
+    val withNull = Seq(
+      (1L, Some(3L), 1L, 100L), (2L, None, 2L, 200L),
+      (3L, Some(1L), 3L, 300L), (4L, Some(2L), 4L, 400L))
+      .toDF("o_custkey", "last_day", "n_orders", "m_cents").localCheckpoint()
+    val ex = intercept[IllegalArgumentException] {
+      Relational.rfmSegmentsBand(withNull)
+    }
+    assert(ex.getMessage.contains("NULL row(s)"), s"wrong guard: $ex")
+  }
+
   test("band quartiles == ntile quartiles on a tie-heavy corpus") {
     // 197 customers over only 2/1/3 distinct metric values — every
     // quartile boundary lands INSIDE a tie run (n_orders is even

@@ -29,6 +29,22 @@ class ScaleGuardSpec extends SparkTestBase {
       s"expected the loud basket guard, got: $ex")
   }
 
+  test("broadcast row budget is byte-aware: wider frames get fewer rows") {
+    import spark.implicits._
+    val narrow = Seq((1L, 2L)).toDF("pa", "pb") // the graph-frame shape
+    val wide = Seq((1L, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0,
+      11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 17.0, 18.0, 19.0))
+      .toDF("k", "c1", "c2", "c3", "c4", "c5", "c6", "c7", "c8", "c9", "c10",
+        "c11", "c12", "c13", "c14", "c15", "c16", "c17", "c18", "c19")
+    val nb = Relational.graphBroadcastRowBudget(narrow)
+    val wb = Relational.graphBroadcastRowBudget(wide)
+    // the 2-long frame keeps the former ~50M-row regime; a 20-column
+    // frame's budget shrinks with its width instead of silently reusing
+    // the narrow constant
+    assert(nb > 30000000L, s"narrow budget regressed: $nb")
+    assert(wb < nb / 5, s"wide frame kept a narrow budget: narrow=$nb wide=$wb")
+  }
+
   test("pagerank computes identical ranks with the rank broadcast disabled") {
     def ranks(threshold: Long): Map[Long, Long] =
       Relational.pagerankRanks(spark, sf0001, 2, broadcastMaxNodes = threshold)
