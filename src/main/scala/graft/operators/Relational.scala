@@ -2142,11 +2142,17 @@ object Relational {
     * FIXED, not run-to-fixpoint: peeling is monotone, so extra rounds
     * past the fixpoint are no-ops, and a fixed count is what lets both
     * engines replay the identical computation (the q61 recipe without
-    * even needing convergence reasoning). k = 30 sits below the
-    * bought-next graph's ~45 median degree but above its 14-21
-    * minimum, so peeling is REAL at every SF (measured: 200→178 nodes
-    * at sf0.001, 20000→19256 at sf0.1 over 8 rounds) without the
-    * total-collapse cascade a near-median threshold triggers. */
+    * even needing convergence reasoning). The peel provably CONVERGES
+    * within the 8 rounds on every gate corpus (measured with
+    * [[graft.KcoreProbe]]: first stable round 6 / 4 / 7 at
+    * sf0.001 / 0.01 / 0.1, min in-core degree exactly k at the
+    * fixpoint — SCALE.md), and KcoreSpec asserts the fixpoint
+    * UNCONDITIONALLY, so q70 is the k-core, not a truncated peel.
+    * k = 30 sits below the bought-next graph's ~45 median degree but
+    * above its 14-21 minimum, so peeling is REAL at every SF
+    * (measured: 200→178 nodes at sf0.001, 20000→19256 at sf0.1 over
+    * 8 rounds) without the total-collapse cascade a near-median
+    * threshold triggers. */
   val KcoreK = 30
   val KcoreRounds = 8
 

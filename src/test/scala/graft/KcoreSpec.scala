@@ -6,28 +6,35 @@ import graft.operators.Relational
 
 /** K-core (q70) structural evidence beyond the CTE-replay hash gate:
   * peeling is MONOTONE (the edge set only shrinks round over round),
-  * the peel is real on this corpus (round 1 removes something), and
-  * once a round is a no-op the fixpoint invariant holds — every
-  * surviving node's in-core degree is ≥ k.
+  * the peel is real on this corpus (round 1 removes something), the
+  * peel CONVERGES within `KcoreRounds` (measured by `graft.KcoreProbe`:
+  * first stable round 6 / 4 / 7 at sf0.001 / 0.01 / 0.1, all ≤ 8 —
+  * SCALE.md), and at the fixpoint every surviving node's in-core
+  * degree is ≥ k. The convergence assertion is UNCONDITIONAL: a
+  * testdata regeneration whose graph stops converging in 8 rounds
+  * fails here loudly instead of silently turning the gate into a
+  * truncated peel (VERDICT r13 item 1).
   */
 class KcoreSpec extends SparkTestBase {
 
   private def edgeCount(rounds: Int): Long =
     Relational.kcoreEdges(spark, sf0001, rounds).count()
 
-  test("peeling is monotone and non-trivial; a stable round implies min degree >= k") {
+  test("peeling is monotone, non-trivial, CONVERGED by KcoreRounds, and min degree >= k") {
     val counts = (0 to Relational.KcoreRounds).map(edgeCount)
     assert(counts.sliding(2).forall { case Seq(a, b) => b <= a; case _ => true },
       s"edge counts not monotone: $counts")
     assert(counts(1) < counts(0), s"k=${Relational.KcoreK} peels nothing: $counts")
-    if (counts(Relational.KcoreRounds) == counts(Relational.KcoreRounds - 1)) {
-      val edges = Relational.kcoreEdges(spark, sf0001, Relational.KcoreRounds)
-      val minDeg = edges.select(col("pa").as("v"))
-        .unionAll(edges.select(col("pb").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-        .agg(min(col("d"))).head().getLong(0)
-      assert(minDeg >= Relational.KcoreK,
-        s"stable round but min in-core degree $minDeg < ${Relational.KcoreK}")
-    }
+    assert(counts(Relational.KcoreRounds) == counts(Relational.KcoreRounds - 1),
+      s"peel NOT converged within ${Relational.KcoreRounds} rounds " +
+        s"(counts: $counts) — q70 would be a truncated peel, not the k-core; " +
+        "re-measure with graft.KcoreProbe and raise KcoreRounds")
+    val edges = Relational.kcoreEdges(spark, sf0001, Relational.KcoreRounds)
+    val minDeg = edges.select(col("pa").as("v"))
+      .unionAll(edges.select(col("pb").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .agg(min(col("d"))).head().getLong(0)
+    assert(minDeg >= Relational.KcoreK,
+      s"stable round but min in-core degree $minDeg < ${Relational.KcoreK}")
   }
 }
