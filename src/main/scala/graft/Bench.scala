@@ -80,6 +80,8 @@ object Bench {
       "streaming_tws_rocksdb" -> (() => StreamingBench.twsPipelineRocksDB(spark, sfDir)),
       "streaming_profile_rocksdb" ->
         (() => StreamingBench.profilePipelineRocksDB(spark, sfDir)),
+      "streaming_profile_warm_rocksdb" ->
+        (() => StreamingBench.profileWarmPipelineRocksDB(spark, sfDir)),
       "streaming_recent_rocksdb" ->
         (() => StreamingBench.recentPipelineRocksDB(spark, sfDir)),
       "streaming_dedup" -> (() => StreamingBench.dedupPipeline(spark, sfDir)),
@@ -95,6 +97,8 @@ object Bench {
         (() => StreamingBench.transitionsPipeline(spark, sfDir)),
       "streaming_paths" ->
         (() => StreamingBench.pathsPipeline(spark, sfDir)),
+      "streaming_paths_agg" ->
+        (() => StreamingBench.pathsAggPipeline(spark, sfDir)),
       "streaming_funnel" ->
         (() => StreamingBench.funnelPipeline(spark, sfDir)),
       "streaming_retention" ->

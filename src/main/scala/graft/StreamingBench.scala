@@ -133,10 +133,11 @@ object StreamingBench {
     if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
-    if (any("streaming_profile_rocksdb")) profileRows(spark, sfDir)
+    if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb"))
+      profileRows(spark, sfDir)
     if (any("streaming_recent_rocksdb")) transRows(spark, sfDir)
-    if (any("streaming_transitions", "streaming_paths", "streaming_funnel",
-        "streaming_retention",
+    if (any("streaming_transitions", "streaming_paths", "streaming_paths_agg",
+        "streaming_funnel", "streaming_retention",
         "streaming_attribution", "streaming_session_funnel", "streaming_wau",
         "streaming_funnel_latency", "streaming_funnel_rocksdb"))
       transRows(spark, sfDir)
@@ -685,6 +686,34 @@ object StreamingBench {
         requireCount("paths", expected)))
   }
 
+  /** The aggregated live-q69 form: path hits chained into the per-path
+    * KMV/count state (two stacked append-mode flatMapGroupsWithState
+    * operators in ONE query). Exact count model: one snapshot row per
+    * (path TOUCHED in batch, batch) — replayed driver-side through the
+    * same 3-gram state machine. */
+  def pathsAggPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    val suffix = scala.collection.mutable.Map.empty[Long, (String, String)]
+    val expected = Seq(batches._1, batches._2).map { b =>
+      val touched = scala.collection.mutable.Set.empty[(String, String, String)]
+      b.foreach { e =>
+        val (p2, p1) = suffix.getOrElse(e.user_id, (null: String, null: String))
+        if (p2 != null) touched += ((p2, p1, e.event_type))
+        suffix.update(e.user_id, (p1, e.event_type))
+      }
+      touched.size.toLong
+    }.sum
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingPaths.pathsAgg(stream.toDS())
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "paths_agg")(
+        requireCount("paths_agg", expected)))
+  }
+
   /** Composite-state live profile (transformWithState MapState + two
     * ValueStates; RocksDB-only by API contract): whole events feed in
     * two in-order batches. Exact count model: each batch, every
@@ -711,6 +740,42 @@ object StreamingBench {
       withStatePartitions(spark, 16)(
         runTwoBatches(spark, stream, out, (b1, b2), "profile")(
           requireCount("profile", expected)))
+    }
+
+  /** WARM-STARTED live profile: the first half of the feed enters as
+    * INITIAL STATE (the batch-backfill aggregate rows, exactly what
+    * `profilesFrom` takes — the lambda-architecture handoff), and only
+    * the second half streams. The timed span therefore includes the
+    * initial-state fold — the migration cost a backfill-then-stream
+    * deployment budgets for (VERDICT r13 item 3). Exact count model:
+    * one streamed batch, Σ_{users touched in it} |types seen so far|. */
+  def profileWarmPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark) {
+      val s = spark
+      import s.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val rows = profileRows(spark, sfDir)
+      val (b1, b2) = rows.toIndexedSeq.splitAt(rows.length / 2)
+      val byUser = b1.groupBy(_.user_id)
+      val init = byUser.iterator.flatMap { case (u, es) =>
+        val total = es.map(_.cents).sum
+        val last = es.map(e => micros(e.ts)).max
+        es.groupBy(_.event_type).map { case (t, tes) =>
+          graft.streaming.StreamingProfile.ProfileRow(
+            u, t, tes.size.toLong, total, last)
+        }
+      }.toSeq
+      val types1 = byUser.view.mapValues(_.map(_.event_type).toSet).toMap
+      val expected = b2.groupBy(_.user_id).map { case (u, es) =>
+        (types1.getOrElse(u, Set.empty[String]) ++
+          es.map(_.event_type)).size.toLong
+      }.sum
+      val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+      val out = graft.streaming.StreamingProfile.profilesFrom(
+        stream.toDS(), init.toDS())
+      withStatePartitions(spark, 16)(
+        runBatches(spark, stream, out, Seq(b2), "profile_warm")(
+          requireCount("profile_warm", expected)))
     }
 
   /** ListState recent-events buffer (transformWithState; RocksDB-only

@@ -63,4 +63,58 @@ object StreamingPaths {
       .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
         pathUpdate(idleTimeout))
   }
+
+  /** Per-path aggregate snapshot: exact hit count plus the KMV
+    * distinct-USER estimate (`n_vals`/`kth_val` are the sketch gate
+    * columns, `est_users` the derived estimate). */
+  case class PathAgg(e1: String, e2: String, e3: String, batch: Long,
+      n_hits: Long, n_vals: Long, kth_val: Long, est_users: Double)
+
+  /** Per-path state transition — exposed for `TestGroupState` drive.
+    * State: (snapshot version, exact hit count, KMV k-min array of
+    * distinct user hashes) — ≤ k+2 longs per path, bounded regardless
+    * of stream length. */
+  private[streaming] def pathAggUpdate(k: Int)(
+      path: (String, String, String), it: Iterator[PathHit],
+      state: GroupState[(Long, Long, Array[Long])]): Iterator[PathAgg] = {
+    val (version, hits, mins) =
+      state.getOption.getOrElse((0L, 0L, Array.emptyLongArray))
+    val batchHits = it.toVector
+    val n = hits + batchHits.size
+    val next = StreamingKmv.merge(
+      mins, batchHits.iterator.map(h =>
+        graft.functions.sketch.Hll.h52(h.user_id.toString)), k)
+    val v = version + 1
+    state.update((v, n, next))
+    Iterator.single(PathAgg(path._1, path._2, path._3, v, n,
+      next.length.toLong,
+      if (next.isEmpty) 0L else next.last,
+      if (next.isEmpty) 0.0
+      else graft.functions.Profiling.kmvEstimate(next.length.toLong, next.last, k)))
+  }
+
+  /** The LIVE q69 aggregate: [[paths]] chained into a second
+    * append-mode `flatMapGroupsWithState` keyed by (e1, e2, e3) —
+    * Spark permits stacking stateful operators when every
+    * flatMapGroupsWithState runs in Append mode, so the whole thing is
+    * ONE streaming query. The latest snapshot per path carries the
+    * EXACT cumulative hit count (batch q69's `n_paths`) and a KMV
+    * estimate of distinct users (`n_users` is a distinct aggregate —
+    * not computable exactly in streaming append mode — so the
+    * [[StreamingKmv]] k-min sketch stands in: exact below k distinct
+    * users, ≈1/√(k−2) standard error above; spec-pinned both regimes).
+    * Path-key state needs no idle eviction: the key space is
+    * |event types|³ — bounded by construction, unlike the per-user
+    * first stage. */
+  def pathsAgg(
+      events: Dataset[StreamingTransitions.Ev],
+      k: Int = graft.functions.Profiling.KmvK,
+      idleTimeout: Option[FiniteDuration] = None): Dataset[PathAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    paths(events, idleTimeout)
+      .groupByKey(h => (h.e1, h.e2, h.e3))
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        pathAggUpdate(k))
+  }
 }
