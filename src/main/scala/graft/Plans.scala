@@ -96,7 +96,8 @@ object Plans {
     "q67_ltv_triangle",    // cohort via min() window, tiny triangle cumsum
     "q68_frequent_triples", // 3-subset comprehension, no three-way join
     "q69_path_topk",       // two leads on ONE user window pass, tiny path aggregate
-    "q70_kcore")           // fixed-round peel: degree agg + semi joins per round
+    "q70_kcore",           // fixed-round peel: degree agg + semi joins per round
+    "q71_neighbor_jaccard") // top-k node cap + half-edge self-join, pair frame broadcast
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -626,6 +626,37 @@ object RelationalOracles {
          |ORDER BY core_deg DESC, part ASC""".stripMargin
     },
 
+    // neighborhood jaccard: same edge/degree CTEs as q70's base, the
+    // top-node filter totally ordered by (deg desc, v asc), ratio as
+    // exact integer ppm — BIGINT div on both engines
+    "q71_neighbor_jaccard" -> {
+      import graft.operators.Relational.{AssocPpm, JaccardTopNodes}
+      s"""WITH s0 AS MATERIALIZED (
+         |  SELECT l_partkey, lead(l_partkey) OVER (
+         |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS pb0
+         |  FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(l_partkey, pb0) AS pa,
+         |    GREATEST(l_partkey, pb0) AS pb
+         |  FROM s0 WHERE pb0 IS NOT NULL AND l_partkey <> pb0),
+         |h AS MATERIALIZED (
+         |  SELECT pa AS u, pb AS v FROM e0
+         |  UNION ALL SELECT pb AS u, pa AS v FROM e0),
+         |d AS MATERIALIZED (SELECT u AS v, count(*) AS deg FROM h GROUP BY 1),
+         |top AS MATERIALIZED (SELECT v FROM d
+         |  ORDER BY deg DESC, v ASC LIMIT $JaccardTopNodes),
+         |ta AS MATERIALIZED (SELECT u, v FROM h
+         |  WHERE v IN (SELECT v FROM top)),
+         |c AS (SELECT a.v AS pa, b.v AS pb, count(*) AS n_common
+         |  FROM ta a JOIN ta b ON a.u = b.u AND a.v < b.v
+         |  GROUP BY 1, 2)
+         |SELECT c.pa, c.pb, c.n_common, da.deg AS da, db.deg AS db,
+         |  CAST(($AssocPpm * c.n_common) // (da.deg + db.deg - c.n_common)
+         |    AS BIGINT) AS jac_ppm
+         |FROM c JOIN d da ON c.pa = da.v JOIN d db ON c.pb = db.v
+         |ORDER BY jac_ppm DESC, pa ASC, pb ASC LIMIT 20""".stripMargin
+    },
+
     // LTV triangle: identical integer month/cohort arithmetic,
     // cumulative sum over the tiny (cohort, age) frame, exact cents
     "q67_ltv_triangle" -> {
