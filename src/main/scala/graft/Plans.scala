@@ -97,7 +97,8 @@ object Plans {
     "q68_frequent_triples", // 3-subset comprehension, no three-way join
     "q69_path_topk",       // two leads on ONE user window pass, tiny path aggregate
     "q70_kcore",           // fixed-round peel: degree agg + semi joins per round
-    "q71_neighbor_jaccard") // top-k node cap + half-edge self-join, pair frame broadcast
+    "q71_neighbor_jaccard", // top-k node cap + half-edge self-join, pair frame broadcast
+    "q72_stickiness")      // one fact-distinct exchange; dau/wau joins on day-sized frames
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2232,6 +2232,45 @@ object Relational {
       .orderBy(col("core_deg").desc, col("part").asc)
   }
 
+  /** Q72 — STICKINESS (DAU/WAU): per day, distinct daily actives over
+    * distinct trailing-[[WauWindowDays]] actives, as exact integer ppm
+    * — THE canonical engagement ratio next to q64's rolling WAU (whose
+    * machinery this rides: same distinct (user, day) base frame, same
+    * bounded ×w explode for the trailing window, same day spine).
+    *
+    * Scale shape: the (user_id, day) distinct is the only fact-sized
+    * exchange; dau is one map-side-combined day aggregate on it; wau
+    * is q64's bounded expansion; the spine/ratio joins run on
+    * day-count-sized frames (broadcast). Ratio BIGINT ppm, zero-WAU
+    * days (a >w-day data gap) report 0 — never a division error. */
+  def q72Stickiness(s: SparkSession, dir: String): DataFrame = {
+    val w = WauWindowDays
+    val active = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"))
+      .distinct()
+      .localCheckpoint() // feeds dau + the expansion + the spine
+    val dau = active.groupBy("day").agg(count(lit(1)).as("dau"))
+      .select(col("day").as("dday"), col("dau"))
+    val wau = active
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + lit(w - 1))).as("wday"))
+      .distinct()
+      .groupBy("wday").agg(count(lit(1)).as("wau"))
+    val spine = active.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("wday"))
+    spine
+      .join(wau, Seq("wday"), "left")
+      .join(dau, col("wday") === col("dday"), "left")
+      .select(col("wday").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr(s"CASE WHEN wau = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE (dau * $AssocPpm) div wau END").as("stickiness_ppm"))
+      .orderBy("day")
+  }
+
   /** Top-node cap for [[q71NeighborJaccard]]: similarity pairs are
     * computed among the `JaccardTopNodes` highest-degree products
     * (ties split by id — a total order). The cap is what makes the
@@ -2291,6 +2330,74 @@ object Relational {
         expr(s"($AssocPpm * n_common) div (da + db - n_common)").as("jac_ppm"))
       .orderBy(col("jac_ppm").desc, col("pa").asc, col("pb").asc)
       .limit(20)
+  }
+
+  /** Max BFS depth for [[q73BfsReach]] — generous for the bought-next
+    * graph's small diameter (measured: the hub's component is fully
+    * reached in 2 / 3 / 4 hops at sf0.001 / 0.01 / 0.1); the loop
+    * early-exits on an empty frontier, so the constant is a ceiling,
+    * not a cost. */
+  val BfsRounds = 6
+
+  /** Q73 — BFS REACHABILITY PROFILE: hop distances from the graph's
+    * highest-degree product (ties split by id — a total order) over
+    * the undirected bought-next graph: per distance, the node count
+    * and an id-sum checksum — the "how far is everything from the
+    * hub" diagnostic, fifth member of the graph family (q55 density,
+    * q61 centrality, q70 cohesion, q71 similarity, q73 distance).
+    *
+    * Scale shape: per hop ONE semi join (frontier onto the half-edge
+    * list) + distinct + ONE anti join (drop already-reached) +
+    * localCheckpoint — the k-core/CC iterative discipline; frontier
+    * and reached sets are node-frames, never collected (only each
+    * hop's 1-row count/sum aggregate lands on the driver, which the
+    * early-exit check needs anyway). The DuckDB oracle replays every
+    * hop as a MATERIALIZED CTE chain to identical BIGINTs. */
+  def q73BfsReach(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+      .withColumn("pb0", lead(col("l_partkey"), 1).over(w))
+      .filter(col("pb0").isNotNull && col("l_partkey") =!= col("pb0"))
+      .select(least(col("l_partkey"), col("pb0")).as("pa"),
+        greatest(col("l_partkey"), col("pb0")).as("pb"))
+      .distinct()
+      .localCheckpoint()
+    val half = edges.select(col("pa").as("u"), col("pb").as("v"))
+      .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
+      .localCheckpoint() // probed once per hop
+    val seed = half.groupBy("u").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u").asc).limit(1)
+      .select(col("u").as("v"))
+      .localCheckpoint()
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    def stats(dist: Long, frontier: DataFrame): Long = {
+      val r = frontier.agg(count(lit(1)).as("n"),
+        coalesce(sum(col("v")), lit(0L)).as("s")).head()
+      if (r.getLong(0) > 0) out += ((dist, r.getLong(0), r.getLong(1)))
+      r.getLong(0)
+    }
+    var frontier = seed
+    var reached = seed
+    stats(0L, seed)
+    var dist = 1L
+    var live = true
+    while (live && dist <= BfsRounds) {
+      val next = half
+        .join(frontier.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
+        .select(col("v")).distinct()
+        .join(reached, Seq("v"), "left_anti")
+        .localCheckpoint()
+      live = stats(dist, next) > 0
+      if (live) {
+        frontier = next
+        reached = reached.unionAll(next).localCheckpoint()
+        dist += 1
+      }
+    }
+    val sess = s
+    import sess.implicits._
+    out.result().toDF("dist", "n_nodes", "sum_v").orderBy("dist")
   }
 
   /** All relational queries, keyed as registered in SparkEntry. */
@@ -2366,6 +2473,8 @@ object Relational {
     "q69_path_topk"         -> (q69PathTopk _),
     "q70_kcore"             -> (q70Kcore _),
     "q71_neighbor_jaccard"  -> (q71NeighborJaccard _),
+    "q72_stickiness"        -> (q72Stickiness _),
+    "q73_bfs_reach"         -> (q73BfsReach _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -626,6 +626,70 @@ object RelationalOracles {
          |ORDER BY core_deg DESC, part ASC""".stripMargin
     },
 
+    // stickiness: q64's WAU CTEs + a DAU aggregate on the same distinct
+    // base; ratio as exact integer ppm, zero-WAU days report 0
+    "q72_stickiness" -> {
+      import graft.operators.Relational.{AssocPpm, WauWindowDays}
+      s"""WITH a AS (
+         |  SELECT DISTINCT user_id,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+         |  FROM events),
+         |dd AS (SELECT day, count(*) AS dau FROM a GROUP BY 1),
+         |c AS (
+         |  SELECT DISTINCT user_id, day + g AS wday
+         |  FROM a CROSS JOIN
+         |    (SELECT unnest(range(0, $WauWindowDays)) AS g)),
+         |n AS (SELECT wday, count(*) AS wau FROM c GROUP BY 1),
+         |sp AS (SELECT unnest(range((SELECT min(day) FROM a),
+         |  (SELECT max(day) FROM a) + 1)) AS wday)
+         |SELECT CAST(sp.wday AS BIGINT) AS day,
+         |  CAST(coalesce(dd.dau, 0) AS BIGINT) AS dau,
+         |  CAST(coalesce(n.wau, 0) AS BIGINT) AS wau,
+         |  CAST(CASE WHEN coalesce(n.wau, 0) = 0 THEN 0
+         |    ELSE (coalesce(dd.dau, 0) * $AssocPpm) // n.wau END
+         |    AS BIGINT) AS stickiness_ppm
+         |FROM sp LEFT JOIN n ON sp.wday = n.wday
+         |LEFT JOIN dd ON sp.wday = dd.day
+         |ORDER BY 1""".stripMargin
+    },
+
+    // BFS reachability: same half-edge CTEs as q71, each hop replayed
+    // as a MATERIALIZED frontier/cumulative pair; empty hops drop out
+    // via the n_nodes > 0 filter exactly as the batch early-exit does
+    "q73_bfs_reach" -> {
+      import graft.operators.Relational.BfsRounds
+      val rounds = (1 to BfsRounds).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT DISTINCT h.v FROM h
+           |  JOIN r${i - 1} ON h.u = r${i - 1}.v
+           |  WHERE h.v NOT IN (SELECT v FROM c${i - 1})),
+           |c$i AS MATERIALIZED (
+           |  SELECT v FROM c${i - 1} UNION SELECT v FROM r$i)""".stripMargin
+      }.mkString(",\n")
+      val perDist = (0 to BfsRounds).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS dist, count(*) AS n_nodes,
+           |  CAST(coalesce(sum(v), 0) AS BIGINT) AS sum_v FROM r$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH s0 AS MATERIALIZED (
+         |  SELECT l_partkey, lead(l_partkey) OVER (
+         |    PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS pb0
+         |  FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(l_partkey, pb0) AS pa,
+         |    GREATEST(l_partkey, pb0) AS pb
+         |  FROM s0 WHERE pb0 IS NOT NULL AND l_partkey <> pb0),
+         |h AS MATERIALIZED (
+         |  SELECT pa AS u, pb AS v FROM e0
+         |  UNION ALL SELECT pb AS u, pa AS v FROM e0),
+         |d AS (SELECT u AS v, count(*) AS deg FROM h GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT v FROM d
+         |  ORDER BY deg DESC, v ASC LIMIT 1),
+         |c0 AS MATERIALIZED (SELECT v FROM r0),
+         |$rounds
+         |SELECT dist, n_nodes, sum_v FROM (
+         |$perDist)
+         |WHERE n_nodes > 0 ORDER BY dist""".stripMargin
+    },
+
     // neighborhood jaccard: same edge/degree CTEs as q70's base, the
     // top-node filter totally ordered by (deg desc, v asc), ratio as
     // exact integer ppm — BIGINT div on both engines
