@@ -2176,18 +2176,7 @@ object Relational {
     * (stable ⇒ every in-core degree ≥ k) are assertable per round. */
   private[graft] def kcoreEdges(
       s: SparkSession, dir: String, rounds: Int): DataFrame = {
-    // q61's bought-next pairs (lead over the TOTAL (l_linenumber,
-    // l_partkey) order — the window-total-order rule), canonicalized
-    // to undirected (least, greatest) edges
-    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    var edges = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
-      .withColumn("pb0", lead(col("l_partkey"), 1).over(w))
-      .filter(col("pb0").isNotNull && col("l_partkey") =!= col("pb0"))
-      .select(least(col("l_partkey"), col("pb0")).as("pa"),
-        greatest(col("l_partkey"), col("pb0")).as("pb"))
-      .distinct()
-      .localCheckpoint()
+    var edges = boughtNextEdges(s, dir)
     // early exit once a round is a no-op: peeling is MONOTONE (edges
     // only leave), so an unchanged edge COUNT means an unchanged edge
     // SET and every remaining round would be a no-op — skipping them
@@ -2299,23 +2288,23 @@ object Relational {
     * ((ppm·c) div (da+db−c)) — the cross-engine-exact ratio discipline
     * of q66. Output: top 20 pairs by jac_ppm with the exact
     * numerator/denominator columns. */
-  def q71NeighborJaccard(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    val edges = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
-      .withColumn("pb0", lead(col("l_partkey"), 1).over(w))
-      .filter(col("pb0").isNotNull && col("l_partkey") =!= col("pb0"))
-      .select(least(col("l_partkey"), col("pb0")).as("pa"),
-        greatest(col("l_partkey"), col("pb0")).as("pb"))
-      .distinct()
-      .localCheckpoint() // consumed twice (both half-edge directions)
+  def q71NeighborJaccard(s: SparkSession, dir: String): DataFrame =
+    neighborJaccard(boughtNextEdges(s, dir), JaccardTopNodes).limit(20)
+
+  /** The [[q71NeighborJaccard]] core over any undirected edge list
+    * (`pa < pb`, distinct, localCheckpoint'd) — exposed so the
+    * random-graph fuzz spec can drive it against a brute-force model.
+    * Returns ALL top-node pairs with ≥1 common neighbor, ordered
+    * (jac_ppm desc, pa, pb); the gate takes the first 20. */
+  private[graft] def neighborJaccard(
+      edges: DataFrame, topNodes: Int): DataFrame = {
     val half = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
     val deg = half.groupBy("u").agg(count(lit(1)).as("deg"))
       .select(col("u").as("v"), col("deg"))
       .localCheckpoint() // consumed 3× (top pick + two ratio joins)
     val top = deg.orderBy(col("deg").desc, col("v").asc)
-      .limit(JaccardTopNodes).select("v")
+      .limit(topNodes).select("v")
     val topAdj = half.join(broadcast(top), Seq("v"), "left_semi")
     val c = topAdj.as("a")
       .join(topAdj.as("b"),
@@ -2329,7 +2318,6 @@ object Relational {
     withDb.select(col("pa"), col("pb"), col("n_common"), col("da"), col("db"),
         expr(s"($AssocPpm * n_common) div (da + db - n_common)").as("jac_ppm"))
       .orderBy(col("jac_ppm").desc, col("pa").asc, col("pb").asc)
-      .limit(20)
   }
 
   /** Max BFS depth for [[q73BfsReach]] — generous for the bought-next
@@ -2353,9 +2341,17 @@ object Relational {
     * hop's 1-row count/sum aggregate lands on the driver, which the
     * early-exit check needs anyway). The DuckDB oracle replays every
     * hop as a MATERIALIZED CTE chain to identical BIGINTs. */
-  def q73BfsReach(s: SparkSession, dir: String): DataFrame = {
+  def q73BfsReach(s: SparkSession, dir: String): DataFrame =
+    bfsReach(boughtNextEdges(s, dir))
+
+  /** Undirected bought-next edge list (pa < pb, distinct,
+    * localCheckpoint'd) — the shared graph-family base frame
+    * (q70/q71/q73 build on it; q61's directed variant differs).
+    * `lead()` runs over the TOTAL (l_linenumber, l_partkey) order —
+    * the window-total-order determinism rule. */
+  private[graft] def boughtNextEdges(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
-    val edges = Tables.lineitem(s, dir)
+    Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
       .withColumn("pb0", lead(col("l_partkey"), 1).over(w))
       .filter(col("pb0").isNotNull && col("l_partkey") =!= col("pb0"))
@@ -2363,6 +2359,13 @@ object Relational {
         greatest(col("l_partkey"), col("pb0")).as("pb"))
       .distinct()
       .localCheckpoint()
+  }
+
+  /** The [[q73BfsReach]] core over any undirected edge list (`pa < pb`,
+    * distinct, localCheckpoint'd) — exposed so the random-graph fuzz
+    * spec can drive it against a brute-force BFS model. */
+  private[graft] def bfsReach(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
     val half = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
       .localCheckpoint() // probed once per hop
