@@ -111,6 +111,8 @@ object Bench {
         (() => StreamingBench.dqPipeline(spark, sfDir)),
       "streaming_wau" ->
         (() => StreamingBench.wauPipeline(spark, sfDir)),
+      "streaming_stickiness" ->
+        (() => StreamingBench.stickinessPipeline(spark, sfDir)),
       "streaming_funnel_latency" ->
         (() => StreamingBench.funnelLatencyPipeline(spark, sfDir)),
       "streaming_funnel_rocksdb" ->

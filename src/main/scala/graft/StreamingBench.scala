@@ -139,13 +139,20 @@ object StreamingBench {
     if (any("streaming_transitions", "streaming_paths", "streaming_paths_agg",
         "streaming_funnel", "streaming_retention",
         "streaming_attribution", "streaming_session_funnel", "streaming_wau",
+        "streaming_stickiness",
         "streaming_funnel_latency", "streaming_funnel_rocksdb"))
       transRows(spark, sfDir)
     if (any("streaming_funnel", "streaming_funnel_rocksdb"))
       funnelExpected(spark, sfDir)
     if (any("streaming_retention")) retentionExpected(spark, sfDir)
     if (any("streaming_session_funnel")) sessionFunnelExpected(spark, sfDir)
-    if (any("streaming_wau")) wauExpected(spark, sfDir)
+    if (any("streaming_wau", "streaming_stickiness")) wauExpected(spark, sfDir)
+    if (any("streaming_stickiness"))
+      memoExpected("stickiness_dau", sfDir) {
+        transRows(spark, sfDir).iterator
+          .map(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L)))
+          .toSet.size.toLong
+      }
     if (any("streaming_funnel_latency")) funnelLatencyExpected(spark, sfDir)
   }
 
@@ -1005,6 +1012,28 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "wau")(
         requireCount("wau", expected)))
+  }
+
+  /** Two-mask stickiness: WAU + DAU hits from ONE keyed pass. Exact
+    * count model: the WAU coverage model plus Σ_user |distinct
+    * activity days| (one DAU hit per first activity on a day). */
+  def stickinessPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val dauExpected = memoExpected("stickiness_dau", sfDir) {
+      rows.iterator
+        .map(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L)))
+        .toSet.size.toLong
+    }
+    val expected = wauExpected(spark, sfDir) + dauExpected
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingStickiness.hits(stream.toDS())
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "stickiness")(
+        requireCount("stickiness", expected)))
   }
 
   /** Σ of batch q63's four cohort counters — the session-funnel line's

@@ -32,8 +32,37 @@ object StreamingWau {
 
   case class WauHit(user_id: Long, wday: Long)
 
-  private def day(t: java.sql.Timestamp): Long =
+  private[streaming] def day(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 86400000L)
+
+  /** Pure per-activity-day mask roll: rebase `st` so [d, d+w) fits the
+    * 64-bit mask (bits falling off the left edge are fully expired
+    * coverage), then set the uncovered window bits. Returns (new
+    * state, newly covered wdays ascending, late) — `late` means d fell
+    * behind the rebased window (the beyond-watermark drop). Shared by
+    * [[wauUpdate]] and the stickiness twin's two-mask state. */
+  private[streaming] def cover(
+      st0: WauState, d: Long, windowDays: Int): (WauState, Seq[Long], Boolean) = {
+    var st = st0
+    if (d + windowDays - 1 - st.baseDay >= 64) {
+      val shift = d + windowDays - 64 - st.baseDay
+      st = WauState(st.baseDay + shift,
+        if (shift >= 64) 0L else st.mask >>> shift)
+    }
+    if (d >= st.baseDay) {
+      val out = Seq.newBuilder[Long]
+      var k = d
+      while (k < d + windowDays) {
+        val bit = k - st.baseDay
+        if (bit < 64 && (st.mask & (1L << bit)) == 0L) {
+          st = st.copy(mask = st.mask | (1L << bit))
+          out += k
+        }
+        k += 1
+      }
+      (st, out.result(), false)
+    } else (st, Nil, true)
+  }
 
   private[streaming] def wauUpdate(
       windowDays: Int, idleTimeout: Option[FiniteDuration],
@@ -47,31 +76,13 @@ object StreamingWau {
       var st = held.getOrElse(WauState(day(arrivals.head.ts), 0L))
       val out = Seq.newBuilder[WauHit]
       arrivals.foreach { e =>
-        val d = day(e.ts)
-        // rebase so [d, d + windowDays) fits in the 64-bit mask; bits
-        // that fall off the left edge are fully expired coverage
-        if (d + windowDays - 1 - st.baseDay >= 64) {
-          val shift = d + windowDays - 64 - st.baseDay
-          st = WauState(st.baseDay + shift,
-            if (shift >= 64) 0L else st.mask >>> shift)
-        }
-        if (d >= st.baseDay) {
-          var k = d
-          while (k < d + windowDays) {
-            val bit = k - st.baseDay
-            if (bit < 64 && (st.mask & (1L << bit)) == 0L) {
-              st = st.copy(mask = st.mask | (1L << bit))
-              out += WauHit(user, k)
-            }
-            k += 1
-          }
-        } else {
-          // behind the rolling window — beyond-watermark drop. Correct
-          // per the watermark contract, but a live dashboard should SEE
-          // the loss: count it on the side channel (same visibility
-          // discipline as the DQ monitor's violation stream).
-          lateDrops.foreach(_.add(1L))
-        }
+        val (st2, covered, late) = cover(st, day(e.ts), windowDays)
+        st = st2
+        covered.foreach(k => out += WauHit(user, k))
+        // a late drop is correct per the watermark contract, but a live
+        // dashboard should SEE the loss: count it on the side channel
+        // (the DQ monitor's visibility discipline)
+        if (late) lateDrops.foreach(_.add(1L))
       }
       if (held.isEmpty || held.get != st) state.update(st)
       idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))

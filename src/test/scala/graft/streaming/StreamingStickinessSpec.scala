@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.Relational
+import graft.streaming.StreamingTransitions.Ev
+
+/** Streaming two-mask stickiness == batch q72 on the calendar spine
+  * when fed in order — dau, wau AND the integer-ppm ratio; the DAU
+  * mask dedups repeat same-day activity; cover() refactor equivalence
+  * is implied (StreamingWauSpec pins the WAU half on the same helper).
+  */
+class StreamingStickinessSpec extends SparkTestBase {
+
+  test("cross-batch stickiness curve == batch q72 on the calendar spine") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[Ev].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val stream = MemoryStream[Ev]
+    val out = StreamingStickiness.hits(stream.toDS())
+    val q = SourceKit.Sinks.toMemory(out.toDF(), "stick_out")
+    try {
+      val (b1, b2) = rows.toIndexedSeq.splitAt(rows.length / 2)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("stick_out")
+        .groupBy("wday")
+        .agg(sum(when(col("is_day"), 1L).otherwise(0L)).as("dau"),
+          sum(when(col("is_day"), 0L).otherwise(1L)).as("wau"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        .withDefaultValue((0L, 0L))
+      val batch = Relational.q72Stickiness(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(batch.nonEmpty)
+      batch.foreach { case (d, dau, wau, ppm) =>
+        val (sd, sw) = streamed(d)
+        assert(sd == dau && sw == wau,
+          s"day $d: streamed ($sd, $sw) vs batch ($dau, $wau)")
+        val sppm = if (sw == 0) 0L else (sd * 1000000L) / sw
+        assert(sppm == ppm, s"day $d: ppm $sppm vs $ppm")
+      }
+    } finally q.stop()
+  }
+
+  test("two-mask state: DAU dedups same-day repeats; WAU half keeps its contract") {
+    import scala.concurrent.duration._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[StreamingStickiness.StickState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    def ev(dayN: Long, id: Long) =
+      Ev(7L, new java.sql.Timestamp(dayN * 86400000L), id, "view")
+    // day 0 twice + day 3: DAU hits exactly {0, 3}; WAU hits 0..6 ∪ 7..9
+    val out = StreamingStickiness.stickUpdate(7, Some(500.millis))(
+      7L, Iterator(ev(0, 1), ev(0, 2), ev(3, 3)), st).toSeq
+    assert(out.filter(_.is_day).map(_.wday) == Seq(0L, 3L))
+    assert(out.filterNot(_.is_day).map(_.wday) == (0L to 6L) ++ (7L to 9L))
+    // next batch, same day again: nothing new on either mask
+    val out2 = StreamingStickiness.stickUpdate(7, Some(500.millis))(
+      7L, Iterator(ev(3, 4)), st).toSeq
+    assert(out2.isEmpty)
+  }
+}
