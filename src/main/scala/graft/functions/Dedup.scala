@@ -1001,6 +1001,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate thresholds for [[textBoilerplate]]: a 3-shingle in
+    * ≥ max(`BoilerplateDocFreq`, 1% of the corpus) DISTINCT documents
+    * is corpus boilerplate (nav bars, licence blurbs, templated
+    * headers) — the RELATIVE form keeps the rule meaningful as the
+    * corpus grows (a fixed absolute df marks ordinary vocabulary as
+    * boilerplate at 10× the documents); a document whose boilerplate
+    * fraction reaches `BoilerplatePpm` is flagged — the C4-style
+    * cross-document repetition filter, complementing
+    * `quality_repetition`'s INTRA-document rule. */
+  val BoilerplateDocFreq = 5L
+  val BoilerplatePpm = 300000L
+
+  /** CROSS-DOCUMENT BOILERPLATE detection: global document frequency of
+    * every distinct word 3-shingle, then per document the fraction of
+    * its shingles that are corpus-hot, as exact integer ppm.
+    *
+    * Scale shape: ONE shingle explode feeds both the document-frequency
+    * aggregate and the per-doc hot count; both shuffles key on the
+    * shingle, so the exchange is reused, and the hot-set semi join is
+    * a same-key partitioned join (no broadcast assumption — the hot
+    * set is data-dependent). Per-doc totals come from the same
+    * exploded frame (shingles are per-doc distinct); documents
+    * themselves never shuffle, only (doc_id, shingle) rows. */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val dsh = withShingles(docs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .localCheckpoint() // consumed 3× (df agg, hot probe, totals)
+    // corpus-relative hot threshold: a parquet count() is
+    // metadata-speed, and the 1-row value folds into the filter
+    val hotDf = math.max(BoilerplateDocFreq, docs.count() / 100L)
+    val hot = dsh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= hotDf)
+      .select("sh")
+    val totals = dsh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val nHot = dsh.join(hot, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hot"))
+    docs.select("doc_id")
+      .join(totals, Seq("doc_id"), "left")
+      .join(nHot, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hot"), lit(0L)).as("n_hot"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hot"),
+        expr(s"CASE WHEN n_shingles = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE (n_hot * 1000000) div n_shingles END").as("boiler_ppm"))
+      .withColumn("action",
+        when(col("boiler_ppm") >= BoilerplatePpm, "flag").otherwise("keep"))
+      .orderBy("doc_id")
+  }
+
   /** Bloom geometry for [[decontaminateBloom]]: m = 2^20 positions,
     * k = 3 probes via Kirsch–Mitzenmacher double hashing
     * (pos_i = (h32 + i·h32b) mod m) — both 32-bit halves of one md5, so

@@ -812,6 +812,34 @@ object ExtensionOracles {
     // benchmark = first 8 tokens of every 13th doc; a doc is
     // quarantined when it shares >= 4 distinct 3-shingles with the
     // benchmark shingle set
+    "text_boilerplate" -> {
+      import graft.functions.Dedup.{BoilerplateDocFreq, BoilerplatePpm}
+      s"""WITH tokd AS (SELECT doc_id, $toks AS toks FROM documents),
+         |dsh AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest($shingleExpr) AS s FROM tokd) u),
+         |hot AS (SELECT s FROM (
+         |    SELECT s, count(*) AS df FROM dsh GROUP BY 1)
+         |  WHERE df >= greatest($BoilerplateDocFreq,
+         |    (SELECT count(*) FROM documents) // 100)),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM dsh GROUP BY 1),
+         |nh AS (SELECT doc_id, count(*) AS n_hot
+         |  FROM dsh JOIN hot USING (s) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(tot.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(coalesce(nh.n_hot, 0) AS BIGINT) AS n_hot,
+         |  CAST(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0
+         |    ELSE (coalesce(nh.n_hot, 0) * 1000000) // tot.n_shingles END
+         |    AS BIGINT) AS boiler_ppm,
+         |  CASE WHEN CAST(CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0
+         |    ELSE (coalesce(nh.n_hot, 0) * 1000000) // tot.n_shingles END
+         |    AS BIGINT) >= $BoilerplatePpm THEN 'flag' ELSE 'keep' END AS action
+         |FROM documents d
+         |LEFT JOIN tot ON d.doc_id = tot.doc_id
+         |LEFT JOIN nh ON d.doc_id = nh.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
     "decontaminate" ->
       s"""WITH bench AS (
          |  SELECT array_to_string(list_slice($toks, 1, 8), ' ') AS text

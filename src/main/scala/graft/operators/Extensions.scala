@@ -34,6 +34,7 @@ object Extensions {
     // therefore false positives) are md5-derived identically in both
     // engines; forced-FP regime pinned in BloomDecontaminationSpec
     "decontaminate_bloom" -> ((s: SparkSession, dir: String) => Dedup.decontaminateBloom(s, dir)),
+    "text_boilerplate" -> ((s: SparkSession, dir: String) => Dedup.textBoilerplate(s, dir)),
     // 128 KB bitmap + codegen'd bit test instead of the 4 MB position-set
     // broadcast join — bit-identical decisions, shares the bloom oracle
     "decontaminate_bloom_bitmap" -> ((s: SparkSession, dir: String) => Dedup.decontaminateBloomBitmap(s, dir)),
