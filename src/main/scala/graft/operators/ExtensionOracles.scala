@@ -459,6 +459,32 @@ object ExtensionOracles {
          |ORDER BY column_name, bucket""".stripMargin
     },
 
+    // winsorization: quantile_cont thresholds (bit-equal to the band
+    // machinery per the q28/q38 pins); interior sum BIGINT; the two
+    // tails contribute single count×threshold products — no per-row
+    // float accumulation on either engine
+    "column_winsorize" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS grp,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |p AS (SELECT grp, quantile_cont(cents, 0.01) AS p01,
+         |    quantile_cont(cents, 0.99) AS p99
+         |  FROM o GROUP BY 1),
+         |a AS (SELECT o.grp, count(*) AS n,
+         |    sum(CASE WHEN cents < p01 THEN 1 ELSE 0 END) AS n_low,
+         |    sum(CASE WHEN cents > p99 THEN 1 ELSE 0 END) AS n_high,
+         |    sum(CASE WHEN cents >= p01 AND cents <= p99 THEN cents
+         |        ELSE 0 END) AS sum_mid,
+         |    max(p01) AS p01, max(p99) AS p99
+         |  FROM o JOIN p USING (grp) GROUP BY 1)
+         |SELECT grp, CAST(n AS BIGINT) AS n,
+         |  CAST(n_low AS BIGINT) AS n_low, CAST(n_high AS BIGINT) AS n_high,
+         |  CAST(round(sum_mid + n_low * p01 + n_high * p99) AS BIGINT)
+         |    AS winsor_sum_cents,
+         |  round(p01, 4) AS p01_cents, round(p99, 4) AS p99_cents
+         |FROM a ORDER BY grp""".stripMargin,
+
     "column_profile" -> {
       val branches = graft.functions.Profiling.ProfileColumns
         .map(c => s"SELECT '$c' AS column_name, CAST($c AS DOUBLE) AS v FROM lineitem")

@@ -122,6 +122,7 @@ object Extensions {
     // the sketch-NDV default for 100 TB profiling scans: one scan, no
     // countDistinct expand; integer HLL register columns like approx_ndv
     "column_profile_approx" -> (graft.functions.Profiling.columnProfileApprox _),
+    "column_winsorize" -> (Relational.columnWinsorize _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> (Multimodal.mediaFrames _),
   )

@@ -1217,13 +1217,72 @@ object Relational {
           max(when(inQ, pos - floor(pos))).as(s"${name}_frac"))
       }
     }
+    val allQNames = specs.flatMap { case (_, qs) => qs.map(_._1) }
     val wide = ranked.groupBy(g).agg(aggs.head, aggs.tail: _*)
+      // LOUD band-miss guard (the ntileBandsDesc discipline): a band
+      // that missed its target rank — possible when the margin
+      // 3/accuracy is narrower than a rank interval 1/(n−1), e.g. TAIL
+      // fractions on small groups — must throw here, not flow NaN
+      // thresholds downstream (observed: p01/p99 on 300-row groups at
+      // the default accuracy before columnWinsorize lowered it)
+      .filter(assert_true(
+        allQNames.map(n => col(s"${n}_lo").isNotNull && col(s"${n}_hi").isNotNull)
+          .reduce(_ && _),
+        lit("bandPercentilesMulti: a percentile band missed its target rank — " +
+          "lower `accuracy` so the 3/accuracy margin spans a rank interval")
+      ).isNull)
     val allQs = specs.flatMap { case (_, qs) => qs }
     val named = allQs.foldLeft(wide) { case (d, (name, _)) =>
       d.withColumn(name,
         col(s"${name}_lo") + (col(s"${name}_hi") - col(s"${name}_lo")) * col(s"${name}_frac"))
     }
     named.select((col(g) +: allQs.map { case (name, _) => col(name) }): _*)
+  }
+
+  /** COLUMN WINSORIZATION — robust statistics after clipping at exact
+    * interpolated p01/p99 (the standard outlier-capping step before
+    * any mean/σ-based feature lands in a training table): per order
+    * priority, the clip thresholds, clip counts, and the winsorized
+    * sum, all from the sort-free [[bandPercentilesMulti]] machinery.
+    *
+    * Determinism shape: values are exact integer CENTS; the clipped
+    * interior sums as BIGINT; the two clip tails contribute
+    * n_low·p01 + n_high·p99 computed ONCE from the aggregate counts —
+    * never a per-row float sum, so no accumulation-order noise exists
+    * anywhere (interpolated thresholds are bit-equal to quantile_cont,
+    * the q28/q38-pinned discipline, and a single product of identical
+    * doubles is identical). Scale shape: the percentile pass is q41's
+    * (sketch brackets + banded ranks, no per-group sort); the clip
+    * aggregate is one more partial+final pass with the 5-row
+    * threshold frame broadcast. */
+  def columnWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint() // feeds the 3-pass band machinery + the clip pass
+    // accuracy 500 → band margin 3/500 = 0.006: at the TAIL fractions
+    // the band must span a whole rank interval (1/(n−1) — ~0.0033 at
+    // the smallest 300-row gate groups), which the default 10000's
+    // 0.0003 margin cannot; the wider band costs ~6n/500 ranked rows
+    // per fraction, still O(n/accuracy) and never a per-group sort
+    val pct = bandPercentilesMulti(o, "grp",
+      Seq("cents" -> Seq(("p01", 0.01), ("p99", 0.99))), accuracy = 500)
+    o.join(broadcast(pct), Seq("grp"))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("cents") < col("p01"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("cents") > col("p99"), 1L).otherwise(0L)).as("n_high"),
+        sum(when(col("cents") >= col("p01") && col("cents") <= col("p99"),
+          col("cents")).otherwise(0L)).as("sum_mid"),
+        max(col("p01")).as("p01"),
+        max(col("p99")).as("p99"))
+      .select(col("grp"), col("n"), col("n_low"), col("n_high"),
+        expr("CAST(round(sum_mid + n_low * p01 + n_high * p99) AS BIGINT)")
+          .as("winsor_sum_cents"),
+        round(col("p01"), 4).as("p01_cents"),
+        round(col("p99"), 4).as("p99_cents"))
+      .orderBy("grp")
   }
 
   /** Q41 — q28's exact percentiles recomputed through the band-refinement

@@ -152,6 +152,37 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("band-miss guard: tail fractions either throw loudly or produce exact values — never NaN") {
+    // p01/p99 on small groups need the band margin (3/accuracy) to span
+    // a rank interval (1/(n−1)); at the default accuracy this corpus's
+    // 300-row groups missed and used to flow NaN thresholds silently.
+    // The contract now: a miss THROWS the loud guard; success means
+    // non-NaN values. Either outcome is acceptable per-corpus — silent
+    // NaN never is.
+    val fine = Relational.columnWinsorize(spark, sf0001).collect()
+    assert(fine.nonEmpty && fine.forall(r =>
+      !r.getDouble(5).isNaN && !r.getDouble(6).isNaN),
+      "winsorize (accuracy 500) produced NaN thresholds")
+    val o = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .localCheckpoint()
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: messages(t.getCause)
+    scala.util.Try {
+      Relational.bandPercentilesMulti(o, "grp",
+        Seq("cents" -> Seq(("p01", 0.01), ("p99", 0.99))), accuracy = 10000)
+        .collect()
+    } match {
+      case scala.util.Failure(e) =>
+        assert(messages(e).exists(_.contains("missed its target rank")),
+          s"band miss failed with the wrong error: $e")
+      case scala.util.Success(rows) =>
+        assert(rows.forall(r => !r.getDouble(1).isNaN && !r.getDouble(2).isNaN),
+          "default-accuracy band silently flowed NaN past the guard")
+    }
+  }
+
   test("q43 z-order: bit-exact decode and multi-dim locality beat a 1-d sort") {
     val rows = Relational.q43Zorder(spark, sf0001).collect()
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
