@@ -2462,6 +2462,53 @@ object Relational {
     out.result().toDF("dist", "n_nodes", "sum_v").orderBy("dist")
   }
 
+  /** User-sampling modulus for [[q74GapFill]] — keeps a real user
+    * subset at every gate SF (15 users at sf0.001) while bounding the
+    * spine to |users|/5 × |days| rows. */
+  val GapFillUserMod = 5
+
+  /** Q74 — CALENDAR GAP-FILL / FORWARD-FILL: per user, the daily
+    * closing metric value carried forward over the full calendar spine
+    * — the daily-feature-snapshot build every feature store runs
+    * (batch side of the live-profile family; observed days flagged).
+    *
+    * Determinism shape: the per-(user, day) closing value is a packed
+    * `max(struct(us, event_id, cents))` argmax — (us, event_id) is a
+    * TOTAL order, and struct comparison is lexicographic on both
+    * engines (verified against DuckDB struct max). Values are exact
+    * integer cents; the fill is `last(…, ignoreNulls)` over the
+    * user-partitioned day order — no floats anywhere.
+    *
+    * Scale shape: one (user, day) aggregate exchange + one user
+    * exchange for the fill window; the spine explode is bounded by
+    * |users| × |days| and never touches event payloads; days before a
+    * user's first observation drop (no value to carry). */
+  def q74GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(pmod(col("user_id"), lit(GapFillUserMod)) === 0)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val daily = ev.groupBy("user_id", "day")
+      .agg(max(struct(col("us"), col("event_id"), col("cents"))).as("w"))
+      .select(col("user_id"), col("day"), col("w.cents").as("close_cents"))
+      .localCheckpoint() // feeds the spine bounds, the user set, and the fill join
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wFill = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("filled_cents",
+        last(col("close_cents"), ignoreNulls = true).over(wFill))
+      .filter(col("filled_cents").isNotNull)
+      .select(col("user_id"), col("day"), col("filled_cents"),
+        when(col("close_cents").isNotNull, 1L).otherwise(0L).as("observed"))
+      .orderBy("user_id", "day")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -2537,6 +2584,7 @@ object Relational {
     "q71_neighbor_jaccard"  -> (q71NeighborJaccard _),
     "q72_stickiness"        -> (q72Stickiness _),
     "q73_bfs_reach"         -> (q73BfsReach _),
+    "q74_gap_fill"          -> (q74GapFill _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -653,6 +653,38 @@ object RelationalOracles {
          |ORDER BY 1""".stripMargin
     },
 
+    // gap-fill: packed struct argmax for the daily close (lexicographic
+    // on both engines), last_value IGNORE NULLS forward fill over the
+    // per-user calendar spine, exact integer cents
+    "q74_gap_fill" -> {
+      import graft.operators.Relational.GapFillUserMod
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |    epoch_us(ts) AS us, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id % $GapFillUserMod = 0),
+         |d AS MATERIALIZED (SELECT user_id, day,
+         |    (max({'us': us, 'eid': event_id, 'cents': cents})).cents
+         |      AS close_cents
+         |  FROM e GROUP BY 1, 2),
+         |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM d),
+         |u AS (SELECT DISTINCT user_id FROM d),
+         |sp AS (SELECT u.user_id, unnest(range(b.d0, b.d1 + 1)) AS day
+         |  FROM u, b),
+         |f AS (SELECT sp.user_id, sp.day, d.close_cents,
+         |    last_value(d.close_cents IGNORE NULLS) OVER (
+         |      PARTITION BY sp.user_id ORDER BY sp.day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         |  FROM sp LEFT JOIN d ON sp.user_id = d.user_id AND sp.day = d.day)
+         |SELECT user_id, CAST(day AS BIGINT) AS day,
+         |  CAST(filled AS BIGINT) AS filled_cents,
+         |  CAST(CASE WHEN close_cents IS NOT NULL THEN 1 ELSE 0 END
+         |    AS BIGINT) AS observed
+         |FROM f WHERE filled IS NOT NULL
+         |ORDER BY user_id, day""".stripMargin
+    },
+
     // BFS reachability: same half-edge CTEs as q71, each hop replayed
     // as a MATERIALIZED frontier/cumulative pair; empty hops drop out
     // via the n_nodes > 0 filter exactly as the batch early-exit does

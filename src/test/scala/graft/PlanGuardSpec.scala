@@ -59,7 +59,13 @@ class PlanGuardSpec extends SparkTestBase {
     // customer frame — the documented by-design cross joins
     "q65_rfm",
     // q70 attaches its ONE-ROW core-stats aggregate to the 50 top rows
-    "q70_kcore")
+    "q70_kcore",
+    // q74 attaches the ONE-ROW calendar-bounds aggregate to the
+    // sampled user set before the spine explode
+    "q74_gap_fill",
+    // column_winsorize: the band machinery's one-row bound frames
+    // (the q65/q41 pattern)
+    "column_winsorize")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =
