@@ -98,7 +98,9 @@ object Plans {
     "q69_path_topk",       // two leads on ONE user window pass, tiny path aggregate
     "q70_kcore",           // fixed-round peel: degree agg + semi joins per round
     "q71_neighbor_jaccard", // top-k node cap + half-edge self-join, pair frame broadcast
-    "q72_stickiness")      // one fact-distinct exchange; dau/wau joins on day-sized frames
+    "q72_stickiness",      // one fact-distinct exchange; dau/wau joins on day-sized frames
+    "column_winsorize",    // band-machinery thresholds broadcast into one clip aggregate
+    "q74_gap_fill")        // packed daily-close argmax + user-partitioned fill window
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -48,6 +48,36 @@ class GraphFuzzSpec extends SparkTestBase {
     }
   }
 
+  test("gap-fill semantics on the gate corpus == driver-side replay") {
+    // brute model: per sampled user, last value of each active day by
+    // (us, event_id), carried forward over the global day spine
+    val rows = graft.Tables.events(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.lit(Relational.GapFillUserMod)) === 0)
+      .selectExpr("user_id",
+        "CAST(datediff(to_date(ts), DATE '1970-01-01') AS LONG) AS day",
+        "unix_micros(ts) AS us", "event_id",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val close = rows.groupBy(t => (t._1, t._2)).view.mapValues(
+      _.maxBy(t => (t._3, t._4))._5).toMap
+    val d0 = rows.map(_._2).min; val d1 = rows.map(_._2).max
+    val brute = rows.map(_._1).distinct.sorted.flatMap { u =>
+      var lastOpt: Option[Long] = None
+      (d0 to d1).flatMap { d =>
+        val obs = close.get((u, d))
+        if (obs.isDefined) lastOpt = obs
+        lastOpt.map(v => (u, d, v, if (obs.isDefined) 1L else 0L))
+      }
+    }
+    val got = Relational.q74GapFill(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(brute.nonEmpty && got == brute.toSeq,
+      s"gap fill diverged: got ${got.take(3).toSeq} vs ${brute.take(3).toSeq}")
+  }
+
   test("bfsReach fuzz: random graphs == brute-force BFS layering") {
     val s = spark
     import s.implicits._
