@@ -48,6 +48,38 @@ class StreamingStickinessSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("cover() fuzz: in-order feeds emit exactly the coverage union, never a duplicate") {
+    // the rolling-mask primitive both StreamingWau and the stickiness
+    // twin share: for ANY in-order day sequence the emitted wdays must
+    // equal ∪ [d, d+w) exactly (nothing dropped, nothing duplicated);
+    // for arbitrary (out-of-order) sequences emissions must still
+    // never duplicate and late days must be the only losses
+    val rnd = new scala.util.Random(1414)
+    for (w <- Seq(1, 7, 28); trial <- 1 to 8) {
+      val steps = 1 + rnd.nextInt(40)
+      var days = Vector.fill(steps)(rnd.nextInt(200).toLong + 100L)
+      val inOrder = trial % 2 == 0
+      if (inOrder) days = days.sorted
+      var st = StreamingWau.WauState(days.head, 0L)
+      val emitted = Seq.newBuilder[Long]
+      var dropped = 0
+      days.foreach { d =>
+        val (st2, covered, late) = StreamingWau.cover(st, d, w)
+        st = st2
+        emitted ++= covered
+        if (late) dropped += 1
+      }
+      val out = emitted.result()
+      assert(out.size == out.distinct.size,
+        s"w=$w trial $trial: duplicate emissions in $out")
+      if (inOrder) {
+        val expected = days.flatMap(d => d until (d + w)).toSet
+        assert(dropped == 0 && out.toSet == expected,
+          s"w=$w trial $trial: in-order coverage ${out.toSet} != $expected")
+      }
+    }
+  }
+
   test("two-mask state: DAU dedups same-day repeats; WAU half keeps its contract") {
     import scala.concurrent.duration._
     import org.apache.spark.api.java.Optional
