@@ -113,6 +113,8 @@ object Bench {
         (() => StreamingBench.wauPipeline(spark, sfDir)),
       "streaming_stickiness" ->
         (() => StreamingBench.stickinessPipeline(spark, sfDir)),
+      "streaming_daily_close" ->
+        (() => StreamingBench.dailyClosePipeline(spark, sfDir)),
       "streaming_funnel_latency" ->
         (() => StreamingBench.funnelLatencyPipeline(spark, sfDir)),
       "streaming_funnel_rocksdb" ->

@@ -133,7 +133,8 @@ object StreamingBench {
     if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
-    if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb"))
+    if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
+        "streaming_daily_close"))
       profileRows(spark, sfDir)
     if (any("streaming_recent_rocksdb")) transRows(spark, sfDir)
     if (any("streaming_transitions", "streaming_paths", "streaming_paths_agg",
@@ -784,6 +785,30 @@ object StreamingBench {
         runBatches(spark, stream, out, Seq(b2), "profile_warm")(
           requireCount("profile_warm", expected)))
     }
+
+  /** Live daily-close extraction (the q74 streaming side): whole
+    * events feed in two in-order batches. Exact count model:
+    * Σ_user (distinct activity days − 1) — every day closes exactly
+    * once except each user's still-open last day. */
+  def dailyClosePipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = profileRows(spark, sfDir)
+    val expected = memoExpected("daily_close", sfDir) {
+      val userDays: Set[(Long, Long)] = rows.iterator
+        .map(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L)))
+        .toSet
+      userDays.groupBy(_._1).valuesIterator
+        .map(ds => (ds.size - 1).toLong).sum
+    }
+    val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+    val out = graft.streaming.StreamingDailyClose.closes(stream.toDS())
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "daily_close")(
+        requireCount("daily_close", expected)))
+  }
 
   /** ListState recent-events buffer (transformWithState; RocksDB-only
     * by API contract): exact count model — one snapshot row per
