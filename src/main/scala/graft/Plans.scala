@@ -100,7 +100,8 @@ object Plans {
     "q71_neighbor_jaccard", // top-k node cap + half-edge self-join, pair frame broadcast
     "q72_stickiness",      // one fact-distinct exchange; dau/wau joins on day-sized frames
     "column_winsorize",    // band-machinery thresholds broadcast into one clip aggregate
-    "q74_gap_fill")        // packed daily-close argmax + user-partitioned fill window
+    "q74_gap_fill",        // packed daily-close argmax + user-partitioned fill window
+    "q75_ewma")            // calendar-bounded per-user fold; lag() reuses the user exchange
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

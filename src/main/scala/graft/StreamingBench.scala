@@ -810,6 +810,31 @@ object StreamingBench {
         requireCount("daily_close", expected)))
   }
 
+  /** Stacked daily-close → EWMA feed (the q75 streaming side): two
+    * append-mode fMGWS stages on the same user key. Exact count model
+    * is the daily-close one — every closed (user, day) smooths into
+    * exactly one row. */
+  def ewmaPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = profileRows(spark, sfDir)
+    val expected = memoExpected("daily_close", sfDir) {
+      val userDays: Set[(Long, Long)] = rows.iterator
+        .map(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L)))
+        .toSet
+      userDays.groupBy(_._1).valuesIterator
+        .map(ds => (ds.size - 1).toLong).sum
+    }
+    val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+    val out = graft.streaming.StreamingEwma.ewma(
+      graft.streaming.StreamingDailyClose.closes(stream.toDS()))
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "ewma")(
+        requireCount("ewma", expected)))
+  }
+
   /** ListState recent-events buffer (transformWithState; RocksDB-only
     * by API contract): exact count model — one snapshot row per
     * (touched user, batch). */

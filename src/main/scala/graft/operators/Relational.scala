@@ -2467,6 +2467,33 @@ object Relational {
     * spine to |users|/5 × |days| rows. */
   val GapFillUserMod = 5
 
+  /** Per-(user, day) closing metric value — the shared base frame of
+    * the daily-snapshot family ([[q74GapFill]], [[q75Ewma]]).
+    *
+    * The close is a packed `max(struct(us, event_id, cents))` argmax:
+    * (us, event_id) is a TOTAL order and struct comparison is
+    * lexicographic on both engines, so the winner is cross-engine
+    * deterministic; values are exact integer cents (generator emits
+    * `value ≥ 0`, so cents are non-negative — [[q75Ewma]] relies on
+    * this for trunc-vs-floor division agreement).
+    *
+    * `userMod = 1` keeps every user (no filter in the plan); larger
+    * moduli sample `user_id % userMod = 0` — q74 uses
+    * [[GapFillUserMod]] to bound its calendar-spine explode. */
+  private def dailyCloseCents(s: SparkSession, dir: String,
+      userMod: Int): DataFrame = {
+    val base = Tables.events(s, dir)
+    val ev = (if (userMod == 1) base
+              else base.filter(pmod(col("user_id"), lit(userMod)) === 0))
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    ev.groupBy("user_id", "day")
+      .agg(max(struct(col("us"), col("event_id"), col("cents"))).as("w"))
+      .select(col("user_id"), col("day"), col("w.cents").as("close_cents"))
+  }
+
   /** Q74 — CALENDAR GAP-FILL / FORWARD-FILL: per user, the daily
     * closing metric value carried forward over the full calendar spine
     * — the daily-feature-snapshot build every feature store runs
@@ -2484,15 +2511,7 @@ object Relational {
     * |users| × |days| and never touches event payloads; days before a
     * user's first observation drop (no value to carry). */
   def q74GapFill(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .filter(pmod(col("user_id"), lit(GapFillUserMod)) === 0)
-      .select(col("user_id"),
-        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
-        unix_micros(col("ts")).as("us"), col("event_id"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val daily = ev.groupBy("user_id", "day")
-      .agg(max(struct(col("us"), col("event_id"), col("cents"))).as("w"))
-      .select(col("user_id"), col("day"), col("w.cents").as("close_cents"))
+    val daily = dailyCloseCents(s, dir, GapFillUserMod)
       .localCheckpoint() // feeds the spine bounds, the user set, and the fill join
     val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val spine = daily.select("user_id").distinct()
@@ -2506,6 +2525,74 @@ object Relational {
       .filter(col("filled_cents").isNotNull)
       .select(col("user_id"), col("day"), col("filled_cents"),
         when(col("close_cents").isNotNull, 1L).otherwise(0L).as("observed"))
+      .orderBy("user_id", "day")
+  }
+
+  /** EWMA smoothing factor α = EwmaNum/EwmaDen = 0.2 — the recurrence
+    * `s' = (EwmaNum·c + (EwmaDen−EwmaNum)·s) div EwmaDen` stays in
+    * BIGINT fixed-point, so every step is cross-engine exact. */
+  val EwmaNum  = 1
+  val EwmaDen  = 5
+
+  /** Deviation threshold for [[q75Ewma]]'s anomaly flag, in ppm of the
+    * previous smoothed value: 1.5× jumps flag (~p88 of the per-day
+    * deviation distribution on the gate corpora — a genuine 0/1 mix at
+    * every SF, probed via DuckDB before the gate was pinned). */
+  val EwmaAnomalyPpm = 1500000L
+
+  /** Q75 — EWMA FEATURE SMOOTHING + BAND ANOMALY: per user, the daily
+    * closing value exponentially smoothed (α = 0.2) over that user's
+    * observed-day sequence, with days whose close deviates > 1.5×
+    * from the running smooth flagged — the classic feature-store
+    * "smoothed metric + spike detector" pair ([[q59AnomalyMad]]'s
+    * robust-statistics sibling, on the [[dailyCloseCents]] base frame
+    * the gap-fill snapshot family shares).
+    *
+    * Determinism shape: the recurrence is a SEQUENTIAL fold —
+    * `s₀ = c₀; sₜ = (cₜ + 4·sₜ₋₁) div 5` — in BIGINT fixed-point over
+    * a provably total per-user order (day is unique per user after
+    * the close aggregate), so Spark's `aggregate()` fold and DuckDB's
+    * recursive-CTE replay produce bit-identical trajectories. Closes
+    * are non-negative (generator invariant, see [[dailyCloseCents]]),
+    * so every intermediate stays non-negative and Spark's
+    * truncating `div` equals DuckDB's flooring `//` throughout —
+    * including the ppm deviation, whose numerator is an abs().
+    *
+    * Scale shape: a non-linear floored recurrence has no window-
+    * algebra form — the fold is irreducible. It runs over per-user
+    * ARRAYS bounded by the CALENDAR (≤ |days| entries regardless of
+    * event volume — 100 TB of events still folds ≤ 365·years steps
+    * per user per year of data), built by one (user, day) aggregate
+    * exchange + one user exchange; the trailing lag() window reuses
+    * the user partitioning (no extra exchange). Event payloads never
+    * enter the fold. */
+  def q75Ewma(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyCloseCents(s, dir, 1)
+    val perUser = daily.groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("day"), col("close_cents"))))
+        .as("seq"))
+    val traj = perUser.select(col("user_id"), explode(expr(
+      s"""aggregate(seq,
+         |  CAST(array() AS ARRAY<STRUCT<day: BIGINT, close_cents: BIGINT,
+         |                               ewma_cents: BIGINT>>),
+         |  (acc, x) -> concat(acc, array(named_struct(
+         |    'day', x.day, 'close_cents', x.close_cents,
+         |    'ewma_cents', CASE WHEN size(acc) = 0 THEN x.close_cents
+         |      ELSE ($EwmaNum * x.close_cents
+         |            + ${EwmaDen - EwmaNum} * element_at(acc, -1).ewma_cents)
+         |           div $EwmaDen END))))""".stripMargin)).as("t"))
+      .select(col("user_id"), col("t.day").as("day"),
+        col("t.close_cents").as("close_cents"),
+        col("t.ewma_cents").as("ewma_cents"))
+    val wu = Window.partitionBy("user_id").orderBy("day")
+    traj
+      .select(col("user_id"), col("day"), col("close_cents"),
+        col("ewma_cents"), lag(col("ewma_cents"), 1).over(wu).as("prev"))
+      .select(col("user_id"), col("day"), col("close_cents"),
+        col("ewma_cents"),
+        when(col("prev").isNotNull &&
+          expr(s"abs(close_cents - prev) * 1000000L div greatest(prev, 1L)")
+            > EwmaAnomalyPpm, 1L).otherwise(0L).as("anomaly"))
       .orderBy("user_id", "day")
   }
 
@@ -2585,6 +2672,7 @@ object Relational {
     "q72_stickiness"        -> (q72Stickiness _),
     "q73_bfs_reach"         -> (q73BfsReach _),
     "q74_gap_fill"          -> (q74GapFill _),
+    "q75_ewma"              -> (q75Ewma _),
     "dq_checks"             -> (dqChecks _),
   )
 }

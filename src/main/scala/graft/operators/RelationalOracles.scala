@@ -685,6 +685,46 @@ object RelationalOracles {
          |ORDER BY user_id, day""".stripMargin
     },
 
+    // EWMA: the BIGINT fixed-point recurrence replayed as a recursive
+    // CTE stepping per-user row_number — sequential fold order is the
+    // per-user day order on both engines; non-negative closes make
+    // DuckDB's flooring // equal Spark's truncating div
+    "q75_ewma" -> {
+      import graft.operators.Relational.{EwmaNum, EwmaDen, EwmaAnomalyPpm}
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |    epoch_us(ts) AS us, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events),
+         |d AS MATERIALIZED (SELECT user_id, day,
+         |    (max({'us': us, 'eid': event_id, 'cents': cents})).cents
+         |      AS close_cents
+         |  FROM e GROUP BY 1, 2),
+         |r AS MATERIALIZED (SELECT user_id, day, close_cents,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+         |  FROM d),
+         |rec AS (
+         |  SELECT user_id, rn, day, close_cents, close_cents AS s
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT r.user_id, r.rn, r.day, r.close_cents,
+         |    ($EwmaNum * r.close_cents + ${EwmaDen - EwmaNum} * rec.s)
+         |      // $EwmaDen
+         |  FROM rec JOIN r
+         |    ON r.user_id = rec.user_id AND r.rn = rec.rn + 1),
+         |dev AS (SELECT user_id, day, close_cents, s,
+         |    lag(s) OVER (PARTITION BY user_id ORDER BY day) AS prev
+         |  FROM rec)
+         |SELECT user_id, CAST(day AS BIGINT) AS day, close_cents,
+         |  CAST(s AS BIGINT) AS ewma_cents,
+         |  CAST(CASE WHEN prev IS NOT NULL AND
+         |      (abs(close_cents - prev) * 1000000) // greatest(prev, 1)
+         |        > $EwmaAnomalyPpm
+         |    THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+         |FROM dev ORDER BY user_id, day""".stripMargin
+    },
+
     // BFS reachability: same half-edge CTEs as q71, each hop replayed
     // as a MATERIALIZED frontier/cumulative pair; empty hops drop out
     // via the n_nodes > 0 filter exactly as the batch early-exit does
