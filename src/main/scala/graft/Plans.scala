@@ -101,7 +101,10 @@ object Plans {
     "q72_stickiness",      // one fact-distinct exchange; dau/wau joins on day-sized frames
     "column_winsorize",    // band-machinery thresholds broadcast into one clip aggregate
     "q74_gap_fill",        // packed daily-close argmax + user-partitioned fill window
-    "q75_ewma")            // calendar-bounded per-user fold; lag() reuses the user exchange
+    "q75_ewma",            // calendar-bounded per-user fold; lag() reuses the user exchange
+    "q76_interarrival",    // one user lag window + shared-exchange percentile machinery
+    "q77_target_encode",   // broadcast category stats + 1-row prior; fact encoded at scan speed
+    "feature_hash")        // explode + map-side partial agg onto <=1024 buckets
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

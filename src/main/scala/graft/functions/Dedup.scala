@@ -366,6 +366,67 @@ object Dedup {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     verifiedPairs(s, dir).orderBy("doc_a", "doc_b")
 
+  /** Relative edit-distance ceiling for [[dedupEditDist]], in ppm of
+    * the longer text: pairs within 20% edits are near-duplicates. */
+  val EditDupPpm = 200000L
+
+  /** EDIT-DISTANCE near-dup: the same banded LSH candidate generation
+    * as [[dedupMinhash]], but verified by CHARACTER-level Levenshtein
+    * instead of shingle Jaccard — the verifier of choice when the
+    * duplication mode is small in-place edits (typo fixes, template
+    * slot fills) that shift every downstream shingle but change few
+    * characters. Emits (pair, lev, edit_ppm) for pairs whose relative
+    * distance stays within [[EditDupPpm]] of the longer text.
+    *
+    * Scale shape: the O(|a|·|b|) dynamic program runs ONLY on LSH
+    * candidates (never all pairs), and texts join to the bounded
+    * candidate frame by id — the corpus never self-joins on content.
+    * The shingled corpus comes from the SHARED pipeline cache (one
+    * shingle pass serves minhash-, jaccard- and edit-verified dedup in
+    * a session). Both engines implement classic Levenshtein over the
+    * same ASCII corpus, and the ppm ratio is BIGINT div over
+    * non-negatives, so the gate is hash-exact. */
+  def dedupEditDist(s: SparkSession, dir: String): DataFrame = {
+    val cands = candidatePairs(toBands(minhashSigs(entryFor(s, dir).docs)))
+    val docs = corpusWithNearDupes(s, dir)
+    cands
+      // the pair frame is BYTE-tiny but COMPUTE-heavy downstream (an
+      // O(|a|·|b|) DP per row): AQE's byte-targeted coalesce would fold
+      // it into one task and serialize the verify — pin the explicit
+      // partition count so the DP keeps the cluster busy
+      .repartition(s.sparkContext.defaultParallelism,
+        col("doc_a"), col("doc_b"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"),
+        greatest(length(col("text_a")), length(col("text_b")))
+          .cast("long").as("len"))
+      // THRESHOLD-banded DP: `lev·1e6 div len ≤ ppm` ⟺
+      // `lev ≤ (len·ppm) div 1e6` exactly (integer algebra), so handing
+      // that ceiling to levenshtein's banded form computes O(k·len)
+      // instead of O(len²) per pair and returns -1 for exactly the
+      // pairs the ppm filter would drop anyway — identical output,
+      // ~3× cheaper verify (the oracle keeps the plain 2-arg form +
+      // the same filter)
+      .select(col("doc_a"), col("doc_b"),
+        // SQL form: the Scala helper only takes a literal Int threshold,
+        // the expression itself accepts the per-row ceiling
+        expr(s"CAST(levenshtein(text_a, text_b, " +
+          s"CAST((len * $EditDupPpm) div 1000000 AS INT)) AS BIGINT)")
+          .as("lev"),
+        col("len"))
+      // lev feeds 3 consumers (its own column, the ppm, the filter):
+      // a barrier keeps CollapseProject from inlining the DP 3× per
+      // pair; the checkpointed frame is candidate-bounded (4 longs)
+      .localCheckpoint()
+      .filter(col("lev") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        expr("lev * 1000000 div len").as("edit_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** DIAGNOSTIC stage-by-stage wall times of the cold LSH build —
     * Bench runs this once, UNTIMED, after the cold line item so a slow
     * driver round is attributable to a stage (shingle+cache, band

@@ -46,6 +46,25 @@ object ExtensionOracles {
        |  FROM hp p JOIN hp q ON p.h1 = q.h1 AND p.h2 = q.h2 AND p.doc_id < q.doc_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** Banded-LSH candidate CTEs over `sh` (the minhash signature, band
+    * hashes, and the distinct same-band pair set) — shared verbatim by
+    * the Jaccard- and edit-distance-verified near-dup oracles so the
+    * candidate generation provably cannot drift between them. */
+  private val lshCandidates =
+    s"""hs AS (SELECT doc_id, ${h32("s")} AS h FROM sh),
+       |mh AS (
+       |  SELECT doc_id, j,
+       |    min(((2 * j + 1) * h + 1000003 * j + 12345) % 2147483647) AS m
+       |  FROM hs, range(64) t(j) GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, j // 4 AS band,
+       |    sum(m * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS band_hash
+       |  FROM mh GROUP BY doc_id, j // 4),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)""".stripMargin
+
   private def stopList(words: Seq[String]) =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -620,19 +639,7 @@ object ExtensionOracles {
     "dedup_minhash" ->
       s"""WITH $nearCorpus,
          |$nearShingles,
-         |hs AS (SELECT doc_id, ${h32("s")} AS h FROM sh),
-         |mh AS (
-         |  SELECT doc_id, j,
-         |    min(((2 * j + 1) * h + 1000003 * j + 12345) % 2147483647) AS m
-         |  FROM hs, range(64) t(j) GROUP BY doc_id, j),
-         |bands AS (
-         |  SELECT doc_id, j // 4 AS band,
-         |    sum(m * (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 31 WHEN 2 THEN 961 ELSE 29791 END)) AS band_hash
-         |  FROM mh GROUP BY doc_id, j // 4),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+         |$lshCandidates,
          |$sizesAndInter
          |SELECT c.doc_a, c.doc_b,
          |  round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) AS jacc
@@ -642,6 +649,27 @@ object ExtensionOracles {
          |JOIN sizes sb ON c.doc_b = sb.doc_id
          |WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+    // edit-distance verify over the SAME shared candidate CTEs; both
+    // engines run classic Levenshtein on the same ASCII corpus, and
+    // the ppm ratio is non-negative BIGINT division (// == div)
+    "dedup_editdist" -> {
+      import graft.functions.Dedup.EditDupPpm
+      s"""WITH $nearCorpus,
+         |$nearShingles,
+         |$lshCandidates
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+         |  CAST((levenshtein(ta.text, tb.text) * 1000000)
+         |    // greatest(length(ta.text), length(tb.text)) AS BIGINT)
+         |    AS edit_ppm
+         |FROM cand c
+         |JOIN corpus ta ON c.doc_a = ta.doc_id
+         |JOIN corpus tb ON c.doc_b = tb.doc_id
+         |WHERE (levenshtein(ta.text, tb.text) * 1000000)
+         |    // greatest(length(ta.text), length(tb.text)) <= $EditDupPpm
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
 
     // normalized-digest mirror: identical lower/strip/collapse/trim
     // chain (DuckDB needs the 'g' flag for replace-all; Spark replaces

@@ -17,6 +17,7 @@ object Extensions {
     "dedup_exact"      -> (Dedup.dedupExact _),
     "dedup_jaccard"    -> (Dedup.dedupJaccard _),
     "dedup_minhash"    -> (Dedup.dedupMinhash _),
+    "dedup_editdist"   -> (Dedup.dedupEditDist _),
     "dedup_simhash"    -> (Dedup.simhash _),
     "dedup_lines"      -> (Dedup.dedupLines _),
     "dedup_spans"      -> ((s: SparkSession, dir: String) =>

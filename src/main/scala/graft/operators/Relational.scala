@@ -2596,6 +2596,116 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** Q76 — INTER-ARRIVAL GAP PERCENTILES: per event type, the exact
+    * p50/p90/p99 of the time since the user's PREVIOUS action (any
+    * type) — the churn/engagement-cadence signal ("how long do users
+    * idle before a purchase?"). The lag runs over the provably total
+    * per-user order (us, event_id); gaps are µs BIGINTs cast to double
+    * AND re-united to seconds before interpolating (the round-6 rule:
+    * µs gaps are ~1e11, where quantile interpolation's last-bit IEEE
+    * divergence between the two engines' formulas exceeds the 1e-6
+    * rounding grain — at seconds magnitude round-6 clears it; both
+    * engines divide the exact-in-double integer gap by the same 1e6
+    * literal), and the percentile machinery is the sort-based
+    * [[sortedPercentilesMulti]] — no built-in percentile() value map.
+    *
+    * Scale shape: one user_id exchange for the lag window, then the
+    * percentile machinery's one event_type exchange; event payloads
+    * never move (3 columns). Per-group parallelism is bounded by the
+    * type count — right for this profile-shaped output; giant-group
+    * escape is the band machinery (see sortedPercentilesMulti note). */
+  def q76Interarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .select(col("event_type"),
+        ((col("us") - lag(col("us"), 1).over(w)).cast("double") /
+          lit(1000000.0)).as("gap_s"))
+      .filter(col("gap_s").isNotNull)
+    sortedPercentilesMulti(gaps, "event_type", Seq(
+      "gap_s" -> Seq(("p50_gap", 0.5), ("p90_gap", 0.9), ("p99_gap", 0.99))))
+      .select(col("event_type"),
+        round(col("p50_gap"), 6).as("p50_gap_s"),
+        round(col("p90_gap"), 6).as("p90_gap_s"),
+        round(col("p99_gap"), 6).as("p99_gap_s"))
+      .orderBy("event_type")
+  }
+
+  /** Bayesian m-estimate weight for [[q77TargetEncode]]'s smoothed
+    * column: the encoded mean is pulled toward the global prior by
+    * `m` virtual prior-valued observations. */
+  val TargetEncodeM = 10L
+
+  /** Q77 — LEAVE-ONE-OUT TARGET ENCODING: the categorical-feature
+    * encoder every tabular-ML training pipeline runs — each event's
+    * `event_type` is replaced by the mean target (cents) of all OTHER
+    * events of that type, so a row never leaks its own label into its
+    * feature. Two forms: plain LOO `(Σ−x) div (n−1)` and the
+    * m-estimate smoothed `(Σ−x+m·prior) div (n−1+m)` (prior = global
+    * mean), both in BIGINT cents fixed-point — the generator emits
+    * `value ≥ 0`, so every numerator is non-negative and Spark's
+    * truncating div equals DuckDB's flooring `//` throughout.
+    *
+    * Scale shape: the per-category statistics frame is |categories|
+    * rows and BROADCASTS; the 1-row global prior rides a by-design
+    * broadcast cross join (PlanGuardSpec allowlist). The fact table is
+    * touched once at scan speed — encoding 100 TB is a map stage. */
+  def q77TargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val stats = ev.groupBy("event_type")
+      .agg(sum(col("cents")).as("t_sum"), count(lit(1)).as("t_n"))
+    val prior = ev.agg(
+      expr("sum(cents) div count(1)").as("prior_cents"))
+    ev.join(broadcast(stats), "event_type")
+      .crossJoin(broadcast(prior))
+      .select(col("event_id"), col("event_type"), col("cents"),
+        col("prior_cents"),
+        expr("CASE WHEN t_n > 1 THEN (t_sum - cents) div (t_n - 1) " +
+          "ELSE prior_cents END").as("loo_cents"),
+        expr(s"(t_sum - cents + $TargetEncodeM * prior_cents) " +
+          s"div (t_n - 1 + $TargetEncodeM)").as("loo_smooth_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Bucket count for [[featureHash]] — the fixed feature-vector width
+    * of the hashing trick. */
+  val FeatureHashBuckets = 1024L
+
+  /** FEATURE HASHING (the hashing trick): sparse categorical features
+    * — event type, day-of-week, a bounded user-cohort id — mapped to a
+    * FIXED-width bucket space by portable hash, then aggregated to the
+    * per-bucket (count, Σcents) profile a downstream trainer consumes
+    * as a dense vector. Collisions are the accepted trade of the
+    * trick; determinism comes from [[graft.functions.Portable.h32]]
+    * (md5-derived), which DuckDB replays bit-for-bit.
+    *
+    * Scale shape: per-row feature synthesis + explode is scan-speed
+    * and collapses IN the map stage (partial aggregate on ≤ 1024
+    * buckets), so the only exchange moves ≤ |buckets| rows per
+    * partition regardless of corpus size. */
+  def featureHash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.h32
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        dayofweek(col("ts")).cast("long").as("dow"),
+        pmod(col("user_id"), lit(100L)).as("cohort"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    ev
+      .select(explode(array(
+          concat(lit("type:"), col("event_type")),
+          concat(lit("dow:"), col("dow")),
+          concat(lit("cohort:"), col("cohort")))).as("feature"),
+        col("cents"))
+      .select(pmod(h32(col("feature")), lit(FeatureHashBuckets)).as("bucket"),
+        col("cents"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("bucket")
+  }
+
   /** All relational queries, keyed as registered in SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"            -> (q1Agg _),
@@ -2673,6 +2783,9 @@ object Relational {
     "q73_bfs_reach"         -> (q73BfsReach _),
     "q74_gap_fill"          -> (q74GapFill _),
     "q75_ewma"              -> (q75Ewma _),
+    "q76_interarrival"      -> (q76Interarrival _),
+    "q77_target_encode"     -> (q77TargetEncode _),
+    "feature_hash"          -> (featureHash _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -725,6 +725,60 @@ object RelationalOracles {
          |FROM dev ORDER BY user_id, day""".stripMargin
     },
 
+    // Inter-arrival gaps: lag over the same total per-user order
+    // (us, event_id); gaps cast to DOUBLE and re-united µs → s before
+    // quantile_cont so both engines interpolate the same doubles at a
+    // magnitude where round-6 clears IEEE last-bit divergence
+    "q76_interarrival" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |g AS (SELECT event_type,
+        |    CAST(us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS DOUBLE) / 1000000.0 AS gap_s
+        |  FROM e)
+        |SELECT event_type,
+        |  round(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+        |  round(quantile_cont(gap_s, 0.9), 6) AS p90_gap_s,
+        |  round(quantile_cont(gap_s, 0.99), 6) AS p99_gap_s
+        |FROM g WHERE gap_s IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Leave-one-out target encoding: all-BIGINT cents arithmetic over
+    // non-negative values, so DuckDB's flooring // equals Spark's
+    // truncating div; sums CAST to BIGINT (HUGEINT render rule)
+    "q77_target_encode" -> {
+      import graft.operators.Relational.TargetEncodeM
+      s"""WITH e AS (SELECT event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |t AS (SELECT event_type, CAST(sum(cents) AS BIGINT) AS t_sum,
+         |    count(*) AS t_n FROM e GROUP BY 1),
+         |g AS (SELECT CAST((CAST(sum(cents) AS BIGINT)) // count(*)
+         |    AS BIGINT) AS prior_cents FROM e)
+         |SELECT e.event_id, e.event_type, e.cents, g.prior_cents,
+         |  CAST(CASE WHEN t_n > 1 THEN (t_sum - cents) // (t_n - 1)
+         |    ELSE prior_cents END AS BIGINT) AS loo_cents,
+         |  CAST((t_sum - cents + $TargetEncodeM * prior_cents)
+         |    // (t_n - 1 + $TargetEncodeM) AS BIGINT) AS loo_smooth_cents
+         |FROM e JOIN t USING (event_type) CROSS JOIN g
+         |ORDER BY event_id""".stripMargin
+    },
+
+    // Feature hashing: portable md5-derived h32 replayed exactly;
+    // Spark dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6 → +1
+    "feature_hash" -> {
+      import graft.operators.Relational.FeatureHashBuckets
+      s"""WITH f AS (
+         |  SELECT unnest(['type:' || event_type,
+         |      'dow:' || CAST(dayofweek(ts) + 1 AS VARCHAR),
+         |      'cohort:' || CAST(user_id % 100 AS VARCHAR)]) AS feature,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events)
+         |SELECT (CAST('0x' || substring(md5(feature), 1, 8) AS BIGINT))
+         |    % $FeatureHashBuckets AS bucket,
+         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // BFS reachability: same half-edge CTEs as q71, each hop replayed
     // as a MATERIALIZED frontier/cumulative pair; empty hops drop out
     // via the n_nodes > 0 filter exactly as the batch early-exit does

@@ -65,7 +65,10 @@ class PlanGuardSpec extends SparkTestBase {
     "q74_gap_fill",
     // column_winsorize: the band machinery's one-row bound frames
     // (the q65/q41 pattern)
-    "column_winsorize")
+    "column_winsorize",
+    // q77 attaches its ONE-ROW global-prior aggregate to the fact
+    // before the scan-speed encode projection
+    "q77_target_encode")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =
