@@ -104,7 +104,8 @@ object Plans {
     "q75_ewma",            // calendar-bounded per-user fold; lag() reuses the user exchange
     "q76_interarrival",    // one user lag window + shared-exchange percentile machinery
     "q77_target_encode",   // broadcast category stats + 1-row prior; fact encoded at scan speed
-    "feature_hash")        // explode + map-side partial agg onto <=1024 buckets
+    "feature_hash",        // explode + map-side partial agg onto <=1024 buckets
+    "q78_quantile_bins")   // one rank window; 9-row/type bounds broadcast; HOF assign
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

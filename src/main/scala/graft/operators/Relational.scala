@@ -2670,6 +2670,47 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Bin count for [[q78QuantileBins]] — decile discretization. */
+  val QuantileBinCount = 10
+
+  /** Q78 — QUANTILE DISCRETIZATION (KBinsDiscretizer): per event type,
+    * the 9 decile boundaries of the cents distribution selected by
+    * EXACT RANK (the r-th smallest value at r = (n·k) div 10 — type-1
+    * quantiles, so boundaries are actual BIGINT data values, never
+    * interpolated floats), then every event assigned its decile by
+    * counting boundaries strictly below it. Rank→value selection is
+    * tie-proof across engines: whatever permutation equal values take,
+    * position r of the sorted multiset holds the same value.
+    *
+    * Scale shape: ONE per-type rank window (the q28 percentile sort —
+    * spills like any sort; the band machinery is the giant-group
+    * escape, see [[ntileBandsDesc]]), a 9-row-per-type boundary frame
+    * that BROADCASTS, and a scan-speed HOF assignment — the fact never
+    * shuffles for the encode itself. */
+  def q78QuantileBins(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val targets = counts.select(col("event_type"), col("n"),
+      explode(expr(s"sequence(1, ${QuantileBinCount - 1})")).as("k"))
+      .select(col("event_type"), col("k"),
+        expr(s"(n * k) div $QuantileBinCount").as("target_rn"))
+    val bounds = ev.withColumn("rn", row_number().over(w).cast("long")).as("r")
+      .join(broadcast(targets.as("t")),
+        col("r.event_type") === col("t.event_type") &&
+          col("r.rn") === col("t.target_rn"))
+      .select(col("r.event_type").as("event_type"), col("t.k").as("k"),
+        col("r.cents").as("b"))
+    val boundsArr = bounds.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("k"), col("b")))).as("bs"))
+    ev.join(broadcast(boundsArr), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        (lit(1L) + expr("size(filter(bs, x -> cents > x.b))")).as("bin"))
+      .orderBy("event_id")
+  }
+
   /** Bucket count for [[featureHash]] — the fixed feature-vector width
     * of the hashing trick. */
   val FeatureHashBuckets = 1024L
@@ -2786,6 +2827,7 @@ object Relational {
     "q76_interarrival"      -> (q76Interarrival _),
     "q77_target_encode"     -> (q77TargetEncode _),
     "feature_hash"          -> (featureHash _),
+    "q78_quantile_bins"     -> (q78QuantileBins _),
     "dq_checks"             -> (dqChecks _),
   )
 }

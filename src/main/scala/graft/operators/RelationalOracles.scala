@@ -763,6 +763,32 @@ object RelationalOracles {
          |ORDER BY event_id""".stripMargin
     },
 
+    // Quantile binning: boundaries selected by exact rank (type-1
+    // quantiles — actual BIGINT values, no interpolation), assignment
+    // by strict BIGINT comparison; rank→value is tie-proof
+    "q78_quantile_bins" -> {
+      import graft.operators.Relational.QuantileBinCount
+      s"""WITH e AS (SELECT event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |r AS (SELECT event_type, cents,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY cents, event_id) AS rn
+         |  FROM e),
+         |c AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+         |t AS (SELECT event_type, k,
+         |    (n * k) // $QuantileBinCount AS target_rn
+         |  FROM c, range(1, $QuantileBinCount) s(k)),
+         |bounds AS (SELECT r.event_type, t.k, r.cents AS b
+         |  FROM r JOIN t ON r.event_type = t.event_type
+         |    AND r.rn = t.target_rn)
+         |SELECT e.event_id, e.event_type, e.cents,
+         |  CAST(1 + count(*) FILTER (WHERE e.cents > bounds.b) AS BIGINT)
+         |    AS bin
+         |FROM e JOIN bounds ON e.event_type = bounds.event_type
+         |GROUP BY e.event_id, e.event_type, e.cents
+         |ORDER BY e.event_id""".stripMargin
+    },
+
     // Feature hashing: portable md5-derived h32 replayed exactly;
     // Spark dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6 → +1
     "feature_hash" -> {

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Fuzz pin for the algebra `dedup_editdist` rests on: the
+  * threshold-banded `levenshtein(a, b, k)` with the per-row ceiling
+  * `k = (len·ppm) div 1e6` accepts EXACTLY the pairs the plain
+  * `lev·1e6 div len ≤ ppm` filter accepts, and returns the exact
+  * distance for them — over random mutation pairs (substitutions,
+  * insertions, deletions at random rates, so pairs land on BOTH sides
+  * of the ceiling) and a driver-side classic Wagner–Fischer model.
+  */
+class EditDistFuzzSpec extends SparkTestBase {
+
+  private def wagnerFischer(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  test("banded-threshold lev == plain lev + ppm filter on random mutation pairs") {
+    val s = spark
+    import s.implicits._
+    val ppm = graft.functions.Dedup.EditDupPpm
+    val rnd = new scala.util.Random(14)
+    val alpha = "abcdefg "
+    def randStr(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    def mutate(t: String, rate: Double): String = {
+      val sb = new StringBuilder
+      t.foreach { c =>
+        rnd.nextDouble() match {
+          case r if r < rate / 3       => // deletion
+          case r if r < 2 * rate / 3   => sb += alpha(rnd.nextInt(alpha.length)) // sub
+          case r if r < rate           => sb += c += alpha(rnd.nextInt(alpha.length)) // ins
+          case _                       => sb += c
+        }
+      }
+      sb.toString
+    }
+    val pairs = (1 to 120).map { i =>
+      val t = randStr(20 + rnd.nextInt(120))
+      // rates straddle the 20% ceiling so both accept and reject occur
+      (i.toLong, t, mutate(t, rnd.nextDouble() * 0.5))
+    }
+    val df = pairs.toDF("id", "a", "b")
+      .select(col("id"), col("a"), col("b"),
+        greatest(length(col("a")), length(col("b"))).cast("long").as("len"))
+      .select(col("id"), col("len"),
+        expr(s"CAST(levenshtein(a, b, CAST((len * $ppm) div 1000000 AS INT)) AS BIGINT)")
+          .as("banded"),
+        levenshtein(col("a"), col("b")).cast("long").as("plain"))
+    val rows = df.collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val model = pairs.map { case (id, a, b) => id -> wagnerFischer(a, b) }.toMap
+    var accepted, rejected = 0
+    pairs.foreach { case (id, a, b) =>
+      val (len, banded, plain) = rows(id)
+      assert(plain == model(id), s"pair $id: spark lev $plain != model ${model(id)}")
+      val passes = plain * 1000000L / len <= ppm
+      if (passes) { accepted += 1
+        assert(banded == plain, s"pair $id: banded $banded != plain $plain despite passing")
+      } else { rejected += 1
+        assert(banded == -1L, s"pair $id: banded $banded != -1 despite failing the ppm filter")
+      }
+    }
+    assert(accepted > 10 && rejected > 10,
+      s"fuzz did not straddle the ceiling: $accepted accepted / $rejected rejected")
+  }
+}
