@@ -115,6 +115,8 @@ object Bench {
         (() => StreamingBench.stickinessPipeline(spark, sfDir)),
       "streaming_daily_close" ->
         (() => StreamingBench.dailyClosePipeline(spark, sfDir)),
+      "streaming_drift" ->
+        (() => StreamingBench.driftPipeline(spark, sfDir)),
       "streaming_ewma" ->
         (() => StreamingBench.ewmaPipeline(spark, sfDir)),
       "streaming_funnel_latency" ->

@@ -105,7 +105,8 @@ object Plans {
     "q76_interarrival",    // one user lag window + shared-exchange percentile machinery
     "q77_target_encode",   // broadcast category stats + 1-row prior; fact encoded at scan speed
     "feature_hash",        // explode + map-side partial agg onto <=1024 buckets
-    "q78_quantile_bins")   // one rank window; 9-row/type bounds broadcast; HOF assign
+    "q78_quantile_bins",   // one rank window; 9-row/type bounds broadcast; HOF assign
+    "q79_drift_chisq")     // ref-half rank + two scan-speed binned halves, tiny chi-square agg
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

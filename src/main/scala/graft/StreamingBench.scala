@@ -810,6 +810,28 @@ object StreamingBench {
         requireCount("daily_close", expected)))
   }
 
+  /** Live chi-square drift monitor (the q79 streaming side): the
+    * reference profile freezes from the batch half, the live half
+    * streams in two batches. Exact count model: one cumulative row per
+    * (touched type, batch). The reference build runs OUTSIDE the timed
+    * region on purpose — it is the training-time artifact, not
+    * serving-path work. */
+  def driftPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = graft.streaming.StreamingDrift.referenceFrom(spark, sfDir)
+    val live = graft.streaming.StreamingDrift.liveHalf(spark, sfDir)
+    val batches = live.toIndexedSeq.splitAt(live.length / 2)
+    val expected =
+      Seq(batches._1, batches._2).map(_.map(_.event_type).toSet.size).sum.toLong
+    val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+    val out = graft.streaming.StreamingDrift.drift(stream.toDS(), ref)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "drift")(
+        requireCount("drift", expected)))
+  }
+
   /** Stacked daily-close → EWMA feed (the q75 streaming side): two
     * append-mode fMGWS stages on the same user key. Exact count model
     * is the daily-close one — every closed (user, day) smooths into

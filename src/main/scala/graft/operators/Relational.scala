@@ -2687,28 +2687,93 @@ object Relational {
     * escape, see [[ntileBandsDesc]]), a 9-row-per-type boundary frame
     * that BROADCASTS, and a scan-speed HOF assignment — the fact never
     * shuffles for the encode itself. */
-  def q78QuantileBins(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_id"), col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+  /** Decile boundaries of `ev`'s cents per event_type, one row per
+    * type with the sorted (k, b) boundary array — exact-rank type-1
+    * quantiles (see [[q78QuantileBins]]); shared by the binning gate
+    * and the drift monitor (which freezes bounds on its REFERENCE
+    * half). Expects columns (event_id, event_type, cents). */
+  private[graft] def decileBoundsOf(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
     val targets = counts.select(col("event_type"), col("n"),
       explode(expr(s"sequence(1, ${QuantileBinCount - 1})")).as("k"))
       .select(col("event_type"), col("k"),
         expr(s"(n * k) div $QuantileBinCount").as("target_rn"))
-    val bounds = ev.withColumn("rn", row_number().over(w).cast("long")).as("r")
+    ev.withColumn("rn", row_number().over(w).cast("long")).as("r")
       .join(broadcast(targets.as("t")),
         col("r.event_type") === col("t.event_type") &&
           col("r.rn") === col("t.target_rn"))
       .select(col("r.event_type").as("event_type"), col("t.k").as("k"),
         col("r.cents").as("b"))
-    val boundsArr = bounds.groupBy("event_type")
+      .groupBy("event_type")
       .agg(sort_array(collect_list(struct(col("k"), col("b")))).as("bs"))
-    ev.join(broadcast(boundsArr), "event_type")
+  }
+
+  /** Bin-assignment column over a broadcast `bs` boundary array:
+    * 1 + |{boundaries strictly below cents}|. */
+  private[graft] def binOf: Column =
+    lit(1L) + expr("size(filter(bs, x -> cents > x.b))")
+
+  def q78QuantileBins(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    ev.join(broadcast(decileBoundsOf(ev)), "event_type")
       .select(col("event_id"), col("event_type"), col("cents"),
-        (lit(1L) + expr("size(filter(bs, x -> cents > x.b))")).as("bin"))
+        binOf.as("bin"))
       .orderBy("event_id")
+  }
+
+  /** Q79 — FEATURE DRIFT (two-sample chi-square): the monitor every
+    * deployed model needs — per event type, the cents distribution of
+    * the LIVE half of the time range tested against the REFERENCE
+    * (first) half over decile bins FROZEN on the reference (the
+    * production shape: training-time bins, serving-time traffic).
+    * The statistic is exact scaled-integer chi-square:
+    * `e_i = (L·r_i) div R`, `chisq_ppm = Σ ((o_i−e_i)²·1e6) div
+    * max(e_i, 1)` — all BIGINT, so the gate hash-matches (no ln(), no
+    * float division; PSI's logarithm is the cross-engine-fragile
+    * choice this deliberately avoids).
+    *
+    * Scale shape: the split point is a 1-row min/max aggregate
+    * (by-design broadcast cross join, PlanGuard allowlist); the
+    * boundary build ranks only the reference half (q28 sort shape);
+    * both halves then bin at scan speed against the broadcast bounds
+    * and collapse map-side onto ≤ 10·|types| count rows. Overflow
+    * headroom: (o−e)²·1e6 needs o ≲ 3e6 per (type, bin) — beyond
+    * that, rescale the ppm factor (documented, not guarded: the gate
+    * corpora sit 2 orders below). */
+  def q79DriftChisq(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val split = ev.crossJoin(broadcast(mid))
+    val ref = split.filter(col("day") <= col("mid"))
+    val live = split.filter(col("day") > col("mid"))
+    val bnds = decileBoundsOf(
+      ref.select(col("event_id"), col("event_type"), col("cents")))
+    def binned(half: DataFrame): DataFrame = half
+      .join(broadcast(bnds), "event_type")
+      .select(col("event_type"), binOf.as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val r = binned(ref).withColumnRenamed("c", "r_c")
+    val o = binned(live).withColumnRenamed("c", "o_c")
+    val totals = r.groupBy("event_type").agg(sum(col("r_c")).as("R"))
+      .join(o.groupBy("event_type").agg(sum(col("o_c")).as("L")), "event_type")
+    r.join(o, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"), col("bin"),
+        coalesce(col("r_c"), lit(0L)).as("r_c"),
+        coalesce(col("o_c"), lit(0L)).as("o_c"))
+      .join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("r_c"), col("o_c"), col("R"), col("L"),
+        expr("(L * r_c) div R").as("e"))
+      .groupBy("event_type")
+      .agg(max(col("R")).as("n_ref"), max(col("L")).as("n_live"),
+        sum(expr("((o_c - e) * (o_c - e) * 1000000) div greatest(e, 1)"))
+          .as("chisq_ppm"))
+      .orderBy("event_type")
   }
 
   /** Bucket count for [[featureHash]] — the fixed feature-vector width
@@ -2828,6 +2893,7 @@ object Relational {
     "q77_target_encode"     -> (q77TargetEncode _),
     "feature_hash"          -> (featureHash _),
     "q78_quantile_bins"     -> (q78QuantileBins _),
+    "q79_drift_chisq"       -> (q79DriftChisq _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -789,6 +789,55 @@ object RelationalOracles {
          |ORDER BY e.event_id""".stripMargin
     },
 
+    // Feature drift: reference-half decile bounds (exact rank), both
+    // halves binned, exact scaled-integer chi-square — all BIGINT //
+    // over non-negatives, sums CAST (HUGEINT render rule)
+    "q79_drift_chisq" -> {
+      import graft.operators.Relational.QuantileBinCount
+      s"""WITH e AS (SELECT event_id, event_type,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+         |ref AS (SELECT e.* FROM e, m WHERE day <= mid),
+         |live AS (SELECT e.* FROM e, m WHERE day > mid),
+         |rr AS (SELECT event_type, cents,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY cents, event_id) AS rn FROM ref),
+         |c AS (SELECT event_type, count(*) AS n FROM ref GROUP BY 1),
+         |t AS (SELECT event_type, k,
+         |    (n * k) // $QuantileBinCount AS target_rn
+         |  FROM c, range(1, $QuantileBinCount) s(k)),
+         |bounds AS (SELECT rr.event_type, t.k, rr.cents AS b
+         |  FROM rr JOIN t ON rr.event_type = t.event_type
+         |    AND rr.rn = t.target_rn),
+         |rb AS (SELECT r2.event_id, r2.event_type,
+         |    1 + count(*) FILTER (WHERE r2.cents > b.b) AS bin
+         |  FROM ref r2 JOIN bounds b ON r2.event_type = b.event_type
+         |  GROUP BY r2.event_id, r2.event_type),
+         |lb AS (SELECT l2.event_id, l2.event_type,
+         |    1 + count(*) FILTER (WHERE l2.cents > b.b) AS bin
+         |  FROM live l2 JOIN bounds b ON l2.event_type = b.event_type
+         |  GROUP BY l2.event_id, l2.event_type),
+         |rc AS (SELECT event_type, bin, count(*) AS r_c FROM rb GROUP BY 1, 2),
+         |oc AS (SELECT event_type, bin, count(*) AS o_c FROM lb GROUP BY 1, 2),
+         |tot AS (SELECT rt.event_type, rt.R, lt.L FROM
+         |    (SELECT event_type, CAST(sum(r_c) AS BIGINT) AS R
+         |      FROM rc GROUP BY 1) rt
+         |  JOIN (SELECT event_type, CAST(sum(o_c) AS BIGINT) AS L
+         |      FROM oc GROUP BY 1) lt ON rt.event_type = lt.event_type),
+         |j AS (SELECT event_type, bin,
+         |    coalesce(r_c, 0) AS r_c, coalesce(o_c, 0) AS o_c
+         |  FROM rc FULL OUTER JOIN oc USING (event_type, bin)),
+         |f AS (SELECT j.event_type, r_c, o_c, R, L,
+         |    (L * r_c) // R AS e
+         |  FROM j JOIN tot USING (event_type))
+         |SELECT event_type, CAST(max(R) AS BIGINT) AS n_ref,
+         |  CAST(max(L) AS BIGINT) AS n_live,
+         |  CAST(sum(((o_c - e) * (o_c - e) * 1000000) // greatest(e, 1))
+         |    AS BIGINT) AS chisq_ppm
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // Feature hashing: portable md5-derived h32 replayed exactly;
     // Spark dayofweek is 1=Sunday..7, DuckDB's is 0=Sunday..6 → +1
     "feature_hash" -> {

@@ -68,7 +68,10 @@ class PlanGuardSpec extends SparkTestBase {
     "column_winsorize",
     // q77 attaches its ONE-ROW global-prior aggregate to the fact
     // before the scan-speed encode projection
-    "q77_target_encode")
+    "q77_target_encode",
+    // q79 attaches its ONE-ROW midpoint aggregate to the fact to
+    // split reference/live halves
+    "q79_drift_chisq")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =
