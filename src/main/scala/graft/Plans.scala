@@ -106,7 +106,8 @@ object Plans {
     "q77_target_encode",   // broadcast category stats + 1-row prior; fact encoded at scan speed
     "feature_hash",        // explode + map-side partial agg onto <=1024 buckets
     "q78_quantile_bins",   // one rank window; 9-row/type bounds broadcast; HOF assign
-    "q79_drift_chisq")     // ref-half rank + two scan-speed binned halves, tiny chi-square agg
+    "q79_drift_chisq",     // ref-half rank + two scan-speed binned halves, tiny chi-square agg
+    "q80_sequence_motifs") // one user exchange; per-row string scans; 1-row stacked agg
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2776,6 +2776,52 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Motifs for [[q80SequenceMotifs]], as event-type-initial strings
+    * (types have distinct initials: c/e/p/s/v): the conversion path
+    * view→click→purchase, the friction pair click→error, and repeat
+    * browsing view→view. */
+  val SequenceMotifs = Seq("vcp", "ce", "vv")
+
+  /** Q80 — SEQUENCE MOTIF MINING: per user, the full event-type
+    * sequence (one initial per event, ordered by the provably total
+    * (us, event_id)), scanned for behavioral motifs; output is the
+    * per-motif reach (users with ≥ 1 hit) and total occurrence count.
+    * Counting is the exact string algebra
+    * `(len(s) − len(replace(s, m, ''))) div len(m)` — leftmost
+    * non-overlapping occurrences, identical semantics in both engines,
+    * zero regex (cross-engine regex dialects are the fragile choice
+    * this avoids).
+    *
+    * Scale shape: ONE user exchange builds the sequences (map-side
+    * partial collect_list); motif scans are per-row string ops at scan
+    * speed over |users| rows; the final aggregate is 1 row stacked to
+    * |motifs|. Sequence length is bounded by per-user activity, never
+    * corpus size. */
+  def q80SequenceMotifs(s: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy("user_id")
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(us, event_id, ini))), x -> x.ini)"),
+        "").as("sq"))
+    val occCols = SequenceMotifs.map { m =>
+      expr(s"(length(sq) - length(replace(sq, '$m', ''))) div ${m.length}")
+        .as(s"occ_$m")
+    }
+    val agg = seqs.select(occCols: _*).agg(
+      SequenceMotifs.map(m =>
+        sum(when(col(s"occ_$m") > 0, 1L).otherwise(0L)).as(s"users_$m")).head,
+      (SequenceMotifs.tail.map(m =>
+        sum(when(col(s"occ_$m") > 0, 1L).otherwise(0L)).as(s"users_$m")) ++
+       SequenceMotifs.map(m => sum(col(s"occ_$m")).as(s"total_$m"))): _*)
+    val stackArgs = SequenceMotifs
+      .map(m => s"'$m', users_$m, total_$m").mkString(", ")
+    agg.selectExpr(
+      s"stack(${SequenceMotifs.length}, $stackArgs) AS (motif, users_hit, occurrences)")
+      .orderBy("motif")
+  }
+
   /** Bucket count for [[featureHash]] — the fixed feature-vector width
     * of the hashing trick. */
   val FeatureHashBuckets = 1024L
@@ -2894,6 +2940,7 @@ object Relational {
     "feature_hash"          -> (featureHash _),
     "q78_quantile_bins"     -> (q78QuantileBins _),
     "q79_drift_chisq"       -> (q79DriftChisq _),
+    "q80_sequence_motifs"   -> (q80SequenceMotifs _),
     "dq_checks"             -> (dqChecks _),
   )
 }

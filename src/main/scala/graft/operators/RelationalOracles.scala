@@ -789,6 +789,31 @@ object RelationalOracles {
          |ORDER BY e.event_id""".stripMargin
     },
 
+    // Sequence motifs: ordered string_agg over the same total order;
+    // replace-trick counting is leftmost-non-overlapping in both
+    // engines; // over non-negative multiples of len(m) is exact
+    "q80_sequence_motifs" -> {
+      import graft.operators.Relational.SequenceMotifs
+      val occ = SequenceMotifs.map(m =>
+        s"(length(sq) - length(replace(sq, '$m', ''))) // ${m.length} AS occ_$m")
+        .mkString(",\n        |    ")
+      val rows = SequenceMotifs.map(m =>
+        s"""SELECT '$m' AS motif,
+           |  CAST(count(*) FILTER (WHERE occ_$m > 0) AS BIGINT) AS users_hit,
+           |  CAST(sum(occ_$m) AS BIGINT) AS occurrences FROM occ""")
+        .mkString("\n        |UNION ALL\n        |")
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+         |    substring(event_type, 1, 1) AS ini FROM events),
+         |s AS (SELECT user_id,
+         |    string_agg(ini, '' ORDER BY us, event_id) AS sq
+         |  FROM e GROUP BY 1),
+         |occ AS (SELECT user_id,
+         |    $occ
+         |  FROM s)
+         |$rows
+         |ORDER BY motif""".stripMargin
+    },
+
     // Feature drift: reference-half decile bounds (exact rank), both
     // halves binned, exact scaled-integer chi-square — all BIGINT //
     // over non-negatives, sums CAST (HUGEINT render rule)
