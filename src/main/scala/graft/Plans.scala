@@ -107,7 +107,8 @@ object Plans {
     "feature_hash",        // explode + map-side partial agg onto <=1024 buckets
     "q78_quantile_bins",   // one rank window; 9-row/type bounds broadcast; HOF assign
     "q79_drift_chisq",     // ref-half rank + two scan-speed binned halves, tiny chi-square agg
-    "q80_sequence_motifs") // one user exchange; per-row string scans; 1-row stacked agg
+    "q80_sequence_motifs", // one user exchange; per-row string scans; 1-row stacked agg
+    "q81_ab_chisq")        // one user agg; 1-row margins + integer chi-square
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2776,6 +2776,56 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q81 — A/B EXPERIMENT ANALYSIS: users hash-assigned to two arms
+    * (salted portable hash — the real practice: assignment must be
+    * sticky, uniform, and independent of other experiments, which
+    * `user_id % 2` is not), outcome = converted (≥ [[AbConvertPurchases]]
+    * purchases — a median-straddling bar on the gate corpora, so both
+    * outcome classes are populated at every SF; ≥ 1 was degenerate:
+    * every synthetic user purchases), and
+    * the 2×2 contingency tested with the exact scaled-integer
+    * chi-square (margins → `e = (rowT·colT) div N`, the q79
+    * discipline — no normal approximation, no sqrt, no floats).
+    * Output is ONE row: arm sizes, conversions, per-arm conversion ppm
+    * and the statistic (1 dof; 3.84e6 ppm ≈ p=0.05).
+    *
+    * Scale shape: one user-keyed aggregate (map-side combined) folds
+    * the fact to |users| rows; everything after is a single
+    * conditional aggregate to ONE row. At 100 TB the analysis is the
+    * same two exchanges. */
+  val AbConvertPurchases = 14L
+
+  def q81AbChisq(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Portable.h32
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          >= AbConvertPurchases, 1L).otherwise(0L)
+        .as("converted"))
+      .select(pmod(h32(concat(lit("exp1|"), col("user_id"))), lit(2L))
+        .as("arm"), col("converted"))
+    perUser.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      // expected cells from the margins: e = (rowT · colT) div N
+      .selectExpr("n_a", "n_b", "conv_a", "conv_b",
+        "(n_a * (conv_a + conv_b)) div (n_a + n_b) AS e_ac",
+        "(n_a * ((n_a - conv_a) + (n_b - conv_b))) div (n_a + n_b) AS e_an",
+        "(n_b * (conv_a + conv_b)) div (n_a + n_b) AS e_bc",
+        "(n_b * ((n_a - conv_a) + (n_b - conv_b))) div (n_a + n_b) AS e_bn")
+      .selectExpr("n_a", "n_b", "conv_a", "conv_b",
+        "(conv_a * 1000000) div n_a AS conv_a_ppm",
+        "(conv_b * 1000000) div n_b AS conv_b_ppm",
+        """((conv_a - e_ac) * (conv_a - e_ac) * 1000000) div greatest(e_ac, 1)
+          | + (((n_a - conv_a) - e_an) * ((n_a - conv_a) - e_an) * 1000000)
+          |     div greatest(e_an, 1)
+          | + ((conv_b - e_bc) * (conv_b - e_bc) * 1000000) div greatest(e_bc, 1)
+          | + (((n_b - conv_b) - e_bn) * ((n_b - conv_b) - e_bn) * 1000000)
+          |     div greatest(e_bn, 1) AS chisq_ppm""".stripMargin)
+  }
+
   /** Motifs for [[q80SequenceMotifs]], as event-type-initial strings
     * (types have distinct initials: c/e/p/s/v): the conversion path
     * view→click→purchase, the friction pair click→error, and repeat
@@ -2941,6 +2991,7 @@ object Relational {
     "q78_quantile_bins"     -> (q78QuantileBins _),
     "q79_drift_chisq"       -> (q79DriftChisq _),
     "q80_sequence_motifs"   -> (q80SequenceMotifs _),
+    "q81_ab_chisq"          -> (q81AbChisq _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -789,6 +789,49 @@ object RelationalOracles {
          |ORDER BY e.event_id""".stripMargin
     },
 
+    // A/B chi-square: salted md5 arm assignment replayed exactly;
+    // margins → expected cells → statistic all in BIGINT // (the h32
+    // value is non-negative, so % 2 == pmod)
+    "q81_ab_chisq" -> {
+      import graft.operators.Relational.AbConvertPurchases
+      s"""WITH u AS (SELECT user_id,
+        |    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+        |      >= $AbConvertPurchases THEN 1 ELSE 0 END AS converted
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT
+        |    CAST('0x' || substring(
+        |      md5('exp1|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |      % 2 AS arm,
+        |    converted FROM u),
+        |m AS (SELECT
+        |    CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+        |    CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM a),
+        |e AS (SELECT *,
+        |    (n_a * (conv_a + conv_b)) // (n_a + n_b) AS e_ac,
+        |    (n_a * ((n_a - conv_a) + (n_b - conv_b))) // (n_a + n_b) AS e_an,
+        |    (n_b * (conv_a + conv_b)) // (n_a + n_b) AS e_bc,
+        |    (n_b * ((n_a - conv_a) + (n_b - conv_b))) // (n_a + n_b) AS e_bn
+        |  FROM m)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CAST((conv_a * 1000000) // n_a AS BIGINT) AS conv_a_ppm,
+        |  CAST((conv_b * 1000000) // n_b AS BIGINT) AS conv_b_ppm,
+        |  CAST(
+        |    ((conv_a - e_ac) * (conv_a - e_ac) * 1000000)
+        |      // greatest(e_ac, 1)
+        |    + (((n_a - conv_a) - e_an) * ((n_a - conv_a) - e_an) * 1000000)
+        |      // greatest(e_an, 1)
+        |    + ((conv_b - e_bc) * (conv_b - e_bc) * 1000000)
+        |      // greatest(e_bc, 1)
+        |    + (((n_b - conv_b) - e_bn) * ((n_b - conv_b) - e_bn) * 1000000)
+        |      // greatest(e_bn, 1) AS BIGINT) AS chisq_ppm
+        |FROM e""".stripMargin
+    },
+
     // Sequence motifs: ordered string_agg over the same total order;
     // replace-trick counting is leftmost-non-overlapping in both
     // engines; // over non-negative multiples of len(m) is exact
