@@ -266,8 +266,18 @@ object Dedup {
         scala.collection.mutable.LinkedHashMap.empty[String, PipelineCache]
       }
       sessionCaches.put(uuid, m)
+      // repartition BEFORE the cache: document text is byte-tiny but
+      // the downstream per-doc work (shingle/minhash/signature) is
+      // CPU-heavy, and Spark's byte-targeted file-split planning gives
+      // a few-MB corpus only 1-2 scan tasks (targetSize floors at the
+      // 4 MB open cost) — every cached consumer would then compute
+      // signatures near-serially. Measured at ScaleGen ×10 (a 6.8 MB
+      // file): 20 s → 7 s for the edit-distance line. At real scale
+      // the exchange moves text bytes once and buys full parallelism.
       m.getOrElseUpdate(dir,
-        new PipelineCache(withShingles(corpusWithNearDupes(s, dir)).cache()))
+        new PipelineCache(
+          withShingles(corpusWithNearDupes(s, dir)
+            .repartition(s.sparkContext.defaultParallelism)).cache()))
     }
   }
 
@@ -390,12 +400,6 @@ object Dedup {
     val cands = candidatePairs(toBands(minhashSigs(entryFor(s, dir).docs)))
     val docs = corpusWithNearDupes(s, dir)
     cands
-      // the pair frame is BYTE-tiny but COMPUTE-heavy downstream (an
-      // O(|a|·|b|) DP per row): AQE's byte-targeted coalesce would fold
-      // it into one task and serialize the verify — pin the explicit
-      // partition count so the DP keeps the cluster busy
-      .repartition(s.sparkContext.defaultParallelism,
-        col("doc_a"), col("doc_b"))
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
         Seq("doc_a"))
       .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
@@ -403,6 +407,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("text_a"), col("text_b"),
         greatest(length(col("text_a")), length(col("text_b")))
           .cast("long").as("len"))
+      // the scored-pair frame is BYTE-tiny but COMPUTE-heavy to
+      // produce (an O(k·len) DP per row): AQE's byte-targeted coalesce
+      // folds the post-join read to ONE task and serializes the verify
+      // (measured 7.6 s vs 3.1 s for 3× the pairs at ScaleGen ×10/×30,
+      // where the ×30 texts happened to outgrow the broadcast
+      // threshold and keep their shuffle width). REPARTITION_BY_NUM —
+      // explicit count, AFTER the joins, immediately before the DP —
+      // is the one exchange AQE never coalesces.
+      .repartition(s.sparkContext.defaultParallelism)
       // THRESHOLD-banded DP: `lev·1e6 div len ≤ ppm` ⟺
       // `lev ≤ (len·ppm) div 1e6` exactly (integer algebra), so handing
       // that ceiling to levenshtein's banded form computes O(k·len)
@@ -451,7 +464,8 @@ object Dedup {
     def noop(df: DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
     evictSharedPipeline(s, dir)
-    val docs = withShingles(corpusWithNearDupes(s, dir)).cache()
+    val docs = withShingles(corpusWithNearDupes(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)).cache() // mirror entryFor
     timed("docs_shingle_cache")(docs.count())
     val bands = toBands(minhashSigs(docs))
     timed("minhash_bands")(noop(bands))
