@@ -91,6 +91,24 @@ class PlanGuardSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"scale-hostile joins crept in:\n${offenders.mkString("\n")}")
   }
 
+  test("scan-speed encode family: the fact itself never hash-shuffles") {
+    // q77's documented scale claim: encoding is a map stage — the only
+    // hashpartitioning exchange carries the |categories|-row stats
+    // aggregate, never the fact. feature_hash collapses map-side onto
+    // <= 1024 buckets, so its single hashpartitioning exchange moves
+    // bucket rows. q80/q81 fold the fact in ONE user exchange. Pin the
+    // counts so a refactor that sneaks in a fact shuffle fails loudly.
+    Seq("q77_target_encode" -> 1, "feature_hash" -> 1,
+        "q80_sequence_motifs" -> 1, "q81_ab_chisq" -> 1).foreach {
+      case (q, expected) =>
+        val plan = SparkEntry.queries(q)(spark, sf0001)
+          .queryExecution.executedPlan.toString
+        val n = "Exchange hashpartitioning\\(".r.findAllIn(plan).size
+        assert(n == expected,
+          s"$q: expected $expected hashpartitioning exchanges, found $n")
+    }
+  }
+
   test("one-exchange product-analytics family shuffles the fact exactly once on user_id") {
     // q58/q62/q63's documented scale claim is structural: ONE
     // hashpartitioning exchange on user_id carries the whole analysis
