@@ -810,6 +810,35 @@ object StreamingBench {
         requireCount("daily_close", expected)))
   }
 
+  /** Stacked gap monitor (the q76 streaming side): per-user gap
+    * emitter → per-type quantile sketch, two append-mode fMGWS stages.
+    * Exact count model: one cumulative snapshot per (type touched by a
+    * gap, batch) — a type is touched when a NON-FIRST event of some
+    * user lands in the batch with that type. */
+  def gapsPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = profileRows(spark, sfDir)
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    val expected = memoExpected("gaps", sfDir) {
+      val seen = scala.collection.mutable.Set.empty[Long]
+      Seq(batches._1, batches._2).map { b =>
+        val touched = scala.collection.mutable.Set.empty[String]
+        b.foreach { e =>
+          if (seen.contains(e.user_id)) touched += e.event_type
+          seen += e.user_id
+        }
+        touched.size.toLong
+      }.sum
+    }
+    val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+    val out = graft.streaming.StreamingGaps.monitor(stream.toDS())
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "gaps")(
+        requireCount("gaps", expected)))
+  }
+
   /** Live chi-square drift monitor (the q79 streaming side): the
     * reference profile freezes from the batch half, the live half
     * streams in two batches. Exact count model: one cumulative row per
