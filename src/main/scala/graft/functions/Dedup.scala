@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -396,6 +396,21 @@ object Dedup {
     * a session). Both engines implement classic Levenshtein over the
     * same ASCII corpus, and the ppm ratio is BIGINT div over
     * non-negatives, so the gate is hash-exact. */
+  /** The largest lev satisfying `lev·1e6 div len ≤ ppm` — the TIGHT
+    * banded-DP ceiling (Scala mirror of [[bandedLevExpr]]'s SQL; the
+    * two must stay in algebraic lockstep — EditDistFuzzSpec pins both
+    * to the filter). */
+  private[graft] def bandedLevCeil(len: Long, ppm: Long): Long =
+    ((ppm + 1L) * len - 1L) / 1000000L
+
+  /** Banded `levenshtein(text_a, text_b, k)` column with the per-row
+    * tight ceiling over a `len` column — -1 ⟺ the plain form would
+    * fail the ppm filter. SQL form because the Scala `levenshtein`
+    * helper only takes a literal Int threshold. */
+  private[graft] def bandedLevExpr(ppm: Long): Column =
+    expr(s"CAST(levenshtein(text_a, text_b, " +
+      s"CAST((($ppm + 1) * len - 1) div 1000000 AS INT)) AS BIGINT)")
+
   def dedupEditDist(s: SparkSession, dir: String): DataFrame = {
     val cands = candidatePairs(toBands(minhashSigs(entryFor(s, dir).docs)))
     val docs = corpusWithNearDupes(s, dir)
@@ -417,18 +432,19 @@ object Dedup {
       // is the one exchange AQE never coalesces.
       .repartition(s.sparkContext.defaultParallelism)
       // THRESHOLD-banded DP: `lev·1e6 div len ≤ ppm` ⟺
-      // `lev ≤ (len·ppm) div 1e6` exactly (integer algebra), so handing
+      // `lev ≤ ((ppm+1)·len − 1) div 1e6` EXACTLY (the contrapositive
+      // of the floor-div filter: lev·1e6 < (ppm+1)·len, and
+      // ceil(x/y)−1 = (x−1) div y for positive integers — the naive
+      // `(len·ppm) div 1e6` ceiling is one short whenever
+      // (len·ppm mod 1e6) + len − 1 ≥ 1e6, first at len ≈ 2·10⁵ for
+      // ppm = 2·10⁵, dropping pairs the oracle keeps), so handing
       // that ceiling to levenshtein's banded form computes O(k·len)
       // instead of O(len²) per pair and returns -1 for exactly the
       // pairs the ppm filter would drop anyway — identical output,
       // ~3× cheaper verify (the oracle keeps the plain 2-arg form +
       // the same filter)
       .select(col("doc_a"), col("doc_b"),
-        // SQL form: the Scala helper only takes a literal Int threshold,
-        // the expression itself accepts the per-row ceiling
-        expr(s"CAST(levenshtein(text_a, text_b, " +
-          s"CAST((len * $EditDupPpm) div 1000000 AS INT)) AS BIGINT)")
-          .as("lev"),
+        bandedLevExpr(EditDupPpm).as("lev"),
         col("len"))
       // lev feeds 3 consumers (its own column, the ppm, the filter):
       // a barrier keeps CollapseProject from inlining the DP 3× per

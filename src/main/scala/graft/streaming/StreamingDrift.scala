@@ -31,10 +31,16 @@ import graft.operators.Relational
   * (documented trade, as in the daily-close family). */
 object StreamingDrift {
 
-  /** Frozen per-type reference: 9 decile bounds + 10 bin counts. */
+  /** Frozen per-type reference: up to 9 decile bounds + bounds+1 bin
+    * counts. A type whose reference half holds fewer than
+    * [[Relational.QuantileBinCount]] rows yields PARTIAL bounds
+    * (`(n·k) div 10 = 0` targets never match a rank) — batch q79
+    * degrades to the coarser binning silently, so the monitor accepts
+    * the same partial profile instead of refusing to start; the only
+    * invariant is counts ⟺ bounds+1 bins. */
   case class RefProfile(bounds: Vector[Long], refCounts: Vector[Long]) {
-    require(bounds.length == Relational.QuantileBinCount - 1 &&
-      refCounts.length == Relational.QuantileBinCount,
+    require(bounds.nonEmpty && bounds.length <= Relational.QuantileBinCount - 1 &&
+      refCounts.length == bounds.length + 1,
       s"malformed reference profile: ${bounds.length} bounds / ${refCounts.length} counts")
     val refTotal: Long = refCounts.sum
   }
@@ -62,7 +68,7 @@ object StreamingDrift {
       case None => Iterator.empty // type unseen at reference time: no bins to test against
       case Some(p) =>
         val o0 = state.getOption.map(_.o)
-          .getOrElse(Vector.fill(Relational.QuantileBinCount)(0L))
+          .getOrElse(Vector.fill(p.refCounts.length)(0L))
         val o = it.foldLeft(o0) { (acc, ev) =>
           val bin = p.bounds.count(_ < ev.cents) // == batch binOf (strict >)
           acc.updated(bin, acc(bin) + 1L)
@@ -111,10 +117,16 @@ object StreamingDrift {
       .select(col("event_type"), Relational.binOf.as("bin"))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
       .collect().groupBy(_.getString(0))
-    counts.map { case (t, rows) =>
-      val byBin = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
-      t -> RefProfile(bounds(t),
-        (1 to Relational.QuantileBinCount).map(b => byBin.getOrElse(b.toLong, 0L)).toVector)
+    // a type absent from the bounds frame (reference half too sparse
+    // for ANY rank target) is inner-joined away by batch q79 — skip it
+    // here too; partial-bounds types keep their coarser binning, again
+    // exactly as batch does
+    counts.flatMap { case (t, rows) =>
+      bounds.get(t).map { bs =>
+        val byBin = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+        t -> RefProfile(bs,
+          (1 to bs.length + 1).map(b => byBin.getOrElse(b.toLong, 0L)).toVector)
+      }
     }
   }
 

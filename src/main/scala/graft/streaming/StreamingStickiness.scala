@@ -49,13 +49,19 @@ object StreamingStickiness {
       arrivals.foreach { e =>
         val d = StreamingWau.day(e.ts)
         val (w2, coveredW, lateW) = StreamingWau.cover(st.wau, d, windowDays)
-        val (a2, coveredD, _) = StreamingWau.cover(st.dau, d, 1)
-        st = StickState(w2, a2)
-        coveredW.foreach(k => out += StickHit(user, k, is_day = false))
-        coveredD.foreach(k => out += StickHit(user, k, is_day = true))
-        // the DAU mask can only be late when the WAU mask is (its
-        // window is a subset) — one side-channel count per event
+        // the two masks rebase at different offsets (wauBase = d'+w−64,
+        // dauBase = d'−63), so a day late for the WAU mask can still sit
+        // inside the DAU mask's band — covering it there would emit a
+        // dau hit with no matching wau coverage and push the live ratio
+        // past 1e6. A late event is therefore dropped ATOMICALLY from
+        // both curves: one side-channel count, neither mask touched.
         if (lateW) lateDrops.foreach(_.add(1L))
+        else {
+          val (a2, coveredD, _) = StreamingWau.cover(st.dau, d, 1)
+          st = StickState(w2, a2)
+          coveredW.foreach(k => out += StickHit(user, k, is_day = false))
+          coveredD.foreach(k => out += StickHit(user, k, is_day = true))
+        }
       }
       if (held.isEmpty || held.get != st) state.update(st)
       idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))

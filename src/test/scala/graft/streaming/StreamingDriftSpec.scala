@@ -75,4 +75,30 @@ class StreamingDriftSpec extends SparkTestBase {
       "unseen", Iterator(ev(5)), st2).toSeq
     assert(out3.isEmpty && !st2.exists)
   }
+
+  test("sparse type: partial bounds accepted (batch-parity coarse bins), not a crash") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // a reference half with < 10 rows yields fewer than 9 decile bounds
+    // (missing rank targets) — batch q79 silently bins against whatever
+    // bounds exist, so the monitor must start with the same partial
+    // profile instead of refusing the whole stream
+    val p = StreamingDrift.RefProfile(
+      bounds = Vector(10L, 30L), refCounts = Vector(1L, 1L, 1L)) // R = 3
+    def ev(cents: Long) = StreamingProfile.PEv(
+      1L, 1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "t", cents)
+    val st = TestGroupState.create[StreamingDrift.DriftState](
+      Optional.empty(), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long], hasTimedOut = false)
+    // bins: 5→0 bounds below→bin 0; 20→1; 99→2; L=3, e_i=(3·1) div 3=1
+    // → o=e everywhere → chisq 0
+    val out = StreamingDrift.driftUpdate(Map("t" -> p), None)(
+      "t", Iterator(ev(5), ev(20), ev(99)), st).toSeq
+    assert(out == Seq(StreamingDrift.DriftRow("t", 3L, 0L)))
+    assert(st.get.o == Vector(1L, 1L, 1L))
+    // malformed (counts ≠ bounds+1) still refuses loudly
+    intercept[IllegalArgumentException] {
+      StreamingDrift.RefProfile(Vector(10L), Vector(1L, 1L, 1L))
+    }
+  }
 }

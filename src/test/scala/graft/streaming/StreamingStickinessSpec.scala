@@ -99,4 +99,30 @@ class StreamingStickinessSpec extends SparkTestBase {
       7L, Iterator(ev(3, 4)), st).toSeq
     assert(out2.isEmpty)
   }
+
+  test("late event is dropped ATOMICALLY from both masks (no dau-without-wau hit)") {
+    import scala.concurrent.duration._
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[StreamingStickiness.StickState](
+      Optional.empty(), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    def ev(dayN: Long, id: Long) =
+      Ev(9L, new java.sql.Timestamp(dayN * 86400000L), id, "view")
+    val drops = spark.sparkContext.longAccumulator("lateDrops")
+    // day 0 then day 100 at w=7: the WAU mask rebases to base 43
+    // (100+7−64) but the DAU mask only to base 37 (100+1−64) — day 40
+    // lands in the (w−1)-day band that is WAU-late yet DAU-coverable
+    val out = StreamingStickiness.stickUpdate(7, Some(500.millis), Some(drops))(
+      9L, Iterator(ev(0, 1), ev(100, 2)), st).toSeq
+    assert(out.count(_.is_day) == 2 && drops.value == 0L)
+    val held = st.get
+    assert(40L < held.wau.baseDay && 40L >= held.dau.baseDay,
+      s"test setup no longer straddles the masks: wauBase=${held.wau.baseDay} dauBase=${held.dau.baseDay}")
+    val out2 = StreamingStickiness.stickUpdate(7, Some(500.millis), Some(drops))(
+      9L, Iterator(ev(40, 3)), st).toSeq
+    assert(out2.isEmpty,
+      s"late day 40 leaked hits $out2 — dau>wau divergence at the band")
+    assert(drops.value == 1L, s"late drop not counted: ${drops.value}")
+  }
 }
