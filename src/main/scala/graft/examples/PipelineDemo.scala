@@ -33,6 +33,42 @@ import graft.functions.{Dedup, TextAnalysis}
   */
 object PipelineDemo {
 
+  /** The curated corpus for `sfDir` — the LAZY frame (no counting
+    * actions), so the driver gate (`curation_pipeline`) and the
+    * terminal packing gate (`curation_packed`) pay exactly one job
+    * each. Stage composition is [[curate]]'s contract verbatim. */
+  def curated(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+
+    val quality = TextAnalysis.textStats(spark, sfDir)
+      .filter(col("alpha_ratio") >= 0.6 && col("n_tokens") >= 10)
+      .select("doc_id")
+    val english = TextAnalysis.langId(spark, sfDir)
+      .filter(col("detected_lang") === "en")
+      .select("doc_id")
+
+    val exactKeep = Dedup.dedupExact(spark, sfDir).select("doc_id")
+    val nearKeep = Dedup.dedupDropList(spark, sfDir)
+      .filter(col("action") === "keep").select("doc_id")
+
+    val clean = Dedup.decontaminate(spark, sfDir)
+      .filter(col("action") === "keep").select("doc_id")
+    val sampled = Dedup.sampleByHash(spark, sfDir).select("doc_id")
+    val admitted = TextAnalysis.tokenBudgetMix(spark, sfDir)
+      .filter(col("action") === "admit").select("doc_id")
+
+    raw
+      .join(quality, "doc_id")
+      .join(english, "doc_id")
+      .join(exactKeep, "doc_id")
+      .join(nearKeep, "doc_id")
+      .join(clean, "doc_id")
+      .join(sampled, "doc_id")
+      .join(admitted, "doc_id")
+      .join(TextAnalysis.fingerprint(spark, sfDir).select("doc_id", "fingerprint"), "doc_id")
+      .select("doc_id", "lang", "source", "fingerprint", "text")
+  }
+
   /** The curated corpus for `sfDir`, with per-stage counts. */
   def curate(spark: SparkSession, sfDir: String): (DataFrame, Seq[(String, Long)]) = {
     val raw = Tables.documents(spark, sfDir)
@@ -54,21 +90,12 @@ object PipelineDemo {
     val admitted = TextAnalysis.tokenBudgetMix(spark, sfDir)
       .filter(col("action") === "admit").select("doc_id")
 
-    val curated = raw
-      .join(quality, "doc_id")
-      .join(english, "doc_id")
-      .join(exactKeep, "doc_id")
-      .join(nearKeep, "doc_id")
-      .join(clean, "doc_id")
-      .join(sampled, "doc_id")
-      .join(admitted, "doc_id")
-      .join(TextAnalysis.fingerprint(spark, sfDir).select("doc_id", "fingerprint"), "doc_id")
-      .select("doc_id", "lang", "source", "fingerprint", "text")
+    val cur = curated(spark, sfDir)
 
     // terminal stage: slice the CURATED corpus into training sequences
     // (packing runs over survivors — unlike the admission gates above,
     // which are global decisions over the raw corpus)
-    val packed = TextAnalysis.packSequencesOf(curated)
+    val packed = TextAnalysis.packSequencesOf(cur)
 
     val counts = Seq(
       "raw" -> raw.count(),
@@ -79,9 +106,9 @@ object PipelineDemo {
       "decontaminated" -> clean.count(),
       "sampled_10pct" -> sampled.count(),
       "budget_admitted" -> admitted.count(),
-      "curated" -> curated.count(),
+      "curated" -> cur.count(),
       "packed_sequences" -> packed.count())
-    (curated, counts)
+    (cur, counts)
   }
 
   def main(args: Array[String]): Unit = {

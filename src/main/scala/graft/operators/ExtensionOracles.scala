@@ -127,6 +127,90 @@ object ExtensionOracles {
       |      list_transform(range(d), i -> CASE WHEN embedding[i+1] > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
       |      (a, b) -> a + b)""".stripMargin
 
+  /** Shared CTE chain of the composed curation pipeline
+    * (`graft.examples.PipelineDemo.curated`): every stage is the SAME
+    * SQL its individual gate uses — renamed only where CTE names would
+    * collide — intersected at the end, so a composed-gate failure
+    * isolates to stage INTERACTION (dedup ordering vs sampling
+    * determinism, id-space overlap), never to stage logic the per-stage
+    * gates already pin. Ends with the `curated` CTE
+    * (doc_id, lang, source, fingerprint, text). */
+  private lazy val curationCtes: String = {
+    val en = langs.head
+    val enRule = langs.tail.map(o => s"h_$en >= h_$o").mkString(" AND ")
+    val hitCols = TextAnalysis.langMarkers
+      .map { case (l, ws) => s"  ${hitExpr(ws)} AS h_$l" }.mkString(",\n")
+    s"""$nearCorpus,
+       |$nearShingles,
+       |$lshCandidates,
+       |$sizesAndInter,
+       |verified AS (
+       |  SELECT c.doc_b
+       |  FROM cand c
+       |  JOIN inter ON c.doc_a = inter.doc_a AND c.doc_b = inter.doc_b
+       |  JOIN sizes sa ON c.doc_a = sa.doc_id
+       |  JOIN sizes sb ON c.doc_b = sb.doc_id
+       |  WHERE round(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE), 6) >= 0.5),
+       |near_keep AS (
+       |  SELECT doc_id FROM corpus
+       |  WHERE doc_id NOT IN (SELECT doc_b FROM verified)),
+       |qstat AS (SELECT doc_id,
+       |    CAST(len($toks) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha
+       |  FROM documents),
+       |quality AS (SELECT doc_id FROM qstat
+       |  WHERE round(CAST(n_alpha AS DOUBLE) / n_chars, 6) >= 0.6 AND n_tokens >= 10),
+       |ltok AS (SELECT doc_id, $toks AS toks FROM documents),
+       |lhits AS (SELECT doc_id,
+       |$hitCols
+       |FROM ltok),
+       |english AS (SELECT doc_id FROM lhits WHERE $enRule),
+       |ecorpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000000000, text FROM documents WHERE doc_id % 10 = 0),
+       |exact_keep AS (SELECT min(doc_id) AS doc_id FROM ecorpus GROUP BY md5(text)),
+       |bench AS (
+       |  SELECT array_to_string(list_slice($toks, 1, 8), ' ') AS text
+       |  FROM documents WHERE doc_id % 13 = 0),
+       |btokd AS (SELECT $toks AS toks FROM bench),
+       |bsh AS (SELECT DISTINCT unnest($shingleExpr) AS s FROM btokd),
+       |dtokd AS (SELECT doc_id, $toks AS toks FROM documents),
+       |ddsh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, unnest($shingleExpr) AS s FROM dtokd) du),
+       |ov AS (SELECT doc_id, count(*) AS n_overlap
+       |       FROM ddsh JOIN bsh USING (s) GROUP BY doc_id),
+       |clean AS (
+       |  SELECT d.doc_id FROM documents d
+       |  LEFT JOIN ov ON d.doc_id = ov.doc_id
+       |  WHERE coalesce(ov.n_overlap, 0) < 4),
+       |sampled AS (SELECT doc_id FROM documents WHERE ${h32("text")} % 100 < 10),
+       |admitted AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, sum(len($toks)) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |    FROM documents) a WHERE cum <= 1000),
+       |fp AS (SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT), list_transform(toks, s -> ${h32("s")})),
+       |      (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint
+       |  FROM ltok),
+       |curated AS (
+       |  SELECT d.doc_id, d.lang, d.source, fp.fingerprint, d.text
+       |  FROM documents d
+       |  JOIN quality USING (doc_id)
+       |  JOIN english USING (doc_id)
+       |  JOIN exact_keep USING (doc_id)
+       |  JOIN near_keep USING (doc_id)
+       |  JOIN clean USING (doc_id)
+       |  JOIN sampled USING (doc_id)
+       |  JOIN admitted USING (doc_id)
+       |  JOIN fp ON d.doc_id = fp.doc_id)""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
@@ -1014,6 +1098,31 @@ object ExtensionOracles {
          |  min(doc_id) AS first_doc,
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM o GROUP BY source, start_offset // ${TextAnalysis.PackSeqLen}
+         |ORDER BY source, seq_id""".stripMargin,
+
+    // END-TO-END composition gate: the full curation CTE chain
+    // intersected — see [[curationCtes]]
+    "curation_pipeline" ->
+      s"""WITH $curationCtes
+         |SELECT doc_id, lang, source, fingerprint FROM curated
+         |ORDER BY doc_id""".stripMargin,
+
+    // terminal packing over the SURVIVORS: same pack_sequences geometry,
+    // offsets re-derived over the curated corpus
+    "curation_packed" ->
+      s"""WITH $curationCtes,
+         |pt AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+         |       FROM curated),
+         |po AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          - n_tokens AS start_offset
+         |      FROM pt)
+         |SELECT source, start_offset // ${TextAnalysis.PackSeqLen} AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM po GROUP BY source, start_offset // ${TextAnalysis.PackSeqLen}
          |ORDER BY source, seq_id""".stripMargin,
 
     "chunk_overlap" -> {

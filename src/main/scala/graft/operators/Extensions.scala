@@ -126,5 +126,19 @@ object Extensions {
     "column_winsorize" -> (Relational.columnWinsorize _),
     "multimodal_meta"  -> (Multimodal.mediaMeta _),
     "multimodal_frames" -> (Multimodal.mediaFrames _),
+    // END-TO-END CURATION COMPOSITION (PipelineDemo.curated): quality →
+    // language → exact dedup → near-dup → decontaminate → sample →
+    // budget → fingerprint, intersected — the cross-operator
+    // interaction gate; every stage has its own oracle above, this one
+    // pins the composition a real user actually runs
+    "curation_pipeline" -> ((s: SparkSession, dir: String) =>
+      graft.examples.PipelineDemo.curated(s, dir)
+        .select("doc_id", "lang", "source", "fingerprint")
+        .orderBy("doc_id")),
+    // the pipeline's TERMINAL stage: training sequences packed over the
+    // SURVIVORS (second-order composition — offsets depend on exactly
+    // which docs survived upstream)
+    "curation_packed" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.packSequencesOf(graft.examples.PipelineDemo.curated(s, dir))),
   )
 }
