@@ -211,6 +211,62 @@ object ExtensionOracles {
        |  JOIN fp ON d.doc_id = fp.doc_id)""".stripMargin
   }
 
+  /** Trained-BPE CTE chain: bounded vocabulary, then
+    * [[TextAnalysis.BpeMerges]] UNROLLED merge rounds (weighted
+    * adjacent-pair counts → deterministic best pair (count DESC, l, r)
+    * → one left-to-right fold pass), then the distinct-pretoken encode
+    * chain folding through every best pair in rank order — the q61
+    * chained-CTE replay discipline applied to a trainer. The fold
+    * lambda is the EXACT algebra of `TextAnalysis.mergePass` /
+    * `mergeFoldCol`. Ends with `pre` (doc_id, w), `best1..bestK`, and
+    * `lens` (w, n_sub). */
+  private lazy val bpeCtes: String = {
+    val pat = TextAnalysis.BpePretokenPattern.replace("'", "''")
+    val k = TextAnalysis.BpeMerges
+    def fold(m: String) =
+      s"""list_reduce(list_transform(toks, t -> [t]),
+         |    (acc, x) -> CASE WHEN len(acc) >= 1 AND acc[len(acc)] = $m.l AND x[1] = $m.r
+         |                THEN list_append(acc[1:len(acc)-1], $m.l || $m.r)
+         |                ELSE list_append(acc, x[1]) END)""".stripMargin
+    val charSplit = "list_transform(range(length(w)), i -> substring(w, i+1, 1))"
+    // every chained CTE is MATERIALIZED (the kcenter/q61 recipe):
+    // DuckDB inlines CTEs by default, and wt_i is referenced by BOTH
+    // pc_{i+1} and wt_{i+1} — inlining doubles per round and the plan
+    // (and its parquet scans) explodes 2^K
+    val rounds = (1 to k).map { i =>
+      val prev = s"wt${i - 1}"
+      // the last round's post-merge word table feeds nothing — emit
+      // only its pair counts and best pair
+      val wt = if (i == k) "" else
+        s""",
+           |wt$i AS MATERIALIZED (SELECT w, n, ${fold(s"m$i")} AS toks FROM $prev, best$i m$i)""".stripMargin
+      s"""pc$i AS MATERIALIZED (
+         |  SELECT p.l AS l, p.r AS r, sum(n) AS c FROM (
+         |    SELECT n, unnest(list_transform(range(len(toks) - 1),
+         |      j -> struct_pack(l := toks[j+1], r := toks[j+2]))) AS p
+         |    FROM $prev) q$i
+         |  GROUP BY 1, 2),
+         |best$i AS MATERIALIZED (SELECT l, r FROM pc$i ORDER BY c DESC, l ASC, r ASC LIMIT 1)$wt""".stripMargin
+    }.mkString(",\n")
+    val encode = (1 to k).map { i =>
+      val prev = if (i == 1) "ec0c" else s"ec${i - 1}"
+      s"ec$i AS MATERIALIZED (SELECT w, ${fold(s"n$i")} AS toks FROM $prev, best$i n$i)"
+    }.mkString(",\n")
+    s"""pre AS MATERIALIZED (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS w
+       |  FROM documents),
+       |vocab AS MATERIALIZED (SELECT w, count(*) AS n FROM pre GROUP BY w),
+       |wt0 AS MATERIALIZED (
+       |  SELECT w, n, $charSplit AS toks FROM (
+       |    SELECT w, n FROM vocab
+       |    ORDER BY n DESC, w ASC LIMIT ${TextAnalysis.BpeTrainWords}) tv),
+       |$rounds,
+       |ec0 AS MATERIALIZED (SELECT DISTINCT w FROM pre),
+       |ec0c AS MATERIALIZED (SELECT w, $charSplit AS toks FROM ec0),
+       |$encode,
+       |lens AS MATERIALIZED (SELECT w, CAST(len(toks) AS BIGINT) AS n_sub FROM ec$k)""".stripMargin
+  }
+
   private val base: Map[String, String] = Map(
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
@@ -1099,6 +1155,30 @@ object ExtensionOracles {
          |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM o GROUP BY source, start_offset // ${TextAnalysis.PackSeqLen}
          |ORDER BY source, seq_id""".stripMargin,
+
+    // TRAINED BPE (learned merges, not the pretoken proxy): per-doc
+    // token counts under the corpus-trained merge table — see [[bpeCtes]]
+    "text_bpe_trained" ->
+      s"""WITH $bpeCtes,
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_pretokens, sum(n_sub) AS n_bpe_trained
+         |  FROM pre JOIN lens USING (w) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(agg.n_pretokens, 0) AS BIGINT) AS n_pretokens,
+         |  CAST(coalesce(agg.n_bpe_trained, 0) AS BIGINT) AS n_bpe_trained
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // the merge table itself: pins the TRAINER (tie rule included)
+    "text_bpe_merges" -> {
+      val ranks = (1 to TextAnalysis.BpeMerges).map { i =>
+        s"SELECT CAST($i AS BIGINT) AS merge_rank, l AS lhs, r AS rhs FROM best$i"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $bpeCtes
+         |SELECT * FROM (
+         |  $ranks)
+         |ORDER BY merge_rank""".stripMargin
+    },
 
     // END-TO-END composition gate: the full curation CTE chain
     // intersected — see [[curationCtes]]

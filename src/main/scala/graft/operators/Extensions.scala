@@ -56,6 +56,11 @@ object Extensions {
     "bm25_score"       -> (TextAnalysis.bm25Score _),
     "chunk_overlap"    -> (TextAnalysis.chunkOverlap _),
     "text_bpe_tokens"  -> (TextAnalysis.bpeTokenCount _),
+    // TRAINED BPE: driver-trained merge table over the bounded
+    // vocabulary (deterministic tie rule), distributed fold encode —
+    // real-tokenizer-denominated counts, not the pretoken proxy
+    "text_bpe_trained" -> (TextAnalysis.bpeTrainedCounts _),
+    "text_bpe_merges"  -> (TextAnalysis.bpeMerges _),
     "text_freq_class"  -> (TextAnalysis.freqClassQuality _),
     // the 100-TB form: top-K vocabulary head broadcast as a map literal,
     // default tail class, zero scoring joins (VERDICT r6 item 8)
