@@ -117,6 +117,8 @@ object Bench {
         (() => StreamingBench.dailyClosePipeline(spark, sfDir)),
       "streaming_drift" ->
         (() => StreamingBench.driftPipeline(spark, sfDir)),
+      "streaming_ab" ->
+        (() => StreamingBench.abPipeline(spark, sfDir)),
       "streaming_gaps" ->
         (() => StreamingBench.gapsPipeline(spark, sfDir)),
       "streaming_ewma" ->

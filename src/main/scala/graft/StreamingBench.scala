@@ -1115,6 +1115,45 @@ object StreamingBench {
         requireCount("wau", expected)))
   }
 
+  /** Live A/B monitor (the q81 streaming side): per-user conversion
+    * latch emitting delta rows. Exact count model: per batch, the
+    * number of users with NEWS — first ever seen, or crossing the
+    * conversion bar with cumulative purchases (a user doing both in
+    * one batch emits ONE combined row). */
+  def abPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    val expected = memoExpected("ab", sfDir) {
+      val bar = graft.operators.Relational.AbConvertPurchases
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val purchases = scala.collection.mutable.Map.empty[Long, Long]
+      val converted = scala.collection.mutable.Set.empty[Long]
+      Seq(batches._1, batches._2).map { b =>
+        var news = 0L
+        b.groupBy(_.user_id).foreach { case (u, evs) =>
+          val newUser = seen.add(u)
+          val wasConv = converted.contains(u)
+          if (!wasConv) {
+            val np = purchases.getOrElse(u, 0L) +
+              evs.count(_.event_type == "purchase")
+            purchases(u) = np
+            if (np >= bar) converted += u
+          }
+          if (newUser || (!wasConv && converted.contains(u))) news += 1L
+        }
+        news
+      }.sum
+    }
+    val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
+    val out = graft.streaming.StreamingAb.deltas(stream.toDS())
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "ab")(
+        requireCount("ab", expected)))
+  }
+
   /** Two-mask stickiness: WAU + DAU hits from ONE keyed pass. Exact
     * count model: the WAU coverage model plus Σ_user |distinct
     * activity days| (one DAU hit per first activity on a day). */
