@@ -93,6 +93,8 @@ object Bench {
       "streaming_kmv" -> (() => StreamingBench.kmvPipeline(spark, sfDir)),
       "streaming_kmv_rocksdb" ->
         (() => StreamingBench.kmvPipelineRocksDB(spark, sfDir)),
+      "streaming_kmv_rocksdb_changelog" ->
+        (() => StreamingBench.kmvPipelineRocksDBChangelog(spark, sfDir)),
       "streaming_transitions" ->
         (() => StreamingBench.transitionsPipeline(spark, sfDir)),
       "streaming_paths" ->

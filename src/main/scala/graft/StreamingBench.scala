@@ -1414,6 +1414,26 @@ object StreamingBench {
   def kmvPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
     withRocksDB(spark)(kmvPipeline(spark, sfDir))
 
+  /** [[kmvPipeline]] on RocksDB with CHANGELOG checkpointing — the
+    * 100-TB recovery posture: per-batch commits upload the delta
+    * changelog instead of snapshotting the full store, so commit
+    * latency stops scaling with state size (snapshots continue async
+    * in the background). Benched against `streaming_kmv_rocksdb` to
+    * measure the commit-latency delta; mid-stream RESTORE on this
+    * path is pinned in CheckpointRecoverySpec. */
+  def kmvPipelineRocksDBChangelog(spark: SparkSession, sfDir: String): Unit =
+    withRocksDB(spark) {
+      val key = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "true")
+      progressSuffix = "_rocksdb_changelog"
+      try kmvPipeline(spark, sfDir)
+      finally prev match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+
   /** Bitmap + expected quarantine count for [[decontaminationPipeline]],
     * built once per sfDir in the untimed prepare (the bitmap is the
     * rebuild-on-suite-change artifact a production pipeline persists;

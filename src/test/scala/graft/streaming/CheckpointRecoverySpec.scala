@@ -187,6 +187,64 @@ class CheckpointRecoverySpec extends SparkTestBase {
         s"bucket index lost across restart: $pairs")
     } finally q2.stop()
   }
+  test("RocksDB CHANGELOG checkpointing: state survives a mid-stream restart") {
+    // the 100-TB recovery posture: per-batch commits upload the delta
+    // changelog (commit latency stops scaling with state size); restore
+    // must replay changelogs on top of the last async snapshot — this
+    // pins the restore path specifically under
+    // changelogCheckpointing.enabled, which the full-snapshot tests
+    // above never exercise
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val confs = Seq(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val ckpt = Files.createTempDirectory("graft_ckpt_changelog").toString
+      val stream = MemoryStream[KV]
+      def plan = RunningReduce.keyed(stream.toDS(), zero = 0)(_.k, _.v.toLong)(
+        (acc, in) => acc + in.v)
+      def start() = plan.writeStream
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[(String, Int)], _: Long) =>
+          val rows = batch.collect()
+          CheckpointRecoverySpec.clResults.synchronized {
+            CheckpointRecoverySpec.clResults ++= rows
+          }
+          ()
+        }.start()
+
+      val q1 = start()
+      try {
+        // TWO batches before the restart so at least one commit is a
+        // pure changelog on top of a prior version
+        stream.addData(KV("a", 1), KV("b", 10))
+        q1.processAllAvailable()
+        stream.addData(KV("a", 2))
+        q1.processAllAvailable()
+      } finally q1.stop()
+
+      val q2 = start()
+      try {
+        stream.addData(KV("a", 5), KV("b", 20))
+        q2.processAllAvailable()
+        val got = CheckpointRecoverySpec.clResults.synchronized {
+          CheckpointRecoverySpec.clResults.toList
+        }
+        assert(got.contains(("a", 8)) && got.contains(("b", 30)),
+          s"state lost across changelog restart: expected (a,8)/(b,30), got $got")
+      } finally q2.stop()
+    } finally prev.foreach {
+      case (k, Some(p)) => spark.conf.set(k, p)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("StreamingUpsert CDC view state survives stop/restart via checkpointLocation") {
     val s = spark
     import s.implicits._
@@ -240,6 +298,7 @@ class CheckpointRecoverySpec extends SparkTestBase {
 
 object CheckpointRecoverySpec {
   val results: mutable.ListBuffer[(String, Int)] = mutable.ListBuffer.empty
+  val clResults: mutable.ListBuffer[(String, Int)] = mutable.ListBuffer.empty
   val upserts: mutable.ListBuffer[StreamingUpsert.Upserted] = mutable.ListBuffer.empty
   val snapshots: mutable.ListBuffer[StreamingTopK.Snapshot] = mutable.ListBuffer.empty
   val ndvSnaps: mutable.ListBuffer[StreamingNdv.NdvSnapshot] = mutable.ListBuffer.empty
