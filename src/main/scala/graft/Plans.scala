@@ -108,7 +108,9 @@ object Plans {
     "q78_quantile_bins",   // one rank window; 9-row/type bounds broadcast; HOF assign
     "q79_drift_chisq",     // ref-half rank + two scan-speed binned halves, tiny chi-square agg
     "q80_sequence_motifs", // one user exchange; per-row string scans; 1-row stacked agg
-    "q81_ab_chisq")        // one user agg; 1-row margins + integer chi-square
+    "q81_ab_chisq",        // one user agg; 1-row margins + integer chi-square
+    "text_bpe_trained",    // bounded-vocab trained merges; distinct-pretoken fold + broadcast lens
+    "curation_pipeline")   // end-to-end stage-keep-list intersection (composition gate)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

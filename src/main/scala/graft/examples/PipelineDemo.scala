@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{Dedup, TextAnalysis}
+import graft.functions.Portable.{h32, rollingFingerprint, tokens}
 
 /** End-to-end training-data curation pipeline — the composition story:
   * every stage is one of the library's operators, chained as plain
@@ -33,11 +34,80 @@ import graft.functions.{Dedup, TextAnalysis}
   */
 object PipelineDemo {
 
-  /** The curated corpus for `sfDir` — the LAZY frame (no counting
-    * actions), so the driver gate (`curation_pipeline`) and the
-    * terminal packing gate (`curation_packed`) pay exactly one job
-    * each. Stage composition is [[curate]]'s contract verbatim. */
+  /** The curated corpus for `sfDir` — the PRODUCTION (fused) plan the
+    * driver gates run (`curation_pipeline` / `curation_packed`):
+    *
+    *  - the four scan-speed gates (quality, language, hash-sample,
+    *    fingerprint) ride ONE pass over the corpus as columns — the
+    *    per-stage form re-scans and re-shuffles the full fact once per
+    *    gate (8 doc_id exchanges), which is exactly what a 100 TB
+    *    composition must not do;
+    *  - the heavy gates join by their SMALL side: the exact-dup,
+    *    near-dup and contamination verdicts are anti-joins against the
+    *    drop/quarantine lists (duplicate-rate-sized, AQE broadcasts
+    *    them), and the token budget is a semi-join against the
+    *    admit list (budget-sized by construction).
+    *
+    * Set-identical to the per-stage intersection [[curatedByStages]]
+    * (the gates are independent global decisions, so intersection
+    * order and join direction cannot change the survivor set) —
+    * pinned in PipelineDemoSpec; the DuckDB oracle composes the
+    * per-stage SQL, so the gate ALSO proves the fusion changed
+    * nothing. */
   def curated(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = Tables.documents(spark, sfDir)
+
+    // per-row gate columns over one projection (toks projected first:
+    // MarkerHits is CodegenFallback — see TextAnalysis.textStats note)
+    val perRow = TextAnalysis.langHitCols(
+      raw.select(col("doc_id"), col("lang"), col("source"), col("text"),
+        tokens(col("text")).as("toks")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_alpha",
+        length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long"))
+      .withColumn("alpha_ratio",
+        round(col("n_alpha").cast("double") / col("n_chars"), 6))
+      .withColumn("detected_lang", TextAnalysis.detectedLangCol)
+      .withColumn("fingerprint", rollingFingerprint(col("toks")))
+      .filter(col("alpha_ratio") >= 0.6 && col("n_tokens") >= 10 &&
+        col("detected_lang") === "en" &&
+        pmod(h32(col("text")), lit(100L)) < 10)
+
+    // exact-dup drops among ORIGINALS (synthetic +1e15 copies are never
+    // group minima, so the original keep set is raw's own digest-group
+    // minima): one digest exchange, drop-list-sized output — groups
+    // with copies are rare, so collect_list is bounded by multiplicity
+    val exactDrops = raw
+      .select(col("doc_id"), md5(col("text")).as("dg"))
+      .groupBy("dg")
+      .agg(min(col("doc_id")).as("keep_id"),
+        collect_list(col("doc_id")).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(explode(col("ids")).as("doc_id"), col("keep_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+
+    val nearDrops = Dedup.dedupDropList(spark, sfDir)
+      .filter(col("action") === "drop").select("doc_id")
+    val quarantined = Dedup.decontaminate(spark, sfDir)
+      .filter(col("action") === "quarantine").select("doc_id")
+    val admitted = TextAnalysis.tokenBudgetMix(spark, sfDir)
+      .filter(col("action") === "admit").select("doc_id")
+
+    perRow
+      .join(admitted, Seq("doc_id"), "left_semi")
+      .join(exactDrops, Seq("doc_id"), "left_anti")
+      .join(nearDrops, Seq("doc_id"), "left_anti")
+      .join(quarantined, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "fingerprint", "text")
+  }
+
+  /** The pedagogical per-stage composition — every gate is the
+    * registered operator's own frame, intersected on doc_id. Kept as
+    * the equality reference for [[curated]] (PipelineDemoSpec pins the
+    * two set-identical). */
+  private[graft] def curatedByStages(spark: SparkSession, sfDir: String): DataFrame = {
     val raw = Tables.documents(spark, sfDir)
 
     val quality = TextAnalysis.textStats(spark, sfDir)

@@ -67,20 +67,33 @@ object TextAnalysis {
   /** Language ID by stopword-marker hits with fixed tie-break precedence.
     * (The synthetic corpus is English-ish word soup; the operator is the
     * deliverable, and the oracle runs the identical heuristic.) */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val withHits = langMarkers.foldLeft(
-      Tables.documents(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"), toks.as("toks"))) {
-      case (df, (lang, words)) => df.withColumn(s"h_$lang", hitCount(col("toks"), words))
+  /** Per-language hit columns over a projected `toks` column — one
+    * `h_<lang>` per marker set (project these BEFORE consuming them:
+    * MarkerHits is CodegenFallback, so inlining a hit count into a
+    * multi-reference CASE would re-run it per reference). */
+  private[graft] def langHitCols(df: DataFrame): DataFrame =
+    langMarkers.foldLeft(df) {
+      case (d, (lang, words)) => d.withColumn(s"h_$lang", hitCount(col("toks"), words))
     }
+
+  /** Detected-language CASE over already-projected `h_<lang>` columns —
+    * argmax with precedence = declaration order. */
+  private[graft] def detectedLangCol: Column = {
     val langs = langMarkers.map(_._1)
-    // argmax with precedence = declaration order
-    val detected = langs.init.foldRight(lit(langs.last): Column) { (lang, rest) =>
+    langs.init.foldRight(lit(langs.last): Column) { (lang, rest) =>
       val ge = langs.filter(_ != lang)
         .map(o => col(s"h_$lang") >= col(s"h_$o"))
         .reduce(_ && _)
       when(ge, lit(lang)).otherwise(rest)
     }
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val withHits = langHitCols(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang").as("labeled_lang"), toks.as("toks")))
+    val langs = langMarkers.map(_._1)
+    val detected = detectedLangCol
     withHits
       .select(
         col("doc_id"), col("labeled_lang"),

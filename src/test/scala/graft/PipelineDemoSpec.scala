@@ -55,4 +55,19 @@ class PipelineDemoSpec extends SparkTestBase {
     val ids2 = curated2.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(curatedIds == ids2)
   }
+
+  test("fused production plan == per-stage intersection (rows AND fingerprints)") {
+    // the gate runs the fused plan (one corpus pass + small-side
+    // joins); the per-stage form is the semantic reference — the two
+    // must agree on the full output, not just the id set
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "lang", "source", "fingerprint")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+    val fused = rows(PipelineDemo.curated(spark, sf0001))
+    val staged = rows(PipelineDemo.curatedByStages(spark, sf0001))
+    assert(fused.nonEmpty && fused == staged,
+      s"fusion changed the survivor set: only-fused=${(fused -- staged).take(3)} " +
+        s"only-staged=${(staged -- fused).take(3)}")
+  }
 }
