@@ -1169,6 +1169,30 @@ object ExtensionOracles {
          |FROM documents d LEFT JOIN agg USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
+    // budget admission in TRAINED-token units: the bpe chain's per-doc
+    // counts under the token_budget_mix window rule
+    "token_budget_trained" -> {
+      val budget = TextAnalysis.TrainedBudget
+      s"""WITH $bpeCtes,
+         |agg AS (
+         |  SELECT doc_id, sum(n_sub) AS n_bpe_trained
+         |  FROM pre JOIN lens USING (w) GROUP BY doc_id),
+         |c AS (
+         |  SELECT d.doc_id, d.source,
+         |    CAST(coalesce(agg.n_bpe_trained, 0) AS BIGINT) AS n_bpe_trained
+         |  FROM documents d LEFT JOIN agg USING (doc_id))
+         |SELECT doc_id, source, n_bpe_trained,
+         |  CAST(sum(n_bpe_trained) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cum_tokens,
+         |  CASE WHEN sum(n_bpe_trained) OVER (
+         |    PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= $budget
+         |    THEN 'admit' ELSE 'overflow' END AS action
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
+
     // the merge table itself: pins the TRAINER (tie rule included)
     "text_bpe_merges" -> {
       val ranks = (1 to TextAnalysis.BpeMerges).map { i =>

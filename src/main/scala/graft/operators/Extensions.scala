@@ -61,6 +61,10 @@ object Extensions {
     // real-tokenizer-denominated counts, not the pretoken proxy
     "text_bpe_trained" -> (TextAnalysis.bpeTrainedCounts _),
     "text_bpe_merges"  -> (TextAnalysis.bpeMerges _),
+    // budget admission denominated in TRAINED tokens (the unit an LLM
+    // trainer bills), not the pretoken proxy
+    "token_budget_trained" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.tokenBudgetTrained(s, dir)),
     "text_freq_class"  -> (TextAnalysis.freqClassQuality _),
     // the 100-TB form: top-K vocabulary head broadcast as a map literal,
     // default tail class, zero scoring joins (VERDICT r6 item 8)
