@@ -445,6 +445,13 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The frozen merge table for `dir` — the training-time artifact a
+    * live monitor ships in its closure (StreamingTokenBudget's trained
+    * variant), exactly as StreamingDrift freezes its reference
+    * profile. */
+  def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    pretokensAndMerges(s, dir)._2
+
   /** The trained merge table itself as a gate — (merge_rank, lhs, rhs),
     * pinning the TRAINER (tie rule included) cross-engine, separately
     * from the encoder [[bpeTrainedCounts]] pins. */

@@ -43,4 +43,31 @@ object StreamingTokenBudget {
         col("_2._2").as("n_tokens"), col("_2._3").as("cum_tokens"),
         when(col("_2._3") <= budget, "admit").otherwise("overflow").as("action"))
   }
+
+  /** [[admissions]] denominated in TRAINED-BPE tokens (the live twin of
+    * the batch `token_budget_trained` gate): the merge table is the
+    * FROZEN training-time artifact shipped in the closure (the
+    * StreamingDrift discipline), per-doc counts come from the native
+    * [[graft.functions.expressions.BpeTrainedCount]] eval — a
+    * stateless scan-speed column, so the keyed state stays one triple
+    * per source. Decisions equal the batch gate on an in-order feed
+    * (spec-pinned in StreamingTokenBudgetSpec). */
+  def admissionsTrained(
+      docs: Dataset[DocIn], merges: Seq[(String, String)],
+      budget: Long = graft.functions.TextAnalysis.TrainedBudget): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val counted = docs
+      .select(col("doc_id"), col("source"),
+        graft.functions.expressions.BpeTrainedCount(col("text"), merges)
+          .getField("n_bpe_trained").as("n_tokens"))
+      .as[(Long, String, Long)]
+    RunningReduce.keyed(counted, (0L, 0L, 0L))(
+      _._2, _._1, _._1) {
+      case ((_, _, cum), (id, _, n)) => (id, n, cum + n)
+    }
+      .select(col("_2._1").as("doc_id"), col("_1").as("source"),
+        col("_2._2").as("n_bpe_trained"), col("_2._3").as("cum_tokens"),
+        when(col("_2._3") <= budget, "admit").otherwise("overflow").as("action"))
+  }
 }

@@ -62,6 +62,22 @@ class BpeSpec extends SparkTestBase {
     assert(got == model, s"fold divergence: ${got.toSeq.diff(model.toSeq).take(3)}")
   }
 
+  test("native BpeTrainedCount expression == batch gate per document") {
+    // the streaming-shaped per-row eval (pretokenize + fold + memo)
+    // against the batch distinct-pretoken/broadcast-join path — same
+    // merge table, so any divergence is an encoder bug
+    val merges = TextAnalysis.trainedMerges(spark, sf0001)
+    val exprRows = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        graft.functions.expressions.BpeTrainedCount(col("text"), merges).as("c"))
+      .select(col("doc_id"), col("c.n_pretokens"), col("c.n_bpe_trained"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchRows = TextAnalysis.bpeTrainedCounts(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exprRows == batchRows,
+      s"per-row encoder diverges from batch, e.g. ${(exprRows -- batchRows).take(3)}")
+  }
+
   test("codepoint split keeps surrogate pairs whole") {
     val w = "a😀b" // a, U+1F600, b
     assert(TextAnalysis.codepointChars(w) == Vector("a", "😀", "b"))
