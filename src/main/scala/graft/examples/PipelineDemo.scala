@@ -54,14 +54,16 @@ object PipelineDemo {
     * pinned in PipelineDemoSpec; the DuckDB oracle composes the
     * per-stage SQL, so the gate ALSO proves the fusion changed
     * nothing. */
-  def curated(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = Tables.documents(spark, sfDir)
-
-    // per-row gate columns over one projection (toks projected first:
-    // MarkerHits is CodegenFallback — see TextAnalysis.textStats note)
-    val perRow = TextAnalysis.langHitCols(
-      raw.select(col("doc_id"), col("lang"), col("source"), col("text"),
-        tokens(col("text")).as("toks")))
+  /** Per-row gate columns over ONE corpus projection (toks projected
+    * first: MarkerHits is CodegenFallback — see TextAnalysis.textStats
+    * note): stats, detected language, fingerprint, sample-hash — all
+    * the scan-speed gate inputs, unfiltered (the card aggregates the
+    * flags; [[curated]] filters on them). */
+  private[graft] def perRowGates(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.langHitCols(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"),
+          tokens(col("text")).as("toks")))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_alpha",
@@ -70,15 +72,16 @@ object PipelineDemo {
         round(col("n_alpha").cast("double") / col("n_chars"), 6))
       .withColumn("detected_lang", TextAnalysis.detectedLangCol)
       .withColumn("fingerprint", rollingFingerprint(col("toks")))
-      .filter(col("alpha_ratio") >= 0.6 && col("n_tokens") >= 10 &&
-        col("detected_lang") === "en" &&
-        pmod(h32(col("text")), lit(100L)) < 10)
+      .withColumn("quality_pass",
+        col("alpha_ratio") >= 0.6 && col("n_tokens") >= 10)
+      .withColumn("sampled", pmod(h32(col("text")), lit(100L)) < 10)
 
-    // exact-dup drops among ORIGINALS (synthetic +1e15 copies are never
-    // group minima, so the original keep set is raw's own digest-group
-    // minima): one digest exchange, drop-list-sized output — groups
-    // with copies are rare, so collect_list is bounded by multiplicity
-    val exactDrops = raw
+  /** Exact-dup drops among ORIGINALS (synthetic +1e15 copies are never
+    * group minima, so the original keep set is raw's own digest-group
+    * minima): one digest exchange, drop-list-sized output — groups
+    * with copies are rare, so collect_list is bounded by multiplicity. */
+  private[graft] def exactDropsOf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("dg"))
       .groupBy("dg")
       .agg(min(col("doc_id")).as("keep_id"),
@@ -88,19 +91,57 @@ object PipelineDemo {
       .filter(col("doc_id") =!= col("keep_id"))
       .select("doc_id")
 
-    val nearDrops = Dedup.dedupDropList(spark, sfDir)
+  private[graft] def nearDropsOf(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.dedupDropList(spark, sfDir)
       .filter(col("action") === "drop").select("doc_id")
-    val quarantined = Dedup.decontaminate(spark, sfDir)
+
+  private[graft] def quarantinedOf(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.decontaminate(spark, sfDir)
       .filter(col("action") === "quarantine").select("doc_id")
+
+  def curated(spark: SparkSession, sfDir: String): DataFrame = {
     val admitted = TextAnalysis.tokenBudgetMix(spark, sfDir)
       .filter(col("action") === "admit").select("doc_id")
 
-    perRow
+    perRowGates(spark, sfDir)
+      .filter(col("quality_pass") && col("detected_lang") === "en" && col("sampled"))
       .join(admitted, Seq("doc_id"), "left_semi")
-      .join(exactDrops, Seq("doc_id"), "left_anti")
-      .join(nearDrops, Seq("doc_id"), "left_anti")
-      .join(quarantined, Seq("doc_id"), "left_anti")
+      .join(exactDropsOf(spark, sfDir), Seq("doc_id"), "left_anti")
+      .join(nearDropsOf(spark, sfDir), Seq("doc_id"), "left_anti")
+      .join(quarantinedOf(spark, sfDir), Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "fingerprint", "text")
+  }
+
+  /** PER-SOURCE DATA CARD — the QA report a curation pipeline
+    * publishes next to the corpus: per source, document and token
+    * mass plus every gate's rejection count and the final survivor
+    * count. Scale shape: the per-row flags aggregate map-side in the
+    * one corpus pass; the drop lists are small frames LEFT-joined as
+    * flags (AQE broadcasts them); the survivor count reuses the fused
+    * [[curated]] plan. All columns are exact BIGINT counts — hash-gate
+    * clean by construction. */
+  def sourceCard(spark: SparkSession, sfDir: String): DataFrame = {
+    val card = perRowGates(spark, sfDir)
+      .join(exactDropsOf(spark, sfDir).withColumn("f_exact", lit(1L)),
+        Seq("doc_id"), "left")
+      .join(nearDropsOf(spark, sfDir).withColumn("f_near", lit(1L)),
+        Seq("doc_id"), "left")
+      .join(quarantinedOf(spark, sfDir).withColumn("f_quar", lit(1L)),
+        Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(!col("quality_pass"), 1L).otherwise(0L)).as("n_quality_fail"),
+        sum(when(col("detected_lang") =!= "en", 1L).otherwise(0L)).as("n_non_en"),
+        sum(coalesce(col("f_exact"), lit(0L))).as("n_exact_dup"),
+        sum(coalesce(col("f_near"), lit(0L))).as("n_near_dup"),
+        sum(coalesce(col("f_quar"), lit(0L))).as("n_quarantined"))
+    val survivors = curated(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n_curated"))
+    card.join(survivors, Seq("source"), "left")
+      .withColumn("n_curated", coalesce(col("n_curated"), lit(0L)))
+      .orderBy("source")
   }
 
   /** The pedagogical per-stage composition — every gate is the

@@ -1204,6 +1204,40 @@ object ExtensionOracles {
          |ORDER BY merge_rank""".stripMargin
     },
 
+    // per-source data card over the same stage CTEs: token mass +
+    // gate rejection counts + survivors
+    "report_source_card" ->
+      s"""WITH $curationCtes,
+         |toksrc AS (
+         |  SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |card AS (
+         |  SELECT t.source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN q.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quality_fail,
+         |    CAST(sum(CASE WHEN e.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_non_en,
+         |    CAST(sum(CASE WHEN x.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_exact_dup,
+         |    CAST(sum(CASE WHEN nk.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_near_dup,
+         |    CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_quarantined
+         |  FROM toksrc t
+         |  LEFT JOIN quality q USING (doc_id)
+         |  LEFT JOIN english e USING (doc_id)
+         |  LEFT JOIN exact_keep x USING (doc_id)
+         |  LEFT JOIN near_keep nk USING (doc_id)
+         |  LEFT JOIN clean c USING (doc_id)
+         |  GROUP BY 1),
+         |cur AS (SELECT source, CAST(count(*) AS BIGINT) AS n_curated
+         |        FROM curated GROUP BY 1)
+         |SELECT card.*, CAST(coalesce(cur.n_curated, 0) AS BIGINT) AS n_curated
+         |FROM card LEFT JOIN cur USING (source)
+         |ORDER BY source""".stripMargin,
+
     // END-TO-END composition gate: the full curation CTE chain
     // intersected — see [[curationCtes]]
     "curation_pipeline" ->

@@ -149,5 +149,8 @@ object Extensions {
     // which docs survived upstream)
     "curation_packed" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.packSequencesOf(graft.examples.PipelineDemo.curated(s, dir))),
+    // the per-source DATA CARD: doc/token mass + every gate's rejection
+    // count + survivors — the QA report published next to a corpus
+    "report_source_card" -> (graft.examples.PipelineDemo.sourceCard _),
   )
 }
