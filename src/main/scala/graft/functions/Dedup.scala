@@ -456,6 +456,42 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** CROSS-SOURCE OVERLAP MATRIX — the contamination diagnostic a
+    * multi-source corpus publishes: for every source pair, the count
+    * of shared word-3-shingles and the containment ratio against the
+    * smaller source (BIGINT ppm). High containment = one source
+    * mirrors another (scraped copies, syndication) — the signal that
+    * triggers cross-source dedup before training.
+    *
+    * Scale shape: ONE distinct exchange on (source, shingle-hash);
+    * the shingle-keyed self-join fans out at most (|sources| choose 2)
+    * rows per key — bounded by the source count, never the corpus —
+    * and collapses map-side onto the |sources|² matrix. Joins carry
+    * 16-byte md5 pairs, not shingle strings (the [[hashPairs]]
+    * discipline). */
+  def sourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expressions.ShingleHashPairs
+    val sh = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(ShingleHashPairs(
+          array_distinct(shingles3(tokens(col("text")))))).as("hp"))
+      .select(col("source"), col("hp.h1").as("h1"), col("hp.h2").as("h2"))
+      .distinct()
+      .localCheckpoint() // feeds the counts AND both self-join sides
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("n_a"))), "src_a")
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("n_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_shared"),
+        expr("(n_shared * 1000000) div least(n_a, n_b)").as("contain_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** DIAGNOSTIC stage-by-stage wall times of the cold LSH build —
     * Bench runs this once, UNTIMED, after the cold line item so a slow
     * driver round is attributable to a stage (shingle+cache, band

@@ -1204,6 +1204,29 @@ object ExtensionOracles {
          |ORDER BY merge_rank""".stripMargin
     },
 
+    // cross-source shared-shingle matrix: distinct (source, md5-pair)
+    // self-join, containment vs the smaller source
+    "report_source_overlap" ->
+      s"""WITH tokd AS (SELECT source, $toks AS toks FROM documents),
+         |ssh AS (
+         |  SELECT DISTINCT source, ${h32("s")} AS h1, ${h32b("s")} AS h2
+         |  FROM (SELECT source, unnest($shingleExpr) AS s FROM tokd) u),
+         |cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |        FROM ssh GROUP BY 1),
+         |pr AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM ssh a JOIN ssh b
+         |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT pr.src_a, pr.src_b, ca.n AS n_a, cb.n AS n_b, pr.n_shared,
+         |  CAST((pr.n_shared * 1000000) // least(ca.n, cb.n) AS BIGINT)
+         |    AS contain_ppm
+         |FROM pr
+         |JOIN cnt ca ON pr.src_a = ca.source
+         |JOIN cnt cb ON pr.src_b = cb.source
+         |ORDER BY pr.src_a, pr.src_b""".stripMargin,
+
     // per-source data card over the same stage CTEs: token mass +
     // gate rejection counts + survivors
     "report_source_card" ->

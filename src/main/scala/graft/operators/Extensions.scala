@@ -152,5 +152,8 @@ object Extensions {
     // the per-source DATA CARD: doc/token mass + every gate's rejection
     // count + survivors — the QA report published next to a corpus
     "report_source_card" -> (graft.examples.PipelineDemo.sourceCard _),
+    // cross-source shared-shingle matrix + containment ppm — the
+    // contamination diagnostic that triggers cross-source dedup
+    "report_source_overlap" -> (Dedup.sourceOverlap _),
   )
 }

@@ -2826,6 +2826,42 @@ object Relational {
           |     div greatest(e_bn, 1) AS chisq_ppm""".stripMargin)
   }
 
+  /** Q82 — SURVIVAL / LIFETIME TABLE (Kaplan-Meier event table,
+    * integer-exact): per user the observed lifetime in days
+    * (last activity − first activity), then for each observed lifetime
+    * k the at-risk count (users with lifetime ≥ k), the ending count
+    * (lifetime = k exactly), and the survival fraction after k as
+    * exact BIGINT ppm `(n_risk − n_end)·1e6 div n_users` — no
+    * censoring in a closed window, so the KM product collapses to this
+    * closed form (a Π of (1−dⱼ/nⱼ) in floats would be the
+    * cross-engine-fragile choice; the ratio-of-counts form is the same
+    * curve, hash-exact).
+    *
+    * Scale shape: ONE user-keyed aggregate (map-side combined) folds
+    * the fact to |users| rows; the lifetime histogram is ≤ |days|
+    * rows; the reverse-cumulative at-risk window runs over that tiny
+    * frame. At 100 TB the analysis is one exchange + toy-frame
+    * windows, the q81 discipline. */
+  def q82Survival(s: SparkSession, dir: String): DataFrame = {
+    val life = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"))
+      .groupBy("user_id")
+      .agg((max(col("day")) - min(col("day"))).as("lifetime"))
+    val hist = life.groupBy("lifetime").agg(count(lit(1)).as("n_end"))
+    // tiny frame: the unpartitioned windows run over ≤ |distinct
+    // lifetimes| rows, never the fact
+    val wRisk = Window.orderBy(col("lifetime").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTotal = Window.partitionBy(lit(1))
+    hist
+      .withColumn("n_risk", sum(col("n_end")).over(wRisk))
+      .withColumn("n_users", sum(col("n_end")).over(wTotal))
+      .select(col("lifetime"), col("n_risk"), col("n_end"),
+        expr("((n_risk - n_end) * 1000000) div n_users").as("surv_ppm"))
+      .orderBy("lifetime")
+  }
+
   /** Motifs for [[q80SequenceMotifs]], as event-type-initial strings
     * (types have distinct initials: c/e/p/s/v): the conversion path
     * view→click→purchase, the friction pair click→error, and repeat
@@ -2992,6 +3028,7 @@ object Relational {
     "q79_drift_chisq"       -> (q79DriftChisq _),
     "q80_sequence_motifs"   -> (q80SequenceMotifs _),
     "q81_ab_chisq"          -> (q81AbChisq _),
+    "q82_survival"          -> (q82Survival _),
     "dq_checks"             -> (dqChecks _),
   )
 }

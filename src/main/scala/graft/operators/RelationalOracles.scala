@@ -832,6 +832,27 @@ object RelationalOracles {
         |FROM e""".stripMargin
     },
 
+    // Survival table: closed-window KM collapses to exact count
+    // ratios — lifetime histogram + reverse-cumulative at-risk counts
+    "q82_survival" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    max(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      - min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)))
+        |      AS lifetime
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT lifetime, CAST(count(*) AS BIGINT) AS n_end
+        |      FROM life GROUP BY 1),
+        |r AS (SELECT lifetime, n_end,
+        |    CAST(sum(n_end) OVER (ORDER BY lifetime DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk,
+        |    CAST(sum(n_end) OVER () AS BIGINT) AS n_users
+        |  FROM h)
+        |SELECT CAST(lifetime AS BIGINT) AS lifetime, n_risk, n_end,
+        |  CAST(((n_risk - n_end) * 1000000) // n_users AS BIGINT) AS surv_ppm
+        |FROM r ORDER BY lifetime""".stripMargin,
+
     // Sequence motifs: ordered string_agg over the same total order;
     // replace-trick counting is leftmost-non-overlapping in both
     // engines; // over non-negative multiples of len(m) is exact
