@@ -143,6 +143,8 @@ object Bench {
         (() => StreamingBench.decontaminationPipeline(spark, sfDir)),
       "streaming_token_budget" ->
         (() => StreamingBench.tokenBudgetPipeline(spark, sfDir)),
+      "streaming_ingest_card" ->
+        (() => StreamingBench.ingestCardPipeline(spark, sfDir)),
       "streaming_session_window" -> (() => StreamingBench.sessionWindowPipeline(spark, sfDir)),
       "streaming_cdc_upsert" -> (() => StreamingBench.cdcUpsertPipeline(spark, sfDir)),
       "streaming_enrich" -> (() => StreamingBench.enrichPipeline(spark, sfDir)),

@@ -1511,6 +1511,24 @@ object StreamingBench {
         "token_budget")(requireCount("token_budget", expectedAdmitted)))
   }
 
+  /** Live ingest QA card: the whole documents table through the
+    * source-keyed counter kernel in two micro-batches. Exact count
+    * model: one snapshot per (touched source, batch). */
+  def ingestCardPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (docs, _) = tokenBudgetSeed(spark, sfDir)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val expected =
+      Seq(b1, b2).map(_.map(_.source).toSet.size).sum.toLong
+    val stream = MemoryStream[graft.streaming.StreamingTokenBudget.DocIn]
+    val out = graft.streaming.StreamingIngestCard.cards(stream.toDS().toDF())
+    withStatePartitions(spark, 4)(
+      runTwoBatches(spark, stream, out.toDF(), (b1.toIndexedSeq, b2.toIndexedSeq),
+        "ingest_card")(requireCount("ingest_card", expected)))
+  }
+
   /** Seed state for [[incrementalDedupPipeline]], built once per sfDir in
     * the untimed prepare: the even-id index tables written to parquet
     * (the stored form a daily pipeline starts each increment from), the

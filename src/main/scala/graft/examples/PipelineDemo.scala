@@ -59,11 +59,13 @@ object PipelineDemo {
     * note): stats, detected language, fingerprint, sample-hash — all
     * the scan-speed gate inputs, unfiltered (the card aggregates the
     * flags; [[curated]] filters on them). */
-  private[graft] def perRowGates(spark: SparkSession, sfDir: String): DataFrame =
+  /** The scan-speed gate columns over ANY frame with a `text` column —
+    * stateless transforms, so the live ingest monitor
+    * (`StreamingIngestCard`) applies the IDENTICAL expressions to a
+    * stream. */
+  private[graft] def perRowGateCols(docs: DataFrame): DataFrame =
     TextAnalysis.langHitCols(
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), col("lang"), col("source"), col("text"),
-          tokens(col("text")).as("toks")))
+      docs.withColumn("toks", tokens(col("text"))))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("n_alpha",
@@ -75,6 +77,11 @@ object PipelineDemo {
       .withColumn("quality_pass",
         col("alpha_ratio") >= 0.6 && col("n_tokens") >= 10)
       .withColumn("sampled", pmod(h32(col("text")), lit(100L)) < 10)
+
+  private[graft] def perRowGates(spark: SparkSession, sfDir: String): DataFrame =
+    perRowGateCols(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("lang"), col("source"), col("text")))
 
   /** Exact-dup drops among ORIGINALS (synthetic +1e15 copies are never
     * group minima, so the original keep set is raw's own digest-group
