@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Driver-side brute-force models for the round-15 report/analytics
+  * gates: the survival table and the cross-source overlap matrix are
+  * recomputed in plain Scala from the raw tables and compared
+  * row-for-row — independent of both engines' SQL.
+  */
+class ReportSpec extends SparkTestBase {
+
+  test("q82 survival table == driver model from raw events") {
+    val s = spark
+    import s.implicits._
+    val days = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"))
+      .as[(Long, Long)].collect()
+    val life = days.groupBy(_._1).map { case (_, xs) =>
+      xs.map(_._2).max - xs.map(_._2).min
+    }.toSeq
+    val total = life.size.toLong
+    val hist = life.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val model = hist.keys.toSeq.sorted.map { k =>
+      val nRisk = hist.filter(_._1 >= k).values.sum
+      val nEnd = hist(k)
+      (k, nRisk, nEnd, (nRisk - nEnd) * 1000000L / total)
+    }
+    val got = Relational.q82Survival(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model, s"survival divergence: $got vs $model")
+    // survival is monotone non-increasing and starts below 1e6
+    assert(got.map(_._4) == got.map(_._4).sorted.reverse)
+    assert(got.last._4 == 0L, "the longest lifetime must end the curve at 0")
+  }
+
+  test("report_source_overlap == driver brute force (tokenize, shingle, intersect)") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("source"), col("text")).as[(String, String)].collect()
+    // the WordShingles contract: word 3-grams of lowercased whitespace
+    // tokens; < 3 tokens degrade to the whole text as one shingle
+    def shingles(text: String): Seq[String] = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSeq
+      else Seq(toks.mkString(" "))
+    }
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => shingles(d._2)).toSet).toMap
+    val sources = bySource.keys.toSeq.sorted
+    val model = (for {
+      a <- sources; b <- sources if a < b
+      shared = (bySource(a) intersect bySource(b)).size.toLong if shared > 0
+    } yield {
+      val (na, nb) = (bySource(a).size.toLong, bySource(b).size.toLong)
+      (a, b, na, nb, shared, shared * 1000000L / math.min(na, nb))
+    }).toSeq
+    val got = graft.functions.Dedup.sourceOverlap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == model,
+      s"overlap divergence, e.g. ${got.diff(model).take(2)} vs ${model.diff(got).take(2)}")
+    assert(got.nonEmpty)
+  }
+}
