@@ -145,6 +145,8 @@ object Bench {
         (() => StreamingBench.tokenBudgetPipeline(spark, sfDir)),
       "streaming_ingest_card" ->
         (() => StreamingBench.ingestCardPipeline(spark, sfDir)),
+      "streaming_token_budget_trained" ->
+        (() => StreamingBench.tokenBudgetTrainedPipeline(spark, sfDir)),
       "streaming_session_window" -> (() => StreamingBench.sessionWindowPipeline(spark, sfDir)),
       "streaming_cdc_upsert" -> (() => StreamingBench.cdcUpsertPipeline(spark, sfDir)),
       "streaming_enrich" -> (() => StreamingBench.enrichPipeline(spark, sfDir)),

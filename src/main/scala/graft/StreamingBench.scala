@@ -1511,6 +1511,36 @@ object StreamingBench {
         "token_budget")(requireCount("token_budget", expectedAdmitted)))
   }
 
+  /** Trained-unit budget admission: the token-budget pipeline with
+    * per-doc counts from the frozen merge table (BpeTrainedCount
+    * native eval). The merge-table training runs in the UNTIMED
+    * prepare — it is the training-time artifact. Exact count model:
+    * admitted rows equal the batch token_budget_trained gate's. */
+  def tokenBudgetTrainedPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (docs, _) = tokenBudgetSeed(spark, sfDir)
+    val (merges, expectedAdmitted) = trainedBudgetMemo.getOrElseUpdate(sfDir, {
+      val m = graft.functions.TextAnalysis.trainedMerges(spark, sfDir)
+      val exp = graft.functions.TextAnalysis.tokenBudgetTrained(spark, sfDir)
+        .filter(col("action") === "admit").count()
+      (m, exp)
+    })
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingTokenBudget.DocIn]
+    val out = graft.streaming.StreamingTokenBudget
+      .admissionsTrained(stream.toDS(), merges)
+      .filter(col("action") === "admit").select("doc_id")
+    withStatePartitions(spark, 4)(
+      runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
+        "token_budget_trained")(
+        requireCount("token_budget_trained", expectedAdmitted)))
+  }
+
+  private val trainedBudgetMemo =
+    scala.collection.mutable.Map.empty[String, (Seq[(String, String)], Long)]
+
   /** Live ingest QA card: the whole documents table through the
     * source-keyed counter kernel in two micro-batches. Exact count
     * model: one snapshot per (touched source, batch). */

@@ -2862,6 +2862,50 @@ object Relational {
       .orderBy("lifetime")
   }
 
+  /** Q83 — TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT (binning-free
+    * complement to q79's chi-square): per event type, the reference
+    * (first) and live (second) halves' cents distributions compared by
+    * the maximum scaled-CDF gap
+    * `D_ppm = max_v |cum_ref(v)·1e6 div n_ref − cum_live(v)·1e6 div
+    * n_live|` — counts and floor divisions only, so the statistic is
+    * hash-exact where a float CDF would drift between engines. KS
+    * needs no frozen bins, so it catches shape changes chi-square's
+    * decile binning can wash out (3.84e6 ppm is NOT the KS critical
+    * value — use c(α)·sqrt((n+m)/nm) offline).
+    *
+    * Scale shape: one (type, cents) aggregate folds the fact (map-side
+    * combined: |type|·|distinct cents| rows out); the CDF windows run
+    * per type over that folded frame — the q78 rank-machinery cost, on
+    * a smaller frame. The split point is the q79 1-row broadcast. */
+  def q83KsTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    // distinct cents per type after the groupBy → the CDF window's
+    // (cents) order is total within a type
+    val wCdf = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(
+        sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("c_live"))
+      .withColumn("cum_ref", sum(col("c_ref")).over(wCdf))
+      .withColumn("cum_live", sum(col("c_live")).over(wCdf))
+      .withColumn("n_ref", sum(col("c_ref")).over(wTot))
+      .withColumn("n_live", sum(col("c_live")).over(wTot))
+      .select(col("event_type"), col("n_ref"), col("n_live"),
+        abs(expr("(cum_ref * 1000000) div greatest(n_ref, 1)") -
+          expr("(cum_live * 1000000) div greatest(n_live, 1)")).as("d"))
+      .groupBy("event_type")
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_live")).as("n_live"),
+        max(col("d")).as("ks_ppm"))
+      .orderBy("event_type")
+  }
+
   /** Motifs for [[q80SequenceMotifs]], as event-type-initial strings
     * (types have distinct initials: c/e/p/s/v): the conversion path
     * view→click→purchase, the friction pair click→error, and repeat
@@ -3029,6 +3073,7 @@ object Relational {
     "q80_sequence_motifs"   -> (q80SequenceMotifs _),
     "q81_ab_chisq"          -> (q81AbChisq _),
     "q82_survival"          -> (q82Survival _),
+    "q83_ks_test"           -> (q83KsTest _),
     "dq_checks"             -> (dqChecks _),
   )
 }

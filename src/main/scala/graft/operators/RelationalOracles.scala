@@ -832,6 +832,32 @@ object RelationalOracles {
         |FROM e""".stripMargin
     },
 
+    // Two-sample KS: scaled-integer CDF gap over the merged distinct
+    // support — counts and floor divisions only
+    "q83_ks_test" ->
+      """WITH e AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        |c AS (SELECT event_type, cents,
+        |    CAST(sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN day > mid THEN 1 ELSE 0 END) AS BIGINT) AS c_live
+        |  FROM e, m GROUP BY 1, 2),
+        |k AS (SELECT event_type,
+        |    sum(c_ref) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+        |    sum(c_live) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_live,
+        |    sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+        |    sum(c_live) OVER (PARTITION BY event_type) AS n_live
+        |  FROM c)
+        |SELECT event_type,
+        |  CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |  CAST(max(n_live) AS BIGINT) AS n_live,
+        |  CAST(max(abs((cum_ref * 1000000) // greatest(n_ref, 1)
+        |    - (cum_live * 1000000) // greatest(n_live, 1))) AS BIGINT) AS ks_ppm
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Survival table: closed-window KM collapses to exact count
     // ratios — lifetime histogram + reverse-cumulative at-risk counts
     "q82_survival" ->

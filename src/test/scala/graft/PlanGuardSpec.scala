@@ -71,7 +71,9 @@ class PlanGuardSpec extends SparkTestBase {
     "q77_target_encode",
     // q79 attaches its ONE-ROW midpoint aggregate to the fact to
     // split reference/live halves
-    "q79_drift_chisq")
+    "q79_drift_chisq",
+    // q83 uses q79's midpoint split (the same one-row broadcast)
+    "q83_ks_test")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =
