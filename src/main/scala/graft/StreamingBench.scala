@@ -130,7 +130,9 @@ object StreamingBench {
       docRows(spark, sfDir); bloomSeed(spark, sfDir)
     }
     if (any("streaming_incremental_dedup")) incDedupSeed(spark, sfDir)
-    if (any("streaming_token_budget")) tokenBudgetSeed(spark, sfDir)
+    if (any("streaming_token_budget", "streaming_ingest_card",
+        "streaming_token_budget_trained")) tokenBudgetSeed(spark, sfDir)
+    if (any("streaming_token_budget_trained")) trainedBudgetSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
@@ -140,9 +142,10 @@ object StreamingBench {
     if (any("streaming_transitions", "streaming_paths", "streaming_paths_agg",
         "streaming_funnel", "streaming_retention",
         "streaming_attribution", "streaming_session_funnel", "streaming_wau",
-        "streaming_stickiness",
+        "streaming_stickiness", "streaming_ab",
         "streaming_funnel_latency", "streaming_funnel_rocksdb"))
       transRows(spark, sfDir)
+    if (any("streaming_ab")) abExpected(spark, sfDir)
     if (any("streaming_funnel", "streaming_funnel_rocksdb"))
       funnelExpected(spark, sfDir)
     if (any("streaming_retention")) retentionExpected(spark, sfDir)
@@ -164,6 +167,7 @@ object StreamingBench {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
+    trainedBudgetMemo.clear()
     profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
     progressLog.clear()
@@ -1120,13 +1124,13 @@ object StreamingBench {
     * number of users with NEWS — first ever seen, or crossing the
     * conversion bar with cumulative purchases (a user doing both in
     * one batch emits ONE combined row). */
-  def abPipeline(spark: SparkSession, sfDir: String): Unit = {
-    val s = spark
-    import s.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    val rows = transRows(spark, sfDir)
-    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
-    val expected = memoExpected("ab", sfDir) {
+  /** Exact news-count model for [[abPipeline]] (memoized — runs in the
+    * untimed prepare): per batch, users first seen or crossing the
+    * conversion bar. */
+  private def abExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("ab", sfDir) {
+      val rows = transRows(spark, sfDir)
+      val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
       val bar = graft.operators.Relational.AbConvertPurchases
       val seen = scala.collection.mutable.Set.empty[Long]
       val purchases = scala.collection.mutable.Map.empty[Long, Long]
@@ -1147,6 +1151,14 @@ object StreamingBench {
         news
       }.sum
     }
+
+  def abPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = transRows(spark, sfDir)
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    val expected = abExpected(spark, sfDir)
     val stream = MemoryStream[graft.streaming.StreamingTransitions.Ev]
     val out = graft.streaming.StreamingAb.deltas(stream.toDS())
     withStatePartitions(spark, 16)(
@@ -1516,17 +1528,26 @@ object StreamingBench {
     * native eval). The merge-table training runs in the UNTIMED
     * prepare — it is the training-time artifact. Exact count model:
     * admitted rows equal the batch token_budget_trained gate's. */
+  /** Frozen merge table + expected admit count for
+    * [[tokenBudgetTrainedPipeline]] (memoized — runs in the untimed
+    * prepare): trains ONCE and feeds the trained table into the batch
+    * adjudication via the `frozen` parameter. */
+  private def trainedBudgetSeed(
+      spark: SparkSession, sfDir: String): (Seq[(String, String)], Long) =
+    trainedBudgetMemo.getOrElseUpdate(sfDir, {
+      val m = graft.functions.TextAnalysis.trainedMerges(spark, sfDir)
+      val exp = graft.functions.TextAnalysis
+        .tokenBudgetTrained(spark, sfDir, frozen = Some(m))
+        .filter(col("action") === "admit").count()
+      (m, exp)
+    })
+
   def tokenBudgetTrainedPipeline(spark: SparkSession, sfDir: String): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
     val (docs, _) = tokenBudgetSeed(spark, sfDir)
-    val (merges, expectedAdmitted) = trainedBudgetMemo.getOrElseUpdate(sfDir, {
-      val m = graft.functions.TextAnalysis.trainedMerges(spark, sfDir)
-      val exp = graft.functions.TextAnalysis.tokenBudgetTrained(spark, sfDir)
-        .filter(col("action") === "admit").count()
-      (m, exp)
-    })
+    val (merges, expectedAdmitted) = trainedBudgetSeed(spark, sfDir)
     val (b1, b2) = docs.splitAt(docs.length / 2)
     val stream = MemoryStream[graft.streaming.StreamingTokenBudget.DocIn]
     val out = graft.streaming.StreamingTokenBudget

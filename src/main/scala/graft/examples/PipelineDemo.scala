@@ -106,18 +106,29 @@ object PipelineDemo {
     Dedup.decontaminate(spark, sfDir)
       .filter(col("action") === "quarantine").select("doc_id")
 
-  def curated(spark: SparkSession, sfDir: String): DataFrame = {
-    val admitted = TextAnalysis.tokenBudgetMix(spark, sfDir)
-      .filter(col("action") === "admit").select("doc_id")
-
-    perRowGates(spark, sfDir)
+  /** The fused survivor plan from already-built stage frames — shared
+    * by [[curated]] and [[sourceCard]] so the card never builds the
+    * drop lists (and the eager decontamination checkpoint behind them)
+    * a second time. */
+  private def curatedFrom(
+      perRow: DataFrame, admitted: DataFrame, exactDrops: DataFrame,
+      nearDrops: DataFrame, quarantined: DataFrame): DataFrame =
+    perRow
       .filter(col("quality_pass") && col("detected_lang") === "en" && col("sampled"))
       .join(admitted, Seq("doc_id"), "left_semi")
-      .join(exactDropsOf(spark, sfDir), Seq("doc_id"), "left_anti")
-      .join(nearDropsOf(spark, sfDir), Seq("doc_id"), "left_anti")
-      .join(quarantinedOf(spark, sfDir), Seq("doc_id"), "left_anti")
+      .join(exactDrops, Seq("doc_id"), "left_anti")
+      .join(nearDrops, Seq("doc_id"), "left_anti")
+      .join(quarantined, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "fingerprint", "text")
-  }
+
+  private def admittedOf(spark: SparkSession, sfDir: String): DataFrame =
+    TextAnalysis.tokenBudgetMix(spark, sfDir)
+      .filter(col("action") === "admit").select("doc_id")
+
+  def curated(spark: SparkSession, sfDir: String): DataFrame =
+    curatedFrom(perRowGates(spark, sfDir), admittedOf(spark, sfDir),
+      exactDropsOf(spark, sfDir), nearDropsOf(spark, sfDir),
+      quarantinedOf(spark, sfDir))
 
   /** PER-SOURCE DATA CARD — the QA report a curation pipeline
     * publishes next to the corpus: per source, document and token
@@ -128,13 +139,17 @@ object PipelineDemo {
     * [[curated]] plan. All columns are exact BIGINT counts — hash-gate
     * clean by construction. */
   def sourceCard(spark: SparkSession, sfDir: String): DataFrame = {
-    val card = perRowGates(spark, sfDir)
-      .join(exactDropsOf(spark, sfDir).withColumn("f_exact", lit(1L)),
-        Seq("doc_id"), "left")
-      .join(nearDropsOf(spark, sfDir).withColumn("f_near", lit(1L)),
-        Seq("doc_id"), "left")
-      .join(quarantinedOf(spark, sfDir).withColumn("f_quar", lit(1L)),
-        Seq("doc_id"), "left")
+    // every stage frame built ONCE and shared between the flag joins
+    // and the survivor count (decontamination's eager checkpoint and
+    // the LSH drop list must not run twice per card)
+    val perRow = perRowGates(spark, sfDir)
+    val exactDrops = exactDropsOf(spark, sfDir)
+    val nearDrops = nearDropsOf(spark, sfDir)
+    val quarantined = quarantinedOf(spark, sfDir)
+    val card = perRow
+      .join(exactDrops.withColumn("f_exact", lit(1L)), Seq("doc_id"), "left")
+      .join(nearDrops.withColumn("f_near", lit(1L)), Seq("doc_id"), "left")
+      .join(quarantined.withColumn("f_quar", lit(1L)), Seq("doc_id"), "left")
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),
@@ -144,7 +159,8 @@ object PipelineDemo {
         sum(coalesce(col("f_exact"), lit(0L))).as("n_exact_dup"),
         sum(coalesce(col("f_near"), lit(0L))).as("n_near_dup"),
         sum(coalesce(col("f_quar"), lit(0L))).as("n_quarantined"))
-    val survivors = curated(spark, sfDir)
+    val survivors = curatedFrom(perRow, admittedOf(spark, sfDir),
+      exactDrops, nearDrops, quarantined)
       .groupBy("source").agg(count(lit(1)).as("n_curated"))
     card.join(survivors, Seq("source"), "left")
       .withColumn("n_curated", coalesce(col("n_curated"), lit(0L)))

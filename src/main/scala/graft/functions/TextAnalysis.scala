@@ -298,6 +298,27 @@ object TextAnalysis {
     * the merge table a pure function of the corpus — cross-engine
     * replayable, which float-frequency or insertion-order trainers are
     * not. */
+  /** UTF-8 byte order for the trainer's tie rule — the collation BOTH
+    * engines actually sort strings by (DuckDB memcmp, Spark
+    * UTF8String.compareTo). Java's String.compareTo is UTF-16
+    * code-unit order, which disagrees for supplementary-plane symbols
+    * vs U+E000–U+FFFF; a driver-side tie broken that way would train a
+    * different merge table than the oracle replays. */
+  private[graft] object Utf8Ordering extends Ordering[String] {
+    def compare(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+  }
+
   /** Codepoint split (NOT `w.map(_.toString)`, which splits surrogate
     * pairs — both engines' `substring` is codepoint-based). */
   private[graft] def codepointChars(w: String): Vector[String] = {
@@ -327,7 +348,8 @@ object TextAnalysis {
       }
       if (pc.isEmpty) exhausted = true
       else {
-        val (l, r) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        val (l, r) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, Utf8Ordering, Utf8Ordering))._1
         merges += ((l, r))
         tokd = tokd.map { case (ts, n) => (mergePass(ts, l, r), n) }
         k += 1
@@ -402,9 +424,20 @@ object TextAnalysis {
     }
 
   /** Per-doc trained-token counts, unordered — shared by the count
-    * gate and the trained-token budget. */
-  private def bpeTrainedPerDoc(s: SparkSession, dir: String): DataFrame = {
-    val (pre, merges) = pretokensAndMerges(s, dir)
+    * gate and the trained-token budget. Pass `frozen` to reuse an
+    * already-trained merge table (skips the vocab aggregate + driver
+    * training; the pretoken scan still runs — it is the corpus side). */
+  private[graft] def bpeTrainedPerDoc(
+      s: SparkSession, dir: String,
+      frozen: Option[Seq[(String, String)]] = None): DataFrame = {
+    val (pre, merges) = frozen match {
+      case Some(m) =>
+        (Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"), lit(BpePretokenPattern), lit(0)))
+              .as("w")), m)
+      case None => pretokensAndMerges(s, dir)
+    }
     val encoded = encodeWithMerges(pre.select("w").distinct(), merges)
     val lens = encoded.select(col("w"), size(col("toks")).cast("long").as("n_sub"))
     val perDoc = pre.join(broadcast(lens), "w")
@@ -433,12 +466,13 @@ object TextAnalysis {
     * trained merge table, so budget decisions and the count gate can
     * never disagree on units. */
   def tokenBudgetTrained(
-      s: SparkSession, dir: String, budget: Long = TrainedBudget): DataFrame = {
+      s: SparkSession, dir: String, budget: Long = TrainedBudget,
+      frozen: Option[Seq[(String, String)]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, dir).select(col("doc_id"), col("source"))
-      .join(bpeTrainedPerDoc(s, dir).select("doc_id", "n_bpe_trained"), "doc_id")
+      .join(bpeTrainedPerDoc(s, dir, frozen).select("doc_id", "n_bpe_trained"), "doc_id")
       .withColumn("cum_tokens", sum(col("n_bpe_trained")).over(w))
       .withColumn("action",
         when(col("cum_tokens") <= budget, "admit").otherwise("overflow"))

@@ -86,7 +86,10 @@ object StreamingAb {
     * over the summed delta stream shows the number the batch backfill
     * will reproduce. Returns (conv_a_ppm, conv_b_ppm, chisq_ppm). */
   def abChisqPpm(nA: Long, nB: Long, convA: Long, convB: Long): (Long, Long, Long) = {
-    val n = nA + nB
+    // max(·,1) guards: "at any instant" includes prefixes where one
+    // arm (or both) is still empty — a dashboard must render 0, not
+    // crash, there (the batch twin's `div` nulls instead)
+    val n = math.max(nA + nB, 1L)
     val convT = convA + convB
     val nonT = (nA - convA) + (nB - convB)
     val eAc = nA * convT / n
@@ -96,6 +99,6 @@ object StreamingAb {
     def cell(o: Long, e: Long): Long = (o - e) * (o - e) * 1000000L / math.max(e, 1L)
     val chisq = cell(convA, eAc) + cell(nA - convA, eAn) +
       cell(convB, eBc) + cell(nB - convB, eBn)
-    (convA * 1000000L / nA, convB * 1000000L / nB, chisq)
+    (convA * 1000000L / math.max(nA, 1L), convB * 1000000L / math.max(nB, 1L), chisq)
   }
 }
