@@ -36,6 +36,32 @@ class ReportSpec extends SparkTestBase {
     assert(got.last._4 == 0L, "the longest lifetime must end the curve at 0")
   }
 
+  test("q83 KS statistic == driver model from raw events") {
+    val s = spark
+    import s.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(String, Long, Long)].collect()
+    val mid = Math.floorDiv(ev.map(_._2).min + ev.map(_._2).max, 2L)
+    val model = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      val ref = xs.filter(_._2 <= mid).map(_._3)
+      val live = xs.filter(_._2 > mid).map(_._3)
+      val support = (ref ++ live).distinct.sorted
+      val (nr, nl) = (math.max(ref.length.toLong, 1L), math.max(live.length.toLong, 1L))
+      val d = support.map { v =>
+        math.abs(ref.count(_ <= v) * 1000000L / nr - live.count(_ <= v) * 1000000L / nl)
+      }.max
+      (t, ref.length.toLong, live.length.toLong, d)
+    }
+    val got = Relational.q83KsTest(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model, s"KS divergence: $got vs $model")
+    // sanity: a KS gap is a ppm in [0, 1e6]
+    assert(got.forall(r => r._4 >= 0L && r._4 <= 1000000L))
+  }
+
   test("report_source_overlap == driver brute force (tokenize, shingle, intersect)") {
     val s = spark
     import s.implicits._
