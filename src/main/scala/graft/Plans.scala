@@ -110,7 +110,11 @@ object Plans {
     "q80_sequence_motifs", // one user exchange; per-row string scans; 1-row stacked agg
     "q81_ab_chisq",        // one user agg; 1-row margins + integer chi-square
     "text_bpe_trained",    // bounded-vocab trained merges; distinct-pretoken fold + broadcast lens
-    "curation_pipeline")   // end-to-end stage-keep-list intersection (composition gate)
+    "curation_pipeline",   // FUSED composition: one corpus pass + small-side drop/admit joins
+    "report_source_card",  // one-pass flag aggregate + broadcast drop-list flags + survivor reuse
+    "report_source_overlap", // (source, md5-pair) distinct + bounded-fan-out self-join
+    "q82_survival",        // one user exchange -> tiny lifetime histogram windows
+    "q83_ks_test")         // (type, cents) map-side fold + per-type CDF windows
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
