@@ -403,13 +403,19 @@ object Dedup {
   private[graft] def bandedLevCeil(len: Long, ppm: Long): Long =
     ((ppm + 1L) * len - 1L) / 1000000L
 
-  /** Banded `levenshtein(text_a, text_b, k)` column with the per-row
-    * tight ceiling over a `len` column — -1 ⟺ the plain form would
-    * fail the ppm filter. SQL form because the Scala `levenshtein`
-    * helper only takes a literal Int threshold. */
-  private[graft] def bandedLevExpr(ppm: Long): Column =
-    expr(s"CAST(levenshtein(text_a, text_b, " +
-      s"CAST((($ppm + 1) * len - 1) div 1000000 AS INT)) AS BIGINT)")
+  /** Banded `levenshtein(textA, textB, k)` column with the per-row
+    * tight ceiling over `len` — -1 ⟺ the plain form would fail the ppm
+    * filter. The caller's Columns are passed through (no hardcoded
+    * names to silently mis-bind); `call_function` reaches the 3-arg
+    * registry form because the Scala `levenshtein` helper only takes a
+    * literal Int threshold, and `div` (IntegralDivide) keeps the
+    * ceiling in exact BIGINT arithmetic. */
+  private[graft] def bandedLevExpr(
+      textA: Column, textB: Column, len: Column, ppm: Long): Column = {
+    val ceil = call_function("div",
+      (lit(ppm) + lit(1L)) * len - lit(1L), lit(1000000L)).cast("int")
+    call_function("levenshtein", textA, textB, ceil).cast("bigint")
+  }
 
   def dedupEditDist(s: SparkSession, dir: String): DataFrame = {
     val cands = candidatePairs(toBands(minhashSigs(entryFor(s, dir).docs)))
@@ -444,7 +450,8 @@ object Dedup {
       // ~3× cheaper verify (the oracle keeps the plain 2-arg form +
       // the same filter)
       .select(col("doc_a"), col("doc_b"),
-        bandedLevExpr(EditDupPpm).as("lev"),
+        bandedLevExpr(col("text_a"), col("text_b"), col("len"), EditDupPpm)
+          .as("lev"),
         col("len"))
       // lev feeds 3 consumers (its own column, the ppm, the filter):
       // a barrier keeps CollapseProject from inlining the DP 3× per

@@ -2714,6 +2714,35 @@ object Relational {
   private[graft] def binOf: Column =
     lit(1L) + expr("size(filter(bs, x -> cents > x.b))")
 
+  /** One chi-square cell `(o−e)²·1e6 div max(e,1)` as WRAP-FREE BIGINT
+    * algebra via the split-division identity
+    * `(d² div den)·1e6 + ((d² mod den)·1e6) div den` — exact for
+    * non-negative d² and positive den (floor and truncating division
+    * agree there), and numerically identical to the naive product form
+    * wherever that form doesn't wrap. The naive `d²·1e6` silently
+    * wraps signed 64-bit once |o−e| exceeds ~3.03e6 — a deviation a
+    * divergent arm in a 100M-user experiment reaches; the split form's
+    * intermediates are bounded by d² and den·1e6, so it is exact up to
+    * |o−e| ≈ 3.03e9 and den ≤ 9.2e12 (beyond any 2×2 margin or
+    * per-(type, bin) count a real corpus produces; past THAT the cell
+    * VALUE itself exceeds 64 bits and no integer encoding helps). */
+  private[graft] def chisqCellPpm(o: Long, e: Long): Long = {
+    val d = o - e
+    val d2 = d * d
+    val den = math.max(e, 1L)
+    (d2 / den) * 1000000L + (d2 % den) * 1000000L / den
+  }
+
+  /** [[chisqCellPpm]] in SQL, dialect-parameterized (`div` for Spark,
+    * `//` for DuckDB) — ONE generator so the batch gates, the DuckDB
+    * oracles, and the streaming driver helper stay in algebraic
+    * lockstep (the q79/q81/StreamingDrift/StreamingAb contract). */
+  private[graft] def chisqCellSql(o: String, e: String, idiv: String): String = {
+    val d2 = s"(($o - $e) * ($o - $e))"
+    val den = s"greatest($e, 1)"
+    s"((($d2 $idiv $den) * 1000000) + ((($d2 % $den) * 1000000) $idiv $den))"
+  }
+
   def q78QuantileBins(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"),
@@ -2740,9 +2769,8 @@ object Relational {
     * boundary build ranks only the reference half (q28 sort shape);
     * both halves then bin at scan speed against the broadcast bounds
     * and collapse map-side onto ≤ 10·|types| count rows. Overflow
-    * headroom: (o−e)²·1e6 needs o ≲ 3e6 per (type, bin) — beyond
-    * that, rescale the ppm factor (documented, not guarded: the gate
-    * corpora sit 2 orders below). */
+    * headroom: the cells use [[chisqCellSql]]'s split-division form,
+    * wrap-free to |o−e| ≈ 3.03e9 per (type, bin) — any real corpus. */
   def q79DriftChisq(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("event_type"),
@@ -2771,8 +2799,7 @@ object Relational {
         expr("(L * r_c) div R").as("e"))
       .groupBy("event_type")
       .agg(max(col("R")).as("n_ref"), max(col("L")).as("n_live"),
-        sum(expr("((o_c - e) * (o_c - e) * 1000000) div greatest(e, 1)"))
-          .as("chisq_ppm"))
+        sum(expr(chisqCellSql("o_c", "e", "div"))).as("chisq_ppm"))
       .orderBy("event_type")
   }
 
@@ -2818,12 +2845,11 @@ object Relational {
       .selectExpr("n_a", "n_b", "conv_a", "conv_b",
         "(conv_a * 1000000) div n_a AS conv_a_ppm",
         "(conv_b * 1000000) div n_b AS conv_b_ppm",
-        """((conv_a - e_ac) * (conv_a - e_ac) * 1000000) div greatest(e_ac, 1)
-          | + (((n_a - conv_a) - e_an) * ((n_a - conv_a) - e_an) * 1000000)
-          |     div greatest(e_an, 1)
-          | + ((conv_b - e_bc) * (conv_b - e_bc) * 1000000) div greatest(e_bc, 1)
-          | + (((n_b - conv_b) - e_bn) * ((n_b - conv_b) - e_bn) * 1000000)
-          |     div greatest(e_bn, 1) AS chisq_ppm""".stripMargin)
+        s"""${chisqCellSql("conv_a", "e_ac", "div")}
+           | + ${chisqCellSql("(n_a - conv_a)", "e_an", "div")}
+           | + ${chisqCellSql("conv_b", "e_bc", "div")}
+           | + ${chisqCellSql("(n_b - conv_b)", "e_bn", "div")}
+           | AS chisq_ppm""".stripMargin)
   }
 
   /** Q82 — SURVIVAL / LIFETIME TABLE (Kaplan-Meier event table,

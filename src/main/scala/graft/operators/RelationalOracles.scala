@@ -821,14 +821,11 @@ object RelationalOracles {
         |  CAST((conv_a * 1000000) // n_a AS BIGINT) AS conv_a_ppm,
         |  CAST((conv_b * 1000000) // n_b AS BIGINT) AS conv_b_ppm,
         |  CAST(
-        |    ((conv_a - e_ac) * (conv_a - e_ac) * 1000000)
-        |      // greatest(e_ac, 1)
-        |    + (((n_a - conv_a) - e_an) * ((n_a - conv_a) - e_an) * 1000000)
-        |      // greatest(e_an, 1)
-        |    + ((conv_b - e_bc) * (conv_b - e_bc) * 1000000)
-        |      // greatest(e_bc, 1)
-        |    + (((n_b - conv_b) - e_bn) * ((n_b - conv_b) - e_bn) * 1000000)
-        |      // greatest(e_bn, 1) AS BIGINT) AS chisq_ppm
+        |    ${Relational.chisqCellSql("conv_a", "e_ac", "//")}
+        |    + ${Relational.chisqCellSql("(n_a - conv_a)", "e_an", "//")}
+        |    + ${Relational.chisqCellSql("conv_b", "e_bc", "//")}
+        |    + ${Relational.chisqCellSql("(n_b - conv_b)", "e_bn", "//")}
+        |    AS BIGINT) AS chisq_ppm
         |FROM e""".stripMargin
     },
 
@@ -948,7 +945,7 @@ object RelationalOracles {
          |  FROM j JOIN tot USING (event_type))
          |SELECT event_type, CAST(max(R) AS BIGINT) AS n_ref,
          |  CAST(max(L) AS BIGINT) AS n_live,
-         |  CAST(sum(((o_c - e) * (o_c - e) * 1000000) // greatest(e, 1))
+         |  CAST(sum(${Relational.chisqCellSql("o_c", "e", "//")})
          |    AS BIGINT) AS chisq_ppm
          |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
     },

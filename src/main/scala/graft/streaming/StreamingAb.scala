@@ -96,7 +96,11 @@ object StreamingAb {
     val eAn = nA * nonT / n
     val eBc = nB * convT / n
     val eBn = nB * nonT / n
-    def cell(o: Long, e: Long): Long = (o - e) * (o - e) * 1000000L / math.max(e, 1L)
+    // wrap-free split-div cell (Relational.chisqCellPpm == the batch
+    // q81 SQL cell): the naive (o−e)²·1e6 product wraps signed 64-bit
+    // at |o−e| ≈ 3.03e6 — a deviation a divergent arm in a 100M-user
+    // experiment reaches — silently corrupting the statistic
+    def cell(o: Long, e: Long): Long = graft.operators.Relational.chisqCellPpm(o, e)
     val chisq = cell(convA, eAc) + cell(nA - convA, eAn) +
       cell(convB, eBc) + cell(nB - convB, eBn)
     (convA * 1000000L / math.max(nA, 1L), convB * 1000000L / math.max(nB, 1L), chisq)

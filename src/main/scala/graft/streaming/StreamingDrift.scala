@@ -54,8 +54,7 @@ object StreamingDrift {
     val l = o.sum
     p.refCounts.indices.map { i =>
       val e = (l * p.refCounts(i)) / p.refTotal // non-negative: div == floor
-      val d = o(i) - e
-      d * d * 1000000L / math.max(e, 1L)
+      Relational.chisqCellPpm(o(i), e) // wrap-free split-div cell == batch q79
     }.sum
   }
 

@@ -54,7 +54,8 @@ class EditDistFuzzSpec extends SparkTestBase {
       .select(col("id"), col("text_a"), col("text_b"),
         greatest(length(col("text_a")), length(col("text_b"))).cast("long").as("len"))
       .select(col("id"), col("len"),
-        graft.functions.Dedup.bandedLevExpr(ppm).as("banded"),
+        graft.functions.Dedup.bandedLevExpr(
+          col("text_a"), col("text_b"), col("len"), ppm).as("banded"),
         levenshtein(col("text_a"), col("text_b")).cast("long").as("plain"))
     val rows = df.collect().map(r =>
       (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
@@ -107,7 +108,8 @@ class EditDistFuzzSpec extends SparkTestBase {
     assert(7L * ppm / 1000000L == 0L, "case no longer exercises the naive gap")
     val row = Seq(("aaaaaaa", "aaaaaab")).toDF("text_a", "text_b")
       .withColumn("len", greatest(length(col("text_a")), length(col("text_b"))).cast("long"))
-      .select(graft.functions.Dedup.bandedLevExpr(ppm).as("lev"))
+      .select(graft.functions.Dedup.bandedLevExpr(
+        col("text_a"), col("text_b"), col("len"), ppm).as("lev"))
       .collect()(0)
     assert(row.getLong(0) == 1L,
       s"tight banded form returned ${row.getLong(0)}, expected lev=1 (oracle keeps this pair)")

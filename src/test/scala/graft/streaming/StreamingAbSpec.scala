@@ -95,4 +95,36 @@ class StreamingAbSpec extends SparkTestBase {
     // both arms populated (uniformity smoke)
     assert(sparkArms.values.toSet == Set(0L, 1L))
   }
+
+  test("chi-square cells are wrap-free at 100M-user margins (BigInt model)") {
+    def model(o: Long, e: Long): Long =
+      ((BigInt(o - e) * BigInt(o - e) * 1000000) /
+        BigInt(math.max(e, 1L))).toLong
+    val margins = Seq(
+      // divergent arm at 100M users: |o−e| = 4e6 — the naive
+      // (o−e)²·1e6 product wraps signed 64-bit here (asserted below)
+      (60000000L, 40000000L, 10000000L, 0L),
+      (60000000L, 40000000L, 9000000L, 1000000L),
+      (2000000000L, 2000000000L, 1500000000L, 100000000L), // 4e9 users
+      (100L, 50L, 30L, 10L)) // gate-scale sanity: values unchanged
+    margins.foreach { case (nA, nB, convA, convB) =>
+      val n = nA + nB
+      val convT = convA + convB
+      val nonT = (nA - convA) + (nB - convB)
+      val cells = Seq(
+        (convA, nA * convT / n), (nA - convA, nA * nonT / n),
+        (convB, nB * convT / n), (nB - convB, nB * nonT / n))
+      cells.foreach { case (o, e) =>
+        assert(Relational.chisqCellPpm(o, e) == model(o, e),
+          s"cell ($o, $e) diverged from the BigInt model")
+      }
+      val expect = cells.map { case (o, e) => model(o, e) }.sum
+      val (_, _, chisq) = StreamingAb.abChisqPpm(nA, nB, convA, convB)
+      assert(chisq == expect, s"margins ($nA,$nB,$convA,$convB)")
+    }
+    // keep the first case honest: the naive product form really wraps
+    val d = 10000000L - 60000000L * 10000000L / 100000000L
+    assert(d * d * 1000000L < 0L,
+      "naive-product wrap case no longer exercises overflow — pick bigger margins")
+  }
 }
