@@ -147,6 +147,8 @@ object Bench {
         (() => StreamingBench.ingestCardPipeline(spark, sfDir)),
       "streaming_token_budget_trained" ->
         (() => StreamingBench.tokenBudgetTrainedPipeline(spark, sfDir)),
+      "bpe_encode_deep" ->
+        (() => StreamingBench.deepBpePipeline(spark, sfDir)),
       "streaming_session_window" -> (() => StreamingBench.sessionWindowPipeline(spark, sfDir)),
       "streaming_cdc_upsert" -> (() => StreamingBench.cdcUpsertPipeline(spark, sfDir)),
       "streaming_enrich" -> (() => StreamingBench.enrichPipeline(spark, sfDir)),

@@ -133,6 +133,7 @@ object StreamingBench {
     if (any("streaming_token_budget", "streaming_ingest_card",
         "streaming_token_budget_trained")) tokenBudgetSeed(spark, sfDir)
     if (any("streaming_token_budget_trained")) trainedBudgetSeed(spark, sfDir)
+    if (any("bpe_encode_deep")) deepBpeSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
@@ -167,7 +168,7 @@ object StreamingBench {
     rowsMemo.clear(); typesMemo.clear(); pcMemo.clear(); docsMemo.clear()
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
-    trainedBudgetMemo.clear()
+    trainedBudgetMemo.clear(); deepBpeMemo.clear()
     profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
     progressLog.clear()
@@ -1561,6 +1562,57 @@ object StreamingBench {
 
   private val trainedBudgetMemo =
     scala.collection.mutable.Map.empty[String, (Seq[(String, String)], Long)]
+
+  /** Deep merge table + exact sampled model for [[deepBpePipeline]]
+    * (memoized — the driver merge loop is the training-time artifact
+    * and runs in the untimed prepare): expected total trained-token
+    * count over the `doc_id % 97 == 0` sample, computed driver-side
+    * with the SAME codec + java.util.regex pretokenizer the cluster
+    * expression uses. */
+  private val deepBpeMemo =
+    scala.collection.mutable.Map.empty[String, (Seq[(String, String)], Long, Long)]
+
+  private def deepBpeSeed(
+      spark: SparkSession, sfDir: String): (Seq[(String, String)], Long, Long) =
+    deepBpeMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      val merges = graft.functions.TextAnalysis.trainedMergesDeep(spark, sfDir)
+      val codec = graft.functions.BpeCodec(merges)
+      val pat = java.util.regex.Pattern
+        .compile(graft.functions.TextAnalysis.BpePretokenPattern)
+      val texts = graft.Tables.documents(spark, sfDir)
+        .filter(col("doc_id") % 97 === 0).select("text").as[String].collect()
+      var total = 0L
+      texts.foreach { t =>
+        val m = pat.matcher(t)
+        while (m.find()) total += codec.encodedLen(m.group())
+      }
+      val nDocs = graft.Tables.documents(spark, sfDir).count()
+      (merges, total, nDocs)
+    })
+
+  /** Realistic-merge-table batch encode: the whole documents table
+    * through `bpeTrainedPerDoc` with the 1024-rule deep table (VERDICT
+    * r15 residual 1 — the gate runs 24 rules because its DuckDB oracle
+    * unrolls one CTE per rule; this line prices the geometry a real
+    * token budget is denominated in). ONE aggregate consumes the full
+    * per-doc frame (no sample pushdown escape: the row count pins the
+    * corpus-wide scan) and the sampled sum must equal the driver-side
+    * codec model exactly. */
+  def deepBpePipeline(spark: SparkSession, sfDir: String): Unit = {
+    val (merges, expectedSample, nDocs) = deepBpeSeed(spark, sfDir)
+    val perDoc = graft.functions.TextAnalysis
+      .bpeTrainedPerDoc(spark, sfDir, frozen = Some(merges))
+    val row = perDoc.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("doc_id") % 97 === 0, col("n_bpe_trained"))
+        .otherwise(0L)).as("sample_sum")).collect()(0)
+    require(row.getLong(0) == nDocs,
+      s"bpe_encode_deep: ${row.getLong(0)} rows != $nDocs docs")
+    require(row.getLong(1) == expectedSample,
+      s"bpe_encode_deep: sampled sum ${row.getLong(1)} != driver model $expectedSample")
+  }
 
   /** Live ingest QA card: the whole documents table through the
     * source-keyed counter kernel in two micro-batches. Exact count

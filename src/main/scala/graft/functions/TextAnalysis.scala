@@ -383,20 +383,24 @@ object TextAnalysis {
     * precedent) feeding the inherently sequential driver-side merge
     * loop; the corpus itself never leaves the cluster. */
   private def pretokensAndMerges(
-      s: SparkSession, dir: String): (DataFrame, Seq[(String, String)]) = {
+      s: SparkSession, dir: String,
+      rounds: Int = BpeMerges,
+      vocabWords: Int = BpeTrainWords,
+      strict: Boolean = true): (DataFrame, Seq[(String, String)]) = {
     val pre = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"), lit(BpePretokenPattern), lit(0)))
           .as("w"))
     val top = pre.groupBy("w").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w").asc).limit(BpeTrainWords)
+      .orderBy(col("n").desc, col("w").asc).limit(vocabWords)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val merges = trainBpe(top, BpeMerges)
-    // exhaustion would silently diverge from the oracle's fixed-round
-    // unroll (its empty best_k annihilates the encode chain) — refuse
-    require(merges.length == BpeMerges,
+    val merges = trainBpe(top, rounds)
+    // in strict (gate) mode exhaustion would silently diverge from the
+    // oracle's fixed-round unroll (its empty best_k annihilates the
+    // encode chain) — refuse; the deep path trains TO exhaustion
+    require(!strict || merges.length == rounds,
       s"BPE vocabulary exhausted after ${merges.length} merges — " +
-        s"corpus too small for $BpeMerges rounds")
+        s"corpus too small for $rounds rounds")
     (pre, merges)
   }
 
@@ -438,8 +442,14 @@ object TextAnalysis {
               .as("w")), m)
       case None => pretokensAndMerges(s, dir)
     }
-    val encoded = encodeWithMerges(pre.select("w").distinct(), merges)
-    val lens = encoded.select(col("w"), size(col("toks")).cast("long").as("n_sub"))
+    // native rank-indexed encode per DISTINCT pretoken (BpeCodec's
+    // lowest-rank loop — merge-count-independent per-token cost, so
+    // this same plan carries a realistic 2k–50k-merge table); the
+    // nested-HOF fold [[encodeWithMerges]] stays as the Catalyst
+    // differential reference, pinned equal in BpeDeepSpec
+    val lens = pre.select("w").distinct()
+      .select(col("w"),
+        graft.functions.expressions.BpeEncodedLen(col("w"), merges).as("n_sub"))
     val perDoc = pre.join(broadcast(lens), "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pretokens"), sum("n_sub").as("n_bpe_trained"))
@@ -485,6 +495,27 @@ object TextAnalysis {
     * profile. */
   def trainedMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     pretokensAndMerges(s, dir)._2
+
+  /** Realistic-scale merge geometry for the DEEP encode path (the
+    * `bpe_encode_deep` bench line): the gate constants stay at
+    * [[BpeMerges]] = 24 because the DuckDB oracle unrolls one
+    * MATERIALIZED CTE per merge, but a real token budget is
+    * denominated in a 2k–50k-rule tokenizer. The deep table trains TO
+    * VOCABULARY EXHAUSTION capped at 1024 rules — the synthetic gate
+    * corpora carry a fixed ~61-word dictionary that exhausts around
+    * 127 rules at every SF, while a real corpus fills the cap; either
+    * way the encode side (BpeCodec / BpeEncodedLen) prices
+    * merge-count-independently, and BpeDeepSpec pins a generated
+    * 1024-rule table end to end. */
+  val BpeDeepMerges = 1024
+  val BpeDeepTrainWords = 4096
+
+  /** The deep merge table for `dir` — trained at
+    * [[BpeDeepMerges]]/[[BpeDeepTrainWords]] geometry, exhaustion
+    * allowed (see above). */
+  def trainedMergesDeep(s: SparkSession, dir: String): Seq[(String, String)] =
+    pretokensAndMerges(s, dir, BpeDeepMerges, BpeDeepTrainWords,
+      strict = false)._2
 
   /** The trained merge table itself as a gate — (merge_rank, lhs, rhs),
     * pinning the TRAINER (tie rule included) cross-engine, separately

