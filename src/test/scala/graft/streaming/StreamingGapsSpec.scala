@@ -90,4 +90,74 @@ class StreamingGapsSpec extends SparkTestBase {
     val out3 = StreamingGaps.gapUpdate(None)(7L, Iterator.empty, st).toSeq
     assert(out3.isEmpty && st.get == before)
   }
+
+  test("watermarked gaps: cross-batch DISORDER within the horizon == batch model") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, minute: Long, t: String, user: Long = 7L) =
+      StreamingProfile.PEv(id, user,
+        java.sql.Timestamp.valueOf(s"2026-01-01 ${10 + minute / 60}:${
+          f"${minute % 60}%02d"}:00"), t, 0L)
+    val stream = MemoryStream[StreamingProfile.PEv]
+    val out = StreamingGaps.gapsWatermarked(stream.toDS(), "10 minutes")
+    val q = SourceKit.Sinks.toMemory(out.toDF(), "wm_gaps")
+    try {
+      // batch 1: minutes 0 and 5 — watermark after: 10:05 − 10m = 09:55,
+      // nothing ripe yet
+      stream.addData(ev(1, 0, "a"), ev(2, 5, "c"))
+      q.processAllAvailable()
+      assert(spark.table("wm_gaps").count() == 0)
+      // batch 2 arrives OUT OF ORDER: minute 2 lands AFTER minute 5 was
+      // seen (legal — it is within the 10-minute horizon), plus minute
+      // 20 to advance the watermark to 10:10 and ripen minutes 0/2/5
+      stream.addData(ev(3, 2, "b"), ev(4, 20, "d"))
+      q.processAllAvailable()
+      val got1 = spark.table("wm_gaps").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      // batch model over the SORTED sequence 0,2,5: gap(b)=2m, gap(c)=3m
+      assert(got1 == Seq(("b", 120000000L), ("c", 180000000L)),
+        s"ripened gaps $got1 — the in-order family would have emitted " +
+          "a NEGATIVE gap for the minute-2 straggler")
+      // batch 3: another user's event advances the watermark past
+      // minute 20; user 7 gets NO new data — the event-time timer must
+      // flush the buffered minute-20 event (gap d = 15m)
+      stream.addData(ev(5, 40, "x", user = 9L))
+      q.processAllAvailable()
+      val got2 = spark.table("wm_gaps").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got2 == Seq(("b", 120000000L), ("c", 180000000L),
+        ("d", 900000000L)), s"timer flush missing: $got2")
+    } finally q.stop()
+  }
+
+  test("watermarked gaps == in-order gaps on the real (in-order) event feed") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = feedRows
+    def run(name: String, mk: org.apache.spark.sql.Dataset[StreamingProfile.PEv] =>
+        org.apache.spark.sql.Dataset[StreamingGaps.GapRow]): Seq[(String, Long)] = {
+      val stream = MemoryStream[StreamingProfile.PEv]
+      val q = SourceKit.Sinks.toMemory(mk(stream.toDS()).toDF(), name)
+      try {
+        val (b1, b2) = rows.toIndexedSeq.splitAt(rows.length / 2)
+        stream.addData(b1); q.processAllAvailable()
+        stream.addData(b2); q.processAllAvailable()
+        spark.table(name).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      } finally q.stop()
+    }
+    val inOrder = run("wm_eq_base", ds => StreamingGaps.gaps(ds)).sorted
+    // zero delay: everything strictly below the max-seen ts ripens each
+    // batch; the final watermark holds back gaps landing ON the last
+    // event's timestamp, so compare on the watermarked side's ripe set
+    val wm = run("wm_eq_wm", ds => StreamingGaps.gapsWatermarked(ds, "0 seconds")).sorted
+    assert(wm.nonEmpty && wm.size <= inOrder.size)
+    // every ripened gap matches the in-order kernel's multiset exactly
+    val baseCounts = inOrder.groupBy(identity).view.mapValues(_.size).toMap
+    wm.groupBy(identity).foreach { case (g, occ) =>
+      assert(baseCounts.getOrElse(g, 0) >= occ.size,
+        s"watermarked emitted $g ${occ.size}x, in-order ${baseCounts.getOrElse(g, 0)}x")
+    }
+  }
 }
