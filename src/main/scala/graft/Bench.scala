@@ -149,6 +149,8 @@ object Bench {
         (() => StreamingBench.tokenBudgetTrainedPipeline(spark, sfDir)),
       "bpe_encode_deep" ->
         (() => StreamingBench.deepBpePipeline(spark, sfDir)),
+      "streaming_curation" ->
+        (() => StreamingBench.curationPipeline(spark, sfDir)),
       "streaming_session_window" -> (() => StreamingBench.sessionWindowPipeline(spark, sfDir)),
       "streaming_cdc_upsert" -> (() => StreamingBench.cdcUpsertPipeline(spark, sfDir)),
       "streaming_enrich" -> (() => StreamingBench.enrichPipeline(spark, sfDir)),

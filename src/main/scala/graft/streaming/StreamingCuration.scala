@@ -52,6 +52,25 @@ object StreamingCuration {
       minTokens: Int = 10,
       minAlphaRatio: Double = 0.6,
       bitmap: Option[Array[Byte]] = None,
+      minOverlap: Int = 4): DataFrame =
+    StreamingDedup.withinWatermark(
+      statelessGates(docs, minTokens, minAlphaRatio, bitmap, minOverlap),
+      tsCol, horizon, Seq("digest"))
+      .withColumn("fingerprint", Portable.rollingFingerprint(col("toks")))
+      .drop("toks", "en_hits")
+
+  /** The stateless per-row prefix of [[curate]] — quality gate,
+    * language gate, PII scrub, content digest, optional
+    * benchmark-bitmap decontamination. Pure expressions over any frame
+    * with a `text` column, so it runs unchanged on a BATCH frame too —
+    * which is how the `streaming_curation` bench line derives its
+    * exact expected count (batch distinct digests among gate-passers)
+    * for the live run. */
+  def statelessGates(
+      docs: DataFrame,
+      minTokens: Int = 10,
+      minAlphaRatio: Double = 0.6,
+      bitmap: Option[Array[Byte]] = None,
       minOverlap: Int = 4): DataFrame = {
     val toks = Portable.tokens(col("text"))
     val enHits = MarkerHits(col("toks"), TextAnalysis.langMarkers.head._2)
@@ -70,12 +89,9 @@ object StreamingCuration {
       .filter(col("en_hits") > 0)
       .withColumn("redacted", redact(col("text")))
       .withColumn("digest", md5(col("text")))
-    val decontaminated = bitmap.fold(scrubbed)(bm =>
+    bitmap.fold(scrubbed)(bm =>
       scrubbed.filter(
         graft.functions.Dedup.bloomOverlapCount(col("text"), bm) < minOverlap))
-    StreamingDedup.withinWatermark(decontaminated, tsCol, horizon, Seq("digest"))
-      .withColumn("fingerprint", Portable.rollingFingerprint(col("toks")))
-      .drop("toks", "en_hits")
   }
 
   /** The pii_scrub gate's redaction chain as a reusable column. */
