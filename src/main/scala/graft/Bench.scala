@@ -123,6 +123,8 @@ object Bench {
         (() => StreamingBench.abPipeline(spark, sfDir)),
       "streaming_gaps" ->
         (() => StreamingBench.gapsPipeline(spark, sfDir)),
+      "streaming_gaps_watermarked" ->
+        (() => StreamingBench.gapsWatermarkedPipeline(spark, sfDir)),
       "streaming_ewma" ->
         (() => StreamingBench.ewmaPipeline(spark, sfDir)),
       "streaming_funnel_latency" ->

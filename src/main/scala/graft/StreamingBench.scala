@@ -140,6 +140,7 @@ object StreamingBench {
     if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
         "streaming_daily_close"))
       profileRows(spark, sfDir)
+    if (any("streaming_gaps_watermarked")) gapsWmExpected(spark, sfDir)
     if (any("streaming_recent_rocksdb")) transRows(spark, sfDir)
     if (any("streaming_transitions", "streaming_paths", "streaming_paths_agg",
         "streaming_funnel", "streaming_retention",
@@ -844,6 +845,42 @@ object StreamingBench {
       runTwoBatches(spark, stream, out, batches, "gaps")(
         requireCount("gaps", expected)))
   }
+
+  /** Watermark-driven gap emitter line (the out-of-order-safe form of
+    * the gap family): the real event feed through
+    * [[graft.streaming.StreamingGaps.gapsWatermarked]] at zero delay —
+    * every event buffers in state until the watermark passes it, so
+    * this prices the ripening buffer's write/flush machinery on top of
+    * the plain emitter's. Exact count model: a gap is released for
+    * every NON-FIRST per-user event strictly below the final watermark
+    * (floor-millisecond of the feed's max event time at delay 0); the
+    * sub-watermark tail stays buffered by contract. */
+  def gapsWatermarkedPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = profileRows(spark, sfDir)
+    val batches = rows.toIndexedSeq.splitAt(rows.length / 2)
+    val expected = gapsWmExpected(spark, sfDir)
+    val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+    val out = graft.streaming.StreamingGaps
+      .gapsWatermarked(stream.toDS(), "0 seconds")
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "gaps_wm")(
+        requireCount("gaps_wm", expected)))
+  }
+
+  private def gapsWmExpected(spark: SparkSession, sfDir: String): Long =
+    memoExpected("gaps_wm", sfDir) {
+      val rows = profileRows(spark, sfDir)
+      def usOf(e: graft.streaming.StreamingProfile.PEv) =
+        graft.streaming.StreamingTransitions.tsMicros(e.ts)
+      val wmUs = rows.iterator.map(usOf).max / 1000L * 1000L
+      rows.groupBy(_.user_id).valuesIterator.map { es =>
+        es.sortBy(e => (usOf(e), e.event_id)).drop(1)
+          .count(e => usOf(e) < wmUs).toLong
+      }.sum
+    }
 
   /** Live chi-square drift monitor (the q79 streaming side): the
     * reference profile freezes from the batch half, the live half

@@ -2932,6 +2932,62 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** Q84 — MANN–WHITNEY RANK-SUM / AUC (nonparametric effect size,
+    * integer-exact): per event type, the reference (first) and live
+    * (second) halves' cents distributions compared by the U statistic
+    * over DOUBLED midranks — a tied group spanning combined ranks
+    * [a, b] has 2·midrank = a + b = 2·cum_le − n_v + 1, an integer, so
+    * the whole computation stays BIGINT where textbook average ranks
+    * are floats (the q79/q83 discipline; this is the third member of
+    * the drift-test family: chi-square for frozen-bin composition, KS
+    * for CDF shape, U for stochastic dominance). `auc_ppm` =
+    * `u_live_x2·1e6 div (2·n_ref·n_live)` (split-division form, the
+    * [[chisqCellPpm]] wrap rule) is the common-language effect size
+    * P(live > ref) + ½·P(live = ref) — the probability a random live
+    * value exceeds a random reference value, the number an experiment
+    * dashboard actually wants next to its p-value; 500000 ppm = no
+    * shift. Normal-approximate significance from U offline; overflow
+    * headroom: r_live_x2 ≲ 2N² needs N ≲ 2e9 rows per type, and the
+    * ppm remainder needs n_ref·n_live ≲ 4.6e12 — beyond that, sample
+    * or rescale (documented, as in q83).
+    *
+    * Scale shape: identical to q83 — one map-side-combined
+    * (type, cents) fold, per-type windows over the folded frame, a
+    * 1-row broadcast split point. */
+  def q84MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+    val wCdf = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    ev.crossJoin(broadcast(mid))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(
+        sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("c_ref"),
+        sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("c_live"))
+      // both window columns in ONE select (CollapseWindow discipline)
+      .select(col("event_type"), col("c_ref"), col("c_live"),
+        sum(col("c_ref") + col("c_live")).over(wCdf).as("cum_le"),
+        sum(col("c_ref")).over(wTot).as("n_ref"),
+        sum(col("c_live")).over(wTot).as("n_live"))
+      .groupBy("event_type")
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_live")).as("n_live"),
+        // Σ over distinct values: live count × doubled midrank
+        sum(expr("c_live * (2 * cum_le - (c_ref + c_live) + 1)"))
+          .as("r_live_x2"))
+      .selectExpr("event_type", "n_ref", "n_live",
+        "r_live_x2 - n_live * (n_live + 1) AS u_live_x2")
+      .selectExpr("event_type", "n_ref", "n_live", "u_live_x2",
+        """CASE WHEN n_ref = 0 OR n_live = 0 THEN NULL ELSE
+          |  (u_live_x2 div (2 * n_ref * n_live)) * 1000000
+          |    + ((u_live_x2 % (2 * n_ref * n_live)) * 1000000)
+          |      div (2 * n_ref * n_live) END AS auc_ppm""".stripMargin)
+      .orderBy("event_type")
+  }
+
   /** Motifs for [[q80SequenceMotifs]], as event-type-initial strings
     * (types have distinct initials: c/e/p/s/v): the conversion path
     * view→click→purchase, the friction pair click→error, and repeat
@@ -3100,6 +3156,7 @@ object Relational {
     "q81_ab_chisq"          -> (q81AbChisq _),
     "q82_survival"          -> (q82Survival _),
     "q83_ks_test"           -> (q83KsTest _),
+    "q84_mann_whitney"      -> (q84MannWhitney _),
     "dq_checks"             -> (dqChecks _),
   )
 }

@@ -855,6 +855,38 @@ object RelationalOracles {
         |    - (cum_live * 1000000) // greatest(n_live, 1))) AS BIGINT) AS ks_ppm
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mann-Whitney U / AUC over DOUBLED midranks: a tied group on
+    // combined ranks [a, b] has 2*midrank = a + b = 2*cum_le - n_v + 1,
+    // so ranks, U and the AUC ppm all stay in exact BIGINT algebra
+    "q84_mann_whitney" ->
+      """WITH e AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        |c AS (SELECT event_type, cents,
+        |    CAST(sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+        |    CAST(sum(CASE WHEN day > mid THEN 1 ELSE 0 END) AS BIGINT) AS c_live
+        |  FROM e, m GROUP BY 1, 2),
+        |w AS (SELECT event_type, c_ref, c_live,
+        |    sum(c_ref + c_live) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le,
+        |    sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+        |    sum(c_live) OVER (PARTITION BY event_type) AS n_live
+        |  FROM c),
+        |a AS (SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
+        |    CAST(max(n_live) AS BIGINT) AS n_live,
+        |    CAST(sum(c_live * (2 * cum_le - (c_ref + c_live) + 1)) AS BIGINT)
+        |      AS r_live_x2
+        |  FROM w GROUP BY 1),
+        |u AS (SELECT event_type, n_ref, n_live,
+        |    r_live_x2 - n_live * (n_live + 1) AS u_live_x2 FROM a)
+        |SELECT event_type, n_ref, n_live, u_live_x2,
+        |  CASE WHEN n_ref = 0 OR n_live = 0 THEN NULL ELSE
+        |    CAST((u_live_x2 // (2 * n_ref * n_live)) * 1000000
+        |      + ((u_live_x2 % (2 * n_ref * n_live)) * 1000000)
+        |        // (2 * n_ref * n_live) AS BIGINT) END AS auc_ppm
+        |FROM u ORDER BY event_type""".stripMargin,
+
     // Survival table: closed-window KM collapses to exact count
     // ratios — lifetime histogram + reverse-cumulative at-risk counts
     "q82_survival" ->

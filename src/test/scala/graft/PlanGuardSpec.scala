@@ -73,7 +73,9 @@ class PlanGuardSpec extends SparkTestBase {
     // split reference/live halves
     "q79_drift_chisq",
     // q83 uses q79's midpoint split (the same one-row broadcast)
-    "q83_ks_test")
+    "q83_ks_test",
+    // q84 uses the same one-row midpoint split as q79/q83
+    "q84_mann_whitney")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =

@@ -62,6 +62,38 @@ class ReportSpec extends SparkTestBase {
     assert(got.forall(r => r._4 >= 0L && r._4 <= 1000000L))
   }
 
+  test("q84 Mann-Whitney U / AUC == brute-force pair count from raw events") {
+    val s = spark
+    import s.implicits._
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[(String, Long, Long)].collect()
+    val mid = Math.floorDiv(ev.map(_._2).min + ev.map(_._2).max, 2L)
+    // the doubled U IS the doubled pair count: 2*#(live>ref) + #(ties)
+    // -- counted directly over all (ref, live) pairs, a model sharing
+    // NO algebra with the midrank form the query computes
+    val model = ev.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, xs) =>
+      val ref = xs.filter(_._2 <= mid).map(_._3)
+      val live = xs.filter(_._2 > mid).map(_._3)
+      var wins2 = 0L
+      live.foreach { l => ref.foreach { r =>
+        if (l > r) wins2 += 2L else if (l == r) wins2 += 1L
+      } }
+      val d = 2L * ref.length * live.length
+      val auc = if (d == 0L) null
+        else java.lang.Long.valueOf((wins2 / d) * 1000000L + (wins2 % d) * 1000000L / d)
+      (t, ref.length.toLong, live.length.toLong, wins2, auc)
+    }
+    val got = Relational.q84MannWhitney(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else java.lang.Long.valueOf(r.getLong(4)))).toSeq
+    assert(got == model, s"U divergence: $got vs $model")
+    // sanity: AUC ppm in [0, 1e6]; both halves populated at this SF
+    assert(got.forall(r => r._5 != null && r._5 >= 0L && r._5 <= 1000000L))
+  }
+
   test("report_source_overlap == driver brute force (tokenize, shingle, intersect)") {
     val s = spark
     import s.implicits._
