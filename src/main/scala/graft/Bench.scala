@@ -125,6 +125,8 @@ object Bench {
         (() => StreamingBench.gapsPipeline(spark, sfDir)),
       "streaming_gaps_watermarked" ->
         (() => StreamingBench.gapsWatermarkedPipeline(spark, sfDir)),
+      "streaming_auc" ->
+        (() => StreamingBench.aucPipeline(spark, sfDir)),
       "streaming_ewma" ->
         (() => StreamingBench.ewmaPipeline(spark, sfDir)),
       "streaming_funnel_latency" ->

@@ -141,6 +141,7 @@ object StreamingBench {
         "streaming_daily_close"))
       profileRows(spark, sfDir)
     if (any("streaming_gaps_watermarked")) gapsWmExpected(spark, sfDir)
+    if (any("streaming_auc")) aucSeed(spark, sfDir)
     if (any("streaming_recent_rocksdb")) transRows(spark, sfDir)
     if (any("streaming_transitions", "streaming_paths", "streaming_paths_agg",
         "streaming_funnel", "streaming_retention",
@@ -171,6 +172,7 @@ object StreamingBench {
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
     trainedBudgetMemo.clear(); deepBpeMemo.clear(); curationMemo.clear()
+    aucMemo.clear()
     profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
     progressLog.clear()
@@ -902,6 +904,43 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "drift")(
         requireCount("drift", expected)))
+  }
+
+  /** Frozen reference + live feed + exact touched-type model for
+    * [[aucPipeline]] (untimed prepare — the reference distribution is
+    * the training-time artifact, the StreamingDrift discipline). */
+  private val aucMemo = scala.collection.mutable.Map.empty[String,
+    (Map[String, graft.streaming.StreamingAuc.RefDist],
+      Array[graft.streaming.StreamingProfile.PEv], Long)]
+
+  private def aucSeed(spark: SparkSession, sfDir: String):
+      (Map[String, graft.streaming.StreamingAuc.RefDist],
+        Array[graft.streaming.StreamingProfile.PEv], Long) =
+    aucMemo.getOrElseUpdate(sfDir, {
+      val ref = graft.streaming.StreamingAuc.referenceFrom(spark, sfDir)
+      val live = graft.streaming.StreamingDrift.liveHalf(spark, sfDir)
+      val (b1, b2) = live.toIndexedSeq.splitAt(live.length / 2)
+      val expected =
+        Seq(b1, b2).map(_.map(_.event_type).toSet.size).sum.toLong
+      (ref, live, expected)
+    })
+
+  /** Live AUC / Mann-Whitney monitor (the q84 streaming side): the
+    * live half streams against the frozen reference distribution in
+    * two micro-batches — two longs of state per type. Exact count
+    * model: one cumulative row per (touched type, batch); the final
+    * rows are bit-equal to batch q84 (StreamingAucSpec pins that). */
+  def aucPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (ref, live, expected) = aucSeed(spark, sfDir)
+    val batches = live.toIndexedSeq.splitAt(live.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+    val out = graft.streaming.StreamingAuc.auc(stream.toDS(), ref)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "auc")(
+        requireCount("auc", expected)))
   }
 
   /** Stacked daily-close → EWMA feed (the q75 streaming side): two
