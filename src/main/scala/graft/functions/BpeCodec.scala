@@ -15,10 +15,16 @@ package graft.functions
   * containing the new symbol can only have been learned after the
   * symbol existed) and can never re-create (l, r) itself (new
   * adjacencies all contain the strictly-longer lr). The constructor
-  * VALIDATES that rank-monotone property loudly — every side must be a
-  * single codepoint or the product of an earlier rule — instead of
-  * silently diverging on a hand-built table the equivalence doesn't
-  * cover. Cost per token: O(passes·len) pair scans with hash lookups,
+  * VALIDATES the two properties that argument actually needs, loudly,
+  * instead of silently diverging on a hand-built table the
+  * equivalence doesn't cover: (1) every side is a single codepoint or
+  * the product of an earlier rule (rank-monotonicity), and (2) no two
+  * rules concatenate to the same symbol string — with a duplicate
+  * product like (a,bc) and (ab,c) both making "abc", a rule keyed on
+  * "abc" could validate against the EARLIER producer while the symbol
+  * is created at runtime by the LATER one, re-opening the
+  * lower-rank-pair-appears-late hole that breaks loop≡fold. Cost per
+  * token: O(passes·len) pair scans with hash lookups,
   * passes ≤ len — independent of K, so a 50k-merge production table
   * encodes at the same per-token price as the 24-merge gate table.
   * Equivalence is differential-pinned against the HOF fold and the
@@ -35,6 +41,11 @@ final class BpeCodec(val merges: IndexedSeq[(String, String)]) extends Serializa
           "a single codepoint or the product of an earlier merge — the " +
           "lowest-rank encode loop only equals the rank-order fold for " +
           "tables a BPE trainer produced")
+      require(!produced(l + r),
+        s"two merge rules produce the same symbol '${l + r}': a side keyed " +
+          "on it could validate against the earlier producer while the " +
+          "later one creates it at runtime, breaking the loop≡fold " +
+          "equivalence — BPE vocab entries must be unique")
       produced += (l + r)
     }
   }

@@ -117,10 +117,11 @@ object StreamingGaps {
     *
     * State per user: the ripening buffer — O(arrival rate × delay),
     * the price of reordering; watermark-bounded, never stream-length —
-    * plus the (last us, last event_id) pair. An event-time timer set
-    * to the newest buffered event flushes users the feed went quiet
-    * on as soon as the watermark passes them (no new per-user data
-    * needed), so the buffered tail is exactly the sub-`delay` horizon.
+    * plus the (last us, last event_id) pair. An event-time timer armed
+    * on the OLDEST buffered event flushes users the feed went quiet
+    * on as soon as the watermark ripens their next gap (no new
+    * per-user data needed), so the buffered tail is exactly the
+    * sub-`delay` horizon.
     * Spec-pinned against the batch model on a deliberately
     * cross-batch-disordered feed in StreamingGapsSpec. */
   case class PendingEv(us: Long, event_id: Long, event_type: String)

@@ -101,10 +101,17 @@ class BpeDeepSpec extends SparkTestBase {
     val bad = Seq(("xy", "z"))
     val e = intercept[IllegalArgumentException](BpeCodec(bad))
     assert(e.getMessage.contains("rank-monotone"))
-    // duplicates refuse too
+    // an exactly-duplicated rule refuses (caught by the product check)
     val dup = Seq(("a", "b"), ("a", "b"))
     assert(intercept[IllegalArgumentException](BpeCodec(dup))
-      .getMessage.contains("duplicate"))
+      .getMessage.contains("same symbol"))
+    // duplicate PRODUCTS refuse: (a,bc) and (ab,c) both make "abc", so
+    // a rule keyed on "abc" could see it created by EITHER — the
+    // rank-order argument breaks (see scaladoc); the codec must refuse
+    // rather than risk loop≠fold
+    val dupProduct = Seq(("b", "c"), ("a", "bc"), ("a", "b"), ("ab", "c"))
+    assert(intercept[IllegalArgumentException](BpeCodec(dupProduct))
+      .getMessage.contains("same symbol"))
     // and the happy path builds: each side single-codepoint or produced
     BpeCodec(Seq(("x", "y"), ("xy", "z")))
   }
