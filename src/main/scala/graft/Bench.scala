@@ -151,6 +151,8 @@ object Bench {
         (() => StreamingBench.ingestCardPipeline(spark, sfDir)),
       "streaming_token_budget_trained" ->
         (() => StreamingBench.tokenBudgetTrainedPipeline(spark, sfDir)),
+      "streaming_packing" ->
+        (() => StreamingBench.packingPipeline(spark, sfDir)),
       "bpe_encode_deep" ->
         (() => StreamingBench.deepBpePipeline(spark, sfDir)),
       "streaming_curation" ->

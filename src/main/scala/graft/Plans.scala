@@ -115,7 +115,8 @@ object Plans {
     "report_source_overlap", // (source, md5-pair) distinct + bounded-fan-out self-join
     "q82_survival",        // one user exchange -> tiny lifetime histogram windows
     "q83_ks_test",         // (type, cents) map-side fold + per-type CDF windows
-    "q84_mann_whitney")    // q83's fold reused for doubled-midrank U/AUC algebra
+    "q84_mann_whitney",    // q83's fold reused for doubled-midrank U/AUC algebra
+    "report_drift_panel")  // composed panel: checkpointed shared fold + q79 branch
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

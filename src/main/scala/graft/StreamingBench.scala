@@ -131,7 +131,8 @@ object StreamingBench {
     }
     if (any("streaming_incremental_dedup")) incDedupSeed(spark, sfDir)
     if (any("streaming_token_budget", "streaming_ingest_card",
-        "streaming_token_budget_trained")) tokenBudgetSeed(spark, sfDir)
+        "streaming_token_budget_trained", "streaming_packing"))
+      tokenBudgetSeed(spark, sfDir)
     if (any("streaming_token_budget_trained")) trainedBudgetSeed(spark, sfDir)
     if (any("bpe_encode_deep")) deepBpeSeed(spark, sfDir)
     if (any("streaming_curation")) curationSeed(spark, sfDir)
@@ -1692,6 +1693,25 @@ object StreamingBench {
     withStatePartitions(spark, 4)(
       runTwoBatches(spark, stream, out, (b1, b2),
         "curation")(requireCount("curation", expected)))
+  }
+
+  /** Live sequence packing: the whole documents table through the
+    * per-source offset/seq-id assignment reduce in two micro-batches —
+    * O(#sources) state. Exact count model: one assignment per doc;
+    * per-group equality with the batch gate is spec-pinned in
+    * StreamingPackingSpec. */
+  def packingPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (docs, _) = tokenBudgetSeed(spark, sfDir)
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingTokenBudget.DocIn]
+    val out = graft.streaming.StreamingPacking.assignments(stream.toDS())
+      .select("doc_id")
+    withStatePartitions(spark, 4)(
+      runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
+        "packing")(requireCount("packing", docs.length.toLong)))
   }
 
   /** Deep merge table + exact sampled model for [[deepBpePipeline]]

@@ -2903,22 +2903,37 @@ object Relational {
     * combined: |type|·|distinct cents| rows out); the CDF windows run
     * per type over that folded frame — the q78 rank-machinery cost, on
     * a smaller frame. The split point is the q79 1-row broadcast. */
-  def q83KsTest(s: SparkSession, dir: String): DataFrame = {
+  /** The shared reference/live VALUE FOLD of the binning-free drift
+    * family (q83 KS, q84 U/AUC, and the composed panel): one
+    * map-side-combined (event_type, cents) aggregate with per-half
+    * counts, split on the q79 one-row broadcast midpoint. At 100 TB
+    * this is ONE scan of the fact collapsing to |type|·|distinct
+    * cents| rows — every statistic below it runs on the folded frame. */
+  private[graft] def typeCentsSplitFold(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("event_type"),
         expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
-    // distinct cents per type after the groupBy → the CDF window's
-    // (cents) order is total within a type
-    val wCdf = Window.partitionBy("event_type").orderBy("cents")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy("event_type")
     ev.crossJoin(broadcast(mid))
       .groupBy(col("event_type"), col("cents"))
       .agg(
         sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("c_ref"),
         sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("c_live"))
+  }
+
+  def q83KsTest(s: SparkSession, dir: String): DataFrame =
+    ksOf(typeCentsSplitFold(s, dir))
+
+  /** KS over an already-folded (event_type, cents, c_ref, c_live)
+    * frame. */
+  private[graft] def ksOf(fold: DataFrame): DataFrame = {
+    // distinct cents per type after the groupBy → the CDF window's
+    // (cents) order is total within a type
+    val wCdf = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    fold
       .withColumn("cum_ref", sum(col("c_ref")).over(wCdf))
       .withColumn("cum_live", sum(col("c_live")).over(wCdf))
       .withColumn("n_ref", sum(col("c_ref")).over(wTot))
@@ -2954,20 +2969,16 @@ object Relational {
     * Scale shape: identical to q83 — one map-side-combined
     * (type, cents) fold, per-type windows over the folded frame, a
     * 1-row broadcast split point. */
-  def q84MannWhitney(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"),
-        expr("datediff(to_date(ts), DATE '1970-01-01')").cast("long").as("day"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val mid = ev.agg(expr("(min(day) + max(day)) div 2").as("mid"))
+  def q84MannWhitney(s: SparkSession, dir: String): DataFrame =
+    aucOf(typeCentsSplitFold(s, dir))
+
+  /** U/AUC over an already-folded (event_type, cents, c_ref, c_live)
+    * frame. */
+  private[graft] def aucOf(fold: DataFrame): DataFrame = {
     val wCdf = Window.partitionBy("event_type").orderBy("cents")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy("event_type")
-    ev.crossJoin(broadcast(mid))
-      .groupBy(col("event_type"), col("cents"))
-      .agg(
-        sum(when(col("day") <= col("mid"), 1L).otherwise(0L)).as("c_ref"),
-        sum(when(col("day") > col("mid"), 1L).otherwise(0L)).as("c_live"))
+    fold
       // both window columns in ONE select (CollapseWindow discipline)
       .select(col("event_type"), col("c_ref"), col("c_live"),
         sum(col("c_ref") + col("c_live")).over(wCdf).as("cum_le"),
@@ -2985,6 +2996,32 @@ object Relational {
           |  (u_live_x2 div (2 * n_ref * n_live)) * 1000000
           |    + ((u_live_x2 % (2 * n_ref * n_live)) * 1000000)
           |      div (2 * n_ref * n_live) END AS auc_ppm""".stripMargin)
+      .orderBy("event_type")
+  }
+
+  /** REPORT — DRIFT PANEL: the whole drift-test family as ONE frame
+    * per event type — chi-square over frozen decile bins (composition
+    * shift), KS (CDF shape), and U/AUC (stochastic dominance + effect
+    * size) — the monitoring card a deployed model's dashboard actually
+    * renders, composed from the SAME pieces the individual gates pin
+    * (the curation_pipeline fusion discipline: compose, don't
+    * re-derive).
+    *
+    * Scale shape: the binning-free pair (KS, AUC) shares ONE
+    * [[typeCentsSplitFold]] corpus scan — the folded frame is
+    * |type|·|distinct cents| rows, localCheckpointed so its two
+    * statistic branches never re-scan the fact; the chi-square side is
+    * the q79 plan (its decile-bound machinery needs the raw ref half's
+    * event ranks, not just value counts). Two fact scans total for
+    * three statistics; the final joins carry |type| rows. */
+  def reportDriftPanel(s: SparkSession, dir: String): DataFrame = {
+    val fold = typeCentsSplitFold(s, dir).localCheckpoint()
+    val ks = ksOf(fold)
+      .select(col("event_type"), col("n_ref"), col("n_live"), col("ks_ppm"))
+    val auc = aucOf(fold)
+      .select(col("event_type"), col("u_live_x2"), col("auc_ppm"))
+    val chi = q79DriftChisq(s, dir).select(col("event_type"), col("chisq_ppm"))
+    ks.join(auc, "event_type").join(chi, "event_type")
       .orderBy("event_type")
   }
 
@@ -3157,6 +3194,7 @@ object Relational {
     "q82_survival"          -> (q82Survival _),
     "q83_ks_test"           -> (q83KsTest _),
     "q84_mann_whitney"      -> (q84MannWhitney _),
+    "report_drift_panel"    -> (reportDriftPanel _),
     "dq_checks"             -> (dqChecks _),
   )
 }

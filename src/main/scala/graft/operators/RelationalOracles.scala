@@ -887,6 +887,95 @@ object RelationalOracles {
         |        // (2 * n_ref * n_live) AS BIGINT) END AS auc_ppm
         |FROM u ORDER BY event_type""".stripMargin,
 
+    // Composed drift panel: the q79/q83/q84 blocks as renamed CTEs over
+    // the SHARED e/m split, joined per type (the curation_pipeline
+    // composed-oracle discipline)
+    "report_drift_panel" -> {
+      import graft.operators.Relational.QuantileBinCount
+      s"""WITH e AS (SELECT event_id, event_type,
+         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         |m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+         |ref AS (SELECT e.* FROM e, m WHERE day <= mid),
+         |live AS (SELECT e.* FROM e, m WHERE day > mid),
+         |rr AS (SELECT event_type, cents,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY cents, event_id) AS rn FROM ref),
+         |c AS (SELECT event_type, count(*) AS n FROM ref GROUP BY 1),
+         |t AS (SELECT event_type, k,
+         |    (n * k) // $QuantileBinCount AS target_rn
+         |  FROM c, range(1, $QuantileBinCount) s(k)),
+         |bounds AS (SELECT rr.event_type, t.k, rr.cents AS b
+         |  FROM rr JOIN t ON rr.event_type = t.event_type
+         |    AND rr.rn = t.target_rn),
+         |rb AS (SELECT r2.event_id, r2.event_type,
+         |    1 + count(*) FILTER (WHERE r2.cents > b.b) AS bin
+         |  FROM ref r2 JOIN bounds b ON r2.event_type = b.event_type
+         |  GROUP BY r2.event_id, r2.event_type),
+         |lb AS (SELECT l2.event_id, l2.event_type,
+         |    1 + count(*) FILTER (WHERE l2.cents > b.b) AS bin
+         |  FROM live l2 JOIN bounds b ON l2.event_type = b.event_type
+         |  GROUP BY l2.event_id, l2.event_type),
+         |rc AS (SELECT event_type, bin, count(*) AS r_c FROM rb GROUP BY 1, 2),
+         |oc AS (SELECT event_type, bin, count(*) AS o_c FROM lb GROUP BY 1, 2),
+         |tot AS (SELECT rt.event_type, rt.R, lt.L FROM
+         |    (SELECT event_type, CAST(sum(r_c) AS BIGINT) AS R
+         |      FROM rc GROUP BY 1) rt
+         |  JOIN (SELECT event_type, CAST(sum(o_c) AS BIGINT) AS L
+         |      FROM oc GROUP BY 1) lt ON rt.event_type = lt.event_type),
+         |j AS (SELECT event_type, bin,
+         |    coalesce(r_c, 0) AS r_c, coalesce(o_c, 0) AS o_c
+         |  FROM rc FULL OUTER JOIN oc USING (event_type, bin)),
+         |f AS (SELECT j.event_type, r_c, o_c, R, L,
+         |    (L * r_c) // R AS e
+         |  FROM j JOIN tot USING (event_type)),
+         |chi AS (SELECT event_type,
+         |    CAST(sum(${Relational.chisqCellSql("o_c", "e", "//")})
+         |      AS BIGINT) AS chisq_ppm
+         |  FROM f GROUP BY 1),
+         |vc AS (SELECT event_type, cents,
+         |    CAST(sum(CASE WHEN day <= mid THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+         |    CAST(sum(CASE WHEN day > mid THEN 1 ELSE 0 END) AS BIGINT) AS c_live
+         |  FROM e, m GROUP BY 1, 2),
+         |kk AS (SELECT event_type,
+         |    sum(c_ref) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ref,
+         |    sum(c_live) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_live,
+         |    sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         |    sum(c_live) OVER (PARTITION BY event_type) AS n_live
+         |  FROM vc),
+         |ks AS (SELECT event_type,
+         |    CAST(max(n_ref) AS BIGINT) AS n_ref,
+         |    CAST(max(n_live) AS BIGINT) AS n_live,
+         |    CAST(max(abs((cum_ref * 1000000) // greatest(n_ref, 1)
+         |      - (cum_live * 1000000) // greatest(n_live, 1))) AS BIGINT)
+         |      AS ks_ppm
+         |  FROM kk GROUP BY 1),
+         |uw AS (SELECT event_type, c_ref, c_live,
+         |    sum(c_ref + c_live) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_le,
+         |    sum(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+         |    sum(c_live) OVER (PARTITION BY event_type) AS n_live
+         |  FROM vc),
+         |ua AS (SELECT event_type, CAST(max(n_ref) AS BIGINT) AS n_ref,
+         |    CAST(max(n_live) AS BIGINT) AS n_live,
+         |    CAST(sum(c_live * (2 * cum_le - (c_ref + c_live) + 1)) AS BIGINT)
+         |      AS r_live_x2
+         |  FROM uw GROUP BY 1),
+         |uu AS (SELECT event_type, n_ref, n_live,
+         |    r_live_x2 - n_live * (n_live + 1) AS u_live_x2 FROM ua)
+         |SELECT ks.event_type, ks.n_ref, ks.n_live, ks.ks_ppm,
+         |  uu.u_live_x2,
+         |  CASE WHEN uu.n_ref = 0 OR uu.n_live = 0 THEN NULL ELSE
+         |    CAST((u_live_x2 // (2 * uu.n_ref * uu.n_live)) * 1000000
+         |      + ((u_live_x2 % (2 * uu.n_ref * uu.n_live)) * 1000000)
+         |        // (2 * uu.n_ref * uu.n_live) AS BIGINT) END AS auc_ppm,
+         |  chi.chisq_ppm
+         |FROM ks JOIN uu USING (event_type) JOIN chi USING (event_type)
+         |ORDER BY event_type""".stripMargin
+    },
+
     // Survival table: closed-window KM collapses to exact count
     // ratios — lifetime histogram + reverse-cumulative at-risk counts
     "q82_survival" ->

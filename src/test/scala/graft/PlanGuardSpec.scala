@@ -75,7 +75,9 @@ class PlanGuardSpec extends SparkTestBase {
     // q83 uses q79's midpoint split (the same one-row broadcast)
     "q83_ks_test",
     // q84 uses the same one-row midpoint split as q79/q83
-    "q84_mann_whitney")
+    "q84_mann_whitney",
+    // the composed panel carries q79's midpoint split in its chi branch
+    "report_drift_panel")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =

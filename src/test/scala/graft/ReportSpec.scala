@@ -94,6 +94,27 @@ class ReportSpec extends SparkTestBase {
     assert(got.forall(r => r._5 != null && r._5 >= 0L && r._5 <= 1000000L))
   }
 
+  test("report_drift_panel == the three drift gates joined (composition, not re-derivation)") {
+    import org.apache.spark.sql.functions.col
+    val panel = Relational.reportDriftPanel(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val chi = Relational.q79DriftChisq(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ks = Relational.q83KsTest(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val auc = Relational.q84MannWhitney(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(panel.map(_._1).toSet == chi.keySet && panel.nonEmpty)
+    panel.foreach { case (t, nRef, nLive, ksPpm, uX2, aucPpm, chisq) =>
+      val (cRef, cLive, cChisq) = chi(t)
+      assert((nRef, nLive) == (cRef, cLive), s"$t margins")
+      assert(chisq == cChisq, s"$t chisq")
+      assert(ksPpm == ks(t), s"$t ks")
+      assert((uX2, aucPpm) == auc(t), s"$t auc")
+    }
+  }
+
   test("report_source_overlap == driver brute force (tokenize, shingle, intersect)") {
     val s = spark
     import s.implicits._
