@@ -153,6 +153,8 @@ object Bench {
         (() => StreamingBench.tokenBudgetTrainedPipeline(spark, sfDir)),
       "streaming_packing" ->
         (() => StreamingBench.packingPipeline(spark, sfDir)),
+      "streaming_ttl_hotkey" ->
+        (() => StreamingBench.ttlHotKeyPipeline(spark, sfDir)),
       "bpe_encode_deep" ->
         (() => StreamingBench.deepBpePipeline(spark, sfDir)),
       "streaming_curation" ->

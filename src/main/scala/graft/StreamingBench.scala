@@ -136,6 +136,7 @@ object StreamingBench {
     if (any("streaming_token_budget_trained")) trainedBudgetSeed(spark, sfDir)
     if (any("bpe_encode_deep")) deepBpeSeed(spark, sfDir)
     if (any("streaming_curation")) curationSeed(spark, sfDir)
+    if (any("streaming_ttl_hotkey")) hotKeyFeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
@@ -173,6 +174,7 @@ object StreamingBench {
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
     trainedBudgetMemo.clear(); deepBpeMemo.clear(); curationMemo.clear()
+    hotKeyMemo.clear()
     aucMemo.clear()
     profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
@@ -473,6 +475,55 @@ object StreamingBench {
 
   def ttlPipelineRocksDB(spark: SparkSession, sfDir: String): Unit =
     withRocksDB(spark)(ttlPipeline(spark, sfDir))
+
+  /** Hot-key feed for [[ttlHotKeyPipeline]]: the WHOLE events table
+    * remapped onto ONE user key, event-time-sorted, pre-sliced into
+    * [[HotKeySlices]] bounded admission chunks (memoized — the sort is
+    * feed preparation, not engine work). */
+  private val hotKeyMemo =
+    scala.collection.mutable.Map.empty[String, Seq[IndexedSeq[BEv]]]
+  private val HotKeySlices = 8
+
+  private def hotKeyFeed(spark: SparkSession, sfDir: String): Seq[IndexedSeq[BEv]] =
+    hotKeyMemo.getOrElseUpdate(sfDir, {
+      val hot = eventRows(spark, sfDir)
+        .map(e => e.copy(user_id = 1L))
+        .sortBy(e => (micros(e.ts), e.event_id))
+      val slice = math.max(1, (hot.length + HotKeySlices - 1) / HotKeySlices)
+      hot.grouped(slice).map(_.toIndexedSeq).toSeq
+    })
+
+  /** HOT-KEY PROBE for the event-time TTL kernel's one documented
+    * memory bound: the kernel buffers ONE KEY'S slice of ONE
+    * micro-batch for its in-kernel event-time sort
+    * (MapWithStateTTL.scala:137-143), so the envelope under a
+    * pathological key is set by ADMISSION, not by the key's history.
+    * This line drives the ENTIRE corpus through a single key in
+    * [[HotKeySlices]] bounded micro-batches — each `addData` chunk is
+    * one admission unit, the MemoryStream stand-in for a rate-limited
+    * source's `maxOffsetsPerTrigger` — and the recorded per-batch
+    * `trigger_ms` progress IS the measurement: peak batch duration
+    * stays proportional to the slice, flat across batches (no
+    * history-sized growth), while state holds one (sum, lastSeen)
+    * envelope. Exact count model: the fold emits one row per event.
+    * Slices are globally event-time ordered, so the 0-second watermark
+    * never drops a row and the count is exact. */
+  def ttlHotKeyPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val slices = hotKeyFeed(spark, sfDir)
+    val total = slices.iterator.map(_.length.toLong).sum
+    val stream = MemoryStream[BEv]
+    val out = MapWithStateTTL.eventTime(
+      stream.toDS().withWatermark("ts", "0 seconds"),
+      ttl = 30.minutes, defaultState = 0L)(
+      _.user_id, e => micros(e.ts), _.event_id)(
+      (k, in, sum) => { val s2 = sum + in.cents; ((in.event_id, k, s2), s2) })
+    withStatePartitions(spark, 4)(
+      runBatches(spark, stream, out, slices, "ttl_hotkey")(
+        requireCount("ttl_hotkey", total)))
+  }
 
   /** The flagship pipeline on the Spark-4 `transformWithState` API
     * (MapWithStateTWS) — same feed, same running-sum kernel, same

@@ -44,6 +44,14 @@ class StreamingBenchSpec extends SparkTestBase {
     StreamingBench.topKPipeline(spark, "/root/testdata/sf0.001")
   }
 
+  test("hot-key TTL probe emits exactly one row per event through a single key") {
+    // the whole corpus through ONE key in bounded admission slices;
+    // requireCount throws if the watermark drops a row (the slices'
+    // global event-time order is the contract this pins) or the fold
+    // emits anything but one row per event
+    StreamingBench.ttlHotKeyPipeline(spark, "/root/testdata/sf0.001")
+  }
+
   test("interval-join pipeline's exact expected pair count matches the stream") {
     // requireCount inside the pipeline throws if the streamed join emits
     // a different pair set than the driver-side binary-search count —
