@@ -905,4 +905,129 @@ object Similarity {
       .withColumn("sim", sim(col("qv"), col("cv")))
     ranked(joined)
   }
+
+  // ---------------------------------------------------------------------
+  // Top principal component via fixed-point power iteration — the
+  // spectral diagnostic a training-data pipeline runs over its embedding
+  // column (dominant direction + per-class projection separability).
+  //
+  // All arithmetic is BIGINT fixed-point so the iteration is
+  // order-independent and hash-exact cross-engine (the q61 PageRank
+  // recipe): embeddings quantize at [[PcaEScale]], the iterate is
+  // renormalized to max-abs [[PcaXScale]] each round, and every division
+  // runs as sign * (abs div d) so Spark's truncating `div` and DuckDB's
+  // flooring `//` agree on negatives.
+  //
+  // Scale shape (100 TB): each iteration is ONE scan of the quantized
+  // frame collapsing map-side into a single 64-sum row (classic
+  // all-reduce — no shuffle wider than the 1-row aggregate); the
+  // iterate itself is a 64-long driver vector re-broadcast as literals.
+  // The per-row contribution is bounded by |sdot·e| ≤ (64·EScale·XScale
+  // / PcaDotShift)·EScale ≈ 3.9e9, so the BIGINT sums hold to ~2.4e9
+  // rows per partition-tree leaf — beyond that, raise PcaDotShift.
+  // ---------------------------------------------------------------------
+
+  val PcaDim = 64
+  val PcaIters = 6
+  val PcaEScale = 1000L
+  val PcaXScale = 1000000L
+  val PcaDotShift = 4096L
+
+  /** Quantized embedding frame: `e` = round(embedding · EScale) as
+    * array<bigint>. localCheckpointed — each of the [[PcaIters]]
+    * iteration jobs re-reads the materialized integers, not the
+    * parquet + HOF transform. */
+  private def pcaFrame(s: SparkSession, dir: String): DataFrame =
+    pcaFrameMemo.synchronized {
+      pcaFrameMemo.getOrElseUpdate((org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir), {
+        val emb = Tables.embeddings(s, dir)
+        val d = emb.select(max(size(col("embedding")))).head().getInt(0)
+        require(d == PcaDim,
+          s"embedding dim $d != PcaDim $PcaDim — update PcaDim AND the oracle's range(1, ${PcaDim + 1})")
+        emb.select(
+          col("vec_id"), col("label"),
+          expr(s"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $PcaEScale) AS BIGINT))")
+            .as("e"))
+          .localCheckpoint()
+      })
+    }
+
+  private val pcaFrameMemo =
+    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+
+  /** Σ_j e_j·x_j as an explicit 64-term codegen expression (no HOF in
+    * the per-iteration hot path). */
+  private def pcaDot(x: Array[BigInt]): Column =
+    (1 to PcaDim).map(j => element_at(col("e"), j) * lit(x(j - 1).toLong))
+      .reduce(_ + _)
+
+  /** The power iteration: x₀ = [XScale]^dim; per round dot → scaled
+    * sign-safe shift → per-dim sums (one 1-row aggregate) → driver-side
+    * BigInt renormalization. Returns (final iterate, final gain) where
+    * gain = max|y| of the last round — the un-normalized growth of a
+    * max-abs-XScale input, a deterministic eigenvalue proxy. */
+  private[graft] def pcaPowerTrain(s: SparkSession, dir: String): (Array[BigInt], BigInt) =
+    pcaMemo.synchronized {
+      pcaMemo.getOrElseUpdate((org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir), {
+        val e = pcaFrame(s, dir)
+        var x = Array.fill(PcaDim)(BigInt(PcaXScale))
+        var gain = BigInt(1)
+        for (_ <- 1 to PcaIters) {
+          val withDot = e.select(col("e"), pcaDot(x).as("dot"))
+            .select(col("e"), expr(
+              s"CASE WHEN dot < 0 THEN -((-dot) DIV $PcaDotShift) ELSE dot DIV $PcaDotShift END")
+              .as("sdot"))
+          val row = withDot.agg(
+            sum(element_at(col("e"), 1) * col("sdot")).as("y1"),
+            (2 to PcaDim).map(j =>
+              sum(element_at(col("e"), j) * col("sdot")).as(s"y$j")): _*).head()
+          val y = (0 until PcaDim).map(i => BigInt(row.getLong(i))).toArray
+          gain = y.map(_.abs).max.max(BigInt(1))
+          x = y.map(v => BigInt(v.signum) * (v.abs * PcaXScale / gain))
+        }
+        (x, gain)
+      })
+    }
+
+  private val pcaMemo =
+    scala.collection.mutable.Map.empty[(String, String), (Array[BigInt], BigInt)]
+
+  /** EMBED — TOP PRINCIPAL COMPONENT: the dominant direction of the
+    * embedding corpus as [[PcaDim]] fixed-point loadings (max-abs =
+    * [[PcaXScale]]) plus the final-round gain. The frame is driver-built
+    * from the trained iterate (the codebook precedent: training state is
+    * bounded, 64 longs — never corpus-sized). */
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val (x, gain) = pcaPowerTrain(s, dir)
+    x.zipWithIndex
+      .map { case (v, i) => (i + 1L, v.toLong, gain.toLong) }.toSeq
+      .toDF("dim", "loading", "gain")
+      .orderBy("dim")
+  }
+
+  /** EMBED — PER-CLASS PC1 PROJECTION: every vector's projection onto
+    * the trained component, aggregated per label (count, sign-safe mean,
+    * min, max) — the separability/drift card: classes whose projection
+    * bands separate are linearly distinguishable along the corpus's own
+    * dominant axis. One scan of the quantized frame, one |labels|-row
+    * exchange. */
+  def embedPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val (x, _) = pcaPowerTrain(s, dir)
+    pcaFrame(s, dir)
+      .select(col("label"), pcaDot(x).as("proj"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("proj")).as("sum_proj"),
+        min(col("proj")).as("min_proj"),
+        max(col("proj")).as("max_proj"))
+      .select(
+        col("label"), col("n"),
+        expr("CASE WHEN sum_proj < 0 THEN -((-sum_proj) DIV n) ELSE sum_proj DIV n END")
+          .as("mean_proj"),
+        col("min_proj"), col("max_proj"))
+      .orderBy("label")
+  }
 }

@@ -1644,7 +1644,75 @@ object ExtensionOracles {
       |                ELSE embedding[i+1] END)
       |  FROM embeddings WHERE vec_id % 9 = 0)""".stripMargin
 
+  /** Unrolled fixed-point power-iteration CTE chain shared by the two
+    * embed_pca gates — one (d, s, y, m, x) block per round, every frame
+    * MATERIALIZED (y is referenced twice per round; non-materialized
+    * CTEs re-referenced each round explode exponentially — the BPE
+    * trainer lesson). Divisions are sign-safe (abs // d) so DuckDB's
+    * flooring `//` matches Spark's truncating `DIV` on negatives. */
+  private def pcaIterCtes: String = {
+    import graft.functions.Similarity.{PcaDim, PcaIters, PcaEScale, PcaXScale, PcaDotShift}
+    val sb = new StringBuilder
+    sb.append(
+      s"""el AS MATERIALIZED (
+         |  SELECT vec_id, label, j,
+         |    CAST(round(CAST(embedding[j] AS DOUBLE) * $PcaEScale) AS BIGINT) AS e
+         |  FROM embeddings, range(1, ${PcaDim + 1}) t(j)),
+         |x0 AS (SELECT j, CAST($PcaXScale AS BIGINT) AS x
+         |  FROM range(1, ${PcaDim + 1}) t(j))""".stripMargin)
+    for (k <- 1 to PcaIters) {
+      sb.append(",\n")
+      sb.append(
+        s"""d$k AS MATERIALIZED (
+           |  SELECT vec_id, CAST(sum(e * x) AS BIGINT) AS dot
+           |  FROM el JOIN x${k - 1} USING (j) GROUP BY vec_id),
+           |s$k AS MATERIALIZED (SELECT vec_id,
+           |  CASE WHEN dot < 0 THEN -((-dot) // $PcaDotShift)
+           |       ELSE dot // $PcaDotShift END AS sdot FROM d$k),
+           |y$k AS MATERIALIZED (
+           |  SELECT j, CAST(sum(e * sdot) AS BIGINT) AS y
+           |  FROM el JOIN s$k USING (vec_id) GROUP BY j),
+           |m$k AS MATERIALIZED (SELECT greatest(max(abs(y)), 1) AS m FROM y$k),
+           |x$k AS MATERIALIZED (SELECT j,
+           |  CASE WHEN y < 0 THEN -CAST((CAST(-y AS HUGEINT) * $PcaXScale) // m AS BIGINT)
+           |       ELSE CAST((CAST(y AS HUGEINT) * $PcaXScale) // m AS BIGINT) END AS x
+           |  FROM y$k, m$k)""".stripMargin)
+    }
+    sb.toString
+  }
+
   val all: Map[String, String] = base ++ Map(
+    // fixed-point power iteration, unrolled round by round — loadings
+    // and final gain replayed exactly (every op is BIGINT with
+    // sign-safe division, so the chain is order-independent)
+    "embed_pca_power" -> {
+      val k = graft.functions.Similarity.PcaIters
+      s"""WITH $pcaIterCtes
+         |SELECT x$k.j AS dim, CAST(x$k.x AS BIGINT) AS loading,
+         |  CAST(m$k.m AS BIGINT) AS gain
+         |FROM x$k, m$k ORDER BY dim""".stripMargin
+    },
+
+    // per-class projection onto the trained component: same unrolled
+    // chain, then one projection fold per vector + a per-label rollup
+    "embed_pca_project" -> {
+      val k = graft.functions.Similarity.PcaIters
+      s"""WITH $pcaIterCtes,
+         |p AS (SELECT el.vec_id, el.label,
+         |    CAST(sum(e * x) AS BIGINT) AS proj
+         |  FROM el JOIN x$k USING (j) GROUP BY el.vec_id, el.label),
+         |q AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(proj) AS BIGINT) AS sp,
+         |    CAST(min(proj) AS BIGINT) AS min_proj,
+         |    CAST(max(proj) AS BIGINT) AS max_proj
+         |  FROM p GROUP BY label)
+         |SELECT label, n,
+         |  CAST(CASE WHEN sp < 0 THEN -((-sp) // n) ELSE sp // n END AS BIGINT)
+         |    AS mean_proj,
+         |  min_proj, max_proj
+         |FROM q ORDER BY label""".stripMargin
+    },
+
     // min-label propagation computes the same transitive closure as the
     // default star-contraction CC — one oracle serves both gate queries
     "dedup_components_minlabel" -> base("dedup_components"),

@@ -99,6 +99,12 @@ object Extensions {
     "sample_kcenter_ivf" -> ((s: SparkSession, dir: String) => Similarity.sampleKcenterIvf(s, dir)),
     "knn_join"         -> (Similarity.knnJoin _),
     "embed_centroids"  -> (Similarity.embedCentroids _),
+    // fixed-point power iteration (BIGINT all the way — the q61
+    // PageRank recipe applied to spectral analysis): one scan per round
+    // collapsing to a 64-sum all-reduce row; the iterate is 64 longs of
+    // driver state re-broadcast as literals
+    "embed_pca_power"   -> (Similarity.embedPcaPower _),
+    "embed_pca_project" -> (Similarity.embedPcaProject _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "pii_scrub"        -> (TextAnalysis.piiScrub _),
     "quality_repetition" -> (TextAnalysis.qualityRepetition _),
