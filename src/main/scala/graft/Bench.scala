@@ -155,6 +155,8 @@ object Bench {
         (() => StreamingBench.packingPipeline(spark, sfDir)),
       "streaming_ttl_hotkey" ->
         (() => StreamingBench.ttlHotKeyPipeline(spark, sfDir)),
+      "streaming_pca" ->
+        (() => StreamingBench.pcaPipeline(spark, sfDir)),
       "bpe_encode_deep" ->
         (() => StreamingBench.deepBpePipeline(spark, sfDir)),
       "streaming_curation" ->

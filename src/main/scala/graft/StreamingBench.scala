@@ -137,6 +137,7 @@ object StreamingBench {
     if (any("bpe_encode_deep")) deepBpeSeed(spark, sfDir)
     if (any("streaming_curation")) curationSeed(spark, sfDir)
     if (any("streaming_ttl_hotkey")) hotKeyFeed(spark, sfDir)
+    if (any("streaming_pca")) pcaSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
@@ -174,7 +175,7 @@ object StreamingBench {
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
     trainedBudgetMemo.clear(); deepBpeMemo.clear(); curationMemo.clear()
-    hotKeyMemo.clear()
+    hotKeyMemo.clear(); pcaBenchMemo.clear()
     aucMemo.clear()
     profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
@@ -1763,6 +1764,47 @@ object StreamingBench {
     withStatePartitions(spark, 4)(
       runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
         "packing")(requireCount("packing", docs.length.toLong)))
+  }
+
+  /** Frozen axis + collected feed + exact emission model for
+    * [[pcaPipeline]] (untimed prepare — axis training is the
+    * deploy-time artifact): the cumulative monitor emits one row per
+    * (touched label, micro-batch), so expected = Σ over batches of
+    * |labels present in that batch|. */
+  private val pcaBenchMemo = scala.collection.mutable.Map.empty[
+    String, (Array[Long], Array[graft.streaming.StreamingPca.VecIn], Long)]
+
+  private def pcaSeed(spark: SparkSession, sfDir: String)
+      : (Array[Long], Array[graft.streaming.StreamingPca.VecIn], Long) =
+    pcaBenchMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      val axis = graft.streaming.StreamingPca.axisFrom(spark, sfDir)
+      val vecs = graft.Tables.embeddings(spark, sfDir)
+        .select("vec_id", "label", "embedding")
+        .as[graft.streaming.StreamingPca.VecIn].collect()
+      val (b1, b2) = vecs.splitAt(vecs.length / 2)
+      val expected =
+        b1.map(_.label).distinct.length.toLong +
+        b2.map(_.label).distinct.length.toLong
+      (axis, vecs, expected)
+    })
+
+  /** Live PC1 projection-band monitor: the embeddings table through
+    * the frozen-axis band kernel in two micro-batches — O(1) state per
+    * label, final rows bit-equal to batch embed_pca_project
+    * (spec-pinned in StreamingPcaSpec). */
+  def pcaPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (axis, vecs, expected) = pcaSeed(spark, sfDir)
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingPca.VecIn]
+    val out = graft.streaming.StreamingPca.bands(stream.toDS(), axis)
+    withStatePartitions(spark, 4)(
+      runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
+        "pca")(requireCount("pca", expected)))
   }
 
   /** Deep merge table + exact sampled model for [[deepBpePipeline]]

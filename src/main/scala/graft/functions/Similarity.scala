@@ -1007,6 +1007,99 @@ object Similarity {
       .orderBy("dim")
   }
 
+  // ---------------------------------------------------------------------
+  // Distributed fixed-point Lloyd k-means — the clustering operator a
+  // curation pipeline uses for topic bucketing / mixture design. Same
+  // determinism recipe as the PCA above: quantized BIGINT vectors, all
+  // distances integer, argmin tie-break packed into the distance word,
+  // centroid updates via sign-safe truncating means — so the whole
+  // iteration replays exactly in DuckDB and the gate is hash-checkable
+  // (unlike the PQ/IVF trainers, whose float Lloyd is spec-pinned only).
+  //
+  // Scale shape (100 TB): per round ONE scan of the quantized frame —
+  // assignment is a per-row codegen expression against k broadcast
+  // literal centroids (no join), and the update collapses map-side into
+  // k·(dim+1) sums (a k-row all-reduce). Driver state is k·dim longs.
+  // ---------------------------------------------------------------------
+
+  val KmeansK = 8
+  val KmeansIters = 4
+
+  /** Packed assignment word: dist · 16 + cluster (dist ≤ dim·(2·EScale)²
+    * = 2.56e8 ≪ 2^59), so min() picks smallest distance THEN smallest
+    * cluster id — the deterministic tie-break both engines share. */
+  private def kmeansPacked(cents: Array[Array[Long]]): Column =
+    cents.zipWithIndex.map { case (c, i) =>
+      val dist = (1 to PcaDim).map { j =>
+        val d = element_at(col("e"), j) - lit(c(j - 1))
+        d * d
+      }.reduce(_ + _)
+      dist * lit(16L) + lit(i.toLong)
+    }.reduce(least(_, _))
+
+  /** The Lloyd loop: init = the quantized vectors with vec_id 0..k-1
+    * (hash-anchored, corpus-order-independent); per round one scan
+    * assigns via [[kmeansPacked]] and aggregates per-cluster count +
+    * dim sums; the driver computes sign-safe truncating means (an
+    * emptied cluster keeps its previous centroid). Returns the final
+    * centroids and the final assignment's cluster sizes. */
+  private[graft] def kmeansTrain(s: SparkSession, dir: String)
+      : (Array[Array[Long]], Array[Long]) =
+    kmeansMemo.synchronized {
+      kmeansMemo.getOrElseUpdate((org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir), {
+        val e = pcaFrame(s, dir)
+        val init = e.filter(col("vec_id") < KmeansK)
+          .select(col("vec_id"), col("e")).collect()
+          .sortBy(_.getLong(0))
+          .map(_.getSeq[Long](1).toArray)
+        require(init.length == KmeansK,
+          s"need vec_id 0..${KmeansK - 1} as k-means anchors, found ${init.length}")
+        var cents = init
+        var sizes = Array.fill(KmeansK)(0L)
+        for (_ <- 1 to KmeansIters) {
+          val assigned = e.select(col("e"),
+            (kmeansPacked(cents) % 16L).cast("int").as("cluster"))
+          val rows = assigned.groupBy(col("cluster"))
+            .agg(count(lit(1)).as("n"),
+              (1 to PcaDim).map(j => sum(element_at(col("e"), j)).as(s"s$j")): _*)
+            .collect()
+          sizes = Array.fill(KmeansK)(0L)
+          val next = cents.map(_.clone())
+          rows.foreach { r =>
+            val c = r.getInt(0)
+            val n = r.getLong(1)
+            sizes(c) = n
+            var j = 0
+            while (j < PcaDim) {
+              val sum = r.getLong(2 + j)
+              next(c)(j) = if (sum < 0) -((-sum) / n) else sum / n
+              j += 1
+            }
+          }
+          cents = next
+        }
+        (cents, sizes)
+      })
+    }
+
+  private val kmeansMemo = scala.collection.mutable.Map
+    .empty[(String, String), (Array[Array[Long]], Array[Long])]
+
+  /** EMBED — K-MEANS CLUSTERS: the trained centroid table (cluster,
+    * dim, c in EScale units) plus the final assignment's cluster size —
+    * k·dim rows of driver-built output (the codebook precedent). */
+  def embedKmeans(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val (cents, sizes) = kmeansTrain(s, dir)
+    (for {
+      c <- 0 until KmeansK
+      j <- 0 until PcaDim
+    } yield (c.toLong, j + 1L, cents(c)(j), sizes(c)))
+      .toDF("cluster", "dim", "c", "n_vectors")
+      .orderBy("cluster", "dim")
+  }
+
   /** EMBED — PER-CLASS PC1 PROJECTION: every vector's projection onto
     * the trained component, aggregated per label (count, sign-safe mean,
     * min, max) — the separability/drift card: classes whose projection

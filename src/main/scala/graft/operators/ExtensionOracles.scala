@@ -1681,7 +1681,60 @@ object ExtensionOracles {
     sb.toString
   }
 
+  /** Unrolled fixed-point Lloyd chain for embed_kmeans — per round a
+    * (d, a, g, c) block: pairwise integer distances, packed-min
+    * assignment (dist·16 + cluster ties to the smaller id), per-cluster
+    * sums, sign-safe truncating means with carry-forward for emptied
+    * clusters. Every frame MATERIALIZED (each is re-referenced). */
+  private def kmeansCtes: String = {
+    import graft.functions.Similarity.{PcaDim, PcaEScale, KmeansK, KmeansIters}
+    val sb = new StringBuilder
+    sb.append(
+      s"""el AS MATERIALIZED (
+         |  SELECT vec_id, j,
+         |    CAST(round(CAST(embedding[j] AS DOUBLE) * $PcaEScale) AS BIGINT) AS e
+         |  FROM embeddings, range(1, ${PcaDim + 1}) t(j)),
+         |c0 AS MATERIALIZED (
+         |  SELECT vec_id AS cluster, j, e AS c FROM el WHERE vec_id < $KmeansK)""".stripMargin)
+    for (k <- 1 to KmeansIters) {
+      sb.append(",\n")
+      sb.append(
+        s"""d$k AS MATERIALIZED (
+           |  SELECT el.vec_id, ct.cluster,
+           |    CAST(sum((e - c) * (e - c)) AS BIGINT) AS dist
+           |  FROM el JOIN c${k - 1} ct USING (j) GROUP BY el.vec_id, ct.cluster),
+           |a$k AS MATERIALIZED (
+           |  SELECT vec_id, CAST(min(dist * 16 + cluster) % 16 AS BIGINT) AS cluster
+           |  FROM d$k GROUP BY vec_id),
+           |g$k AS MATERIALIZED (
+           |  SELECT a$k.cluster, el.j, CAST(sum(el.e) AS BIGINT) AS s,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM el JOIN a$k USING (vec_id) GROUP BY 1, 2),
+           |c$k AS MATERIALIZED (
+           |  SELECT p.cluster, p.j,
+           |    COALESCE(CASE WHEN g.s < 0 THEN -((-g.s) // g.n)
+           |                  ELSE g.s // g.n END, p.c) AS c
+           |  FROM c${k - 1} p LEFT JOIN g$k g
+           |    ON p.cluster = g.cluster AND p.j = g.j)""".stripMargin)
+    }
+    sb.toString
+  }
+
   val all: Map[String, String] = base ++ Map(
+    // fixed-point Lloyd, unrolled round by round — centroids and final
+    // cluster sizes replayed exactly (integer distances, packed-min
+    // tie-break, sign-safe means)
+    "embed_kmeans" -> {
+      val k = graft.functions.Similarity.KmeansIters
+      s"""WITH $kmeansCtes,
+         |sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n
+         |  FROM a$k GROUP BY 1)
+         |SELECT c.cluster, c.j AS dim, c.c,
+         |  COALESCE(sz.n, 0) AS n_vectors
+         |FROM c$k c LEFT JOIN sz USING (cluster)
+         |ORDER BY cluster, dim""".stripMargin
+    },
+
     // fixed-point power iteration, unrolled round by round — loadings
     // and final gain replayed exactly (every op is BIGINT with
     // sign-safe division, so the chain is order-independent)

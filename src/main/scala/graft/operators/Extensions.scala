@@ -105,6 +105,12 @@ object Extensions {
     // driver state re-broadcast as literals
     "embed_pca_power"   -> (Similarity.embedPcaPower _),
     "embed_pca_project" -> (Similarity.embedPcaProject _),
+    // fixed-point Lloyd k-means (clustering for topic bucketing /
+    // mixture design): per round one scan — assignment is a per-row
+    // codegen expression against k broadcast literal centroids, the
+    // update a k-row all-reduce; hash-checkable unlike the float
+    // PQ/IVF trainers
+    "embed_kmeans"      -> (Similarity.embedKmeans _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "pii_scrub"        -> (TextAnalysis.piiScrub _),
     "quality_repetition" -> (TextAnalysis.qualityRepetition _),

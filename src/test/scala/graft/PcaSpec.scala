@@ -83,6 +83,44 @@ class PcaSpec extends SparkTestBase {
     assert(cos >= 0.99, s"planted-direction cosine $cos < 0.99")
   }
 
+  test("embed_kmeans partitions the corpus and recovers planted blobs") {
+    val s = spark
+    import s.implicits._
+    val dim = Similarity.PcaDim
+    val k = Similarity.KmeansK
+    val rnd = new scala.util.Random(11)
+    // k well-separated blob centers; vec_id 0..k-1 are one anchor per
+    // blob (the init contract), the rest cycle through blobs
+    val centers = Array.tabulate(k, dim)((c, j) =>
+      math.sin(c * 2.1 + j * 0.37) * 0.4)
+    val rows = (0 until 560).map { i =>
+      val blob = i % k
+      val v = Array.tabulate(dim)(j =>
+        (centers(blob)(j) + (rnd.nextDouble() - 0.5) * 0.02).toFloat)
+      (i.toLong, v.toSeq, blob)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("kmeans_spec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", col("label").cast("int"))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Similarity.embedKmeans(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == k * dim)
+    // partition: sizes sum to the corpus, every blob lands whole in its
+    // anchor's cluster (70 vectors per blob, anchors are vec_id 0..7 =
+    // blobs 0..7 in order)
+    val sizes = got.groupBy(_._1).map { case (c, rs) => c -> rs.head._4 }
+    assert(sizes.values.sum == 560L)
+    assert(sizes.values.forall(_ == 70L), s"blob split across clusters: $sizes")
+    // centroids sit on the planted centers (within quantization + noise)
+    got.foreach { case (c, dimIdx, cv, _) =>
+      val want = centers(c.toInt)(dimIdx.toInt - 1) * Similarity.PcaEScale
+      assert(math.abs(cv - want) <= 15.0,
+        s"cluster $c dim $dimIdx centroid $cv vs planted $want")
+    }
+  }
+
   test("embed_pca_project margins cover the corpus and means sit inside them") {
     val got = Similarity.embedPcaProject(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
