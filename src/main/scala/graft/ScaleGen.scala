@@ -82,6 +82,12 @@ object ScaleGen {
         spark.read.parquet(s"$base/events.parquet"), f,
         Seq("event_id", "user_id"))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      // embeddings: replica k offsets vec_id; vectors repeat verbatim
+      // (scaling probes measure per-row cost — the analytics' work is
+      // row-proportional regardless of vector novelty), and the
+      // vec_id 0..k-1 anchor rows stay unique to replica 0
+      replicate(Tables.embeddings(spark, base), f, Seq("vec_id"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       println(s"wrote $dir (x$f)")
     }
     spark.stop()

@@ -1027,15 +1027,15 @@ object Similarity {
 
   /** Packed assignment word: dist · 16 + cluster (dist ≤ dim·(2·EScale)²
     * = 2.56e8 ≪ 2^59), so min() picks smallest distance THEN smallest
-    * cluster id — the deterministic tie-break both engines share. */
+    * cluster id — the deterministic tie-break both engines share. The
+    * centroid table enters as a non-primitive literal through the
+    * native [[expressions.KmeansPackedMin]] loop, so every Lloyd round
+    * reuses ONE compiled codegen class (an unrolled literal tree
+    * recompiles ~2-3 s per round — measured; see the expression's
+    * scaladoc). */
   private def kmeansPacked(cents: Array[Array[Long]]): Column =
-    cents.zipWithIndex.map { case (c, i) =>
-      val dist = (1 to PcaDim).map { j =>
-        val d = element_at(col("e"), j) - lit(c(j - 1))
-        d * d
-      }.reduce(_ + _)
-      dist * lit(16L) + lit(i.toLong)
-    }.reduce(least(_, _))
+    expressions.KmeansPackedMin(
+      col("e"), typedLit(cents.map(_.toSeq).toSeq))
 
   /** The Lloyd loop: init = the quantized vectors with vec_id 0..k-1
     * (hash-anchored, corpus-order-independent); per round one scan
@@ -1098,6 +1098,23 @@ object Similarity {
     } yield (c.toLong, j + 1L, cents(c)(j), sizes(c)))
       .toDF("cluster", "dim", "c", "n_vectors")
       .orderBy("cluster", "dim")
+  }
+
+  /** EMBED — CLUSTER COMPOSITION: the (cluster, label) contingency of
+    * the FINAL MODEL's assignment (one more assignment against the
+    * trained centroids — what a deployed pipeline does with the model;
+    * training-time sizes live in embed_kmeans.n_vectors) — the
+    * purity/confusion card a curation pipeline reads before using
+    * clusters as mixture buckets. One scan (the same per-row
+    * literal-centroid assignment, no join) + one ≤ k·|labels|-row
+    * exchange. */
+  def embedKmeansProfile(s: SparkSession, dir: String): DataFrame = {
+    val (cents, _) = kmeansTrain(s, dir)
+    pcaFrame(s, dir)
+      .select(col("label"), (kmeansPacked(cents) % 16L).as("cluster"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("cluster", "label")
   }
 
   /** EMBED — PER-CLASS PC1 PROJECTION: every vector's projection onto

@@ -1735,6 +1735,25 @@ object ExtensionOracles {
          |ORDER BY cluster, dim""".stripMargin
     },
 
+    // the FINAL MODEL's (cluster, label) contingency — same unrolled
+    // Lloyd chain plus one more assignment against the final centroids
+    // (what a deployed pipeline does with the trained model; the
+    // training-time sizes live in embed_kmeans.n_vectors)
+    "embed_kmeans_profile" -> {
+      val k = graft.functions.Similarity.KmeansIters
+      s"""WITH $kmeansCtes,
+         |dF AS MATERIALIZED (
+         |  SELECT el.vec_id, ct.cluster,
+         |    CAST(sum((e - c) * (e - c)) AS BIGINT) AS dist
+         |  FROM el JOIN c$k ct USING (j) GROUP BY el.vec_id, ct.cluster),
+         |aF AS (
+         |  SELECT vec_id, CAST(min(dist * 16 + cluster) % 16 AS BIGINT) AS cluster
+         |  FROM dF GROUP BY vec_id)
+         |SELECT a.cluster, emb.label, CAST(count(*) AS BIGINT) AS n
+         |FROM aF a JOIN embeddings emb ON a.vec_id = emb.vec_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     // fixed-point power iteration, unrolled round by round — loadings
     // and final gain replayed exactly (every op is BIGINT with
     // sign-safe division, so the chain is order-independent)

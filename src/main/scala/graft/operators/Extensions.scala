@@ -111,6 +111,9 @@ object Extensions {
     // update a k-row all-reduce; hash-checkable unlike the float
     // PQ/IVF trainers
     "embed_kmeans"      -> (Similarity.embedKmeans _),
+    // (cluster, label) contingency of the final assignment — the
+    // purity card; shares the trained centroids via the kmeans memo
+    "embed_kmeans_profile" -> (Similarity.embedKmeansProfile _),
     "text_rare_term"   -> (TextAnalysis.rareTerm _),
     "pii_scrub"        -> (TextAnalysis.piiScrub _),
     "quality_repetition" -> (TextAnalysis.qualityRepetition _),

@@ -47,6 +47,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim requires exactly 2 arguments (array<float>, array<float>), got ${exprs.length}")
         CosineSimilarity(exprs.head, exprs(1))
       }))
+    e.injectFunction((
+      new FunctionIdentifier("kmeans_packed_min"),
+      new ExpressionInfo(
+        classOf[KmeansPackedMin].getName, null, "kmeans_packed_min",
+        "kmeans_packed_min(vec, cents) - min over clusters of " +
+          "squared-distance*16+cluster (Lloyd assignment word)", ""),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"kmeans_packed_min requires (array<bigint>, array<array<bigint>>), got ${exprs.length} arguments")
+        KmeansPackedMin(exprs.head, exprs(1))
+      }))
     unary(e, "word_shingles",
       "word_shingles(tokens) - word 3-gram shingles of a token array")(WordShingles(_))
     unary(e, "simhash64",

@@ -37,6 +37,31 @@ class CustomExpressionsSpec extends SparkTestBase {
       s"cosinesimilarity not inside a codegen stage:\n$plan")
   }
 
+  test("KmeansPackedMin == unrolled least() literal tree, and ties go to the smaller cluster") {
+    import graft.functions.expressions.KmeansPackedMin
+    val e = Tables.embeddings(spark, sf0001)
+      .select(expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("e"))
+    val cents = Array.tabulate(8, 64)((c, j) =>
+      math.round(math.sin(c * 1.3 + j * 0.21) * 400.0))
+    val unrolled = cents.zipWithIndex.map { case (c, i) =>
+      (1 to 64).map { j =>
+        val d = element_at(col("e"), j) - lit(c(j - 1)); d * d
+      }.reduce(_ + _) * lit(16L) + lit(i.toLong)
+    }.reduce(least(_, _))
+    val native = KmeansPackedMin(col("e"),
+      typedLit(cents.map(_.toSeq).toSeq))
+    val diff = e.select(unrolled.as("u"), native.as("n"))
+      .filter(col("u") =!= col("n")).count()
+    assert(diff == 0, s"$diff rows differ between native and unrolled assignment")
+    // duplicated centroid => identical distances => the packed word must
+    // pick the SMALLER cluster id
+    val dup = Array(cents(3), cents(3))
+    val picked = e.limit(100).select(
+      (KmeansPackedMin(col("e"), typedLit(dup.map(_.toSeq).toSeq)) % 16L).as("c"))
+      .collect().map(_.getLong(0))
+    assert(picked.forall(_ == 0L), "tie did not go to the smaller cluster id")
+  }
+
   test("SimHashAgg == 64-way explode formulation") {
     val sh = Tables.documents(spark, sf0001)
       .select(col("doc_id"),

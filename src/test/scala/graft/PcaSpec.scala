@@ -119,6 +119,13 @@ class PcaSpec extends SparkTestBase {
       assert(math.abs(cv - want) <= 15.0,
         s"cluster $c dim $dimIdx centroid $cv vs planted $want")
     }
+    // the purity card is perfectly diagonal on planted blobs: labels
+    // equal blob ids, so exactly k (cluster, label) cells of 70 each
+    val prof = Similarity.embedKmeansProfile(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(prof.length == k && prof.forall(_._3 == 70L),
+      s"planted purity card not diagonal: ${prof.mkString(", ")}")
+    assert(prof.map(_._1).distinct.length == k)
   }
 
   test("embed_pca_project margins cover the corpus and means sit inside them") {
