@@ -645,6 +645,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TOKEN BUDGET — WATER-FILLING allocation: given a global budget B
+    * (= total tokens div 2 here), cap every source at the water level
+    * L = the largest integer with Σ min(tᵢ, L) ≤ B — small sources
+    * stay whole, big sources are equalized down to L. This is the
+    * balanced-mixture rule between [[tokenBudgetMix]]'s flat quota and
+    * [[tokenBudgetTemperature]]'s sqrt flattening: it maximizes the
+    * minimum admitted mass under the budget.
+    *
+    * Closed form over sources sorted ascending by (t, source): with k
+    * sources fully admitted, L_k = (B − prefix_k) div (n − k); the
+    * consistent k has t_k ≤ L_k < t_{k+1} — all integer algebra, so
+    * both engines pick the identical level. The level candidate scan is
+    * |sources| rows; the ONLY corpus-sized work is the per-source token
+    * sum (one map-side-combined exchange). The chosen level collects to
+    * the driver (1 row, the codebook precedent) and re-enters as a
+    * literal. */
+  def tokenBudgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("source").agg(sum(col("n_tokens")).as("t"))
+    val tot = t.agg(expr("sum(t) div 2").as("budget"), count(lit(1)).as("n_src"))
+    // |sources| rows: the single-partition window is the point, not a smell
+    val w = Window.orderBy(col("t").asc, col("source").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = t.crossJoin(broadcast(tot))
+      .select(col("source"), col("t"), col("budget"), col("n_src"),
+        row_number().over(w).cast("long").as("idx"),
+        sum(col("t")).over(cum).as("prefix"),
+        coalesce(lag(col("t"), 1).over(w), lit(0L)).as("prev_t"))
+      .localCheckpoint() // consumed by the candidate filter AND the output
+    val lvl = cand
+      .withColumn("level", expr("(budget - (prefix - t)) div (n_src - idx + 1)"))
+      // the numerator-non-negative guard keeps the division out of the
+      // negative range, where Spark `div` (truncating) and DuckDB `//`
+      // (flooring) disagree
+      .filter((col("budget") >= col("prefix") - col("t") &&
+          col("level") >= col("prev_t") && col("level") < col("t")) ||
+        (col("idx") === col("n_src") && col("prefix") <= col("budget")))
+      .withColumn("level",
+        when(col("idx") === col("n_src") && col("prefix") <= col("budget"), col("t"))
+          .otherwise(col("level")))
+      .orderBy("idx").select("level").head(1)
+    require(lvl.length == 1,
+      "water-filling found no consistent level — budget/corpus degenerate")
+    val level = lvl(0).getLong(0)
+    cand.select(col("source"), col("t").as("t_tokens"),
+        least(col("t"), lit(level)).as("admitted"),
+        expr(s"least(t, ${level}L) * 1000000 div t").as("rate_ppm"),
+        lit(level).as("water_level"))
+      .orderBy("source")
+  }
+
   /** Temperature-weighted TOKEN budgets: [[tokenBudgetMix]] admits a
     * flat per-source budget; real mixture construction budgets TOKENS
     * per stratum proportional to `sqrt(stratum tokens)` (α = 0.5

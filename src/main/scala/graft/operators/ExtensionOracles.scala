@@ -1093,6 +1093,39 @@ object ExtensionOracles {
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
 
+    // water-filling: sources sorted ascending, candidate level per
+    // position, numerator-non-negative guard (division stays out of the
+    // negative range where // and DIV disagree), min-idx selection,
+    // all-admitted fallback — the Spark algebra replayed verbatim
+    "token_budget_waterfill" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(sum(len($toks)) AS BIGINT) AS t
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(t) // 2 AS BIGINT) AS budget,
+         |    CAST(count(*) AS BIGINT) AS n_src FROM t),
+         |cand AS (SELECT source, t, budget, n_src,
+         |    CAST(row_number() OVER (ORDER BY t, source) AS BIGINT) AS idx,
+         |    CAST(sum(t) OVER (ORDER BY t, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS prefix,
+         |    CAST(coalesce(lag(t) OVER (ORDER BY t, source), 0) AS BIGINT)
+         |      AS prev_t
+         |  FROM t, tot),
+         |lv AS (SELECT idx,
+         |    CASE WHEN idx = n_src AND prefix <= budget THEN t
+         |         ELSE (budget - (prefix - t)) // (n_src - idx + 1) END AS level
+         |  FROM cand
+         |  WHERE (budget >= prefix - t
+         |      AND (budget - (prefix - t)) // (n_src - idx + 1) >= prev_t
+         |      AND (budget - (prefix - t)) // (n_src - idx + 1) < t)
+         |    OR (idx = n_src AND prefix <= budget)
+         |  ORDER BY idx LIMIT 1)
+         |SELECT source, t AS t_tokens,
+         |  CAST(least(t, level) AS BIGINT) AS admitted,
+         |  CAST(least(t, level) * 1000000 // t AS BIGINT) AS rate_ppm,
+         |  CAST(level AS BIGINT) AS water_level
+         |FROM cand, lv ORDER BY source""".stripMargin,
+
     // temperature token budgets: per-lang target = 8000·w/Σw with
     // w = floor(sqrt(stratum tokens)) — integer weights/total/division;
     // admission = running token sum vs the target

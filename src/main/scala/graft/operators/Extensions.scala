@@ -65,6 +65,10 @@ object Extensions {
     // trainer bills), not the pretoken proxy
     "token_budget_trained" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.tokenBudgetTrained(s, dir)),
+    // water-filling allocation: cap every source at the level L with
+    // sum(min(t, L)) <= budget — closed-form integer algebra over the
+    // |sources|-row frame; the only corpus-sized work is the token sum
+    "token_budget_waterfill" -> (TextAnalysis.tokenBudgetWaterfill _),
     "text_freq_class"  -> (TextAnalysis.freqClassQuality _),
     // the 100-TB form: top-K vocabulary head broadcast as a map literal,
     // default tail class, zero scoring joins (VERDICT r6 item 8)

@@ -77,7 +77,10 @@ class PlanGuardSpec extends SparkTestBase {
     // q84 uses the same one-row midpoint split as q79/q83
     "q84_mann_whitney",
     // the composed panel carries q79's midpoint split in its chi branch
-    "report_drift_panel")
+    "report_drift_panel",
+    // waterfill attaches its ONE-ROW (budget, n_src) aggregate to the
+    // |sources|-row frame
+    "token_budget_waterfill")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =
