@@ -127,6 +127,8 @@ object Bench {
         (() => StreamingBench.gapsWatermarkedPipeline(spark, sfDir)),
       "streaming_auc" ->
         (() => StreamingBench.aucPipeline(spark, sfDir)),
+      "streaming_ks" ->
+        (() => StreamingBench.ksPipeline(spark, sfDir)),
       "streaming_ewma" ->
         (() => StreamingBench.ewmaPipeline(spark, sfDir)),
       "streaming_funnel_latency" ->

@@ -144,7 +144,7 @@ object StreamingBench {
         "streaming_daily_close"))
       profileRows(spark, sfDir)
     if (any("streaming_gaps_watermarked")) gapsWmExpected(spark, sfDir)
-    if (any("streaming_auc")) aucSeed(spark, sfDir)
+    if (any("streaming_auc", "streaming_ks")) aucSeed(spark, sfDir)
     if (any("streaming_recent_rocksdb")) transRows(spark, sfDir)
     if (any("streaming_transitions", "streaming_paths", "streaming_paths_agg",
         "streaming_funnel", "streaming_retention",
@@ -994,6 +994,24 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "auc")(
         requireCount("auc", expected)))
+  }
+
+  /** Live KS monitor (the q83 streaming side, completing the drift
+    * trio): same frozen reference + live half as [[aucPipeline]]
+    * (shared seed), state = one value-domain-bounded histogram per
+    * type. Exact count model: one cumulative row per (touched type,
+    * batch); final rows bit-equal to batch q83 (StreamingKsSpec). */
+  def ksPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (ref, live, expected) = aucSeed(spark, sfDir)
+    val batches = live.toIndexedSeq.splitAt(live.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+    val out = graft.streaming.StreamingKs.ks(stream.toDS(), ref)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "ks")(
+        requireCount("ks", expected)))
   }
 
   /** Stacked daily-close → EWMA feed (the q75 streaming side): two
