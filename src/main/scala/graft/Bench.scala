@@ -129,6 +129,8 @@ object Bench {
         (() => StreamingBench.aucPipeline(spark, sfDir)),
       "streaming_ks" ->
         (() => StreamingBench.ksPipeline(spark, sfDir)),
+      "streaming_drift_panel" ->
+        (() => StreamingBench.driftPanelPipeline(spark, sfDir)),
       "streaming_ewma" ->
         (() => StreamingBench.ewmaPipeline(spark, sfDir)),
       "streaming_funnel_latency" ->

@@ -145,6 +145,7 @@ object StreamingBench {
       profileRows(spark, sfDir)
     if (any("streaming_gaps_watermarked")) gapsWmExpected(spark, sfDir)
     if (any("streaming_auc", "streaming_ks")) aucSeed(spark, sfDir)
+    if (any("streaming_drift_panel")) panelSeed(spark, sfDir)
     if (any("streaming_recent_rocksdb")) transRows(spark, sfDir)
     if (any("streaming_transitions", "streaming_paths", "streaming_paths_agg",
         "streaming_funnel", "streaming_retention",
@@ -175,7 +176,7 @@ object StreamingBench {
     cdcMemo.clear(); expectedMemo.clear(); incDedupMemo.clear()
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
     trainedBudgetMemo.clear(); deepBpeMemo.clear(); curationMemo.clear()
-    hotKeyMemo.clear(); pcaBenchMemo.clear()
+    hotKeyMemo.clear(); pcaBenchMemo.clear(); panelMemo.clear()
     aucMemo.clear()
     profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
@@ -1012,6 +1013,46 @@ object StreamingBench {
     withStatePartitions(spark, 16)(
       runTwoBatches(spark, stream, out, batches, "ks")(
         requireCount("ks", expected)))
+  }
+
+  /** Both frozen artifacts + live feed + exact touched-type model for
+    * [[driftPanelPipeline]] (untimed prepare): the panel emits one row
+    * per (touched type ∩ both artifacts, batch). */
+  private val panelMemo = scala.collection.mutable.Map.empty[String,
+    (Map[String, graft.streaming.StreamingAuc.RefDist],
+      Map[String, graft.streaming.StreamingDrift.RefProfile],
+      Array[graft.streaming.StreamingProfile.PEv], Long)]
+
+  private def panelSeed(spark: SparkSession, sfDir: String):
+      (Map[String, graft.streaming.StreamingAuc.RefDist],
+        Map[String, graft.streaming.StreamingDrift.RefProfile],
+        Array[graft.streaming.StreamingProfile.PEv], Long) =
+    panelMemo.getOrElseUpdate(sfDir, {
+      val (dists, profs) =
+        graft.streaming.StreamingDriftPanel.referencesFrom(spark, sfDir)
+      val live = graft.streaming.StreamingDrift.liveHalf(spark, sfDir)
+      val keys = dists.keySet intersect profs.keySet
+      val (b1, b2) = live.toIndexedSeq.splitAt(live.length / 2)
+      val expected = Seq(b1, b2)
+        .map(_.map(_.event_type).toSet.count(keys)).sum.toLong
+      (dists, profs, live, expected)
+    })
+
+  /** Live drift panel (report_drift_panel's streaming side): ONE
+    * histogram state per type prices chi-square + KS + U/AUC per
+    * micro-batch; final rows bit-equal to the batch panel
+    * (StreamingDriftPanelSpec pins that). */
+  def driftPanelPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (dists, profs, live, expected) = panelSeed(spark, sfDir)
+    val batches = live.toIndexedSeq.splitAt(live.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingProfile.PEv]
+    val out = graft.streaming.StreamingDriftPanel.panel(stream.toDS(), dists, profs)
+    withStatePartitions(spark, 16)(
+      runTwoBatches(spark, stream, out, batches, "drift_panel")(
+        requireCount("drift_panel", expected)))
   }
 
   /** Stacked daily-close → EWMA feed (the q75 streaming side): two
