@@ -118,7 +118,8 @@ object Plans {
     "q84_mann_whitney",    // q83's fold reused for doubled-midrank U/AUC algebra
     "report_drift_panel",  // composed panel: checkpointed shared fold + q79 branch
     "embed_pca_project",   // trained-iterate literal dot; one scan + label rollup
-    "embed_kmeans_profile") // literal-centroid packed argmin; one scan + tiny rollup
+    "embed_kmeans_profile", // literal-centroid packed argmin; one scan + tiny rollup
+    "token_budget_waterfill") // one token-sum exchange; |sources|-row level algebra
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
