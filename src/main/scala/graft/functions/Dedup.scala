@@ -893,6 +893,28 @@ object Dedup {
         when(col("component") === col("doc_id"), "keep").otherwise("drop"))
       .orderBy("doc_id")
 
+  /** LEAKAGE-SAFE train/eval split: split assignment hashes the
+    * near-dup CLUSTER id, not the document — every member of a
+    * duplicate cluster lands in the same split, so a train document
+    * can never be a near-copy of an eval document (the contamination
+    * a doc-level hash split silently permits). Composes the
+    * star-contraction components with the [[sampleByHash]] md5 bucket
+    * rule on the cluster label; singleton docs hash their own id.
+    * Scale shape: the CC fixpoint's cost (banded-LSH candidates, never
+    * all-pairs) + one scan-speed hash projection. */
+  def splitLeakageSafe(s: SparkSession, dir: String, evalPct: Int = 10): DataFrame = {
+    val comp = componentsStar(verifiedPairs(s, dir))
+    corpusWithNearDupes(s, dir)
+      .select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+      .select(col("doc_id"), col("cluster"),
+        when(pmod(h32(col("cluster").cast("string")), lit(100L)) < evalPct,
+          "eval").otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** QUALITY-BASED canonical selection per near-dup cluster: production
     * pipelines keep the BEST document of each duplicate cluster, not the
     * smallest id — here "best" = most tokens (the most complete version),

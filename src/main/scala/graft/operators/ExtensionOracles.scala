@@ -1822,6 +1822,22 @@ object ExtensionOracles {
     // default star-contraction CC — one oracle serves both gate queries
     "dedup_components_minlabel" -> base("dedup_components"),
 
+    // leakage-safe split: the components oracle's WITH chain with a
+    // cluster-hashed split tail (string surgery on the shared chain —
+    // the fragments stay single-sourced)
+    "split_leakage_safe" -> {
+      val comp = base("dedup_components")
+      val cut = comp.lastIndexOf("SELECT c.doc_id,")
+      require(cut > 0, "dedup_components oracle tail moved")
+      comp.substring(0, cut) +
+        s"""SELECT c.doc_id,
+           |  coalesce(m.component, c.doc_id) AS cluster,
+           |  CASE WHEN ${h32("CAST(coalesce(m.component, c.doc_id) AS VARCHAR)")} % 100 < 10
+           |    THEN 'eval' ELSE 'train' END AS split
+           |FROM corpus c LEFT JOIN comp m ON c.doc_id = m.doc_id
+           |ORDER BY c.doc_id""".stripMargin
+    },
+
     // IVF-accelerated k-center is BIT-IDENTICAL to the exact greedy by
     // construction (pruning is a sufficient no-change proof, never an
     // approximation) — the same k-step CTE replay adjudicates both

@@ -24,6 +24,10 @@ object Extensions {
       Dedup.dedupSpans(s, dir, posBits = Dedup.SpanGatePosBits)),
     "dedup_drop_list"  -> (Dedup.dedupDropList _),
     "dedup_components" -> (Dedup.dedupComponents _),
+    // cluster-hashed split: no near-dup cluster ever spans train/eval
+    // (the contamination a doc-level hash split permits)
+    "split_leakage_safe" -> ((s: SparkSession, dir: String) =>
+      Dedup.splitLeakageSafe(s, dir)),
     "dedup_components_minlabel" -> (Dedup.dedupComponentsMinLabel _),
     "dedup_canonical"  -> (Dedup.dedupCanonical _),
     "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),
