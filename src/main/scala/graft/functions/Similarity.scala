@@ -939,7 +939,7 @@ object Similarity {
     * parquet + HOF transform. */
   private def pcaFrame(s: SparkSession, dir: String): DataFrame =
     pcaFrameMemo.synchronized {
-      pcaFrameMemo.getOrElseUpdate((org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir), {
+      val frame = pcaFrameMemo.getOrElseUpdate((org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir), {
         val emb = Tables.embeddings(s, dir)
         val d = emb.select(max(size(col("embedding")))).head().getInt(0)
         require(d == PcaDim,
@@ -950,10 +950,25 @@ object Similarity {
             .as("e"))
           .localCheckpoint()
       })
+      // a just-returned frame may evict from the MAP, but the returned
+      // reference keeps its blocks alive while in use — only the cache
+      // slot is released
+      evictStaleEmbedFrames()
+      frame
     }
 
+  /** Insertion-ordered so the eldest entry evicts once the cache
+    * outgrows [[EmbedFrameCacheMax]] — dropping the reference lets the
+    * ContextCleaner reclaim the localCheckpoint blocks. A long-lived
+    * session cycling many dirs otherwise pins one materialized frame
+    * per (session, dir) forever (the Dedup pipeline-cache lesson). */
   private val pcaFrameMemo =
-    scala.collection.mutable.Map.empty[(String, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), DataFrame]
+  private val EmbedFrameCacheMax = 8
+
+  private def evictStaleEmbedFrames(): Unit =
+    while (pcaFrameMemo.size > EmbedFrameCacheMax)
+      pcaFrameMemo.remove(pcaFrameMemo.head._1)
 
   /** Σ_j e_j·x_j as an explicit 64-term codegen expression (no HOF in
     * the per-iteration hot path). */
