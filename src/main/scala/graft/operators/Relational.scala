@@ -3020,8 +3020,46 @@ object Relational {
       .select(col("event_type"), col("n_ref"), col("n_live"), col("ks_ppm"))
     val auc = aucOf(fold)
       .select(col("event_type"), col("u_live_x2"), col("auc_ppm"))
-    val chi = q79DriftChisq(s, dir).select(col("event_type"), col("chisq_ppm"))
+    val chi = chisqOfFold(fold).select(col("event_type"), col("chisq_ppm"))
     ks.join(auc, "event_type").join(chi, "event_type")
+      .orderBy("event_type")
+  }
+
+  /** q79's chi-square derived from the FOLDED frame instead of a second
+    * event-level pass — the observation the streaming panel already
+    * proves (one value histogram subsumes the bins): a value v's bin is
+    * `1 + #{k : 1 ≤ (n·k) div 10 ≤ cum_ref(v) − c_ref(v)}`, because the
+    * k-th decile bound sits strictly below v exactly when its rank
+    * target is covered by the ref mass BEFORE v. Identical integers to
+    * [[q79DriftChisq]] (the ReportSpec composition test pins it); the
+    * type-drop rules match too (needs ≥1 bound ⟺ (n·9) div 10 ≥ 1, ≥1
+    * ref and ≥1 live event — q79's inner joins). With this, the whole
+    * three-statistic panel is ONE corpus scan + bounded-frame algebra. */
+  private def chisqOfFold(fold: DataFrame): DataFrame = {
+    val wCdf = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("event_type")
+    val binned = fold
+      .select(col("event_type"), col("c_ref"), col("c_live"),
+        (sum(col("c_ref")).over(wCdf) - col("c_ref")).as("cumprev"),
+        sum(col("c_ref")).over(wTot).as("nr"),
+        sum(col("c_live")).over(wTot).as("nl"))
+      .filter(expr(s"(nr * ${QuantileBinCount - 1}) div $QuantileBinCount >= 1") &&
+        col("nl") >= 1L)
+      .withColumn("bin", lit(1L) + (1 to QuantileBinCount - 1).map(k =>
+          when(expr(s"(nr * $k) div $QuantileBinCount") >= 1L &&
+            expr(s"(nr * $k) div $QuantileBinCount") <= col("cumprev"), 1L)
+            .otherwise(0L))
+        .reduce(_ + _))
+    binned
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("c_ref")).as("r_c"), sum(col("c_live")).as("o_c"),
+        max(col("nr")).as("R"), max(col("nl")).as("L"))
+      .select(col("event_type"), col("r_c"), col("o_c"), col("R"), col("L"),
+        expr("(L * r_c) div R").as("e"))
+      .groupBy("event_type")
+      .agg(max(col("R")).as("n_ref"), max(col("L")).as("n_live"),
+        sum(expr(chisqCellSql("o_c", "e", "div"))).as("chisq_ppm"))
       .orderBy("event_type")
   }
 
