@@ -906,6 +906,46 @@ object Similarity {
     ranked(joined)
   }
 
+  /** Standard RRF discount constant (Cormack et al.'s 60). */
+  val RrfK = 60L
+
+  /** HYBRID RETRIEVAL — reciprocal-rank fusion of the lexical and
+    * vector rankings (the standard hybrid-search combiner): per query,
+    * fuse its ANN cosine top-k with the corpus's BM25 head over the
+    * UNION of both lists; `rrf_ppm = Σ 1e6 div (60 + rank)` over the
+    * lists the document appears in — integer algebra, so the fused
+    * ordering is hash-exact where a float RRF would be ulp-fragile.
+    * doc_id and vec_id share the id space in the testdata (one
+    * embedding per document).
+    *
+    * Scale shape: both inputs arrive PRE-BOUNDED (top-k per query /
+    * top-k lexical head), so the fusion works on ≤ |queries|·2k rows —
+    * broadcast joins only; the corpus-sized work lives in the upstream
+    * gates, which is exactly where a production hybrid stack puts it. */
+  def retrievalRrf(s: SparkSession, dir: String): DataFrame = {
+    val ann = annBrute(s, dir)
+      .select(col("qid"), col("cid"), col("rank").as("r_v"))
+    val wB = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val bt = TextAnalysis.bm25Score(s, dir)
+      .select(col("doc_id").as("cid"),
+        row_number().over(wB).cast("long").as("r_b"))
+      .filter(col("r_b") <= TopK)
+    val union = ann.select(col("qid"), col("cid"))
+      .unionByName(
+        ann.select("qid").distinct().crossJoin(broadcast(bt.select("cid"))))
+      .distinct()
+    union
+      .join(ann, Seq("qid", "cid"), "left")
+      .join(broadcast(bt), Seq("cid"), "left")
+      .select(col("qid"), col("cid"),
+        (coalesce(expr(s"1000000 div ($RrfK + r_v)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + r_b)"), lit(0L))).as("rrf_ppm"))
+      .withColumn("fused_rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("rrf_ppm").desc, col("cid")))
+        .cast("long"))
+      .orderBy("qid", "fused_rank")
+  }
+
   // ---------------------------------------------------------------------
   // Top principal component via fixed-point power iteration — the
   // spectral diagnostic a training-data pipeline runs over its embedding

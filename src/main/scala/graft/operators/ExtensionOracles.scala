@@ -1822,6 +1822,33 @@ object ExtensionOracles {
     // default star-contraction CC — one oracle serves both gate queries
     "dedup_components_minlabel" -> base("dedup_components"),
 
+    // RRF fusion composed from the two ranking oracles: union of the
+    // per-query vector list and the lexical head, integer reciprocal
+    // discounts, (rrf desc, cid) total order
+    "retrieval_rrf" -> {
+      import graft.functions.Similarity.{RrfK, TopK}
+      s"""WITH av AS (${base("ann_cosine_topk")}),
+         |bm AS (${base("bm25_score")}),
+         |bt AS (SELECT cid, r_b FROM (
+         |    SELECT doc_id AS cid,
+         |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_b
+         |    FROM bm) WHERE r_b <= $TopK),
+         |u AS (
+         |  SELECT qid, cid FROM av
+         |  UNION
+         |  SELECT q.qid, bt.cid FROM (SELECT DISTINCT qid FROM av) q, bt),
+         |f AS (SELECT u.qid, u.cid,
+         |    coalesce(1000000 // ($RrfK + av.rank), 0)
+         |      + coalesce(1000000 // ($RrfK + bt.r_b), 0) AS rrf_ppm
+         |  FROM u
+         |  LEFT JOIN av ON u.qid = av.qid AND u.cid = av.cid
+         |  LEFT JOIN bt ON u.cid = bt.cid)
+         |SELECT qid, cid, CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY rrf_ppm DESC, cid) AS BIGINT) AS fused_rank
+         |FROM f ORDER BY qid, fused_rank""".stripMargin
+    },
+
     // leakage-safe split: the components oracle's WITH chain with a
     // cluster-hashed split tail (string surgery on the shared chain —
     // the fragments stay single-sourced)

@@ -100,6 +100,9 @@ object Extensions {
     // both codebooks are hash-picked
     "ann_ivf_pq"       -> (Similarity.annIvfPq _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
+    // reciprocal-rank fusion of the BM25 head and per-query ANN top-k
+    // (the standard hybrid-search combiner; integer rrf_ppm)
+    "retrieval_rrf"    -> (Similarity.retrievalRrf _),
     "dedup_semantic"   -> (Similarity.dedupSemantic _),
     "sample_kcenter"   -> ((s: SparkSession, dir: String) => Similarity.sampleKcenter(s, dir)),
     // production form: incremental min-distance + IVF-cell pruning,

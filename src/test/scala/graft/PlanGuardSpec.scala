@@ -80,7 +80,10 @@ class PlanGuardSpec extends SparkTestBase {
     "report_drift_panel",
     // waterfill attaches its ONE-ROW (budget, n_src) aggregate to the
     // |sources|-row frame
-    "token_budget_waterfill")
+    "token_budget_waterfill",
+    // rrf composes ann_cosine_topk + bm25_score (both whitelisted) and
+    // crosses the 8-row qid set with the 5-row lexical head
+    "retrieval_rrf")
 
   /** Iterative queries whose construction runs the loop (see scaladoc). */
   private val iterative =
