@@ -925,11 +925,15 @@ object Similarity {
   def retrievalRrf(s: SparkSession, dir: String): DataFrame = {
     val ann = annBrute(s, dir)
       .select(col("qid"), col("cid"), col("rank").as("r_v"))
-    val wB = Window.orderBy(col("score").desc, col("doc_id").asc)
+    // head extraction is a distributed top-k (TakeOrderedAndProject),
+    // NOT a global row_number window — that would single-partition-sort
+    // the whole corpus; only the k survivors see a window
+    val wB = Window.orderBy(col("score").desc, col("cid").asc)
     val bt = TextAnalysis.bm25Score(s, dir)
-      .select(col("doc_id").as("cid"),
-        row_number().over(wB).cast("long").as("r_b"))
-      .filter(col("r_b") <= TopK)
+      .select(col("doc_id").as("cid"), col("score"))
+      .orderBy(col("score").desc, col("cid").asc)
+      .limit(TopK)
+      .select(col("cid"), row_number().over(wB).cast("long").as("r_b"))
     val union = ann.select(col("qid"), col("cid"))
       .unionByName(
         ann.select("qid").distinct().crossJoin(broadcast(bt.select("cid"))))
