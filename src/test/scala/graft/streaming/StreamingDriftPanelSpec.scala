@@ -46,6 +46,22 @@ class StreamingDriftPanelSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("kernel: timed-out state is removed and the invocation is silent") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import scala.concurrent.duration._
+    val dist = StreamingAuc.RefDist(Vector((10L, 2L)))
+    val prof = StreamingDrift.RefProfile(Vector(10L), Vector(1L, 1L))
+    val st = TestGroupState.create[StreamingDriftPanel.PanelState](
+      Optional.of(StreamingDriftPanel.PanelState(2L, Map(10L -> 1L))),
+      GroupStateTimeout.ProcessingTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(1L)), hasTimedOut = true)
+    val out = StreamingDriftPanel.panelUpdate(
+      Map("t" -> dist), Map("t" -> prof), Some(1.minute))(
+      "t", Iterator.empty, st).toSeq
+    assert(out.isEmpty && st.isRemoved)
+  }
+
   test("kernel silence: type missing from either frozen artifact emits nothing") {
     import org.apache.spark.api.java.Optional
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}

@@ -51,6 +51,20 @@ class StreamingKsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("kernel: timed-out state is removed and the invocation is silent") {
+    import org.apache.spark.api.java.Optional
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import scala.concurrent.duration._
+    val dist = StreamingAuc.RefDist(Vector((10L, 2L)))
+    val st = TestGroupState.create[StreamingKs.KsState](
+      Optional.of(StreamingKs.KsState(3L, Map(10L -> 1L))),
+      GroupStateTimeout.ProcessingTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(1L)), hasTimedOut = true)
+    val out = StreamingKs.ksUpdate(Map("t" -> dist), Some(1.minute))(
+      "t", Iterator.empty, st).toSeq
+    assert(out.isEmpty && st.isRemoved)
+  }
+
   test("kernel: merged-support walk boundaries") {
     val dist = StreamingAuc.RefDist(Vector((10L, 2L), (20L, 2L)))
     // empty live: gap peaks at full ref CDF vs 0 — ks = 1e6 with the
