@@ -974,8 +974,10 @@ object StreamingBench {
       val ref = graft.streaming.StreamingAuc.referenceFrom(spark, sfDir)
       val live = graft.streaming.StreamingDrift.liveHalf(spark, sfDir)
       val (b1, b2) = live.toIndexedSeq.splitAt(live.length / 2)
-      val expected =
-        Seq(b1, b2).map(_.map(_.event_type).toSet.size).sum.toLong
+      // only reference-known types emit (the kernels skip live-only
+      // types) — count against ref.keySet like panelSeed does
+      val expected = Seq(b1, b2)
+        .map(_.map(_.event_type).toSet.count(ref.keySet)).sum.toLong
       (ref, live, expected)
     })
 

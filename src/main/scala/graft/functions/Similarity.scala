@@ -982,37 +982,34 @@ object Similarity {
     * iteration jobs re-reads the materialized integers, not the
     * parquet + HOF transform. */
   private def pcaFrame(s: SparkSession, dir: String): DataFrame =
-    pcaFrameMemo.synchronized {
-      val frame = pcaFrameMemo.getOrElseUpdate((org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir), {
+    pcaFrameMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir)) {
         val emb = Tables.embeddings(s, dir)
-        val d = emb.select(max(size(col("embedding")))).head().getInt(0)
+        val Array(dLo, d) = emb
+          .agg(min(size(col("embedding"))), max(size(col("embedding"))))
+          .head().toSeq.map(_.asInstanceOf[Int]).toArray
         require(d == PcaDim,
           s"embedding dim $d != PcaDim $PcaDim — update PcaDim AND the oracle's range(1, ${PcaDim + 1})")
+        // a shorter row would NULL element_at → NULL dot → the row
+        // silently vanishes from every PCA/k-means statistic; ragged
+        // embeddings must fail loudly instead
+        require(dLo == PcaDim,
+          s"ragged embeddings: min dim $dLo != $PcaDim — short rows would be silently dropped")
         emb.select(
           col("vec_id"), col("label"),
           expr(s"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * $PcaEScale) AS BIGINT))")
             .as("e"))
           .localCheckpoint()
-      })
-      // a just-returned frame may evict from the MAP, but the returned
-      // reference keeps its blocks alive while in use — only the cache
-      // slot is released
-      evictStaleEmbedFrames()
-      frame
-    }
+      }
 
-  /** Insertion-ordered so the eldest entry evicts once the cache
-    * outgrows [[EmbedFrameCacheMax]] — dropping the reference lets the
-    * ContextCleaner reclaim the localCheckpoint blocks. A long-lived
-    * session cycling many dirs otherwise pins one materialized frame
-    * per (session, dir) forever (the Dedup pipeline-cache lesson). */
+  /** Bounded LRU — dropping an evicted reference lets the
+    * ContextCleaner reclaim its localCheckpoint blocks (a caller that
+    * already holds the frame keeps its blocks alive while in use; only
+    * the cache slot is released). A long-lived session cycling many
+    * dirs otherwise pins one materialized frame per (session, dir)
+    * forever (the Dedup pipeline-cache lesson). */
   private val pcaFrameMemo =
-    scala.collection.mutable.LinkedHashMap.empty[(String, String), DataFrame]
-  private val EmbedFrameCacheMax = 8
-
-  private def evictStaleEmbedFrames(): Unit =
-    while (pcaFrameMemo.size > EmbedFrameCacheMax)
-      pcaFrameMemo.remove(pcaFrameMemo.head._1)
+    new graft.util.BoundedMemo[(String, String), DataFrame](8)
 
   /** Σ_j e_j·x_j as an explicit 64-term codegen expression (no HOF in
     * the per-iteration hot path). */
@@ -1026,8 +1023,8 @@ object Similarity {
     * gain = max|y| of the last round — the un-normalized growth of a
     * max-abs-XScale input, a deterministic eigenvalue proxy. */
   private[graft] def pcaPowerTrain(s: SparkSession, dir: String): (Array[BigInt], BigInt) =
-    pcaMemo.synchronized {
-      pcaMemo.getOrElseUpdate((org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir), {
+    pcaMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir)) {
         val e = pcaFrame(s, dir)
         var x = Array.fill(PcaDim)(BigInt(PcaXScale))
         var gain = BigInt(1)
@@ -1045,11 +1042,10 @@ object Similarity {
           x = y.map(v => BigInt(v.signum) * (v.abs * PcaXScale / gain))
         }
         (x, gain)
-      })
-    }
+      }
 
   private val pcaMemo =
-    scala.collection.mutable.Map.empty[(String, String), (Array[BigInt], BigInt)]
+    new graft.util.BoundedMemo[(String, String), (Array[BigInt], BigInt)](64)
 
   /** EMBED — TOP PRINCIPAL COMPONENT: the dominant direction of the
     * embedding corpus as [[PcaDim]] fixed-point loadings (max-abs =
@@ -1104,8 +1100,8 @@ object Similarity {
     * centroids and the final assignment's cluster sizes. */
   private[graft] def kmeansTrain(s: SparkSession, dir: String)
       : (Array[Array[Long]], Array[Long]) =
-    kmeansMemo.synchronized {
-      kmeansMemo.getOrElseUpdate((org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir), {
+    kmeansMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir)) {
         val e = pcaFrame(s, dir)
         val init = e.filter(col("vec_id") < KmeansK)
           .select(col("vec_id"), col("e")).collect()
@@ -1138,11 +1134,10 @@ object Similarity {
           cents = next
         }
         (cents, sizes)
-      })
-    }
+      }
 
-  private val kmeansMemo = scala.collection.mutable.Map
-    .empty[(String, String), (Array[Array[Long]], Array[Long])]
+  private val kmeansMemo = new graft.util
+    .BoundedMemo[(String, String), (Array[Array[Long]], Array[Long])](64)
 
   /** EMBED — K-MEANS CLUSTERS: the trained centroid table (cluster,
     * dim, c in EScale units) plus the final assignment's cluster size —

@@ -47,6 +47,8 @@ case class KmeansPackedMin(left: Expression, right: Expression)
   override def nullSafeEval(v: Any, cs: Any): Any = {
     val e = v.asInstanceOf[ArrayData]
     val cents = cs.asInstanceOf[ArrayData]
+    if (cents.numElements() > KmeansPackedMin.MaxCentroids)
+      throw new IllegalArgumentException(KmeansPackedMin.arityMessage(cents.numElements()))
     var best = Long.MaxValue
     var c = 0
     while (c < cents.numElements()) {
@@ -77,6 +79,10 @@ case class KmeansPackedMin(left: Expression, right: Expression)
       val diff = ctx.freshName("diff")
       val packed = ctx.freshName("packed")
       s"""
+         |if ($cs.numElements() > ${KmeansPackedMin.MaxCentroids}) {
+         |  throw new IllegalArgumentException(
+         |    graft.functions.expressions.KmeansPackedMin.arityMessage($cs.numElements()));
+         |}
          |long $best = Long.MAX_VALUE;
          |for (int $c = 0; $c < $cs.numElements(); $c++) {
          |  org.apache.spark.sql.catalyst.util.ArrayData $cent = $cs.getArray($c);
@@ -99,6 +105,17 @@ case class KmeansPackedMin(left: Expression, right: Expression)
 }
 
 object KmeansPackedMin {
+  /** The pack word is dist·16 + cluster — a valid (dist, cluster)
+    * lexicographic order ONLY while cluster ids fit below the pack
+    * factor. 17+ centroids would silently corrupt both the argmin and
+    * the caller's `% 16` decode, so the bound fails loudly instead. */
+  final val MaxCentroids = 16
+
+  /** Shared by interpreted eval and generated code (called from janino). */
+  def arityMessage(n: Int): String =
+    s"kmeans_packed_min supports at most $MaxCentroids centroids " +
+      s"(packed word is dist*16+cluster), got $n"
+
   /** Column-level entry point: `kmeans_packed_min(vec, centsLiteral)`. */
   def apply(vec: Column, cents: Column): Column =
     ColumnShim.column(

@@ -52,7 +52,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[KmeansPackedMin].getName, null, "kmeans_packed_min",
         "kmeans_packed_min(vec, cents) - min over clusters of " +
-          "squared-distance*16+cluster (Lloyd assignment word)", ""),
+          "squared-distance*16+cluster (Lloyd assignment word); " +
+          "cents must hold at most 16 centroids (the pack factor)", ""),
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2,
           s"kmeans_packed_min requires (array<bigint>, array<array<bigint>>), got ${exprs.length} arguments")

@@ -117,7 +117,7 @@ object StreamingAuc {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val Array(d0, d1) = ev.agg(min(col("day")), max(col("day"))).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
-    val mid = Math.floorDiv(d0 + d1, 2L)
+    val mid = StreamingDrift.midDay(d0, d1)
     ev.filter(col("day") <= mid)
       .groupBy("event_type", "cents").agg(count(lit(1)).as("c"))
       .collect()

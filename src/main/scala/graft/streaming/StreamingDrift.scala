@@ -31,6 +31,14 @@ import graft.operators.Relational
   * (documented trade, as in the daily-close family). */
 object StreamingDrift {
 
+  /** Reference/live split midpoint day — TRUNCATING division, the
+    * exact rule the batch gates compute as SQL `div` (q79/q83/q84).
+    * `Math.floorDiv` would floor instead and diverge for pre-1970
+    * corpora (negative d0+d1), silently breaking the advertised
+    * monitor≡batch bit-equality; Scala's `Long./` truncates toward
+    * zero like SQL div, so the two engines agree on every sign. */
+  private[streaming] def midDay(d0: Long, d1: Long): Long = (d0 + d1) / 2
+
   /** Frozen per-type reference: up to 9 decile bounds + bounds+1 bin
     * counts. A type whose reference half holds fewer than
     * [[Relational.QuantileBinCount]] rows yields PARTIAL bounds
@@ -104,7 +112,7 @@ object StreamingDrift {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val Array(d0, d1) = ev.agg(min(col("day")), max(col("day"))).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
-    val mid = Math.floorDiv(d0 + d1, 2L)
+    val mid = midDay(d0, d1)
     val ref = ev.filter(col("day") <= mid)
       .select(col("event_id"), col("event_type"), col("cents"))
     val bnds = Relational.decileBoundsOf(ref)
@@ -141,7 +149,7 @@ object StreamingDrift {
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
     val Array(d0, d1) = ev.agg(min(col("day")), max(col("day"))).collect()(0)
       .toSeq.map(_.asInstanceOf[Long]).toArray
-    val mid = Math.floorDiv(d0 + d1, 2L)
+    val mid = midDay(d0, d1)
     ev.filter(col("day") > mid)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("cents"))

@@ -62,6 +62,34 @@ class CustomExpressionsSpec extends SparkTestBase {
     assert(picked.forall(_ == 0L), "tie did not go to the smaller cluster id")
   }
 
+  test("KmeansPackedMin rejects >16 centroids (pack-factor bound) in codegen and interpreted eval") {
+    import graft.functions.expressions.KmeansPackedMin
+    val e = Tables.embeddings(spark, sf0001).limit(4)
+      .select(expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("e"))
+    val over = Array.tabulate(17, 64)((c, j) => (c + j).toLong)
+    val atCap = over.take(16)
+    // 16 centroids (the cap) still work on both paths
+    e.select(KmeansPackedMin(col("e"), typedLit(atCap.map(_.toSeq).toSeq)).as("p")).collect()
+    // 17 fail loudly — cluster id 16 would alias dist+1's cluster 0
+    val exCodegen = intercept[Exception] {
+      e.select(KmeansPackedMin(col("e"), typedLit(over.map(_.toSeq).toSeq)).as("p")).collect()
+    }
+    assert(exCodegen.getMessage.contains("at most 16 centroids") ||
+      Option(exCodegen.getCause).exists(_.getMessage.contains("at most 16 centroids")),
+      s"unexpected failure: $exCodegen")
+    val exEval = intercept[IllegalArgumentException] {
+      KmeansPackedMin(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Array.fill(64)(1L), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          over.map(_.toSeq).toSeq,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    }
+    assert(exEval.getMessage.contains("at most 16 centroids"))
+  }
+
   test("SimHashAgg == 64-way explode formulation") {
     val sh = Tables.documents(spark, sf0001)
       .select(col("doc_id"),
