@@ -27,6 +27,57 @@ object Bench {
     * stable round-over-round, which is what adjudication needs. */
   val StreamControlBaselineSec = 1.66
 
+  /** Retry trigger threshold: a streaming line whose min-of-2 exceeds
+    * this factor × its healthy anchor gets extra in-process attempts.
+    * SPARK_GRAFT_RETRY_FACTOR overrides (diagnostics: 0 forces a retry
+    * on every anchored line, huge disables). */
+  def retryFactor: Double =
+    sys.env.get("SPARK_GRAFT_RETRY_FACTOR").map(_.toDouble).getOrElse(1.5)
+
+  /** Healthy full-suite anchors per streaming line — the round-16
+    * grand-closing run (commit f6bac45: 228 lines, near-idle controls
+    * 0.68×/0.65×), with the three round-16 chase-list lines re-pinned
+    * to their round-17 ISOLATED min-of-3 values (BASELINE.md). Used
+    * ONLY to trigger ambient-variance retries, never for grading —
+    * BASELINE.md first-green rows remain the 2× adjudication record.
+    * A new line without an anchor simply never retries (its first
+    * round records its anchor for the next). */
+  val StreamHealthyAnchorSec: Map[String, Double] = Map(
+    "streaming_ab" -> 1.295, "streaming_anomaly" -> 0.481,
+    "streaming_attribution" -> 1.323, "streaming_auc" -> 1.221,
+    "streaming_cdc_upsert" -> 2.059, "streaming_count_min" -> 0.991,
+    "streaming_count_windows" -> 1.294, "streaming_curation" -> 1.063,
+    "streaming_daily_close" -> 1.192, "streaming_decontaminate" -> 1.098,
+    "streaming_dedup" -> 2.797, "streaming_dq" -> 0.721,
+    "streaming_drift" -> 2.574, "streaming_drift_panel" -> 1.264,
+    "streaming_enrich" -> 0.982, "streaming_ewma" -> 2.009,
+    "streaming_funnel" -> 1.314, "streaming_funnel_latency" -> 1.24,
+    "streaming_funnel_rocksdb" -> 1.37, "streaming_gaps" -> 2.28,
+    "streaming_gaps_watermarked" -> 2.24,
+    "streaming_incremental_dedup" -> 4.242, // r17 isolated re-pin
+    "streaming_ingest_card" -> 1.461, // r17 isolated re-pin
+    "streaming_interval_join" -> 3.092,
+    "streaming_interval_join_rocksdb" -> 4.425,
+    "streaming_kmv" -> 0.876, "streaming_kmv_rocksdb" -> 1.021,
+    "streaming_kmv_rocksdb_changelog" -> 0.924, "streaming_ks" -> 1.18,
+    "streaming_ndv" -> 0.921, "streaming_near_dup" -> 1.752,
+    "streaming_packing" -> 0.856, "streaming_paths" -> 1.472,
+    "streaming_paths_agg" -> 2.616, "streaming_pca" -> 0.834,
+    "streaming_profile_rocksdb" -> 1.599,
+    "streaming_profile_warm_rocksdb" -> 1.234,
+    "streaming_quantiles" -> 1.08, "streaming_recent_rocksdb" -> 1.771,
+    "streaming_retention" -> 1.266, "streaming_running_reduce" -> 1.386,
+    "streaming_semantic_dedup" -> 1.039,
+    "streaming_semantic_dedup_rocksdb" -> 1.199,
+    "streaming_session_funnel" -> 2.119,
+    "streaming_session_window" -> 4.271, "streaming_stickiness" -> 1.299,
+    "streaming_temporal_join" -> 1.378, "streaming_token_budget" -> 0.911,
+    "streaming_token_budget_trained" -> 0.823, "streaming_topk" -> 0.923,
+    "streaming_transitions" -> 1.814, // r17 isolated re-pin
+    "streaming_ttl_hotkey" -> 4.33, "streaming_ttl_pipeline" -> 1.993,
+    "streaming_ttl_rocksdb" -> 2.182, "streaming_tws_rocksdb" -> 2.443,
+    "streaming_wau" -> 1.388)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -238,9 +289,46 @@ object Bench {
     def streamingPass(): Map[String, Double] =
       streamingOrdered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     val (sp1, sp2) = (streamingPass(), streamingPass())
-    val streamingResults = streamingOrdered.map { case (n, _) =>
+    // Ambient-variance guard (VERDICT r16 item 1): streaming lines ride
+    // the container's load far harder than batch scans — three
+    // code-untouched lines moved 1.4-1.8× between two same-code r16
+    // runs. A line whose min-of-2 still exceeds RetryFactor × its
+    // healthy-run anchor gets up to two extra in-process attempts (a
+    // re-run is cheap: feeds and models are memoized in prepare), and
+    // the min over all attempts is reported — so one ambient spike in
+    // the driver's single sweep can no longer fake a 2×-of-baseline
+    // regression. Retried lines are listed in the JSON for the reader.
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val streamingResults = streamingOrdered.map { case (n, f) =>
       val (a, b) = (sp1(n), sp2(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      if (a < 0 || b < 0) n -> -1.0
+      else {
+        var best = math.min(a, b)
+        var extra = 0
+        while (extra < 2 &&
+            Bench.StreamHealthyAnchorSec.get(n)
+              .exists(anchor => best > Bench.retryFactor * anchor)) {
+          extra += 1
+          // time directly (not timeOnce): a failed RETRY must not mark
+          // a line that already produced two good samples as failed —
+          // keep the min-of-2 and stop retrying
+          val t0 = System.nanoTime()
+          val t =
+            try { f(); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $n retry failed (ignored): ${e.getMessage}")
+              -1.0
+            }
+          if (t >= 0) best = math.min(best, t)
+          else extra = 2
+        }
+        if (extra > 0) {
+          retried(n) = extra
+          System.err.println(
+            s"[bench] $n retried ${extra}x (anchor ${Bench.StreamHealthyAnchorSec(n)}), min $best")
+        }
+        n -> best
+      }
     }
     // Untimed diagnostic AFTER the timed runs: stage-by-stage wall
     // times of the cold LSH build (bands, candidate join, bounded
@@ -290,8 +378,10 @@ object Bench {
     val scLoad = if (scSec > 0) scSec / StreamControlBaselineSec else -1.0
     val controlJson =
       s""""control":{"name":"$ControlQuery","sec":${r3(controlSec)},"baseline_sec":$ControlBaselineSec,"load_factor":${r3(loadFactor)}},"stream_control":{"name":"$StreamControl","sec":${r3(scSec)},"baseline_sec":$StreamControlBaselineSec,"load_factor":${r3(scLoad)}}"""
+    val retriedJson = retried
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},$controlJson,"stages":$stagesJson,"progress":$progressJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"retried":$retriedJson,$controlJson,"stages":$stagesJson,"progress":$progressJson,"sf":"$sfDir"}"""
     // The full line (121+ query timings plus per-batch streaming progress)
     // is ~6 KB — far beyond the driver's 2000-char stdout tail, which is
     // why BENCH_r09/r10 both landed `parsed: null` despite healthy runs.
