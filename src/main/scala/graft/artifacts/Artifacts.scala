@@ -1,0 +1,177 @@
+package graft.artifacts
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingAuc.RefDist
+import graft.streaming.StreamingDrift.RefProfile
+
+/** Parquet-backed persist/load for every TRAINED ARTIFACT the library
+  * produces (VERDICT r16 item 2): IVF/PQ codebooks, the PCA axis,
+  * k-means centroids, BPE merge tables, and the frozen drift-monitor
+  * references. A production pipeline trains ONCE and deploys to many
+  * jobs and monitors — the in-memory (session, dir) memos only cover
+  * re-use within one driver, and the streaming monitors' "frozen at
+  * deploy time" contract needs a real stored artifact to freeze.
+  *
+  * Format: one parquet directory per artifact, payload columns plus
+  * two provenance columns (`artifact_kind`, `artifact_version`) checked
+  * on load — loading the wrong artifact kind or a future format fails
+  * loudly instead of feeding a monitor a mis-shaped reference. Every
+  * artifact here is BOUNDED (codebooks, axes, merge tables, per-type
+  * references — never corpus-sized) by the same contract that lets the
+  * trainers collect them to the driver, so `repartition(1)` writes one
+  * file and the provenance check's distinct-collect is a few rows.
+  *
+  * Loaded artifacts are plain values (the same types the trainers
+  * return), so every downstream path — batch gates, streaming
+  * monitors — is identical between the trained-in-session and the
+  * loaded-from-artifact deployments; ArtifactsSpec pins bit-equality
+  * of both paths' outputs. */
+object Artifacts {
+
+  /** Bump when a payload schema changes incompatibly; `load` rejects
+    * files written by a different version. */
+  val FormatVersion = 1
+
+  private val KindCol = "artifact_kind"
+  private val VersionCol = "artifact_version"
+
+  /** Persist `df` (payload columns only) as artifact `kind` at `path`. */
+  def save(df: DataFrame, kind: String, path: String): Unit = {
+    require(!df.columns.contains(KindCol) && !df.columns.contains(VersionCol),
+      s"payload must not already carry $KindCol/$VersionCol")
+    df.withColumn(KindCol, lit(kind))
+      .withColumn(VersionCol, lit(FormatVersion))
+      .repartition(1) // artifacts are bounded by contract — one file
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load artifact `kind` from `path`, verifying kind + format version;
+    * returns the payload columns only. */
+  def load(s: SparkSession, kind: String, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    require(df.columns.contains(KindCol) && df.columns.contains(VersionCol),
+      s"$path is not an artifact store (missing $KindCol/$VersionCol)")
+    val stamps = df.select(KindCol, VersionCol).distinct().collect()
+    require(stamps.length == 1,
+      s"$path holds ${stamps.length} distinct (kind, version) stamps — corrupt store")
+    val (k, v) = (stamps(0).getString(0), stamps(0).getInt(1))
+    require(k == kind, s"$path holds artifact kind '$k', expected '$kind'")
+    require(v == FormatVersion,
+      s"$path is format version $v, this build reads $FormatVersion")
+    df.drop(KindCol, VersionCol)
+  }
+
+  // ---- IVF coarse codebook: (cent_id: bigint, cv: array<float>) ----
+
+  def saveIvfCodebook(cents: DataFrame, path: String): Unit =
+    save(cents.select(col("cent_id").cast("long"), col("cv")),
+      "ivf_codebook", path)
+
+  def loadIvfCodebook(s: SparkSession, path: String): DataFrame =
+    load(s, "ivf_codebook", path).select("cent_id", "cv")
+
+  // ---- PQ codebook: (cent_id: int, cv: array<float>) — row order is
+  // the sub-space index order the encoder depends on, so load sorts ----
+
+  def savePqCodebook(s: SparkSession, codebook: Seq[Seq[Float]], path: String): Unit = {
+    import s.implicits._
+    save(codebook.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("cent_id", "cv"), "pq_codebook", path)
+  }
+
+  def loadPqCodebook(s: SparkSession, path: String): Seq[Seq[Float]] =
+    load(s, "pq_codebook", path).select("cent_id", "cv").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq))
+      .sortBy(_._1).toSeq.map(_._2)
+
+  // ---- PCA axis: (idx: int, loading: bigint) + gain on every row ----
+
+  def savePcaAxis(s: SparkSession, x: Array[BigInt], gain: BigInt, path: String): Unit = {
+    import s.implicits._
+    save(x.zipWithIndex.map { case (l, i) => (i, l.toLong, gain.toLong) }
+      .toSeq.toDF("idx", "loading", "gain"), "pca_axis", path)
+  }
+
+  def loadPcaAxis(s: SparkSession, path: String): (Array[BigInt], BigInt) = {
+    val rows = load(s, "pca_axis", path).select("idx", "loading", "gain")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    require(rows.nonEmpty, s"$path holds an empty PCA axis")
+    (rows.map(r => BigInt(r._2)), BigInt(rows.head._3))
+  }
+
+  // ---- k-means: (cluster: int, dim: int, c: bigint) + (cluster, n) ----
+
+  def saveKmeans(
+      s: SparkSession, cents: Array[Array[Long]], sizes: Array[Long],
+      path: String): Unit = {
+    import s.implicits._
+    val centRows = for {
+      (cvec, c) <- cents.zipWithIndex.toSeq
+      (v, d) <- cvec.zipWithIndex
+    } yield (c, d, v)
+    save(centRows.toDF("cluster", "dim", "c"), "kmeans_centroids", s"$path/centroids")
+    save(sizes.zipWithIndex.map { case (n, c) => (c, n) }.toSeq.toDF("cluster", "n"),
+      "kmeans_sizes", s"$path/sizes")
+  }
+
+  def loadKmeans(s: SparkSession, path: String): (Array[Array[Long]], Array[Long]) = {
+    val centRows = load(s, "kmeans_centroids", s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val sizeRows = load(s, "kmeans_sizes", s"$path/sizes")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val k = sizeRows.length
+    require(k > 0 && centRows.nonEmpty, s"$path holds an empty k-means model")
+    val dims = centRows.map(_._2).max + 1
+    val cents = Array.ofDim[Long](k, dims)
+    centRows.foreach { case (c, d, v) => cents(c)(d) = v }
+    (cents, sizeRows.map(_._2))
+  }
+
+  // ---- BPE merge table: (rank: int, left, right) — rank IS the merge
+  // priority the encoder folds in, so load sorts by it ----
+
+  def saveBpeMerges(s: SparkSession, merges: Seq[(String, String)], path: String): Unit = {
+    import s.implicits._
+    save(merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right"), "bpe_merges", path)
+  }
+
+  def loadBpeMerges(s: SparkSession, path: String): Seq[(String, String)] =
+    load(s, "bpe_merges", path).select("rank", "left", "right").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq.map(t => (t._2, t._3))
+
+  // ---- frozen drift references (the deploy-time monitor artifacts):
+  // dists long-form (event_type, cents, c); profiles one row per type ----
+
+  def saveDriftReferences(
+      s: SparkSession, dists: Map[String, RefDist],
+      profs: Map[String, RefProfile], path: String): Unit = {
+    import s.implicits._
+    val distRows = for {
+      (t, d) <- dists.toSeq
+      (cents, c) <- d.sorted
+    } yield (t, cents, c)
+    save(distRows.toDF("event_type", "cents", "c"), "drift_dists", s"$path/dists")
+    save(profs.toSeq.map { case (t, p) => (t, p.bounds, p.refCounts) }
+      .toDF("event_type", "bounds", "counts"), "drift_profiles", s"$path/profiles")
+  }
+
+  def loadDriftReferences(s: SparkSession, path: String)
+      : (Map[String, RefDist], Map[String, RefProfile]) = {
+    val dists = load(s, "drift_dists", s"$path/dists")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) =>
+        t -> RefDist(rows.sortBy(_._2).map(r => (r._2, r._3)).toVector)
+      }
+    val profs = load(s, "drift_profiles", s"$path/profiles")
+      .collect().map { r =>
+        r.getString(0) -> RefProfile(
+          r.getSeq[Long](1).toVector, r.getSeq[Long](2).toVector)
+      }.toMap
+    (dists, profs)
+  }
+}

@@ -595,6 +595,24 @@ object Similarity {
     * bounded by cell population — the same shape FAISS-style IVF gives. */
   def annIvf(s: SparkSession, dir: String): DataFrame = ivfSearch(s, dir, 1)
 
+  /** Train the IVF coarse codebook on `dir` and persist it (the
+    * train-once half of the deploy contract — see [[annIvfFromArtifact]]). */
+  def saveIvfArtifact(s: SparkSession, dir: String, path: String): Unit = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    graft.artifacts.Artifacts.saveIvfCodebook(
+      ivfCodebook(emb).select(col("cent_id"), col("cv")), path)
+  }
+
+  /** [[annIvf]] running from a LOADED codebook artifact — the
+    * deploy-time path a production job uses instead of retraining per
+    * session. Bit-equal to [[annIvf]] when the artifact was trained on
+    * `dir` (ArtifactsSpec pins it); the loaded k-row frame broadcasts
+    * exactly like the trained one. */
+  def annIvfFromArtifact(s: SparkSession, dir: String, path: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    ivfSearchWith(emb, graft.artifacts.Artifacts.loadIvfCodebook(s, path), nprobe = 1)
+  }
+
   /** IVF with nprobe=2: each query searches its own cell AND its
     * second-nearest centroid's cell — the standard IVF recall repair
     * (a query near a cell boundary finds neighbors assigned to the

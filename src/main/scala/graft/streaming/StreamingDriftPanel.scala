@@ -102,4 +102,19 @@ object StreamingDriftPanel {
   def referencesFrom(s: SparkSession, dir: String)
       : (Map[String, RefDist], Map[String, RefProfile]) =
     (StreamingAuc.referenceFrom(s, dir), StreamingDrift.referenceFrom(s, dir))
+
+  /** Train both references on `dir` and persist them — the "frozen at
+    * deploy time" contract finally freezes a REAL stored artifact: the
+    * monitor deployment loads what this wrote, it does not retrain. */
+  def saveReferences(s: SparkSession, dir: String, path: String): Unit = {
+    val (dists, profs) = referencesFrom(s, dir)
+    graft.artifacts.Artifacts.saveDriftReferences(s, dists, profs, path)
+  }
+
+  /** Both frozen artifacts from a STORED deploy (see [[saveReferences]]);
+    * the monitor path is identical to the trained-in-session one —
+    * ArtifactsSpec pins bit-equal panel rows. */
+  def referencesFromArtifact(s: SparkSession, path: String)
+      : (Map[String, RefDist], Map[String, RefProfile]) =
+    graft.artifacts.Artifacts.loadDriftReferences(s, path)
 }
