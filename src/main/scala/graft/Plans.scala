@@ -119,6 +119,7 @@ object Plans {
     "report_drift_panel",  // composed panel: checkpointed shared fold + q79 branch
     "embed_pca_project",   // trained-iterate literal dot; one scan + label rollup
     "embed_kmeans_profile", // literal-centroid packed argmin; one scan + tiny rollup
+    "embed_pca_project_topm", // m literal dots + generator stack; STILL one corpus scan
     "token_budget_waterfill") // one token-sum exchange; |sources|-row level algebra
 
   def main(args: Array[String]): Unit = {

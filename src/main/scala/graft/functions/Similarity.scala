@@ -1029,37 +1029,48 @@ object Similarity {
   private val pcaFrameMemo =
     new graft.util.BoundedMemo[(String, String), DataFrame](8)
 
-  /** Σ_j e_j·x_j as an explicit 64-term codegen expression (no HOF in
+  /** Σ_j e_j·x_j as an explicit dim-term codegen expression (no HOF in
     * the per-iteration hot path). */
-  private def pcaDot(x: Array[BigInt]): Column =
-    (1 to PcaDim).map(j => element_at(col("e"), j) * lit(x(j - 1).toLong))
+  private def pcaDot(x: Array[BigInt], dim: Int = PcaDim): Column =
+    (1 to dim).map(j => element_at(col("e"), j) * lit(x(j - 1).toLong))
       .reduce(_ + _)
 
-  /** The power iteration: x₀ = [XScale]^dim; per round dot → scaled
-    * sign-safe shift → per-dim sums (one 1-row aggregate) → driver-side
-    * BigInt renormalization. Returns (final iterate, final gain) where
-    * gain = max|y| of the last round — the un-normalized growth of a
+  /** One power-iteration train over an ARBITRARY quantized frame
+    * (column `e`: array<bigint> of length `dim`) — the dim/iteration-
+    * parameterized core both the PC1 gate and the top-m deflation
+    * chain call (the BPE-constants lesson applied to the embed family:
+    * corpus geometry is a parameter, not a baked constant — a 768-dim
+    * corpus changes [[PcaDim]] and the oracle generator follows).
+    * x₀ = [XScale]^dim; per round dot → scaled sign-safe shift →
+    * per-dim sums (one 1-row aggregate) → driver-side BigInt
+    * renormalization. Returns (final iterate, final gain) where gain =
+    * max|y| of the last round — the un-normalized growth of a
     * max-abs-XScale input, a deterministic eigenvalue proxy. */
+  private[graft] def pcaPowerIterateFrame(
+      e: DataFrame, dim: Int, iters: Int): (Array[BigInt], BigInt) = {
+    var x = Array.fill(dim)(BigInt(PcaXScale))
+    var gain = BigInt(1)
+    for (_ <- 1 to iters) {
+      val withDot = e.select(col("e"), pcaDot(x, dim).as("dot"))
+        .select(col("e"), expr(
+          s"CASE WHEN dot < 0 THEN -((-dot) DIV $PcaDotShift) ELSE dot DIV $PcaDotShift END")
+          .as("sdot"))
+      val row = withDot.agg(
+        sum(element_at(col("e"), 1) * col("sdot")).as("y1"),
+        (2 to dim).map(j =>
+          sum(element_at(col("e"), j) * col("sdot")).as(s"y$j")): _*).head()
+      val y = (0 until dim).map(i => BigInt(row.getLong(i))).toArray
+      gain = y.map(_.abs).max.max(BigInt(1))
+      x = y.map(v => BigInt(v.signum) * (v.abs * PcaXScale / gain))
+    }
+    (x, gain)
+  }
+
+  /** The PC1 trainer over `dir`'s embedding corpus (memoized). */
   private[graft] def pcaPowerTrain(s: SparkSession, dir: String): (Array[BigInt], BigInt) =
     pcaMemo.getOrElseUpdate(
       (org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir)) {
-        val e = pcaFrame(s, dir)
-        var x = Array.fill(PcaDim)(BigInt(PcaXScale))
-        var gain = BigInt(1)
-        for (_ <- 1 to PcaIters) {
-          val withDot = e.select(col("e"), pcaDot(x).as("dot"))
-            .select(col("e"), expr(
-              s"CASE WHEN dot < 0 THEN -((-dot) DIV $PcaDotShift) ELSE dot DIV $PcaDotShift END")
-              .as("sdot"))
-          val row = withDot.agg(
-            sum(element_at(col("e"), 1) * col("sdot")).as("y1"),
-            (2 to PcaDim).map(j =>
-              sum(element_at(col("e"), j) * col("sdot")).as(s"y$j")): _*).head()
-          val y = (0 until PcaDim).map(i => BigInt(row.getLong(i))).toArray
-          gain = y.map(_.abs).max.max(BigInt(1))
-          x = y.map(v => BigInt(v.signum) * (v.abs * PcaXScale / gain))
-        }
-        (x, gain)
+        pcaPowerIterateFrame(pcaFrame(s, dir), PcaDim, PcaIters)
       }
 
   private val pcaMemo =
@@ -1078,6 +1089,99 @@ object Similarity {
       .map { case (v, i) => (i + 1L, v.toLong, gain.toLong) }.toSeq
       .toDF("dim", "loading", "gain")
       .orderBy("dim")
+  }
+
+  /** How many principal components the top-m gates extract. */
+  val PcaTopM = 4
+
+  /** Integer deflation — the residual frame component c+1 trains on:
+    * e′_j = e_j − sdiv(p·x_j, Σx²) where p = eᵀx (exact integer form of
+    * e − (eᵀx)x/(xᵀx), with ONE sign-safe truncating division per
+    * element so DuckDB replays it bit-for-bit). Magnitude check:
+    * |p·x_j| ≤ dim·EScale·XScale² ≈ 6.4e16 and Σx² ≤ dim·XScale² ≈
+    * 6.4e13 — both inside BIGINT; the residual stays at e-magnitude so
+    * the next power iteration keeps the PC1 headroom analysis. */
+  private[graft] def deflateFrame(e: DataFrame, x: Array[BigInt], dim: Int): DataFrame = {
+    val nn = x.map(v => v * v).sum
+    require(nn > 0 && nn <= BigInt(Long.MaxValue),
+      s"axis norm $nn outside (0, Long.MaxValue] — raise scales carefully")
+    val nnL = nn.toLong
+    e.select(col("vec_id"), col("label"), col("e"), pcaDot(x, dim).as("p"))
+      .withColumn("xl", typedLit(x.map(_.toLong).toSeq))
+      .select(col("vec_id"), col("label"),
+        expr(s"""zip_with(e, xl, (v, xv) -> v -
+                |  (CASE WHEN p * xv < 0 THEN -((-(p * xv)) DIV $nnL)
+                |        ELSE (p * xv) DIV $nnL END))""".stripMargin).as("e"))
+  }
+
+  /** Top-m components via deflation: train PC1 on the quantized frame,
+    * subtract its projection in integer algebra ([[deflateFrame]]),
+    * train PC2 on the residual, and so on. Each deflated frame is
+    * localCheckpointed (it feeds [[PcaIters]] + 1 jobs); total work is
+    * m·(iters+1) one-scan all-reduces, driver state m·dim longs. */
+  private[graft] def pcaTopMTrain(
+      s: SparkSession, dir: String, m: Int = PcaTopM): Seq[(Array[BigInt], BigInt)] =
+    pcaTopmMemo.getOrElseUpdate(
+      (org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir, m)) {
+        var e = pcaFrame(s, dir)
+        val out = Seq.newBuilder[(Array[BigInt], BigInt)]
+        for (c <- 1 to m) {
+          val (x, gain) = pcaPowerIterateFrame(e, PcaDim, PcaIters)
+          out += ((x, gain))
+          if (c < m) e = deflateFrame(e, x, PcaDim).localCheckpoint()
+        }
+        out.result()
+      }
+
+  private val pcaTopmMemo = new graft.util
+    .BoundedMemo[(String, String, Int), Seq[(Array[BigInt], BigInt)]](64)
+
+  /** EMBED — TOP-M PRINCIPAL COMPONENTS (VERDICT r16 item 3): the
+    * [[PcaTopM]] dominant directions with their gains — what a real
+    * separability card reads instead of PC1 alone. Component 1 is
+    * bit-identical to [[embedPcaPower]] (same core, same frame). */
+  def embedPcaTopm(s: SparkSession, dir: String): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    pcaTopMTrain(s, dir).zipWithIndex.flatMap { case ((x, gain), c) =>
+      x.zipWithIndex.map { case (v, i) =>
+        (c + 1L, i + 1L, v.toLong, gain.toLong)
+      }
+    }.toDF("component", "dim", "loading", "gain")
+      .orderBy("component", "dim")
+  }
+
+  /** EMBED — PER-CLASS PROJECTION BANDS OVER PC1..PCm: the projection
+    * separability card across all [[PcaTopM]] trained axes. ONE corpus
+    * scan computes every component's projection (m explicit dot
+    * expressions side by side, then a generator `stack` to long form),
+    * so adding components costs expression width, not extra scans —
+    * the 100 TB shape. Projections are of the ORIGINAL quantized frame
+    * onto each axis (the statistic a card reports), not of the
+    * deflated residuals (a training detail). */
+  def embedPcaProjectTopm(s: SparkSession, dir: String): DataFrame = {
+    val axes = pcaTopMTrain(s, dir).map(_._1)
+    val projCols = axes.zipWithIndex.map { case (x, c) =>
+      pcaDot(x).as(s"p${c + 1}")
+    }
+    val stackExpr = axes.indices
+      .map(c => s"CAST(${c + 1} AS BIGINT), p${c + 1}")
+      .mkString(s"stack(${axes.length}, ", ", ", ") AS (component, proj)")
+    pcaFrame(s, dir)
+      .select(col("label") +: projCols: _*)
+      .selectExpr("label", stackExpr)
+      .groupBy(col("component"), col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("proj")).as("sum_proj"),
+        min(col("proj")).as("min_proj"),
+        max(col("proj")).as("max_proj"))
+      .select(
+        col("component"), col("label"), col("n"),
+        expr("CASE WHEN sum_proj < 0 THEN -((-sum_proj) DIV n) ELSE sum_proj DIV n END")
+          .as("mean_proj"),
+        col("min_proj"), col("max_proj"))
+      .orderBy("component", "label")
   }
 
   // ---------------------------------------------------------------------
@@ -1110,48 +1214,62 @@ object Similarity {
     expressions.KmeansPackedMin(
       col("e"), typedLit(cents.map(_.toSeq).toSeq))
 
-  /** The Lloyd loop: init = the quantized vectors with vec_id 0..k-1
-    * (hash-anchored, corpus-order-independent); per round one scan
-    * assigns via [[kmeansPacked]] and aggregates per-cluster count +
-    * dim sums; the driver computes sign-safe truncating means (an
-    * emptied cluster keeps its previous centroid). Returns the final
-    * centroids and the final assignment's cluster sizes. */
+  /** The Lloyd loop over an ARBITRARY quantized frame (column `e`:
+    * array<bigint> of length `dim` plus a `vec_id`) — the (dim, k,
+    * iters)-parameterized core (the BPE-constants lesson; k is bounded
+    * by the pack factor, [[expressions.KmeansPackedMin.MaxCentroids]]).
+    * Init = the quantized vectors with vec_id 0..k-1 (hash-anchored,
+    * corpus-order-independent); per round one scan assigns via
+    * [[kmeansPacked]] and aggregates per-cluster count + dim sums; the
+    * driver computes sign-safe truncating means (an emptied cluster
+    * keeps its previous centroid). Returns the final centroids and the
+    * final assignment's cluster sizes. */
+  private[graft] def kmeansTrainFrame(
+      e: DataFrame, dim: Int, k: Int, iters: Int): (Array[Array[Long]], Array[Long]) = {
+    require(k >= 1 && k <= expressions.KmeansPackedMin.MaxCentroids,
+      s"k=$k outside the packed-assignment bound " +
+        s"[1, ${expressions.KmeansPackedMin.MaxCentroids}]")
+    val init = e.filter(col("vec_id") < k)
+      .select(col("vec_id"), col("e")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Long](1).toArray)
+    require(init.length == k,
+      s"need vec_id 0..${k - 1} as k-means anchors, found ${init.length}")
+    var cents = init
+    var sizes = Array.fill(k)(0L)
+    for (_ <- 1 to iters) {
+      val assigned = e.select(col("e"),
+        (kmeansPacked(cents) % 16L).cast("int").as("cluster"))
+      val rows = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          (1 to dim).map(j => sum(element_at(col("e"), j)).as(s"s$j")): _*)
+        .collect()
+      sizes = Array.fill(k)(0L)
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        val n = r.getLong(1)
+        sizes(c) = n
+        var j = 0
+        while (j < dim) {
+          val sum = r.getLong(2 + j)
+          next(c)(j) = if (sum < 0) -((-sum) / n) else sum / n
+          j += 1
+        }
+      }
+      cents = next
+    }
+    (cents, sizes)
+  }
+
+  /** The gate-corpus trainer (memoized): [[kmeansTrainFrame]] at the
+    * [[PcaDim]]/[[KmeansK]]/[[KmeansIters]] config the oracle generator
+    * reads. */
   private[graft] def kmeansTrain(s: SparkSession, dir: String)
       : (Array[Array[Long]], Array[Long]) =
     kmeansMemo.getOrElseUpdate(
       (org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir)) {
-        val e = pcaFrame(s, dir)
-        val init = e.filter(col("vec_id") < KmeansK)
-          .select(col("vec_id"), col("e")).collect()
-          .sortBy(_.getLong(0))
-          .map(_.getSeq[Long](1).toArray)
-        require(init.length == KmeansK,
-          s"need vec_id 0..${KmeansK - 1} as k-means anchors, found ${init.length}")
-        var cents = init
-        var sizes = Array.fill(KmeansK)(0L)
-        for (_ <- 1 to KmeansIters) {
-          val assigned = e.select(col("e"),
-            (kmeansPacked(cents) % 16L).cast("int").as("cluster"))
-          val rows = assigned.groupBy(col("cluster"))
-            .agg(count(lit(1)).as("n"),
-              (1 to PcaDim).map(j => sum(element_at(col("e"), j)).as(s"s$j")): _*)
-            .collect()
-          sizes = Array.fill(KmeansK)(0L)
-          val next = cents.map(_.clone())
-          rows.foreach { r =>
-            val c = r.getInt(0)
-            val n = r.getLong(1)
-            sizes(c) = n
-            var j = 0
-            while (j < PcaDim) {
-              val sum = r.getLong(2 + j)
-              next(c)(j) = if (sum < 0) -((-sum) / n) else sum / n
-              j += 1
-            }
-          }
-          cents = next
-        }
-        (cents, sizes)
+        kmeansTrainFrame(pcaFrame(s, dir), PcaDim, KmeansK, KmeansIters)
       }
 
   private val kmeansMemo = new graft.util

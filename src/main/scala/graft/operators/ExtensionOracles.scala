@@ -1714,6 +1714,66 @@ object ExtensionOracles {
     sb.toString
   }
 
+  /** Unrolled top-m deflation chain for the embed_pca_topm gates: per
+    * component the same (d, s, y, m, x) power blocks as [[pcaIterCtes]]
+    * (component-prefixed names over frame el{c}), then the integer
+    * deflation el{c+1}: e − sdiv(p·x, Σx²) with ONE sign-safe division
+    * per element — the exact algebra
+    * `Similarity.deflateFrame` performs, so the whole chain replays
+    * bit-for-bit. Generated from the SAME config constants the Spark
+    * side trains with. */
+  private def pcaTopmCtes: String = {
+    import graft.functions.Similarity.{
+      PcaDim, PcaIters, PcaTopM, PcaEScale, PcaXScale, PcaDotShift}
+    val sb = new StringBuilder
+    sb.append(
+      s"""el1 AS MATERIALIZED (
+         |  SELECT vec_id, label, j,
+         |    CAST(round(CAST(embedding[j] AS DOUBLE) * $PcaEScale) AS BIGINT) AS e
+         |  FROM embeddings, range(1, ${PcaDim + 1}) t(j))""".stripMargin)
+    for (c <- 1 to PcaTopM) {
+      sb.append(",\n")
+      sb.append(
+        s"""xc${c}_0 AS (SELECT j, CAST($PcaXScale AS BIGINT) AS x
+           |  FROM range(1, ${PcaDim + 1}) t(j))""".stripMargin)
+      for (k <- 1 to PcaIters) {
+        sb.append(",\n")
+        sb.append(
+          s"""dc${c}_$k AS MATERIALIZED (
+             |  SELECT vec_id, CAST(sum(e * x) AS BIGINT) AS dot
+             |  FROM el$c JOIN xc${c}_${k - 1} USING (j) GROUP BY vec_id),
+             |sc${c}_$k AS MATERIALIZED (SELECT vec_id,
+             |  CASE WHEN dot < 0 THEN -((-dot) // $PcaDotShift)
+             |       ELSE dot // $PcaDotShift END AS sdot FROM dc${c}_$k),
+             |yc${c}_$k AS MATERIALIZED (
+             |  SELECT j, CAST(sum(e * sdot) AS BIGINT) AS y
+             |  FROM el$c JOIN sc${c}_$k USING (vec_id) GROUP BY j),
+             |mc${c}_$k AS MATERIALIZED (SELECT greatest(max(abs(y)), 1) AS m FROM yc${c}_$k),
+             |xc${c}_$k AS MATERIALIZED (SELECT j,
+             |  CASE WHEN y < 0 THEN -CAST((CAST(-y AS HUGEINT) * $PcaXScale) // m AS BIGINT)
+             |       ELSE CAST((CAST(y AS HUGEINT) * $PcaXScale) // m AS BIGINT) END AS x
+             |  FROM yc${c}_$k, mc${c}_$k)""".stripMargin)
+      }
+      if (c < PcaTopM) {
+        sb.append(",\n")
+        sb.append(
+          s"""nn$c AS MATERIALIZED (
+             |  SELECT CAST(sum(x * x) AS BIGINT) AS nn FROM xc${c}_$PcaIters),
+             |p$c AS MATERIALIZED (
+             |  SELECT vec_id, CAST(sum(e * x) AS BIGINT) AS p
+             |  FROM el$c JOIN xc${c}_$PcaIters USING (j) GROUP BY vec_id),
+             |el${c + 1} AS MATERIALIZED (
+             |  SELECT e.vec_id, e.label, e.j,
+             |    e.e - (CASE WHEN p.p * x.x < 0 THEN -((-(p.p * x.x)) // nn.nn)
+             |                ELSE (p.p * x.x) // nn.nn END) AS e
+             |  FROM el$c e
+             |  JOIN p$c p USING (vec_id)
+             |  JOIN xc${c}_$PcaIters x USING (j), nn$c nn)""".stripMargin)
+      }
+    }
+    sb.toString
+  }
+
   /** Unrolled fixed-point Lloyd chain for embed_kmeans — per round a
     * (d, a, g, c) block: pairwise integer distances, packed-min
     * assignment (dist·16 + cluster ties to the smaller id), per-cluster
@@ -1796,6 +1856,46 @@ object ExtensionOracles {
          |SELECT x$k.j AS dim, CAST(x$k.x AS BIGINT) AS loading,
          |  CAST(m$k.m AS BIGINT) AS gain
          |FROM x$k, m$k ORDER BY dim""".stripMargin
+    },
+
+    // top-m deflation chain: per component the PC1 power blocks on the
+    // residual frame, then the integer deflation — loadings and gains
+    // of all PcaTopM components replayed exactly
+    "embed_pca_topm" -> {
+      import graft.functions.Similarity.{PcaIters, PcaTopM}
+      val unions = (1 to PcaTopM).map { c =>
+        s"""SELECT CAST($c AS BIGINT) AS component, x.j AS dim,
+           |  CAST(x.x AS BIGINT) AS loading, CAST(m.m AS BIGINT) AS gain
+           |FROM xc${c}_$PcaIters x, mc${c}_$PcaIters m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $pcaTopmCtes
+         |$unions
+         |ORDER BY component, dim""".stripMargin
+    },
+
+    // per-class projection bands over PC1..PCm: every component's axis
+    // projects the ORIGINAL quantized frame (el1), then a per-(component,
+    // label) rollup — the multi-axis separability card
+    "embed_pca_project_topm" -> {
+      import graft.functions.Similarity.{PcaIters, PcaTopM}
+      val unions = (1 to PcaTopM).map { c =>
+        s"""SELECT CAST($c AS BIGINT) AS component, el1.vec_id, el1.label,
+           |  CAST(sum(el1.e * x.x) AS BIGINT) AS proj
+           |FROM el1 JOIN xc${c}_$PcaIters x USING (j)
+           |GROUP BY el1.vec_id, el1.label""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $pcaTopmCtes,
+         |pall AS ($unions),
+         |q AS (SELECT component, label, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(proj) AS BIGINT) AS sp,
+         |    CAST(min(proj) AS BIGINT) AS min_proj,
+         |    CAST(max(proj) AS BIGINT) AS max_proj
+         |  FROM pall GROUP BY component, label)
+         |SELECT component, label, n,
+         |  CAST(CASE WHEN sp < 0 THEN -((-sp) // n) ELSE sp // n END AS BIGINT)
+         |    AS mean_proj,
+         |  min_proj, max_proj
+         |FROM q ORDER BY component, label""".stripMargin
     },
 
     // per-class projection onto the trained component: same unrolled

@@ -116,6 +116,13 @@ object Extensions {
     // driver state re-broadcast as literals
     "embed_pca_power"   -> (Similarity.embedPcaPower _),
     "embed_pca_project" -> (Similarity.embedPcaProject _),
+    // top-m components via integer deflation (residual = e − sdiv(p·x,
+    // Σx²), one sign-safe division per element) — m·(iters+1) one-scan
+    // all-reduces, m·dim longs of driver state
+    "embed_pca_topm"    -> (Similarity.embedPcaTopm _),
+    // multi-axis separability card: ONE corpus scan computes all m
+    // projections (m dot expressions + a generator stack to long form)
+    "embed_pca_project_topm" -> (Similarity.embedPcaProjectTopm _),
     // fixed-point Lloyd k-means (clustering for topic bucketing /
     // mixture design): per round one scan — assignment is a per-row
     // codegen expression against k broadcast literal centroids, the
