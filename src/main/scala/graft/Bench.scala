@@ -66,7 +66,8 @@ object Bench {
     "streaming_profile_rocksdb" -> 1.599,
     "streaming_profile_warm_rocksdb" -> 1.234,
     "streaming_quantiles" -> 1.08, "streaming_recent_rocksdb" -> 1.771,
-    "streaming_retention" -> 1.266, "streaming_running_reduce" -> 1.386,
+    "streaming_retention" -> 1.266, "streaming_rrf" -> 1.148, // r17 isolated
+    "streaming_running_reduce" -> 1.386,
     "streaming_semantic_dedup" -> 1.039,
     "streaming_semantic_dedup_rocksdb" -> 1.199,
     "streaming_session_funnel" -> 2.119,
@@ -212,6 +213,8 @@ object Bench {
         (() => StreamingBench.ttlHotKeyPipeline(spark, sfDir)),
       "streaming_pca" ->
         (() => StreamingBench.pcaPipeline(spark, sfDir)),
+      "streaming_rrf" ->
+        (() => StreamingBench.rrfPipeline(spark, sfDir)),
       "bpe_encode_deep" ->
         (() => StreamingBench.deepBpePipeline(spark, sfDir)),
       "streaming_curation" ->

@@ -138,6 +138,7 @@ object StreamingBench {
     if (any("streaming_curation")) curationSeed(spark, sfDir)
     if (any("streaming_ttl_hotkey")) hotKeyFeed(spark, sfDir)
     if (any("streaming_pca")) pcaSeed(spark, sfDir)
+    if (any("streaming_rrf")) rrfSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
@@ -177,6 +178,7 @@ object StreamingBench {
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
     trainedBudgetMemo.clear(); deepBpeMemo.clear(); curationMemo.clear()
     hotKeyMemo.clear(); pcaBenchMemo.clear(); panelMemo.clear()
+    rrfBenchMemo.clear()
     aucMemo.clear()
     profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
@@ -1866,6 +1868,49 @@ object StreamingBench {
     withStatePartitions(spark, 4)(
       runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
         "pca")(requireCount("pca", expected)))
+  }
+
+  /** Frozen ANN artifact + doc feed + exact emission model for
+    * [[rrfPipeline]] (untimed prepare — the ANN ranking is the
+    * deploy-time artifact; the expected count replays the kernel fold
+    * driver-side via StreamingRrf.expectedRows). */
+  private val rrfBenchMemo = scala.collection.mutable.Map.empty[
+    String, (Map[Long, Seq[(Long, Long)]],
+      Array[graft.streaming.StreamingRrf.RDoc], Long)]
+
+  private def rrfSeed(spark: SparkSession, sfDir: String)
+      : (Map[Long, Seq[(Long, Long)]],
+        Array[graft.streaming.StreamingRrf.RDoc], Long) =
+    rrfBenchMemo.getOrElseUpdate(sfDir, {
+      val s = spark
+      import s.implicits._
+      val ann = graft.functions.Similarity.annBrute(spark, sfDir)
+        .select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (q, rows) => q -> rows.sortBy(_._3).toSeq.map(t => (t._2, t._3)) }
+      val feed = graft.streaming.StreamingRrf.docFeed(spark, sfDir)
+      val (b1, b2) = feed.toIndexedSeq.splitAt(feed.length / 2)
+      val expected = graft.streaming.StreamingRrf.expectedRows(Seq(b1, b2), ann)
+      (ann, feed, expected)
+    })
+
+  /** Live hybrid-retrieval RRF (retrieval_rrf's streaming side): the
+    * document corpus streams through the posting-bounded BM25-head
+    * kernel in two micro-batches, each fusing against the frozen ANN
+    * ranking; final fused table bit-equal to the batch gate
+    * (StreamingRrfSpec). */
+  def rrfPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (ann, feed, expected) = rrfSeed(spark, sfDir)
+    val (b1, b2) = feed.toIndexedSeq.splitAt(feed.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingRrf.RDoc]
+    val out = graft.streaming.StreamingRrf.rrf(stream.toDS(), ann)
+    withStatePartitions(spark, 1)(
+      runTwoBatches(spark, stream, out, (b1, b2), "rrf")(
+        requireCount("rrf", expected)))
   }
 
   /** Deep merge table + exact sampled model for [[deepBpePipeline]]

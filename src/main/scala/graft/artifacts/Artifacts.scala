@@ -86,6 +86,22 @@ object Artifacts {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq))
       .sortBy(_._1).toSeq.map(_._2)
 
+  // ---- frozen ANN ranking: (qid, cid, rank) per query — the vector
+  // side a deployed hybrid-retrieval monitor fuses against ----
+
+  def saveAnnTopk(ranked: DataFrame, path: String): Unit =
+    save(ranked.select(col("qid").cast("long"), col("cid").cast("long"),
+      col("rank").cast("long")), "ann_topk", path)
+
+  /** qid → (cid, rank) list in rank order. */
+  def loadAnnTopk(s: SparkSession, path: String): Map[Long, Seq[(Long, Long)]] =
+    load(s, "ann_topk", path).select("qid", "cid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_._3).toSeq.map(t => (t._2, t._3))
+      }
+
   // ---- PCA axis: (idx: int, loading: bigint) + gain on every row ----
 
   def savePcaAxis(s: SparkSession, x: Array[BigInt], gain: BigInt, path: String): Unit = {

@@ -811,11 +811,14 @@ object TextAnalysis {
     * terms is written in FIXED term order so the double sum is
     * deterministic. Equality with the per-term-column formulation at 32
     * terms is spec-pinned (ExtensionsSpec). */
-  def bm25ScoreOf(docs: DataFrame, query: Seq[String]): DataFrame = {
+  /** The per-doc (doc_id, len, tf-vector) frame both the batch scorer
+    * and the streaming RRF twin ingest — ONE shared construction so the
+    * live head's token counts are bit-identical to the gate's. */
+  private[graft] def bm25DocStats(docs: DataFrame, query: Seq[String]): DataFrame = {
     require(query.nonEmpty, "bm25 query must have at least one term")
     require(query.distinct == query, "bm25 query terms must be distinct")
     val qlit = typedLit(query)
-    val t = docs
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("len", size(col("toks")).cast("long"))
       .withColumn("tf", aggregate(
@@ -823,6 +826,11 @@ object TextAnalysis {
         typedLit(Seq.fill(query.size)(0L)),
         (acc, tok) => transform(acc, (c, i) =>
           c + when(element_at(qlit, i + 1) === tok, 1L).otherwise(0L))))
+      .select("doc_id", "len", "tf")
+  }
+
+  def bm25ScoreOf(docs: DataFrame, query: Seq[String]): DataFrame = {
+    val t = bm25DocStats(docs, query)
     val statAggs =
       count(lit(1)).cast("double").as("n_docs") +:
         sum(col("len")).cast("double").as("sum_len") +:
