@@ -3223,6 +3223,10 @@ object Relational {
     "q74_gap_fill"          -> (q74GapFill _),
     "q75_ewma"              -> (q75Ewma _),
     "q76_interarrival"      -> (q76Interarrival _),
+    // the watermark-driven gap emitter run over a SHUFFLED feed must
+    // reproduce q76's batch lag() multiset — the streaming operator's
+    // correctness gate (oracle is the plain SQL, no streaming side)
+    "q76_gaps_watermarked"  -> (graft.streaming.StreamingGaps.watermarkGate _),
     "q77_target_encode"     -> (q77TargetEncode _),
     "feature_hash"          -> (featureHash _),
     "q78_quantile_bins"     -> (q78QuantileBins _),

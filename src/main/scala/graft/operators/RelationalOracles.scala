@@ -743,6 +743,20 @@ object RelationalOracles {
         |FROM g WHERE gap_s IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the watermark-driven emitter's gate: its output multiset equals
+    // the batch lag() gaps regardless of arrival order — the oracle is
+    // just that SQL, totally ordered by (event_type, gap_us)
+    "q76_gaps_watermarked" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS gap_us
+        |  FROM e)
+        |SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |ORDER BY event_type, gap_us""".stripMargin,
+
     // Leave-one-out target encoding: all-BIGINT cents arithmetic over
     // non-negative values, so DuckDB's flooring // equals Spark's
     // truncating div; sums CAST to BIGINT (HUGEINT render rule)

@@ -175,4 +175,67 @@ object StreamingGaps {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout)(wmGapUpdate)
   }
+
+  /** CORRECTNESS GATE `q76_gaps_watermarked` (VERDICT r16 item 6 —
+    * q76's gap algebra under BOUNDED-DISORDER arrival, the B19
+    * contract a real deployment runs under): the watermark-driven
+    * emitter consumes the whole events corpus in three micro-batches
+    * whose arrivals are deterministically SCRAMBLED within 6-hour
+    * blocks (a fixed multiplicative permutation of event_id — any
+    * order within the horizon gives the same multiset, which is the
+    * operator's contract), the 12-hour delay exceeds the block span so
+    * nothing is watermark-dropped, gaps ripen progressively (state
+    * stays horizon-bounded — a corpus-span delay would buffer the
+    * whole feed, measured 6.0 vs 2.x s), and a SENTINEL event ripens
+    * the final horizon (the default no-data micro-batch then fires the
+    * event-time timers). The collected gap multiset must equal the
+    * batch `lag()` order — the DuckDB oracle is that SQL directly,
+    * with no streaming machinery on the oracle side. */
+  def watermarkGate(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val rows = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .as[StreamingProfile.PEv].collect()
+    val blockUs = 6L * 3600 * 1000000
+    val shuffled = rows.sortBy(e =>
+      (StreamingTransitions.tsMicros(e.ts) / blockUs,
+        e.event_id * 0x9E3779B97F4A7C15L))
+    val n = shuffled.length
+    val slices = Seq(
+      shuffled.slice(0, n / 3), shuffled.slice(n / 3, 2 * n / 3),
+      shuffled.slice(2 * n / 3, n)).map(_.toIndexedSeq)
+    val delayHours = 12L // > the 6-hour scramble block span, with margin
+    val maxMs = rows.iterator.map(_.ts.getTime).max
+    val sentinel = StreamingProfile.PEv(-1L, -1L,
+      new java.sql.Timestamp(maxMs + delayHours * 3600000L + 3600000L),
+      "sentinel", 0L)
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[StreamingProfile.PEv]
+    val out = gapsWatermarked(stream.toDS(), s"$delayHours hours")
+    val sink = s"q76_wm_gate_${System.nanoTime()}"
+    // state-partition cap (the StreamingBench discipline): the keyed
+    // state op pays per-partition-per-batch overhead, and this gate's
+    // feed is a driver-side MemoryStream — wide shuffle buys nothing
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partKey)
+    s.conf.set(partKey, math.min(8, prevParts.toInt).toString)
+    val q = out.toDF().writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    val got =
+      try {
+        (slices :+ IndexedSeq(sentinel)).foreach { b =>
+          stream.addData(b); q.processAllAvailable()
+        }
+        s.table(sink).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      } finally {
+        q.stop()
+        s.catalog.dropTempView(sink)
+        s.conf.set(partKey, prevParts)
+      }
+    got.toDF("event_type", "gap_us").orderBy("event_type", "gap_us")
+  }
 }
