@@ -63,6 +63,7 @@ object Bench {
     "streaming_ndv" -> 0.921, "streaming_near_dup" -> 1.752,
     "streaming_packing" -> 0.856, "streaming_paths" -> 1.472,
     "streaming_paths_agg" -> 2.616, "streaming_pca" -> 0.834,
+    "streaming_pca_topm" -> 1.009, // r17 isolated
     "streaming_profile_rocksdb" -> 1.599,
     "streaming_profile_warm_rocksdb" -> 1.234,
     "streaming_quantiles" -> 1.08, "streaming_recent_rocksdb" -> 1.771,
@@ -215,6 +216,8 @@ object Bench {
         (() => StreamingBench.pcaPipeline(spark, sfDir)),
       "streaming_rrf" ->
         (() => StreamingBench.rrfPipeline(spark, sfDir)),
+      "streaming_pca_topm" ->
+        (() => StreamingBench.pcaTopmPipeline(spark, sfDir)),
       "bpe_encode_deep" ->
         (() => StreamingBench.deepBpePipeline(spark, sfDir)),
       "streaming_curation" ->

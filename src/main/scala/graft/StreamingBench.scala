@@ -138,6 +138,10 @@ object StreamingBench {
     if (any("streaming_curation")) curationSeed(spark, sfDir)
     if (any("streaming_ttl_hotkey")) hotKeyFeed(spark, sfDir)
     if (any("streaming_pca")) pcaSeed(spark, sfDir)
+    if (any("streaming_pca_topm")) {
+      pcaSeed(spark, sfDir)
+      graft.streaming.StreamingPca.axesFrom(spark, sfDir)
+    }
     if (any("streaming_rrf")) rrfSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
@@ -1868,6 +1872,25 @@ object StreamingBench {
     withStatePartitions(spark, 4)(
       runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
         "pca")(requireCount("pca", expected)))
+  }
+
+  /** Live TOP-M projection-band monitor (embed_pca_project_topm's
+    * streaming side): same feed and touched-label model as
+    * [[pcaPipeline]], m frozen axes, m rows per (touched label, batch)
+    * — the exact count is the PC1 model × PcaTopM. Axes train in the
+    * untimed prepare (the pcaTopMTrain memo). */
+  def pcaTopmPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (_, vecs, expected) = pcaSeed(spark, sfDir)
+    val axes = graft.streaming.StreamingPca.axesFrom(spark, sfDir)
+    val (b1, b2) = vecs.splitAt(vecs.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingPca.VecIn]
+    val out = graft.streaming.StreamingPca.bandsTopm(stream.toDS(), axes)
+    withStatePartitions(spark, 4)(
+      runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
+        "pca_topm")(requireCount("pca_topm", expected * axes.length)))
   }
 
   /** Frozen ANN artifact + doc feed + exact emission model for

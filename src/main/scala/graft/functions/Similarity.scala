@@ -613,6 +613,21 @@ object Similarity {
     ivfSearchWith(emb, graft.artifacts.Artifacts.loadIvfCodebook(s, path), nprobe = 1)
   }
 
+  /** GATE `ann_ivf_deploy` — the train-once/deploy-many contract END TO
+    * END inside one hash-checked query: train the codebook, persist it
+    * through the artifact store, load it back, and search from the
+    * LOADED copy. Must hash-equal plain [[annIvf]] (the oracle IS
+    * ann_ivf's SQL), so a store round-trip can never silently perturb
+    * the ranking. The store path is a per-JVM temp dir — at scale it's
+    * any shared filesystem URI; the measured cost IS the deploy
+    * round-trip plus the search. */
+  def annIvfDeploy(s: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-deploy-").toString
+    saveIvfArtifact(s, dir, path)
+    annIvfFromArtifact(s, dir, path)
+  }
+
   /** IVF with nprobe=2: each query searches its own cell AND its
     * second-nearest centroid's cell — the standard IVF recall repair
     * (a query near a cell boundary finds neighbors assigned to the

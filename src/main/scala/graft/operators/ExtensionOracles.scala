@@ -1813,7 +1813,7 @@ object ExtensionOracles {
     sb.toString
   }
 
-  val all: Map[String, String] = base ++ Map(
+  val all: Map[String, String] = withAliases(base ++ Map(
     // fixed-point Lloyd, unrolled round by round — centroids and final
     // cluster sizes replayed exactly (integer distances, packed-min
     // tie-break, sign-safe means)
@@ -2226,5 +2226,12 @@ object ExtensionOracles {
          |        / CAST(count(*) AS DOUBLE), 6) AS fc_mean
          |FROM occ o LEFT JOIN head h USING (tok)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
-  )
+  ))
+
+  /** Aliases resolved AFTER the map is built (some aliased gates live
+    * in the `all` extras, not in `base`): the artifact-store deploy
+    * round-trip must not perturb the IVF ranking, so ann_ivf's oracle
+    * adjudicates the loaded-codebook search too. */
+  private def withAliases(m: Map[String, String]): Map[String, String] =
+    m + ("ann_ivf_deploy" -> m("ann_ivf"))
 }

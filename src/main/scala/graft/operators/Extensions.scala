@@ -83,6 +83,9 @@ object Extensions {
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),
     "ann_recall_at_k"  -> (Similarity.annRecallAtK _),
     "ann_ivf"          -> (Similarity.annIvf _),
+    // train -> persist (artifact store) -> load -> search, end to end;
+    // must hash-equal plain ann_ivf (same oracle)
+    "ann_ivf_deploy"   -> (Similarity.annIvfDeploy _),
     "ann_pq"           -> (Similarity.annPq _),
     // recall-threshold gate for the TRAINED PQ codebook (k-means is not
     // oracle-reproducible in SQL; annBrute is value-hashed by its own

@@ -39,19 +39,30 @@ object StreamingPca {
   case class BandRow(label: Int, batch: Long, n: Long, mean_proj: Long,
       min_proj: Long, max_proj: Long)
 
-  /** Fixed-point projection of one raw vector onto the frozen axis —
-    * the same integers the batch gate's quantized frame produces. */
-  private[streaming] def projOf(axis: Array[Long], emb: Seq[Float]): Long = {
+  /** One vector's fixed-point quantization — the same integers the
+    * batch gate's quantized frame produces (HALF_UP at
+    * [[Similarity.PcaEScale]], matching Spark SQL `round`). */
+  private[streaming] def quantize(emb: Seq[Float]): Array[Long] = {
+    val q = new Array[Long](emb.length)
     var i = 0
-    var dot = 0L
-    while (i < axis.length) {
-      val q = java.math.BigDecimal.valueOf(emb(i).toDouble * Similarity.PcaEScale)
+    while (i < q.length) {
+      q(i) = java.math.BigDecimal.valueOf(emb(i).toDouble * Similarity.PcaEScale)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
-      dot += q * axis(i)
       i += 1
     }
+    q
+  }
+
+  private[streaming] def dotQ(q: Array[Long], axis: Array[Long]): Long = {
+    var i = 0
+    var dot = 0L
+    while (i < axis.length) { dot += q(i) * axis(i); i += 1 }
     dot
   }
+
+  /** Fixed-point projection of one raw vector onto the frozen axis. */
+  private[streaming] def projOf(axis: Array[Long], emb: Seq[Float]): Long =
+    dotQ(quantize(emb), axis)
 
   /** Sign-safe truncating mean — Spark `DIV` / DuckDB `//`-on-abs. */
   private[streaming] def meanOf(sum: Long, n: Long): Long =
@@ -102,4 +113,77 @@ object StreamingPca {
     * (session, dir) inside pcaPowerTrain — bounded, 64 longs). */
   def axisFrom(s: SparkSession, dir: String): Array[Long] =
     Similarity.pcaPowerTrain(s, dir)._1.map(_.toLong)
+
+  // ---------------------------------------------------------------------
+  // TOP-M twin (embed_pca_project_topm's live side): one frozen axis
+  // PER COMPONENT, 4·m longs of state per label, m band rows per
+  // (touched label, batch). Each arrival quantizes ONCE and dots every
+  // axis — the streaming analogue of the batch card's
+  // one-scan-m-expressions shape. Final rows per (component, label)
+  // BIT-EQUAL to batch embedPcaProjectTopm (spec-pinned).
+  // ---------------------------------------------------------------------
+
+  case class BandCell(n: Long, sum: Long, min: Long, max: Long)
+
+  case class TopmState(version: Long, cells: Seq[BandCell])
+
+  case class TopmRow(label: Int, batch: Long, component: Long, n: Long,
+      mean_proj: Long, min_proj: Long, max_proj: Long)
+
+  private def updateTopm(
+      axes: Seq[Array[Long]], idleTimeout: Option[FiniteDuration])(
+      label: Int, it: Iterator[VecIn],
+      state: GroupState[TopmState]): Iterator[TopmRow] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val st = state.getOption.getOrElse(TopmState(0L,
+        Seq.fill(axes.length)(BandCell(0L, 0L, Long.MaxValue, Long.MinValue))))
+      val cells = st.cells.toArray
+      var news = false
+      it.foreach { v =>
+        news = true
+        val q = quantize(v.embedding)
+        var c = 0
+        while (c < cells.length) {
+          val p = dotQ(q, axes(c))
+          val cell = cells(c)
+          cells(c) = BandCell(cell.n + 1L, cell.sum + p,
+            math.min(cell.min, p), math.max(cell.max, p))
+          c += 1
+        }
+      }
+      idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))
+      if (!news) Iterator.empty // timer-only invocation
+      else {
+        val next = TopmState(st.version + 1L, cells.toVector)
+        state.update(next)
+        cells.iterator.zipWithIndex.map { case (cell, c) =>
+          TopmRow(label, next.version, c + 1L, cell.n,
+            meanOf(cell.sum, cell.n), cell.min, cell.max)
+        }
+      }
+    }
+
+  /** Cumulative top-m projection-band stream: m rows per
+    * (touched label, micro-batch). */
+  def bandsTopm(
+      vecs: Dataset[VecIn], axes: Seq[Array[Long]],
+      idleTimeout: Option[FiniteDuration] = None): Dataset[TopmRow] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(axes.nonEmpty && axes.map(_.length).distinct.length == 1,
+      "axes must be non-empty and share one dim")
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout()
+    vecs
+      .groupByKey(_.label)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        updateTopm(axes, idleTimeout))
+  }
+
+  /** Deploy-time axes: the m trained deflation iterates as longs
+    * (memoized inside pcaTopMTrain — bounded, m·dim longs). */
+  def axesFrom(s: SparkSession, dir: String): Seq[Array[Long]] =
+    Similarity.pcaTopMTrain(s, dir).map(_._1.map(_.toLong))
 }
