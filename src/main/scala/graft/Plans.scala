@@ -120,6 +120,7 @@ object Plans {
     "embed_pca_project",   // trained-iterate literal dot; one scan + label rollup
     "embed_kmeans_profile", // literal-centroid packed argmin; one scan + tiny rollup
     "embed_pca_project_topm", // m literal dots + generator stack; STILL one corpus scan
+    "quality_perceptron",  // trained-weights literal dot + 1-row confusion all-reduce
     "token_budget_waterfill") // one token-sum exchange; |sources|-row level algebra
 
   def main(args: Array[String]): Unit = {

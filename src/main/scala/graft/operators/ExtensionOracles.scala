@@ -1965,6 +1965,70 @@ object ExtensionOracles {
            |ORDER BY c.doc_id""".stripMargin
     },
 
+    // trained integer batch-perceptron (the distilled quality filter):
+    // 8 unrolled rounds of single-row weight CTEs — misclassified-set
+    // sums with sign-safe mean steps, then the final confusion. Every
+    // fragment (tokens, marker hits, alpha/stopword algebra) is the one
+    // the text_stats / curation gates already pin.
+    "quality_perceptron" -> {
+      import graft.functions.QualityModel.{Rounds, BiasX}
+      val dims = 0 until graft.functions.QualityModel.Dim
+      val tau = graft.functions.QualityModel.QualityTau
+      val dotW = dims.map(j => s"w.w$j * x$j").mkString(" + ")
+      val sb = new StringBuilder
+      sb.append(
+        s"""qtok AS MATERIALIZED (SELECT doc_id, text, $toks AS toks FROM documents),
+           |qs AS MATERIALIZED (SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe,
+           |  CAST(length(text) AS BIGINT) AS n_chars,
+           |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           |  ${hitExpr(graft.functions.TextAnalysis.langMarkers.head._2)} AS n_stopwords
+           |FROM qtok),
+           |rawlab AS MATERIALIZED (SELECT doc_id,
+           |  CASE WHEN round(CAST(n_alpha AS DOUBLE) / n_chars, 6)
+           |      + round(CAST(n_stopwords AS DOUBLE) / n_tokens, 6) >= $tau
+           |    THEN 1 ELSE -1 END AS y,
+           |  CAST($BiasX AS BIGINT) AS x0,
+           |  n_tokens AS x1,
+           |  (n_alpha * 1000000) // greatest(n_chars, 1) AS x2,
+           |  (n_stopwords * 1000000) // greatest(n_tokens, 1) AS x3,
+           |  (n_chars * 1000) // greatest(n_tokens, 1) AS x4,
+           |  n_bpe AS x5
+           |FROM qs),
+           |fm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+           |${(1 until graft.functions.QualityModel.Dim).map(j => s"  CAST(sum(x$j) AS BIGINT) AS s$j").mkString(",\n")}
+           |FROM rawlab),
+           |lab AS MATERIALIZED (SELECT doc_id, y, x0,
+           |${(1 until graft.functions.QualityModel.Dim).map(j => s"  x$j - (fm.s$j // fm.n) AS x$j").mkString(",\n")}
+           |FROM rawlab, fm),
+           |pw0 AS (SELECT ${dims.map(j => s"CAST(0 AS BIGINT) AS w$j").mkString(", ")})""".stripMargin)
+      for (t <- 1 to Rounds) {
+        val mis = s"y * ($dotW) <= 0"
+        sb.append(",\n")
+        sb.append(
+          s"""pg$t AS MATERIALIZED (SELECT
+             |  CAST(coalesce(count(*) FILTER (WHERE $mis), 0) AS BIGINT) AS cnt,
+             |${dims.map(j => s"  CAST(coalesce(sum(y * x$j) FILTER (WHERE $mis), 0) AS BIGINT) AS g$j").mkString(",\n")}
+             |FROM lab, pw${t - 1} w),
+             |pw$t AS (SELECT
+             |${dims.map(j => s"  w.w$j + CASE WHEN g.g$j < 0 THEN -((-g.g$j) // greatest(g.cnt, 1)) ELSE g.g$j // greatest(g.cnt, 1) END AS w$j").mkString(",\n")}
+             |FROM pw${t - 1} w, pg$t g)""".stripMargin)
+      }
+      s"""WITH $sb,
+         |conf AS (SELECT
+         |  CAST(count(*) FILTER (WHERE y = 1 AND m > 0) AS BIGINT) AS tp,
+         |  CAST(count(*) FILTER (WHERE y = -1 AND m > 0) AS BIGINT) AS fp,
+         |  CAST(count(*) FILTER (WHERE y = -1 AND m <= 0) AS BIGINT) AS tn,
+         |  CAST(count(*) FILTER (WHERE y = 1 AND m <= 0) AS BIGINT) AS fn
+         |FROM (SELECT y, $dotW AS m FROM lab, pw$Rounds w)),
+         |wu AS (
+         |${dims.map(j => s"  SELECT CAST($j AS BIGINT) AS j, w$j AS w FROM pw$Rounds").mkString("\n  UNION ALL\n")}
+         |)
+         |SELECT wu.j, wu.w, c.tp, c.fp, c.tn, c.fn FROM wu, conf c
+         |ORDER BY j""".stripMargin
+    },
+
     // IVF-accelerated k-center is BIT-IDENTICAL to the exact greedy by
     // construction (pruning is a sufficient no-change proof, never an
     // approximation) — the same k-step CTE replay adjudicates both

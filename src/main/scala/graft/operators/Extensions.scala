@@ -78,6 +78,10 @@ object Extensions {
     // default tail class, zero scoring joins (VERDICT r6 item 8)
     "text_freq_class_head" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.freqClassQualityHead(s, dir)),
+    // distilled quality filter: integer batch-perceptron trained to
+    // reproduce the rule-based editorial gate — per round ONE scan
+    // collapsing to a (dim+2)-sum all-reduce, weights hash-replayed
+    "quality_perceptron" -> (graft.functions.QualityModel.qualityPerceptron _),
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),
