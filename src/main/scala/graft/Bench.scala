@@ -66,6 +66,7 @@ object Bench {
     "streaming_pca_topm" -> 1.009, // r17 isolated
     "streaming_profile_rocksdb" -> 1.599,
     "streaming_profile_warm_rocksdb" -> 1.234,
+    "streaming_quality" -> 0.915, // r17 isolated
     "streaming_quantiles" -> 1.08, "streaming_recent_rocksdb" -> 1.771,
     "streaming_retention" -> 1.266, "streaming_rrf" -> 1.148, // r17 isolated
     "streaming_running_reduce" -> 1.386,
@@ -218,6 +219,8 @@ object Bench {
         (() => StreamingBench.rrfPipeline(spark, sfDir)),
       "streaming_pca_topm" ->
         (() => StreamingBench.pcaTopmPipeline(spark, sfDir)),
+      "streaming_quality" ->
+        (() => StreamingBench.qualityPipeline(spark, sfDir)),
       "bpe_encode_deep" ->
         (() => StreamingBench.deepBpePipeline(spark, sfDir)),
       "streaming_curation" ->

@@ -143,6 +143,7 @@ object StreamingBench {
       graft.streaming.StreamingPca.axesFrom(spark, sfDir)
     }
     if (any("streaming_rrf")) rrfSeed(spark, sfDir)
+    if (any("streaming_quality")) qualitySeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
@@ -182,7 +183,7 @@ object StreamingBench {
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
     trainedBudgetMemo.clear(); deepBpeMemo.clear(); curationMemo.clear()
     hotKeyMemo.clear(); pcaBenchMemo.clear(); panelMemo.clear()
-    rrfBenchMemo.clear()
+    rrfBenchMemo.clear(); qualityBenchMemo.clear()
     aucMemo.clear()
     profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
@@ -1891,6 +1892,43 @@ object StreamingBench {
     withStatePartitions(spark, 4)(
       runTwoBatches(spark, stream, out, (b1.toIndexedSeq, b2.toIndexedSeq),
         "pca_topm")(requireCount("pca_topm", expected * axes.length)))
+  }
+
+  /** Frozen quality model + doc feed + exact touched-source model for
+    * [[qualityPipeline]] (untimed prepare — the model is the
+    * deploy-time artifact). */
+  private val qualityBenchMemo = scala.collection.mutable.Map.empty[
+    String, (graft.functions.QualityModel.Model,
+      Array[graft.streaming.StreamingQuality.QDoc], Long)]
+
+  private def qualitySeed(spark: SparkSession, sfDir: String)
+      : (graft.functions.QualityModel.Model,
+        Array[graft.streaming.StreamingQuality.QDoc], Long) =
+    qualityBenchMemo.getOrElseUpdate(sfDir, {
+      val model = graft.functions.QualityModel.train(spark, sfDir)._2
+      val feed = graft.streaming.StreamingQuality.docFeed(spark, sfDir)
+      val (b1, b2) = feed.toIndexedSeq.splitAt(feed.length / 2)
+      val expected =
+        Seq(b1, b2).map(_.map(_.source).toSet.size).sum.toLong
+      (model, feed, expected)
+    })
+
+  /** Live distilled-quality monitor (quality_perceptron's serving
+    * side): the document corpus streams through the frozen-model
+    * scorer in two micro-batches — four longs of state per source,
+    * per-source confusions summing to the batch gate exactly
+    * (StreamingQualitySpec). */
+  def qualityPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (model, feed, expected) = qualitySeed(spark, sfDir)
+    val (b1, b2) = feed.toIndexedSeq.splitAt(feed.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingQuality.QDoc]
+    val out = graft.streaming.StreamingQuality.monitor(stream.toDS(), model)
+    withStatePartitions(spark, 4)(
+      runTwoBatches(spark, stream, out, (b1, b2), "quality")(
+        requireCount("quality", expected)))
   }
 
   /** Frozen ANN artifact + doc feed + exact emission model for

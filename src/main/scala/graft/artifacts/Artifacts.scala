@@ -145,6 +145,25 @@ object Artifacts {
     (cents, sizeRows.map(_._2))
   }
 
+  // ---- distilled quality model: (j, w, mean) — weights PLUS the
+  // training corpus's centering means (mean of the bias row is 0);
+  // a deployment must center live features with the TRAINING means ----
+
+  def saveQualityModel(
+      s: SparkSession, model: graft.functions.QualityModel.Model, path: String): Unit = {
+    import s.implicits._
+    save(model.weights.zipWithIndex.map { case (w, j) =>
+      (j, w, if (j == 0) 0L else model.means(j - 1))
+    }.toSeq.toDF("j", "w", "mean"), "quality_model", path)
+  }
+
+  def loadQualityModel(s: SparkSession, path: String): graft.functions.QualityModel.Model = {
+    val rows = load(s, "quality_model", path).select("j", "w", "mean")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    graft.functions.QualityModel.Model(
+      rows.map(_._2), rows.drop(1).map(_._3))
+  }
+
   // ---- BPE merge table: (rank: int, left, right) — rank IS the merge
   // priority the encoder folds in, so load sorts by it ----
 

@@ -45,20 +45,22 @@ object QualityModel {
     * median (splits the gate corpora ~50/50 at every SF). */
   val QualityTau = 0.884
 
-  /** The labeled integer feature frame: (doc_id, y, x0..x5) — y = ±1
-    * on `quality_score ≥ τ`, features = bias, token count, alpha ppm,
-    * stopword ppm, mean token length in millichars, BPE-ish token
-    * count — each CENTERED by its integer corpus mean (bias excepted).
-    * Centering is what makes the fixed-step batch perceptron converge:
-    * on the raw all-positive features the averaged update oscillates
+  /** RAW label + feature columns over any text-stats frame (the
+    * frame-generic half the live monitor shares — `keep` columns pass
+    * through): y = ±1 on `quality_score ≥ τ`; features = bias, token
+    * count, alpha ppm, stopword ppm, mean token length in millichars,
+    * BPE-ish token count. The trainer CENTERS them ([[centered]]) —
+    * that is what makes the fixed-step batch perceptron converge: on
+    * the raw all-positive features the averaged update oscillates
     * between the two constant predictors (measured 0.47-0.53
     * accuracy); centered, the same loop reaches ~0.98+ (the means pass
     * is one extra all-reduce, itself integer-exact). Rides
-    * [[TextAnalysis.textStats]], so engine parity of every ingredient
-    * (including the double composite in the label) is gate-proven. */
-  private[graft] def labeled(s: SparkSession, dir: String): DataFrame = {
-    val raw = TextAnalysis.textStats(s, dir)
-      .select(
+    * [[TextAnalysis.textStats]]'s expressions, so engine parity of
+    * every ingredient (including the double composite in the label)
+    * is gate-proven. */
+  private[graft] def rawLabeledOf(stats: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    stats.select(
+      Seq(
         col("doc_id"),
         when(col("quality_score") >= QualityTau, 1L).otherwise(-1L).as("y"),
         lit(BiasX).as("x0"),
@@ -66,17 +68,35 @@ object QualityModel {
         expr("(n_alpha * 1000000) div greatest(n_chars, 1)").as("x2"),
         expr("(n_stopwords * 1000000) div greatest(n_tokens, 1)").as("x3"),
         expr("(n_chars * 1000) div greatest(n_tokens, 1)").as("x4"),
-        col("n_bpe_tokens").as("x5"))
+        col("n_bpe_tokens").as("x5")) ++ keep.map(col): _*)
+
+  /** The integer feature means (j = 1..Dim-1) — centering stats are
+    * PART OF the trained model (a deployment must center live features
+    * with the TRAINING corpus's means, not its own). */
+  private[graft] def featureMeans(raw: DataFrame): Array[Long] = {
     val m = raw.agg(
       count(lit(1)).as("n"),
       (1 until Dim).map(j => sum(col(s"x$j")).as(s"s$j")): _*).head()
     val n = m.getLong(0)
     // raw features are non-negative, so truncating / == floor here
-    val means = (1 until Dim).map(j => m.getLong(j) / n)
+    (1 until Dim).map(j => m.getLong(j) / n).toArray
+  }
+
+  private[graft] def centered(raw: DataFrame, means: Array[Long]): DataFrame =
     raw.select(
       col("doc_id") +: col("y") +: col("x0") +:
         (1 until Dim).map(j =>
           (col(s"x$j") - lit(means(j - 1))).as(s"x$j")): _*)
+
+  private[graft] def labeled(s: SparkSession, dir: String): DataFrame =
+    train(s, dir)._1
+
+  /** The deployable model: trained weights plus the training corpus's
+    * centering means — both ship together (the live monitor and the
+    * artifact store carry the pair). */
+  case class Model(weights: Array[Long], means: Array[Long]) {
+    require(weights.length == Dim && means.length == Dim - 1,
+      s"model geometry ${weights.length}/${means.length} != $Dim")
   }
 
   private def dot(w: Array[Long]) =
@@ -101,15 +121,17 @@ object QualityModel {
     w
   }
 
-  private[graft] def train(s: SparkSession, dir: String): (DataFrame, Array[Long]) =
+  private[graft] def train(s: SparkSession, dir: String): (DataFrame, Model) =
     trainMemo.getOrElseUpdate(
       (org.apache.spark.sql.graft.ColumnShim.sessionUuid(s), dir)) {
-        val lab = labeled(s, dir).localCheckpoint()
-        (lab, trainFrame(lab))
+        val raw = rawLabeledOf(TextAnalysis.textStats(s, dir))
+        val means = featureMeans(raw)
+        val lab = centered(raw, means).localCheckpoint()
+        (lab, Model(trainFrame(lab), means))
       }
 
   private val trainMemo =
-    new graft.util.BoundedMemo[(String, String), (DataFrame, Array[Long])](8)
+    new graft.util.BoundedMemo[(String, String), (DataFrame, Model)](8)
 
   /** GATE `quality_perceptron`: the trained weight vector plus the
     * final confusion counts of `score > 0` against the rule-based
@@ -118,7 +140,8 @@ object QualityModel {
   def qualityPerceptron(s: SparkSession, dir: String): DataFrame = {
     val sp = s
     import sp.implicits._
-    val (lab, w) = train(s, dir)
+    val (lab, model) = train(s, dir)
+    val w = model.weights
     val score = dot(w)
     val conf = lab.agg(
       sum(when(col("y") === 1L && score > 0L, 1L).otherwise(0L)).as("tp"),

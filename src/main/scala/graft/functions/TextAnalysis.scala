@@ -32,16 +32,19 @@ object TextAnalysis {
   private def hitCount(toks: Column, words: Seq[String]): Column =
     expressions.MarkerHits(toks, words)
 
-  /** token + quality stats per document: exact counts and deterministic
-    * ratio columns. */
-  def textStats(s: SparkSession, dir: String): DataFrame = {
+  /** [[textStats]] over ANY frame with (doc_id, text) — stateless
+    * per-row transforms, so the live quality monitor
+    * ([[graft.streaming.StreamingQuality]]) applies the IDENTICAL
+    * expressions to a stream; `keep` columns pass through. */
+  private[graft] def textStatsOf(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     // tokens projected ONCE: the MarkerHits consumer is CodegenFallback,
     // so inlining tokens(text) into both size() and hitCount would run
     // the regex split twice per row (CollapseProject keeps a separate
     // projection for non-cheap expressions used more than once)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .select(
+    docs
+      .select(Seq(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        ++ keep.map(col): _*)
+      .select(Seq(
         col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         // BPE-ish regex token count: letter runs, digit runs, single punct
@@ -50,6 +53,7 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"),
         length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long").as("n_alpha"),
         hitCount(col("toks"), enStop).as("n_stopwords"))
+        ++ keep.map(col): _*)
       .withColumn("avg_token_len",
         round(col("n_chars").cast("double") / col("n_tokens"), 6))
       .withColumn("stopword_ratio",
@@ -61,8 +65,12 @@ object TextAnalysis {
         round(
           col("n_alpha").cast("double") / col("n_chars")
             + col("n_stopwords").cast("double") / col("n_tokens"), 6))
-      .orderBy("doc_id")
   }
+
+  /** token + quality stats per document: exact counts and deterministic
+    * ratio columns. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    textStatsOf(Tables.documents(s, dir)).orderBy("doc_id")
 
   /** Language ID by stopword-marker hits with fixed tie-break precedence.
     * (The synthetic corpus is English-ish word soup; the operator is the

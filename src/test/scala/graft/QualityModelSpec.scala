@@ -45,7 +45,7 @@ class QualityModelSpec extends SparkTestBase {
   test("distributed trainer == sequential Long replay (exact)") {
     val (ys, xs) = collected
     val want = driverTrain(ys, xs)
-    val got = QualityModel.train(spark, sf0001)._2
+    val got = QualityModel.train(spark, sf0001)._2.weights
     assert(got.toSeq == want.toSeq)
   }
 
