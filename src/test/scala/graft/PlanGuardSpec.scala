@@ -47,6 +47,9 @@ class PlanGuardSpec extends SparkTestBase {
   private val bnljByDesign = Set(
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
     "ann_ivf_pq",
+    // the deploy-path gate is ann_ivf with a store round-trip: same
+    // K-bounded centroid-assignment cross join, by design
+    "ann_ivf_deploy",
     "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_recall",
     "dedup_semantic", "mix_epochs", "q52_idle_capital", "q55_triangles",
     "approx_distinct_kmv", "dq_checks",
