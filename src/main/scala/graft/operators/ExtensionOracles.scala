@@ -1526,6 +1526,57 @@ object ExtensionOracles {
          |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= 5 ORDER BY qid, rank""".stripMargin
     },
 
+    // SQ8 mirror: integer-exact end-to-end — per-dim min/width trained
+    // over the EScale-quantized corpus, levels = (le-mn)*255 // w (the
+    // numerator is non-negative, so DuckDB's flooring // equals Spark's
+    // truncating div), symmetric BIGINT reconstruction-dot pre-rank
+    // (rec = mn·255 + level·w), then the exact top-Sq8Refine re-rank in
+    // doubles — same loop orders as the Spark expressions
+    "ann_sq8" -> {
+      val dotFold = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))),
+           |      (x, y) -> x + y)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * ${Similarity.PcaEScale}) AS BIGINT)) AS le
+         |  FROM embeddings),
+         |mm AS (
+         |  SELECT i, min(le[i+1]) AS mn,
+         |    greatest(max(le[i+1]) - min(le[i+1]), 1) AS w
+         |  FROM e, range(${Similarity.PcaDim}) t(i) GROUP BY i),
+         |ml AS (SELECT list(mn ORDER BY i) AS mn, list(w ORDER BY i) AS w FROM mm),
+         |q8 AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(range(${Similarity.PcaDim}),
+         |      i -> ((le[i+1] - ml.mn[i+1]) * ${Similarity.Sq8Levels}) // ml.w[i+1]) AS q8
+         |  FROM e CROSS JOIN ml),
+         |q AS (SELECT vec_id AS qid, q8 AS qq, embedding AS qv
+         |      FROM q8 WHERE vec_id < ${Similarity.NQueryVectors}),
+         |s AS (
+         |  SELECT qid, c.vec_id AS cid, qv, c.embedding AS cv,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(${Similarity.PcaDim}), i ->
+         |        (ml.mn[i+1] * ${Similarity.Sq8Levels} + qq[i+1] * ml.w[i+1])
+         |        * (ml.mn[i+1] * ${Similarity.Sq8Levels} + c.q8[i+1] * ml.w[i+1]))),
+         |      (x, y) -> x + y) AS s8
+         |  FROM q, q8 c CROSS JOIN ml WHERE qid <> c.vec_id),
+         |short AS (
+         |  SELECT qid, cid, qv, cv,
+         |    row_number() OVER (PARTITION BY qid ORDER BY s8 DESC, cid ASC) AS srn
+         |  FROM s),
+         |ref AS (
+         |  SELECT qid, cid,
+         |    round(${dotFold("qv", "cv")}
+         |      / (sqrt(${dotFold("qv", "qv")}) * sqrt(${dotFold("cv", "cv")})), 6) AS sim
+         |  FROM short WHERE srn <= ${Similarity.Sq8Refine}),
+         |r AS (SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS BIGINT) AS rn
+         |  FROM ref)
+         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= ${Similarity.TopK}
+         |ORDER BY qid, rank""".stripMargin
+    },
+
     // IVF-PQ composition: probe2's cell CTEs feed ann_pq's codes/ADC
     // CTEs — candidates restricted to each query's two probed cells,
     // ADC-ranked, top-PqRefine exactly re-scored. Same loop orders as

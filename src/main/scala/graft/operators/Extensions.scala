@@ -106,6 +106,10 @@ object Extensions {
     // scoring, constant exact refine — exact-oracle-checkable because
     // both codebooks are hash-picked
     "ann_ivf_pq"       -> (Similarity.annIvfPq _),
+    // scalar 8-bit quantization (the FAISS SQ8 path): integer-exact
+    // train/encode/score + constant exact refine — a FULL value oracle
+    // (no recall adjudication anywhere in the SQ8 chain)
+    "ann_sq8"          -> (Similarity.annSq8 _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     // reciprocal-rank fusion of the BM25 head and per-query ANN top-k
     // (the standard hybrid-search combiner; integer rrf_ppm)

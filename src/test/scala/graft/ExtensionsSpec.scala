@@ -390,6 +390,41 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
   }
 
+  test("SQ8: sims exact on shared pairs, recall vs brute >= 0.8, levels in [0,255]") {
+    val brute = Similarity.annBrute(spark, sf0001)
+      .select("qid", "cid", "sim").collect()
+    val bruteSims = brute.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sq8 = Similarity.annSq8(spark, sf0001).select("qid", "cid", "sim").collect()
+    assert(sq8.nonEmpty)
+    // the re-rank is exact cosine, so every shared pair's sim is bit-equal
+    sq8.foreach { r =>
+      bruteSims.get((r.getLong(0), r.getLong(1))).foreach { bSim =>
+        assert(bSim == r.getDouble(2), s"sim mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+      }
+    }
+    // with Sq8Refine=40 candidates over this corpus the 8-bit pre-rank
+    // should recover most of the true top-5 (bounded, not asserted exact:
+    // quantized ordering may genuinely differ near ties)
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8Set = sq8.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq8Set & bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.8, s"SQ8 recall $recall below 0.8")
+    // trained bounds put every encoded level in [0, Sq8Levels]
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        expr(s"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * ${Similarity.PcaEScale}) AS BIGINT))").as("e"))
+    val (mn, w) = Similarity.sq8Bounds(e, Similarity.PcaDim)
+    assert(mn.length == Similarity.PcaDim && w.forall(_ >= 1L))
+    val codeExpr = (1 to Similarity.PcaDim).map(j =>
+      s"(element_at(e, $j) - ${mn(j - 1)}L) * ${Similarity.Sq8Levels} div ${w(j - 1)}L")
+      .mkString("array(", ", ", ")")
+    val bad = e.select(explode(expr(codeExpr)).as("lvl"))
+      .filter(col("lvl") < 0 || col("lvl") > Similarity.Sq8Levels)
+      .count()
+    assert(bad == 0L, s"$bad encoded levels outside [0, ${Similarity.Sq8Levels}]")
+  }
+
   test("bm25ScoreOf at 32 terms == the per-term-column formulation, single tf projection") {
     import graft.functions.Portable.tokens
     import graft.functions.TextAnalysis.{Bm25B, Bm25K1}

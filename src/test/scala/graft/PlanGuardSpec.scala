@@ -47,6 +47,11 @@ class PlanGuardSpec extends SparkTestBase {
   private val bnljByDesign = Set(
     "ann_cosine_topk", "ann_recall_at_k", "ann_ivf", "ann_ivf_probe2", "ann_pq",
     "ann_ivf_pq",
+    // ann_sq8 is ann_pq's exhaustive compressed scan with one-byte
+    // levels instead of PQ codes: each candidate's q8 codes against the
+    // broadcast query set, the float column read only for the bounded
+    // shortlist re-rank
+    "ann_sq8",
     // the deploy-path gate is ann_ivf with a store round-trip: same
     // K-bounded centroid-assignment cross join, by design
     "ann_ivf_deploy",
