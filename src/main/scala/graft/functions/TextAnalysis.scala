@@ -209,6 +209,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM quality score — the CCNet perplexity-bucket idea one
+    * order up from [[freqClassQuality]]: per document, the mean integer
+    * log2-conditional-probability class of its token bigrams over the
+    * self-trained corpus bigram model. Per bigram the score is
+    * fc2 − fc1 ≈ log2 P(w2|w1) ≤ 0, where fc2 = floor(log2 c(w1,w2)),
+    * fc1 = floor(log2 c(w1·)) and c(w1·) = Σ_w2 c(w1,w2) (occurrences
+    * of w1 as a bigram head — derived from the model, never a second
+    * corpus scan). Both are the pure INTEGER log2
+    * `length(bin(cnt)) − 1` (the [[freqClassQuality]] recipe), so the
+    * whole trained model is hash-exact cross-engine where a float LM
+    * never is. Natural prose rides the corpus's common transitions
+    * (mean near 0); shuffled or noisy text pairs frequent heads with
+    * rare tails (strongly negative).
+    *
+    * Scale shape (100 TB): the model is one combiner-absorbed groupBy
+    * on (w1, w2) — hot transitions collapse map-side; head counts are
+    * a second small aggregate OVER THE MODEL (|bigram vocab| rows, not
+    * corpus rows); scoring joins are bigram-keyed with AQE skew
+    * handling. The production serving form truncates the model to a
+    * top-K head broadcast as a map literal with a default tail class —
+    * exactly [[freqClassQualityHead]]'s discipline (that gate already
+    * pins the truncation machinery; this gate is the exact inline
+    * model). Docs with < 2 tokens have no bigrams and are excluded
+    * (mirrored in the oracle's len(toks) >= 2 filter). */
+  def lmBigram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val n = size(col("toks"))
+    val occ = docs.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
+    val c1 = c2.groupBy("w1").agg(sum("cnt2").as("cnt1"))
+    val fc2 = (length(bin(col("cnt2"))) - 1).cast("long")
+    val fc1 = (length(bin(col("cnt1"))) - 1).cast("long")
+    occ.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), (fc2 - fc1).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("lp_mean"))
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary head: top-k tokens by global term frequency (ties by
     * token), with document frequency alongside — the vocabulary-building
     * pass of a tokenizer pipeline. One shuffle on `tok` computes both

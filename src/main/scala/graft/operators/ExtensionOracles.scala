@@ -2322,6 +2322,27 @@ object ExtensionOracles {
          |FROM occ JOIN fcv USING (tok)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // bigram LM: fc2 - fc1 = floor(log2 c(w1,w2)) - floor(log2 c(w1·))
+    // per bigram (integer log2 via length(bin())-1, identical in both
+    // engines); head counts derive from the bigram model (sum over w2);
+    // docs with < 2 tokens have no bigrams and are excluded
+    "text_lm_bigram" ->
+      s"""WITH tokd0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |tokd AS (SELECT * FROM tokd0 WHERE len(toks) >= 2),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(len(toks) - 1), i -> toks[i+1])) AS w1,
+         |    unnest(list_transform(range(len(toks) - 1), i -> toks[i+2])) AS w2
+         |  FROM tokd),
+         |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt2 FROM occ GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY 1),
+         |f2 AS (SELECT w1, w2, CAST(length(bin(cnt2)) - 1 AS BIGINT) AS fc2 FROM c2),
+         |f1 AS (SELECT w1, CAST(length(bin(cnt1)) - 1 AS BIGINT) AS fc1 FROM c1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(fc2 - fc1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS lp_mean
+         |FROM occ JOIN f2 USING (w1, w2) JOIN f1 USING (w1)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // head-truncated variant: top-K head by (cnt DESC, tok) — the same
     // deterministic ranking the Spark TakeOrdered uses — scores fc from
     // the head, everything else the default tail class 0; the truncation

@@ -74,6 +74,9 @@ object Extensions {
     // |sources|-row frame; the only corpus-sized work is the token sum
     "token_budget_waterfill" -> (TextAnalysis.tokenBudgetWaterfill _),
     "text_freq_class"  -> (TextAnalysis.freqClassQuality _),
+    // bigram conditional-probability classes (CCNet-style LM quality,
+    // one order up from the unigram freq-class proxy; integer log2)
+    "text_lm_bigram"   -> (TextAnalysis.lmBigram _),
     // the 100-TB form: top-K vocabulary head broadcast as a map literal,
     // default tail class, zero scoring joins (VERDICT r6 item 8)
     "text_freq_class_head" -> ((s: SparkSession, dir: String) =>

@@ -390,6 +390,36 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r2 >= r1, s"nprobe=2 recall $r2 < nprobe=1 recall $r1")
   }
 
+  test("bigram LM: driver-replay equality at sf0.001, scores nonpositive") {
+    val got = TextAnalysis.lmBigram(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // brute-force replica of the exact model: split(-1) mirrors Spark's
+    // keep-trailing-empties regex split; fc = floor(log2 n) in integers;
+    // HALF_UP rounding mirrors Spark's round(col, 6)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\s+", -1).toSeq)
+      .filter(_._2.size >= 2)
+    val bigrams = docs.flatMap { case (id, t) => t.zip(t.tail).map(p => (id, p)) }
+    val c2 = bigrams.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    def fc(n: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(n)
+    val exp = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val lps = bs.map { case (_, p) => fc(c2(p)) - fc(c1(p._1)) }
+      val mean = BigDecimal(lps.sum.toDouble / bs.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((bs.size.toLong, mean))
+    }
+    assert(got.map(_._1).toSet == exp.keySet, "doc-id sets differ")
+    got.foreach { case (id, n, lp) =>
+      val (en, elp) = exp(id)
+      assert(n == en, s"doc $id n_bigrams $n != $en")
+      assert(lp == elp, s"doc $id lp_mean $lp != $elp")
+      assert(lp <= 0.0, s"doc $id lp_mean $lp positive — fc2 > fc1 impossible")
+    }
+  }
+
   test("SQ8: sims exact on shared pairs, recall vs brute >= 0.8, levels in [0,255]") {
     val brute = Similarity.annBrute(spark, sf0001)
       .select("qid", "cid", "sim").collect()
