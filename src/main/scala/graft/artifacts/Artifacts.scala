@@ -117,6 +117,24 @@ object Artifacts {
     (rows.map(r => BigInt(r._2)), BigInt(rows.head._3))
   }
 
+  // ---- SQ8 bounds: (idx: int, mn: bigint, w: bigint) per dimension ----
+
+  def saveSq8Bounds(
+      s: SparkSession, mn: Array[Long], w: Array[Long], path: String): Unit = {
+    import s.implicits._
+    require(mn.length == w.length, "SQ8 mn/w length mismatch")
+    save(mn.zip(w).zipWithIndex.map { case ((m, wd), i) => (i, m, wd) }
+      .toSeq.toDF("idx", "mn", "w"), "sq8_bounds", path)
+  }
+
+  def loadSq8Bounds(s: SparkSession, path: String): (Array[Long], Array[Long]) = {
+    val rows = load(s, "sq8_bounds", path).select("idx", "mn", "w")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    require(rows.nonEmpty, s"$path holds empty SQ8 bounds")
+    require(rows.forall(_._3 >= 1L), s"$path holds a non-positive SQ8 width")
+    (rows.map(_._2), rows.map(_._3))
+  }
+
   // ---- k-means: (cluster: int, dim: int, c: bigint) + (cluster, n) ----
 
   def saveKmeans(

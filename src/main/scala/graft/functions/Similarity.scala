@@ -825,6 +825,31 @@ object Similarity {
   def annSq8(s: SparkSession, dir: String): DataFrame = {
     val e = pcaFrame(s, dir).select(col("vec_id"), col("e"))
     val (mn, w) = sq8Bounds(e, PcaDim)
+    annSq8With(s, dir, mn, w)
+  }
+
+  /** Deploy-path twin of [[annSq8]] (the ann_ivf_deploy contract): the
+    * trained per-dim bounds round-trip through the artifact store and
+    * the search runs from the LOADED copy — same oracle as ann_sq8, so
+    * a store round-trip can never silently perturb the ranking. */
+  def annSq8Deploy(s: SparkSession, dir: String): DataFrame = {
+    val e = pcaFrame(s, dir).select(col("vec_id"), col("e"))
+    val (mn, w) = sq8Bounds(e, PcaDim)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sq8-deploy-").toString
+    graft.artifacts.Artifacts.saveSq8Bounds(s, mn, w, path)
+    annSq8FromArtifact(s, dir, path)
+  }
+
+  /** Search with bounds LOADED from the artifact store. */
+  def annSq8FromArtifact(s: SparkSession, dir: String, path: String): DataFrame = {
+    val (mn, w) = graft.artifacts.Artifacts.loadSq8Bounds(s, path)
+    annSq8With(s, dir, mn, w)
+  }
+
+  private def annSq8With(
+      s: SparkSession, dir: String, mn: Array[Long], w: Array[Long]): DataFrame = {
+    val e = pcaFrame(s, dir).select(col("vec_id"), col("e"))
     val coded = e.select(col("vec_id"), sq8Code(mn, w, PcaDim).as("q8"))
     val queries = coded.filter(col("vec_id") < NQueryVectors)
       .select(col("vec_id").as("qid"), col("q8").as("qq"))

@@ -2369,5 +2369,6 @@ object ExtensionOracles {
     * round-trip must not perturb the IVF ranking, so ann_ivf's oracle
     * adjudicates the loaded-codebook search too. */
   private def withAliases(m: Map[String, String]): Map[String, String] =
-    m + ("ann_ivf_deploy" -> m("ann_ivf"))
+    m + ("ann_ivf_deploy" -> m("ann_ivf")) +
+      ("ann_sq8_deploy" -> m("ann_sq8"))
 }

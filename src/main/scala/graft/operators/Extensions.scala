@@ -113,6 +113,10 @@ object Extensions {
     // train/encode/score + constant exact refine — a FULL value oracle
     // (no recall adjudication anywhere in the SQ8 chain)
     "ann_sq8"          -> (Similarity.annSq8 _),
+    // train -> persist (artifact store) -> load -> search; must
+    // hash-equal plain ann_sq8 (same oracle — the ann_ivf_deploy
+    // contract applied to the SQ8 bounds)
+    "ann_sq8_deploy"   -> (Similarity.annSq8Deploy _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     // reciprocal-rank fusion of the BM25 head and per-query ANN top-k
     // (the standard hybrid-search combiner; integer rrf_ppm)

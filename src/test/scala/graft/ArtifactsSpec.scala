@@ -67,6 +67,20 @@ class ArtifactsSpec extends SparkTestBase {
     assert(d2 == dists && p2 == profs)
   }
 
+  test("SQ8 bounds round-trip bit-equal; deploy search == trained-in-session") {
+    val e = Tables.embeddings(spark, sf0001).select(col("vec_id"),
+      expr(s"transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * ${Similarity.PcaEScale}) AS BIGINT))").as("e"))
+    val (mn, w) = Similarity.sq8Bounds(e, Similarity.PcaDim)
+    val p = tmp("sq8")
+    Artifacts.saveSq8Bounds(spark, mn, w, p)
+    val (mn2, w2) = Artifacts.loadSq8Bounds(spark, p)
+    assert(mn2.toSeq == mn.toSeq && w2.toSeq == w.toSeq)
+    val trained = Similarity.annSq8(spark, sf0001).collect().map(_.toSeq).toSet
+    val loaded = Similarity.annSq8FromArtifact(spark, sf0001, p)
+      .collect().map(_.toSeq).toSet
+    assert(trained.nonEmpty && loaded == trained)
+  }
+
   test("load rejects the wrong kind, a non-store path, and a future version") {
     val (x, gain) = Similarity.pcaPowerTrain(spark, sf0001)
     val p = tmp("wrongkind")

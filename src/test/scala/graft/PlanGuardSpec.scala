@@ -52,6 +52,9 @@ class PlanGuardSpec extends SparkTestBase {
     // broadcast query set, the float column read only for the bounded
     // shortlist re-rank
     "ann_sq8",
+    // the deploy-path gate is ann_sq8 with a store round-trip: same
+    // broadcast-query compressed scan, by design
+    "ann_sq8_deploy",
     // the deploy-path gate is ann_ivf with a store round-trip: same
     // K-bounded centroid-assignment cross join, by design
     "ann_ivf_deploy",
