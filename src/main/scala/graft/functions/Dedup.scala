@@ -932,6 +932,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Split-contamination card — the measurement that justifies
+    * [[splitLeakageSafe]]: for BOTH split policies over the near-dup
+    * corpus (naive per-DOCUMENT hash, leakage-safe per-CLUSTER hash;
+    * same evalPct, same md5 bucket rule), the number of eval documents
+    * with a VERIFIED near-duplicate in train. The cluster policy is
+    * contamination-free BY CONSTRUCTION — both ends of every verified
+    * pair share a star-contraction component, hence a split — and this
+    * gate pins that zero; the doc policy's leak is the 2·p·(1−p)
+    * cross-assignment mass a pipeline silently eats when it splits per
+    * document (eval metrics inflated by train near-copies).
+    *
+    * Scale shape: the pair set is the banded-LSH verified-pairs build
+    * (never all-pairs); the card is one aggregate over 2·|pairs| rows
+    * plus one corpus-side aggregate, joined as two ONE-ROW frames
+    * (by-design broadcast attach; PlanGuard exclusion is for the CC
+    * fixpoint that runs at construction, like dedup_canonical). */
+  def reportSplitContamination(
+      s: SparkSession, dir: String, evalPct: Int = 10): DataFrame = {
+    val pairs = verifiedPairs(s, dir)
+    val clustered = corpusWithNearDupes(s, dir)
+      .select("doc_id")
+      .join(componentsStar(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    def evalOf(key: Column): Column =
+      pmod(h32(key.cast("string")), lit(100L)) < evalPct
+    val assign = clustered.select(col("doc_id"),
+      evalOf(col("doc_id")).as("ed"), evalOf(col("cluster")).as("ec"))
+    val sym = pairs.select(col("doc_a").as("d"), col("doc_b").as("o"))
+      .unionByName(pairs.select(col("doc_b").as("d"), col("doc_a").as("o")))
+    val leaks = sym
+      .join(assign.select(col("doc_id").as("d"),
+        col("ed").as("d_ed"), col("ec").as("d_ec")), "d")
+      .join(assign.select(col("doc_id").as("o"),
+        col("ed").as("o_ed"), col("ec").as("o_ec")), "o")
+      .agg(
+        countDistinct(when(col("d_ed") && !col("o_ed"), col("d")))
+          .as("leak_d"),
+        countDistinct(when(col("d_ec") && !col("o_ec"), col("d")))
+          .as("leak_c"))
+    val totals = assign.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("ed"), 1L).otherwise(0L)).as("n_eval_d"),
+      sum(when(col("ec"), 1L).otherwise(0L)).as("n_eval_c"))
+    totals.join(broadcast(leaks))
+      .select(expr(
+        """stack(2,
+          |  'cluster_hash', n_docs, n_eval_c, leak_c,
+          |  'doc_hash', n_docs, n_eval_d, leak_d)
+          |AS (policy, n_docs, n_eval, leaked_eval)""".stripMargin))
+      .withColumn("leak_ppm",
+        expr("leaked_eval * 1000000 div greatest(n_eval, 1)"))
+      .orderBy("policy")
+  }
+
   /** QUALITY-BASED canonical selection per near-dup cluster: production
     * pipelines keep the BEST document of each duplicate cluster, not the
     * smallest id — here "best" = most tokens (the most complete version),

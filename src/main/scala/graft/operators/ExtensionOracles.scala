@@ -2016,6 +2016,50 @@ object ExtensionOracles {
            |ORDER BY c.doc_id""".stripMargin
     },
 
+    // split-contamination card: the components oracle's WITH chain
+    // (which also defines `verified` and `corpus`) with a two-policy
+    // leak-count tail — eval docs with a verified near-dup in train,
+    // per policy; cluster-hash must be zero by construction
+    "report_split_contamination" -> {
+      val comp = base("dedup_components")
+      val cut = comp.lastIndexOf("SELECT c.doc_id,")
+      require(cut > 0, "dedup_components oracle tail moved")
+      comp.substring(0, cut) +
+        s""", clustered AS (
+           |  SELECT c.doc_id, coalesce(m.component, c.doc_id) AS cluster
+           |  FROM corpus c LEFT JOIN comp m ON c.doc_id = m.doc_id),
+           |assign AS (
+           |  SELECT doc_id,
+           |    ${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10 AS ed,
+           |    ${h32("CAST(cluster AS VARCHAR)")} % 100 < 10 AS ec
+           |  FROM clustered),
+           |sym AS (
+           |  SELECT doc_a AS d, doc_b AS o FROM verified
+           |  UNION ALL
+           |  SELECT doc_b, doc_a FROM verified),
+           |leaks AS (
+           |  SELECT
+           |    CAST(count(DISTINCT CASE WHEN ad.ed AND NOT ao.ed THEN sym.d END) AS BIGINT) AS leak_d,
+           |    CAST(count(DISTINCT CASE WHEN ad.ec AND NOT ao.ec THEN sym.d END) AS BIGINT) AS leak_c
+           |  FROM sym
+           |  JOIN assign ad ON sym.d = ad.doc_id
+           |  JOIN assign ao ON sym.o = ao.doc_id),
+           |totals AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(CASE WHEN ed THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_d,
+           |    CAST(sum(CASE WHEN ec THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_c
+           |  FROM assign)
+           |SELECT 'cluster_hash' AS policy, t.n_docs, t.n_eval_c AS n_eval,
+           |  l.leak_c AS leaked_eval,
+           |  (l.leak_c * 1000000) // greatest(t.n_eval_c, 1) AS leak_ppm
+           |FROM totals t, leaks l
+           |UNION ALL
+           |SELECT 'doc_hash', t.n_docs, t.n_eval_d, l.leak_d,
+           |  (l.leak_d * 1000000) // greatest(t.n_eval_d, 1)
+           |FROM totals t, leaks l
+           |ORDER BY policy""".stripMargin
+    },
+
     // trained integer batch-perceptron (the distilled quality filter):
     // 8 unrolled rounds of single-row weight CTEs — misclassified-set
     // sums with sign-safe mean steps, then the final confusion. Every

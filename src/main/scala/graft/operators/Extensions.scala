@@ -28,6 +28,10 @@ object Extensions {
     // (the contamination a doc-level hash split permits)
     "split_leakage_safe" -> ((s: SparkSession, dir: String) =>
       Dedup.splitLeakageSafe(s, dir)),
+    // the measurement justifying it: leaked eval docs per split policy
+    // (doc-hash leaks, cluster-hash provably zero)
+    "report_split_contamination" -> ((s: SparkSession, dir: String) =>
+      Dedup.reportSplitContamination(s, dir)),
     "dedup_components_minlabel" -> (Dedup.dedupComponentsMinLabel _),
     "dedup_canonical"  -> (Dedup.dedupCanonical _),
     "sample_by_hash"   -> ((s: SparkSession, dir: String) => Dedup.sampleByHash(s, dir)),

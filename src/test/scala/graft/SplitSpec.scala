@@ -35,4 +35,33 @@ class SplitSpec extends SparkTestBase {
     val leaky = docSplit.groupBy(_._1).exists(_._2.map(_._2).distinct.length > 1)
     assert(leaky, "corpus has no multi-doc cluster a doc-level split would break")
   }
+
+  test("contamination card: cluster policy zero, doc policy matches a driver replay") {
+    val got = Dedup.reportSplitContamination(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got.keySet == Set("cluster_hash", "doc_hash"))
+    val (nd, _, leakC, ppmC) = got("cluster_hash")
+    assert(leakC == 0L && ppmC == 0L,
+      s"cluster-hash split leaked $leakC eval docs — leakage-safety broken")
+    // driver replay of the doc-hash leak from the pair set + the same
+    // md5 bucket rule
+    import graft.functions.Portable
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.dedupDropList(spark, sf0001) // warm shared pipeline
+    assert(pairs.columns.nonEmpty)
+    val verified = Dedup.verifiedPairs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val corpus = Dedup.corpusWithNearDupes(spark, sf0001)
+      .select(col("doc_id"),
+        (pmod(Portable.h32(col("doc_id").cast("string")), lit(100L)) < 10).as("ed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val leakedDocs = (verified.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+      .collect { case (d, o) if corpus(d) && !corpus(o) => d }.distinct.length
+    val (nd2, nEvalD, leakD, ppmD) = got("doc_hash")
+    assert(nd == nd2 && nd == corpus.size.toLong)
+    assert(leakD == leakedDocs.toLong,
+      s"doc-hash leak $leakD != driver replay $leakedDocs")
+    assert(ppmD == leakD * 1000000L / math.max(nEvalD, 1L))
+  }
 }
