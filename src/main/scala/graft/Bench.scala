@@ -221,6 +221,8 @@ object Bench {
         (() => StreamingBench.pcaTopmPipeline(spark, sfDir)),
       "streaming_quality" ->
         (() => StreamingBench.qualityPipeline(spark, sfDir)),
+      "streaming_lm_bigram" ->
+        (() => StreamingBench.lmBigramPipeline(spark, sfDir)),
       "bpe_encode_deep" ->
         (() => StreamingBench.deepBpePipeline(spark, sfDir)),
       "streaming_curation" ->

@@ -121,7 +121,10 @@ object Plans {
     "embed_kmeans_profile", // literal-centroid packed argmin; one scan + tiny rollup
     "embed_pca_project_topm", // m literal dots + generator stack; STILL one corpus scan
     "quality_perceptron",  // trained-weights literal dot + 1-row confusion all-reduce
-    "token_budget_waterfill") // one token-sum exchange; |sources|-row level algebra
+    "token_budget_waterfill", // one token-sum exchange; |sources|-row level algebra
+    "ann_sq8",             // SQ8: literal-bounds integer encode + broadcast reconstruction-dot scan + bounded refine
+    "text_lm_bigram",      // self-trained bigram model join, integer log2 classes
+    "report_split_contamination") // two-policy leak tail over the banded-LSH pair set
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

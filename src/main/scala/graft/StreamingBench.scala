@@ -144,6 +144,7 @@ object StreamingBench {
     }
     if (any("streaming_rrf")) rrfSeed(spark, sfDir)
     if (any("streaming_quality")) qualitySeed(spark, sfDir)
+    if (any("streaming_lm_bigram")) lmSeed(spark, sfDir)
     if (any("streaming_semantic_dedup", "streaming_semantic_dedup_rocksdb"))
       semDedupSeed(spark, sfDir)
     if (any("streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
@@ -183,7 +184,7 @@ object StreamingBench {
     bloomMemo.clear(); tokenBudgetMemo.clear(); semMemo.clear()
     trainedBudgetMemo.clear(); deepBpeMemo.clear(); curationMemo.clear()
     hotKeyMemo.clear(); pcaBenchMemo.clear(); panelMemo.clear()
-    rrfBenchMemo.clear(); qualityBenchMemo.clear()
+    rrfBenchMemo.clear(); qualityBenchMemo.clear(); lmBenchMemo.clear()
     aucMemo.clear()
     profileMemo.clear()
     transMemo.clear(); dqMemo.clear(); anomalyMemo.clear()
@@ -1897,6 +1898,42 @@ object StreamingBench {
   /** Frozen quality model + doc feed + exact touched-source model for
     * [[qualityPipeline]] (untimed prepare — the model is the
     * deploy-time artifact). */
+  /** Frozen bigram-LM model + doc feed + exact emission model for
+    * [[lmBigramPipeline]] (untimed prepare; emission = one row per
+    * touched source per batch). */
+  private val lmBenchMemo = scala.collection.mutable.Map.empty[
+    String, (graft.streaming.StreamingLmBigram.LmModel,
+      Array[graft.streaming.StreamingLmBigram.LDoc], Long)]
+
+  private def lmSeed(spark: SparkSession, sfDir: String)
+      : (graft.streaming.StreamingLmBigram.LmModel,
+        Array[graft.streaming.StreamingLmBigram.LDoc], Long) =
+    lmBenchMemo.getOrElseUpdate(sfDir, {
+      val model = graft.streaming.StreamingLmBigram.modelFrom(spark, sfDir)
+      val feed = graft.streaming.StreamingLmBigram.docFeed(spark, sfDir)
+      val (b1, b2) = feed.toIndexedSeq.splitAt(feed.length / 2)
+      val expected =
+        Seq(b1, b2).map(_.map(_.source).toSet.size).sum.toLong
+      (model, feed, expected)
+    })
+
+  /** Live bigram-LM quality monitor (text_lm_bigram's serving side):
+    * the document corpus streams through the frozen-model scorer in
+    * two micro-batches — three longs of state per source, per-source
+    * sums bit-equal to the batch frame (StreamingLmBigramSpec). */
+  def lmBigramPipeline(spark: SparkSession, sfDir: String): Unit = {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (model, feed, expected) = lmSeed(spark, sfDir)
+    val (b1, b2) = feed.toIndexedSeq.splitAt(feed.length / 2)
+    val stream = MemoryStream[graft.streaming.StreamingLmBigram.LDoc]
+    val out = graft.streaming.StreamingLmBigram.monitor(stream.toDS(), model)
+    withStatePartitions(spark, 4)(
+      runTwoBatches(spark, stream, out, (b1, b2), "lm_bigram")(
+        requireCount("lm_bigram", expected)))
+  }
+
   private val qualityBenchMemo = scala.collection.mutable.Map.empty[
     String, (graft.functions.QualityModel.Model,
       Array[graft.streaming.StreamingQuality.QDoc], Long)]

@@ -117,6 +117,24 @@ object Artifacts {
     (rows.map(r => BigInt(r._2)), BigInt(rows.head._3))
   }
 
+  // ---- bigram LM: (w1, w2, fc2) per bigram + (w1, fc1) per head ----
+
+  def saveLmBigram(fc2: DataFrame, fc1: DataFrame, path: String): Unit = {
+    save(fc2.select("w1", "w2", "fc2"), "lm_bigram_fc2", s"$path/fc2")
+    save(fc1.select("w1", "fc1"), "lm_bigram_fc1", s"$path/fc1")
+  }
+
+  def loadLmBigram(
+      s: SparkSession, path: String)
+      : (Map[(String, String), Long], Map[String, Long]) = {
+    val f2 = load(s, "lm_bigram_fc2", s"$path/fc2")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val f1 = load(s, "lm_bigram_fc1", s"$path/fc1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(f2.nonEmpty && f1.nonEmpty, s"$path holds an empty bigram LM")
+    (f2, f1)
+  }
+
   // ---- SQ8 bounds: (idx: int, mn: bigint, w: bigint) per dimension ----
 
   def saveSq8Bounds(

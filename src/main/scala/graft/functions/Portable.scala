@@ -30,6 +30,12 @@ object Portable {
   def shingles3(toks: Column): Column =
     expressions.WordShingles(toks)
 
+  /** Word n-gram shingles at arbitrary width (native [[expressions
+    * .WordNgrams]]; docs shorter than n degrade to one whole-text
+    * shingle, so filter upstream when that matters). */
+  def shinglesN(toks: Column, n: Int): Column =
+    expressions.WordNgrams(toks, n)
+
   /** Rolling polynomial fingerprint over the token stream:
     * fold h = (h*131 + h32(token)) mod 1e9+7 — order-sensitive, so equal
     * fingerprints mean equal token sequences (with hash-collision caveat).

@@ -233,28 +233,70 @@ object TextAnalysis {
     * pins the truncation machinery; this gate is the exact inline
     * model). Docs with < 2 tokens have no bigrams and are excluded
     * (mirrored in the oracle's len(toks) >= 2 filter). */
-  def lmBigram(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= 2)
-    val n = size(col("toks"))
-    val occ = docs.select(col("doc_id"),
-      explode(zip_with(
-        slice(col("toks"), lit(1), n - 1),
-        slice(col("toks"), lit(2), n - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c2 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("cnt2"))
-    val c1 = c2.groupBy("w1").agg(sum("cnt2").as("cnt1"))
-    val fc2 = (length(bin(col("cnt2"))) - 1).cast("long")
-    val fc1 = (length(bin(col("cnt1"))) - 1).cast("long")
-    occ.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
-      .select(col("doc_id"), (fc2 - fc1).as("lp"))
+  def lmBigram(s: SparkSession, dir: String): DataFrame =
+    lmBigramScored(s, dir)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("lp_mean"))
       .orderBy("doc_id")
+
+  /** Per-occurrence bigram frame (doc_id, source, bg) — the ONE
+    * construction of document bigrams, shared by the gate, the model
+    * frames, and the live monitor's pin frame. `bg` = "w1 w2" via the
+    * NATIVE [[expressions.WordNgrams]] (the WordShingles lesson: the
+    * zip_with/struct HOF formulation is interpreted and was measured
+    * at ~30 s for the ×10 scale corpus vs seconds native — three
+    * Generate subtrees each paying the lambda interpreter). Tokens are
+    * whitespace-split so they contain no spaces, making bg ↔ (w1, w2)
+    * bijective — the oracle keys on the pair, Spark on the string,
+    * and the grouped counts agree exactly. */
+  private def lmBigramOcc(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(Portable.shinglesN(col("toks"), 2)).as("bg"))
+
+  /** The trained model frames: (w1, w2, fc2) per bigram and (w1, fc1)
+    * per head — what [[graft.artifacts.Artifacts.saveLmBigram]]
+    * persists for the live monitor to freeze. The head key is
+    * substring_index(bg, ' ', 1) — codegen'd, and exact because
+    * whitespace tokens carry no spaces. */
+  private[graft] def lmModelFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // localCheckpoint: the model is |bigram vocab| rows (~1k at sf0.1);
+    // without it BOTH consumers (f2 and the f1 rollup) re-explode the
+    // corpus — a third full Generate subtree for a vocab-sized frame
+    val c2 = lmBigramOcc(s, dir)
+      .groupBy("bg").agg(count(lit(1)).as("cnt2"))
+      .select(col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"),
+        col("cnt2"))
+      .localCheckpoint()
+    val c1 = c2.groupBy("w1").agg(sum("cnt2").as("cnt1"))
+    (c2.select(col("bg"), col("w1"), col("w2"),
+        (length(bin(col("cnt2"))) - 1).cast("long").as("fc2")),
+      c1.select(col("w1"),
+        (length(bin(col("cnt1"))) - 1).cast("long").as("fc1")))
   }
+
+  /** Per-occurrence SCORED frame (doc_id, source, lp). */
+  private[graft] def lmBigramScored(s: SparkSession, dir: String): DataFrame = {
+    val (f2, f1) = lmModelFrames(s, dir)
+    lmBigramOcc(s, dir)
+      .join(f2.select("bg", "w1", "fc2"), Seq("bg"))
+      .join(f1, Seq("w1"))
+      .select(col("doc_id"), col("source"),
+        (col("fc2") - col("fc1")).as("lp"))
+  }
+
+  /** Per-source exact sums — the live monitor's equality pin
+    * (integers, so the pin is bit-exact before any rounding). */
+  private[graft] def lmBigramBySource(s: SparkSession, dir: String): DataFrame =
+    lmBigramScored(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
 
   /** Vocabulary head: top-k tokens by global term frequency (ties by
     * token), with document frequency alongside — the vocabulary-building

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import scala.concurrent.duration.FiniteDuration
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, size}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Live bigram-LM quality monitor — text_lm_bigram's serving side: the
+  * trained integer bigram model (fc2 per bigram + fc1 per head, one
+  * [[graft.artifacts.Artifacts.loadLmBigram]] artifact) freezes into the
+  * closure, every arriving document's bigrams score fc2 − fc1 against
+  * it, and each micro-batch emits one cumulative row per touched SOURCE
+  * ("is source X's language-model fit drifting?"). State is THREE longs
+  * per source (version, bigram count, lp sum).
+  *
+  * The frozen-model scoring rule for bigrams the training corpus never
+  * saw: a missing (w1, w2) scores fc2 = 0 (count-1 smoothing — the
+  * lowest class) and a missing head scores fc1 = 0 — so out-of-model
+  * text degrades the mean exactly as an LM filter wants. On the
+  * training corpus itself every lookup hits, which is what makes the
+  * per-source sums BIT-EQUAL to the batch gate's frame
+  * ([[graft.functions.TextAnalysis.lmBigramBySource]], spec-pinned with
+  * the model loaded from the artifact store).
+  */
+object StreamingLmBigram {
+
+  /** One ingested document: its source key and token bigrams. */
+  case class LDoc(doc_id: Long, source: String, bgs: Seq[(String, String)])
+
+  /** The frozen model. */
+  case class LmModel(fc2: Map[(String, String), Long], fc1: Map[String, Long])
+
+  case class LmState(version: Long, n: Long, sumLp: Long)
+
+  case class LmRow(source: String, batch: Long,
+      n_bigrams: Long, sum_lp: Long, lp_mean: Double)
+
+  private[streaming] def lpOf(m: LmModel, w1: String, w2: String): Long =
+    m.fc2.getOrElse((w1, w2), 0L) - m.fc1.getOrElse(w1, 0L)
+
+  /** HALF_UP at 6 — the batch gate's round(col, 6). */
+  private def mean6(sum: Long, n: Long): Double =
+    if (n == 0L) 0.0
+    else BigDecimal(sum.toDouble / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private[streaming] def lmUpdate(
+      m: LmModel, idleTimeout: Option[FiniteDuration])(
+      source: String, it: Iterator[LDoc],
+      state: GroupState[LmState]): Iterator[LmRow] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val st = state.getOption.getOrElse(LmState(0L, 0L, 0L))
+      var n = st.n
+      var sum = st.sumLp
+      var news = false
+      it.foreach { d =>
+        news = true
+        d.bgs.foreach { case (a, b) => n += 1L; sum += lpOf(m, a, b) }
+      }
+      idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))
+      if (!news) Iterator.empty
+      else {
+        val next = LmState(st.version + 1L, n, sum)
+        state.update(next)
+        Iterator.single(LmRow(source, next.version, n, sum, mean6(sum, n)))
+      }
+    }
+
+  /** Cumulative per-source LM-fit stream under the frozen model. */
+  def monitor(
+      docs: Dataset[LDoc], model: LmModel,
+      idleTimeout: Option[FiniteDuration] = None): Dataset[LmRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout()
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        lmUpdate(model, idleTimeout))
+  }
+
+  /** The corpus in the kernel's row shape — the batch gate's exact
+    * zip_with bigram expression, so the feed can never drift from the
+    * frame the gate scores. Docs with < 2 tokens have no bigrams and
+    * are excluded (the gate's filter). */
+  def docFeed(s: SparkSession, dir: String): Array[LDoc] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        graft.functions.Portable.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        expr("""zip_with(slice(toks, 1, size(toks) - 1),
+                |        slice(toks, 2, size(toks) - 1),
+                |        (a, b) -> struct(a AS _1, b AS _2))""".stripMargin)
+          .as("bgs"))
+      .as[LDoc].collect().sortBy(_.doc_id)
+  }
+
+  /** Deploy-time artifact build: train the model frames on `dir`,
+    * persist through the store. */
+  def saveModel(s: SparkSession, dir: String, path: String): Unit = {
+    val (f2, f1) = graft.functions.TextAnalysis.lmModelFrames(s, dir)
+    graft.artifacts.Artifacts.saveLmBigram(f2, f1, path)
+  }
+
+  /** Load the frozen model from the store. */
+  def loadModel(s: SparkSession, path: String): LmModel = {
+    val (f2, f1) = graft.artifacts.Artifacts.loadLmBigram(s, path)
+    LmModel(f2, f1)
+  }
+
+  /** Trained-in-session model (the spec's reference point). */
+  def modelFrom(s: SparkSession, dir: String): LmModel = {
+    val (f2, f1) = graft.functions.TextAnalysis.lmModelFrames(s, dir)
+    LmModel(
+      f2.select("w1", "w2", "fc2").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+      f1.select("w1", "fc1").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+}
