@@ -873,6 +873,38 @@ object Similarity {
     ranked(refined.select("qid", "cid", "sim"))
   }
 
+  /** IVF-SQ8 — the coarse-cells × scalar-quantizer composition (FAISS
+    * "IVF32,SQ8" index-factory shape): the coarse codebook bounds each
+    * query's candidates to its nprobe=2 probed cells, the SQ8
+    * reconstruction dot pre-ranks those candidates reading dim
+    * one-byte levels, and the constant [[Sq8Refine]] re-rank is exact.
+    * Where IVF-PQ's ADC stage is float arithmetic, every trained stage
+    * here (hash-picked cells + integer bounds) is plain SQL — the
+    * whole composition is value-hashed end to end. */
+  def annIvfSq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = ivfCodebook(emb)
+    val e = pcaFrame(s, dir).select(col("vec_id"), col("e"))
+    val (mn, w) = sq8Bounds(e, PcaDim)
+    val coded = assignCells(emb, cents)
+      .join(e, Seq("vec_id"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        col("cell"), sq8Code(mn, w, PcaDim).as("cq"))
+    val qcodes = e.filter(col("vec_id") < NQueryVectors)
+      .select(col("vec_id").as("qid"), sq8Code(mn, w, PcaDim).as("qq"))
+    val probes = probeCells(emb, cents, nprobe = 2)
+      .join(broadcast(qcodes), "qid")
+    val wS8 = Window.partitionBy("qid").orderBy(col("s8").desc, col("cid").asc)
+    val refined = coded
+      .join(broadcast(probes),
+        col("probe_cell") === col("cell") && col("qid") =!= col("cid"))
+      .withColumn("s8", sq8Dot("qq", "cq", mn, w, PcaDim))
+      .withColumn("srn", row_number().over(wS8))
+      .filter(col("srn") <= Sq8Refine)
+      .withColumn("sim", sim(col("qv"), col("cv")))
+    ranked(refined.select("qid", "cid", "sim"))
+  }
+
   /** Training-sample bound and Lloyd iteration count for the trained
     * codebooks. The sample is the [[PqTrainSample]] corpus vectors with
     * the smallest (h32(vec_id), vec_id) — the same deterministic pick

@@ -275,9 +275,9 @@ object TextAnalysis {
         col("cnt2"))
       .localCheckpoint()
     val c1 = c2.groupBy("w1").agg(sum("cnt2").as("cnt1"))
-    (c2.select(col("bg"), col("w1"), col("w2"),
+    (c2.select(col("bg"), col("w1"), col("w2"), col("cnt2"),
         (length(bin(col("cnt2"))) - 1).cast("long").as("fc2")),
-      c1.select(col("w1"),
+      c1.select(col("w1"), col("cnt1"),
         (length(bin(col("cnt1"))) - 1).cast("long").as("fc1")))
   }
 
@@ -289,6 +289,55 @@ object TextAnalysis {
       .join(f1, Seq("w1"))
       .select(col("doc_id"), col("source"),
         (col("fc2") - col("fc1")).as("lp"))
+  }
+
+  /** Head sizes for [[lmBigramHead]]: 256 bigrams (corpus bigram vocab
+    * is ~931 at sf0.01, so the gate exercises BOTH the head lookup and
+    * the tail default) and 16 heads (w1 vocab ~31 — same property). */
+  val LmHeadK2 = 256
+  val LmHeadK1 = 16
+
+  /** The 100-TB serving form of [[lmBigram]] — the
+    * [[freqClassQualityHead]] discipline applied to the bigram model:
+    * the trained model truncates to its top-[[LmHeadK2]] bigrams by
+    * count (ties to the bigram string — deterministic cross-engine)
+    * and top-[[LmHeadK1]] heads by head count, both riding to every
+    * executor as MAP LITERALS; scoring is a scan-speed per-row lookup
+    * with NO model joins. Out-of-head lookups take the default class 0
+    * on both sides — fc2 miss scores 0 (count-1 smoothing), fc1 miss
+    * scores 0 — EXACTLY the live monitor's frozen-model rule
+    * ([[graft.streaming.StreamingLmBigram.lpOf]]), so the head gate is
+    * the batch statement of the serving semantics. With both heads ≥
+    * their vocabularies this equals [[lmBigram]] exactly (spec-pinned);
+    * the truncated regime is gated against a full DuckDB mirror (the
+    * truncation is plain SQL). */
+  def lmBigramHead(s: SparkSession, dir: String,
+      headK2: Int = LmHeadK2, headK1: Int = LmHeadK1): DataFrame = {
+    val (f2, f1) = lmModelFrames(s, dir)
+    // bounded driver-side collects: headK2 + headK1 rows (the heads)
+    val h2 = f2.select(col("bg"), col("fc2"), col("cnt2"))
+      .orderBy(col("cnt2").desc, col("bg").asc)
+      .limit(headK2)
+      .select("bg", "fc2")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val h1 = f1
+      .orderBy(col("cnt1").desc, col("w1").asc)
+      .limit(headK1)
+      .select("w1", "fc1")
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    def mapLit(kv: Array[(String, Long)]): Column =
+      map(kv.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+        .toIndexedSeq: _*)
+    val lp =
+      coalesce(element_at(mapLit(h2), col("bg")), lit(0L)) -
+        coalesce(element_at(mapLit(h1),
+          substring_index(col("bg"), " ", 1)), lit(0L))
+    lmBigramOcc(s, dir)
+      .select(col("doc_id"), lp.as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("lp_mean"))
+      .orderBy("doc_id")
   }
 
   /** Per-source exact sums — the live monitor's equality pin

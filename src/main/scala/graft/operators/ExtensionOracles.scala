@@ -1577,6 +1577,77 @@ object ExtensionOracles {
          |ORDER BY qid, rank""".stripMargin
     },
 
+    // IVF-SQ8 composition: probe2's cell CTEs bound the candidates,
+    // ann_sq8's quantization CTEs score them (integer reconstruction
+    // dot), exact top-Sq8Refine re-rank — same loop orders as the two
+    // component oracles (both independently hash-verified)
+    "ann_ivf_sq8" -> {
+      val dotFold = (a: String, b: String) =>
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(range(len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))),
+           |      (x, y) -> x + y)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(len(embedding)), i -> CAST(embedding[i+1] AS DOUBLE) * CAST(embedding[i+1] AS DOUBLE))),
+         |      (a, b) -> a + b)) AS nrm,
+         |    list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * ${Similarity.PcaEScale}) AS BIGINT)) AS le
+         |  FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cv, nrm AS cnrm FROM e
+         |      ORDER BY ${h32("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT ${Similarity.IvfCodebookK}),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+         |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(len(e.embedding)), i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cv[i+1] AS DOUBLE))),
+         |      (x, y) -> x + y) / (e.nrm * c.cnrm), 6) AS csim
+         |  FROM e, c),
+         |a AS (
+         |  SELECT vec_id, embedding, nrm, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id ASC) AS arn
+         |  FROM ac),
+         |asg AS (SELECT vec_id, embedding, cent_id AS cell FROM a WHERE arn = 1),
+         |q AS (SELECT vec_id AS qid, embedding AS qv, cent_id AS probe_cell
+         |      FROM a WHERE arn <= 2 AND vec_id < ${Similarity.NQueryVectors}),
+         |mm AS (
+         |  SELECT i, min(le[i+1]) AS mn,
+         |    greatest(max(le[i+1]) - min(le[i+1]), 1) AS w
+         |  FROM e, range(${Similarity.PcaDim}) t(i) GROUP BY i),
+         |ml AS (SELECT list(mn ORDER BY i) AS mn, list(w ORDER BY i) AS w FROM mm),
+         |k8 AS (
+         |  SELECT vec_id,
+         |    list_transform(range(${Similarity.PcaDim}),
+         |      i -> ((le[i+1] - ml.mn[i+1]) * ${Similarity.Sq8Levels}) // ml.w[i+1]) AS q8
+         |  FROM e CROSS JOIN ml),
+         |cand AS (
+         |  SELECT q.qid, q.qv, asg.vec_id AS cid, asg.embedding AS cv
+         |  FROM q JOIN asg ON q.probe_cell = asg.cell AND q.qid <> asg.vec_id),
+         |s AS (
+         |  SELECT cand.qid, cand.cid, cand.qv, cand.cv,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(${Similarity.PcaDim}), i ->
+         |        (ml.mn[i+1] * ${Similarity.Sq8Levels} + kq.q8[i+1] * ml.w[i+1])
+         |        * (ml.mn[i+1] * ${Similarity.Sq8Levels} + kc.q8[i+1] * ml.w[i+1]))),
+         |      (x, y) -> x + y) AS s8
+         |  FROM cand CROSS JOIN ml
+         |  JOIN k8 kq ON cand.qid = kq.vec_id
+         |  JOIN k8 kc ON cand.cid = kc.vec_id),
+         |short AS (
+         |  SELECT qid, cid, qv, cv,
+         |    row_number() OVER (PARTITION BY qid ORDER BY s8 DESC, cid ASC) AS srn
+         |  FROM s),
+         |ref AS (
+         |  SELECT qid, cid,
+         |    round(${dotFold("qv", "cv")}
+         |      / (sqrt(${dotFold("qv", "qv")}) * sqrt(${dotFold("cv", "cv")})), 6) AS sim
+         |  FROM short WHERE srn <= ${Similarity.Sq8Refine}),
+         |r AS (SELECT qid, cid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid ASC) AS BIGINT) AS rn
+         |  FROM ref)
+         |SELECT qid, cid, rn AS rank, sim FROM r WHERE rn <= ${Similarity.TopK}
+         |ORDER BY qid, rank""".stripMargin
+    },
+
     // IVF-PQ composition: probe2's cell CTEs feed ann_pq's codes/ADC
     // CTEs — candidates restricted to each query's two probed cells,
     // ADC-ranked, top-PqRefine exactly re-scored. Same loop orders as
@@ -2386,6 +2457,44 @@ object ExtensionOracles {
          |  round(CAST(sum(fc2 - fc1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS lp_mean
          |FROM occ JOIN f2 USING (w1, w2) JOIN f1 USING (w1)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // head-truncated bigram LM: top-K2 bigrams by (cnt2 DESC, bg) and
+    // top-K1 heads by (cnt1 DESC, w1) — the same deterministic rankings
+    // the Spark TakeOrdereds use — score from the heads, default class
+    // 0 on both sides (the live monitor's frozen-model rule); plain-SQL
+    // truncation, so the serving form gets a FULL value oracle
+    "text_lm_bigram_head" ->
+      s"""WITH tokd0 AS (SELECT doc_id, $toks AS toks FROM documents),
+         |tokd AS (SELECT * FROM tokd0 WHERE len(toks) >= 2),
+         |occ AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(len(toks) - 1),
+         |      i -> toks[i+1] || ' ' || toks[i+2])) AS bg
+         |  FROM tokd),
+         |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS cnt2 FROM occ GROUP BY 1),
+         |c1 AS (SELECT split_part(bg, ' ', 1) AS w1,
+         |  CAST(sum(cnt2) AS BIGINT) AS cnt1 FROM c2 GROUP BY 1),
+         |h2 AS (
+         |  SELECT bg, CAST(length(bin(cnt2)) - 1 AS BIGINT) AS fc2 FROM (
+         |    SELECT bg, cnt2,
+         |      row_number() OVER (ORDER BY cnt2 DESC, bg ASC) AS rn
+         |    FROM c2)
+         |  WHERE rn <= ${TextAnalysis.LmHeadK2}),
+         |h1 AS (
+         |  SELECT w1, CAST(length(bin(cnt1)) - 1 AS BIGINT) AS fc1 FROM (
+         |    SELECT w1, cnt1,
+         |      row_number() OVER (ORDER BY cnt1 DESC, w1 ASC) AS rn
+         |    FROM c1)
+         |  WHERE rn <= ${TextAnalysis.LmHeadK1}),
+         |sel AS (
+         |  SELECT o.doc_id,
+         |    coalesce(h2.fc2, 0) - coalesce(h1.fc1, 0) AS lp
+         |  FROM occ o
+         |  LEFT JOIN h2 ON o.bg = h2.bg
+         |  LEFT JOIN h1 ON split_part(o.bg, ' ', 1) = h1.w1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(CAST(sum(lp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS lp_mean
+         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // head-truncated variant: top-K head by (cnt DESC, tok) — the same
     // deterministic ranking the Spark TakeOrdered uses — scores fc from

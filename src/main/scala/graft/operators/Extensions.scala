@@ -81,6 +81,10 @@ object Extensions {
     // bigram conditional-probability classes (CCNet-style LM quality,
     // one order up from the unigram freq-class proxy; integer log2)
     "text_lm_bigram"   -> (TextAnalysis.lmBigram _),
+    // the serving form: top-K bigram/head maps broadcast as literals,
+    // tail class 0 both sides (the live monitor's exact scoring rule)
+    "text_lm_bigram_head" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.lmBigramHead(s, dir)),
     // the 100-TB form: top-K vocabulary head broadcast as a map literal,
     // default tail class, zero scoring joins (VERDICT r6 item 8)
     "text_freq_class_head" -> ((s: SparkSession, dir: String) =>
@@ -121,6 +125,10 @@ object Extensions {
     // hash-equal plain ann_sq8 (same oracle — the ann_ivf_deploy
     // contract applied to the SQ8 bounds)
     "ann_sq8_deploy"   -> (Similarity.annSq8Deploy _),
+    // the FAISS "IVF32,SQ8" composition: cells bound candidates, the
+    // integer reconstruction dot scores them, constant exact refine —
+    // value-hashed end to end (every trained stage is plain SQL)
+    "ann_ivf_sq8"      -> (Similarity.annIvfSq8 _),
     "dedup_embedding"  -> (Similarity.dedupEmbedding _),
     // reciprocal-rank fusion of the BM25 head and per-query ANN top-k
     // (the standard hybrid-search combiner; integer rrf_ppm)

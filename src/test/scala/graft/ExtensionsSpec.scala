@@ -420,6 +420,21 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("bigram-LM head form == exact form when the heads cover both vocabularies") {
+    val exact = TextAnalysis.lmBigram(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val head = TextAnalysis.lmBigramHead(spark, sf0001,
+      headK2 = 1000000, headK1 = 1000000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(head == exact, "full-head serving form diverged from the exact model")
+    // the gate-registered truncation genuinely exercises the tail: some
+    // doc's mean must differ from the exact form (else the head sizes
+    // cover the vocab and the truncated regime is untested)
+    val trunc = TextAnalysis.lmBigramHead(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(trunc != exact, "gate head sizes cover the whole vocabulary — tail untested")
+  }
+
   test("SQ8: sims exact on shared pairs, recall vs brute >= 0.8, levels in [0,255]") {
     val brute = Similarity.annBrute(spark, sf0001)
       .select("qid", "cid", "sim").collect()
@@ -453,6 +468,30 @@ class ExtensionsSpec extends SparkTestBase {
       .filter(col("lvl") < 0 || col("lvl") > Similarity.Sq8Levels)
       .count()
     assert(bad == 0L, s"$bad encoded levels outside [0, ${Similarity.Sq8Levels}]")
+  }
+
+  test("IVF-SQ8: sims exact on shared pairs; == probe2 when refine covers the cells") {
+    val brute = Similarity.annBrute(spark, sf0001)
+      .select("qid", "cid", "sim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val composed = Similarity.annIvfSq8(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(composed.nonEmpty)
+    composed.foreach { case (q, c, _, sim) =>
+      brute.get((q, c)).foreach { bSim =>
+        assert(bSim == sim, s"sim mismatch for ($q, $c)")
+      }
+    }
+    // at this corpus the two probed cells hold <= Sq8Refine candidates
+    // per query (~50 vectors over 32 cells), so the exact re-rank sees
+    // EVERY candidate and the composition must equal plain probe2
+    // (same cells, exact ranking); a corpus where cells outgrow the
+    // refine depth would fail here VISIBLY, which is the right signal
+    // to re-derive the pin
+    val probe2 = Similarity.annIvfProbe2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(composed.toSeq == probe2,
+      "refine covers all cell candidates, yet IVF-SQ8 diverged from probe2")
   }
 
   test("bm25ScoreOf at 32 terms == the per-term-column formulation, single tf projection") {
