@@ -609,6 +609,38 @@ object TextAnalysis {
   def bpeTrainedCounts(s: SparkSession, dir: String): DataFrame =
     bpeTrainedPerDoc(s, dir).orderBy("doc_id")
 
+  /** Per-source TOKENIZER-FIT card over the trained BPE codec — the
+    * two standard tokenizer diagnostics a data pipeline reads before
+    * committing a merge table to a source mix:
+    * `chars_per_token_ppm` (compression: corpus chars per emitted
+    * trained token — low means the tokenizer prices this source
+    * expensively) and `fertility_ppm` (trained tokens per pretoken —
+    * high fertility means words shatter into many subwords, the
+    * classic symptom of a tokenizer trained off-domain). Both in exact
+    * integer ppm (numerators non-negative, so Spark `div` == DuckDB
+    * `//`).
+    *
+    * Scale shape: rides [[bpeTrainedPerDoc]]'s distinct-pretoken
+    * encode (each DISTINCT pretoken priced once, lengths broadcast),
+    * then ONE |sources|-row aggregate — the card costs one scan over
+    * the per-doc counts frame. */
+  def reportTokenizerCard(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .join(bpeTrainedPerDoc(s, dir)
+        .select("doc_id", "n_pretokens", "n_bpe_trained"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum("n_pretokens").as("n_pretokens"),
+        sum("n_bpe_trained").as("n_bpe_trained"))
+      .withColumn("chars_per_token_ppm",
+        expr("n_chars * 1000000 div greatest(n_bpe_trained, 1)"))
+      .withColumn("fertility_ppm",
+        expr("n_bpe_trained * 1000000 div greatest(n_pretokens, 1)"))
+      .orderBy("source")
+
   /** Per-source budget for [[tokenBudgetTrained]]: ~half a gate
     * source's trained-token mass, so admit and overflow are both
     * populated at every SF. */

@@ -1226,6 +1226,29 @@ object ExtensionOracles {
          |FROM c ORDER BY doc_id""".stripMargin
     },
 
+    // per-source tokenizer-fit card: the bpe chain's per-doc counts
+    // rolled to one row per source, compression + fertility in exact
+    // integer ppm (non-negative numerators: // == div)
+    "report_tokenizer_card" ->
+      s"""WITH $bpeCtes,
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_pretokens, sum(n_sub) AS n_bpe
+         |  FROM pre JOIN lens USING (w) GROUP BY doc_id),
+         |c AS (
+         |  SELECT d.source, length(d.text) AS n_chars,
+         |    coalesce(agg.n_pretokens, 0) AS np, coalesce(agg.n_bpe, 0) AS nb
+         |  FROM documents d LEFT JOIN agg USING (doc_id)),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    CAST(sum(np) AS BIGINT) AS n_pretokens,
+         |    CAST(sum(nb) AS BIGINT) AS n_bpe_trained
+         |  FROM c GROUP BY 1)
+         |SELECT source, n_docs, n_chars, n_pretokens, n_bpe_trained,
+         |  (n_chars * 1000000) // greatest(n_bpe_trained, 1) AS chars_per_token_ppm,
+         |  (n_bpe_trained * 1000000) // greatest(n_pretokens, 1) AS fertility_ppm
+         |FROM g ORDER BY source""".stripMargin,
+
     // the merge table itself: pins the TRAINER (tie rule included)
     "text_bpe_merges" -> {
       val ranks = (1 to TextAnalysis.BpeMerges).map { i =>

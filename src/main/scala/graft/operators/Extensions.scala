@@ -68,6 +68,9 @@ object Extensions {
     // vocabulary (deterministic tie rule), distributed fold encode —
     // real-tokenizer-denominated counts, not the pretoken proxy
     "text_bpe_trained" -> (TextAnalysis.bpeTrainedCounts _),
+    // per-source tokenizer-fit diagnostics over the trained codec
+    // (compression + fertility in exact integer ppm)
+    "report_tokenizer_card" -> (TextAnalysis.reportTokenizerCard _),
     "text_bpe_merges"  -> (TextAnalysis.bpeMerges _),
     // budget admission denominated in TRAINED tokens (the unit an LLM
     // trainer bills), not the pretoken proxy

@@ -420,6 +420,31 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("tokenizer card: per-source sums reconcile with the per-doc gate, ppm exact") {
+    val perDoc = TextAnalysis.bpeTrainedCounts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2).length.toLong))).toMap
+    val exp = perDoc.groupBy(t => docs(t._1)._1).map { case (src, rows) =>
+      val nchars = rows.map(t => docs(t._1)._2).sum
+      val np = rows.map(_._2).sum
+      val nb = rows.map(_._3).sum
+      src -> ((rows.length.toLong, nchars, np, nb,
+        nchars * 1000000L / math.max(nb, 1L),
+        nb * 1000000L / math.max(np, 1L)))
+    }
+    val got = TextAnalysis.reportTokenizerCard(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getString(0)).toSet == exp.keySet, "source sets differ")
+    got.foreach { r =>
+      val e = exp(r.getString(0))
+      val g = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6))
+      assert(g == e, s"${r.getString(0)}: card $g != per-doc rollup $e")
+    }
+  }
+
   test("bigram-LM head form == exact form when the heads cover both vocabularies") {
     val exact = TextAnalysis.lmBigram(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
