@@ -79,7 +79,93 @@ object Bench {
     "streaming_transitions" -> 1.814, // r17 isolated re-pin
     "streaming_ttl_hotkey" -> 4.33, "streaming_ttl_pipeline" -> 1.993,
     "streaming_ttl_rocksdb" -> 2.182, "streaming_tws_rocksdb" -> 2.443,
-    "streaming_wau" -> 1.388)
+    "streaming_wau" -> 1.388,
+    // r18: the two lines the r17 guard audit found unanchored —
+    // streaming_lm_bigram from its first-round values (1.375 in-suite
+    // r17 continuation record / 1.554 isolated), dedup_pipeline_cold
+    // from the r17 grand closing (it rides the streaming segment's
+    // retry loop, so an anchor here is all it needs)
+    "streaming_lm_bigram" -> 1.375, "dedup_pipeline_cold" -> 1.565)
+
+  /** Healthy full-suite anchors for the HEAVY BATCH lines (VERDICT r17
+    * item 1) — before r18, only streaming lines could retry, which is
+    * exactly how q55_triangles=65.8 s (12× its in-suite band) entered
+    * the official BENCH_r17.json when the driver's sweep ran under
+    * 4.47× batch-control ambient. Sources: the r17 grand closing
+    * (commit 3e4be90 — 236 lines, controls 0.59×/0.71×) for the lines
+    * it carried; the r17 continuation record (703ccb2, 0.79×/0.80×)
+    * for lines added after it, including the graph family at its
+    * round-18 re-pinned machine state (BASELINE.md r18 adjudication:
+    * isolated min-of-3 q55 5.34 / q61 4.33 / q70 4.66 / q76 4.67 at
+    * 1.09-1.31× controls — ambient-proportional, data+code unchanged);
+    * BASELINE.md isolated rows for the three newest gates. Anchors
+    * trigger retries ONLY — BASELINE.md first-green rows remain the 2×
+    * adjudication record. Lines under ~1.5 s clean are unanchored: an
+    * ambient spike there can't fake a meaningful regression. */
+  val BatchHealthyAnchorSec: Map[String, Double] = Map(
+    // graph/iterative family (703ccb2 in-suite, r18 re-pin adjudicated)
+    "q55_triangles" -> 5.47, "q61_pagerank" -> 4.896,
+    "q70_kcore" -> 5.078, "q76_gaps_watermarked" -> 5.359,
+    "q73_bfs_reach" -> 2.757,
+    // column-profile family (grand closing)
+    "column_histogram_depth" -> 3.587, "column_histogram_depth_band" -> 3.546,
+    "column_profile" -> 2.571, "column_histogram" -> 1.996,
+    "column_profile_approx" -> 1.948, "column_winsorize" -> 1.722,
+    // dedup family (grand closing; spans/split from 703ccb2)
+    "dedup_canonical" -> 2.518, "dedup_jaccard" -> 1.685,
+    "dedup_components" -> 1.623, "dedup_components_minlabel" -> 1.665,
+    "dedup_spans" -> 1.66, "split_leakage_safe" -> 2.304,
+    "report_split_contamination" -> 2.855,
+    // reports/cards
+    "report_source_card" -> 2.481, "report_source_overlap" -> 1.619,
+    "report_drift_panel" -> 1.56, "report_tokenizer_card" -> 2.0,
+    // percentile/window heavies
+    "q28_percentile" -> 2.252, "q38_percentile_interp" -> 2.012,
+    "q41_percentile_band" -> 2.062, "q59_anomaly_mad" -> 1.66,
+    "q79_drift_chisq" -> 1.833,
+    // joins/assoc
+    "q3_join_agg" -> 1.789, "q45_pit_join" -> 1.789,
+    "q40_session_salted" -> 1.901, "q54_copurchase" -> 1.555,
+    "q66_assoc_rules" -> 2.159, "q68_frequent_triples" -> 1.969,
+    "q65_rfm" -> 1.628, "q71_neighbor_jaccard" -> 1.514,
+    // curation pipelines
+    "curation_packed" -> 2.192, "curation_pipeline" -> 2.046,
+    // ann heavies (703ccb2 / BASELINE isolated for the newest)
+    "ann_sq8" -> 3.476, "ann_sq8_deploy" -> 2.722,
+    "ann_ivf_sq8" -> 3.767, "ann_ivf_deploy" -> 1.717,
+    "ann_pq_recall" -> 1.692, "sample_kcenter_ivf" -> 1.716,
+    // text/lm
+    "text_lm_bigram" -> 1.493, "text_lm_bigram_head" -> 1.922)
+
+  /** sfDir-independent SHUFFLE thermometer (the round-18 re-pin
+    * lesson): the scan-shaped q2 control read 1.09× of its pin while
+    * the shuffle-heavy graph family read 1.2-1.5× of its records —
+    * a light control under-reads IO/shuffle-path ambient, and the
+    * reader could not separate "machine slower at shuffling" from a
+    * real heavy-family regression. This probe hash-exchanges 8M rows
+    * (~128 MB through the shuffle write+read path) into a bounded
+    * aggregate — the cost shape of the heavy family's per-round
+    * exchanges, with zero data dependence. Adjudication rule: a heavy
+    * batch line moved only with this control ⇒ shuffle-path ambient;
+    * moved without it ⇒ suspect the operator. */
+  def shuffleControl(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(0L, 8000000L)
+      .select(((col("id") * 2654435761L) % 8000000L).as("k"), col("id").as("v"))
+      .repartition(32, col("k"))
+      .groupBy((col("k") % 1000L).as("g"))
+      .agg(sum("v").as("s"), count(lit(1)).as("c"))
+      .write.mode("overwrite").format("noop").save()
+  }
+
+  /** Isolated pin for [[shuffleControl]] — min of 5 fresh-JVM isolated
+    * runs at round-18 open (1.019/1.111/1.285/1.476/1.951 under q2
+    * controls 1.25-1.84× — the wide spread is the POINT: shuffle IO
+    * rides ambient far harder than the scan control, which is why this
+    * thermometer exists; see BASELINE.md r18 adjudication row). Pinned
+    * on a ≥1.2× day — on a near-idle machine load_factor may read
+    * below 1, like the other isolated-minimum pins. */
+  val ShuffleControlBaselineSec = 1.019
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -121,6 +207,7 @@ object Bench {
     // samples of every line measure engine cost only.
     val streamingThunks: Seq[(String, () => Unit)] = Seq(
       "streaming_control" -> (() => StreamingBench.controlPipeline(spark)),
+      "shuffle_control" -> (() => Bench.shuffleControl(spark)),
       "dedup_pipeline_cold" -> (() => {
         graft.functions.Dedup.evictSharedPipeline(spark, sfDir)
         graft.functions.Dedup.dedupMinhash(spark, sfDir)
@@ -253,8 +340,10 @@ object Bench {
     val ControlBaselineSec = 0.55
     val StreamControl = "streaming_control"
     val StreamControlBaselineSec = Bench.StreamControlBaselineSec
+    val ShuffleControl = "shuffle_control"
     def wanted(name: String): Boolean =
-      name == ControlQuery || name == StreamControl || only.forall(_.contains(name))
+      name == ControlQuery || name == StreamControl ||
+        name == ShuffleControl || only.forall(_.contains(name))
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def timeOnce(name: String, thunk: () => Unit): Double = {
@@ -275,10 +364,47 @@ object Bench {
       .filter { case (name, _) => wanted(name) }
     def pass(): Map[String, Double] =
       ordered.map { case (name, fn) => name -> timeOnce(name, runQ(fn)) }.toMap
+    // Ambient-variance guard, both segments (VERDICT r16 item 1 for
+    // streaming, r17 item 1 for batch): a line whose min-of-2 still
+    // exceeds RetryFactor × its healthy-run anchor gets up to two extra
+    // in-process attempts, and the min over ALL attempts is reported —
+    // so one container load spike in the driver's single sweep can no
+    // longer fake a 2×-of-baseline regression (BENCH_r17 shipped
+    // q55=65.8 s exactly that way). Retried lines are listed in the
+    // JSON for the reader. A failed RETRY is ignored (timed directly,
+    // not via timeOnce): a line that already produced two good samples
+    // must not become `failed` because its third, optional one threw.
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def retryAboveAnchor(name: String, firstBest: Double, thunk: () => Unit,
+        anchors: Map[String, Double]): Double = {
+      var best = firstBest
+      var extra = 0
+      while (extra < 2 &&
+          anchors.get(name).exists(anchor => best > Bench.retryFactor * anchor)) {
+        extra += 1
+        val t0 = System.nanoTime()
+        val t =
+          try { thunk(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name retry failed (ignored): ${e.getMessage}")
+            -1.0
+          }
+        if (t >= 0) best = math.min(best, t)
+        else extra = 2
+      }
+      if (extra > 0) {
+        retried(name) = retried.getOrElse(name, 0) + extra
+        System.err.println(
+          s"[bench] $name retried ${extra}x (anchor ${anchors(name)}), min $best")
+      }
+      best
+    }
     val (pass1, pass2) = (pass(), pass())
-    val results = ordered.map { case (name, _) =>
+    val results = ordered.map { case (name, fn) =>
       val (a, b) = (pass1(name), pass2(name))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      name -> (if (a < 0 || b < 0) -1.0
+        else retryAboveAnchor(name, math.min(a, b), runQ(fn),
+          Bench.BatchHealthyAnchorSec))
     }
     // Streaming + cold-build segment, same two-interleaved-passes
     // min-of-2 as the batch queries. `dedup_pipeline_cold` evicts the
@@ -291,7 +417,7 @@ object Bench {
     // (Dedup-owned inputs) don't touch them, so a batch-only dev-filtered
     // run — where the control is the only streaming line — skips the cost
     val needsPrepare = streamingOrdered.exists { case (n, _) =>
-      n != StreamControl && n != "dedup_pipeline_cold" }
+      n != StreamControl && n != ShuffleControl && n != "dedup_pipeline_cold" }
     if (needsPrepare)
       try StreamingBench.prepare(spark, sfDir,
         n => streamingOrdered.exists(_._1 == n))
@@ -300,46 +426,15 @@ object Bench {
     def streamingPass(): Map[String, Double] =
       streamingOrdered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
     val (sp1, sp2) = (streamingPass(), streamingPass())
-    // Ambient-variance guard (VERDICT r16 item 1): streaming lines ride
-    // the container's load far harder than batch scans — three
-    // code-untouched lines moved 1.4-1.8× between two same-code r16
-    // runs. A line whose min-of-2 still exceeds RetryFactor × its
-    // healthy-run anchor gets up to two extra in-process attempts (a
-    // re-run is cheap: feeds and models are memoized in prepare), and
-    // the min over all attempts is reported — so one ambient spike in
-    // the driver's single sweep can no longer fake a 2×-of-baseline
-    // regression. Retried lines are listed in the JSON for the reader.
-    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // Streaming lines ride the container's load far harder than batch
+    // scans — three code-untouched lines moved 1.4-1.8× between two
+    // same-code r16 runs — and a streaming re-run is cheap: feeds and
+    // models are memoized in prepare.
     val streamingResults = streamingOrdered.map { case (n, f) =>
       val (a, b) = (sp1(n), sp2(n))
       if (a < 0 || b < 0) n -> -1.0
-      else {
-        var best = math.min(a, b)
-        var extra = 0
-        while (extra < 2 &&
-            Bench.StreamHealthyAnchorSec.get(n)
-              .exists(anchor => best > Bench.retryFactor * anchor)) {
-          extra += 1
-          // time directly (not timeOnce): a failed RETRY must not mark
-          // a line that already produced two good samples as failed —
-          // keep the min-of-2 and stop retrying
-          val t0 = System.nanoTime()
-          val t =
-            try { f(); (System.nanoTime() - t0) / 1e9 }
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] $n retry failed (ignored): ${e.getMessage}")
-              -1.0
-            }
-          if (t >= 0) best = math.min(best, t)
-          else extra = 2
-        }
-        if (extra > 0) {
-          retried(n) = extra
-          System.err.println(
-            s"[bench] $n retried ${extra}x (anchor ${Bench.StreamHealthyAnchorSec(n)}), min $best")
-        }
-        n -> best
-      }
+      else n -> retryAboveAnchor(n, math.min(a, b), f,
+        Bench.StreamHealthyAnchorSec)
     }
     // Untimed diagnostic AFTER the timed runs: stage-by-stage wall
     // times of the cold LSH build (bands, candidate join, bounded
@@ -360,7 +455,65 @@ object Bench {
     val progressJson = StreamingBench.progressJson
     StreamingBench.clearMemo()
 
-    val all = (results ++ streamingResults).filter(_._2 != -2.0)
+    // Control self-retry (VERDICT r17 item 1): the controls are the
+    // artifact's load thermometers — every other line is adjudicated
+    // AGAINST them, so a control that itself caught an ambient spike
+    // mis-reads the whole run (BENCH_r17's 4.47× control made healthy
+    // lines look 4× regressed). When a control's min-of-2 exceeds 2×
+    // its near-idle pin, re-measure up to twice and keep the min — a
+    // best-effort clean control, with the retry visible in `retried`.
+    // The 2× trigger is looser than the line guard's 1.5× on purpose:
+    // the control baselines are ISOLATED-run minima that in-suite runs
+    // normally undershoot, so 2× is already an unambiguous hot signal.
+    def retryControl(name: String, baseline: Double, cur: Double,
+        thunk: () => Unit): Double = {
+      var best = cur
+      var extra = 0
+      while (extra < 2 && best > 2.0 * baseline) {
+        extra += 1
+        val t0 = System.nanoTime()
+        val t =
+          try { thunk(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name control retry failed (ignored): ${e.getMessage}")
+            -1.0
+          }
+        if (t >= 0) best = math.min(best, t)
+        else extra = 2
+      }
+      if (extra > 0) {
+        retried(name) = retried.getOrElse(name, 0) + extra
+        System.err.println(
+          s"[bench] control $name retried ${extra}x (pin $baseline), min $best")
+      }
+      best
+    }
+    val batchControlSec = {
+      val cur = results.toMap.getOrElse(ControlQuery, -1.0)
+      if (cur < 0) cur
+      else retryControl(ControlQuery, ControlBaselineSec, cur,
+        runQ(SparkEntry.queries(ControlQuery)))
+    }
+    val streamControlSec = {
+      val cur = streamingResults.toMap.getOrElse(StreamControl, -1.0)
+      if (cur < 0) cur
+      else retryControl(StreamControl, StreamControlBaselineSec, cur,
+        () => StreamingBench.controlPipeline(spark))
+    }
+    val shuffleControlSec = {
+      val cur = streamingResults.toMap.getOrElse(ShuffleControl, -1.0)
+      if (cur < 0) cur
+      else retryControl(ShuffleControl, Bench.ShuffleControlBaselineSec, cur,
+        () => Bench.shuffleControl(spark))
+    }
+    def patchControls(rs: Seq[(String, Double)]): Seq[(String, Double)] =
+      rs.map {
+        case (ControlQuery, _) => ControlQuery -> batchControlSec
+        case (StreamControl, _) => StreamControl -> streamControlSec
+        case (ShuffleControl, _) => ShuffleControl -> shuffleControlSec
+        case kv => kv
+      }
+    val all = patchControls(results ++ streamingResults).filter(_._2 != -2.0)
     // 3-decimal rounding everywhere: BASELINE.md records are 2-3 decimals,
     // and the shorter doubles keep both JSON lines as small as possible
     // (the driver's artifact capture keeps only a 2000-char stdout tail).
@@ -382,13 +535,16 @@ object Bench {
       "\"" + esc(k) + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
     val total = all.map(_._2).filter(_ >= 0).sum
-    val controlSec = results.toMap.getOrElse(ControlQuery, -1.0)
+    val controlSec = batchControlSec
     val loadFactor =
       if (controlSec > 0) controlSec / ControlBaselineSec else -1.0
-    val scSec = streamingResults.toMap.getOrElse(StreamControl, -1.0)
+    val scSec = streamControlSec
     val scLoad = if (scSec > 0) scSec / StreamControlBaselineSec else -1.0
+    val shLoad =
+      if (shuffleControlSec > 0) shuffleControlSec / Bench.ShuffleControlBaselineSec
+      else -1.0
     val controlJson =
-      s""""control":{"name":"$ControlQuery","sec":${r3(controlSec)},"baseline_sec":$ControlBaselineSec,"load_factor":${r3(loadFactor)}},"stream_control":{"name":"$StreamControl","sec":${r3(scSec)},"baseline_sec":$StreamControlBaselineSec,"load_factor":${r3(scLoad)}}"""
+      s""""control":{"name":"$ControlQuery","sec":${r3(controlSec)},"baseline_sec":$ControlBaselineSec,"load_factor":${r3(loadFactor)}},"stream_control":{"name":"$StreamControl","sec":${r3(scSec)},"baseline_sec":$StreamControlBaselineSec,"load_factor":${r3(scLoad)}},"shuffle_control":{"name":"$ShuffleControl","sec":${r3(shuffleControlSec)},"baseline_sec":${Bench.ShuffleControlBaselineSec},"load_factor":${r3(shLoad)}}"""
     val retriedJson = retried
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =

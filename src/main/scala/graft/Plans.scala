@@ -124,7 +124,9 @@ object Plans {
     "token_budget_waterfill", // one token-sum exchange; |sources|-row level algebra
     "ann_sq8",             // SQ8: literal-bounds integer encode + broadcast reconstruction-dot scan + bounded refine
     "text_lm_bigram",      // self-trained bigram model join, integer log2 classes
-    "report_split_contamination") // two-policy leak tail over the banded-LSH pair set
+    "report_split_contamination", // two-policy leak tail over the banded-LSH pair set
+    "retrieval_qlm",       // r18: one tf-vector scan + 1-row corpus-stats broadcast, integer Dirichlet fold
+    "quality_perceptron_deploy") // r18: LOADED-model literal dot — plan must match quality_perceptron's scoring half
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

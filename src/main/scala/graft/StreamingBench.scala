@@ -1895,9 +1895,6 @@ object StreamingBench {
         "pca_topm")(requireCount("pca_topm", expected * axes.length)))
   }
 
-  /** Frozen quality model + doc feed + exact touched-source model for
-    * [[qualityPipeline]] (untimed prepare — the model is the
-    * deploy-time artifact). */
   /** Frozen bigram-LM model + doc feed + exact emission model for
     * [[lmBigramPipeline]] (untimed prepare; emission = one row per
     * touched source per batch). */
@@ -1909,7 +1906,23 @@ object StreamingBench {
       : (graft.streaming.StreamingLmBigram.LmModel,
         Array[graft.streaming.StreamingLmBigram.LDoc], Long) =
     lmBenchMemo.getOrElseUpdate(sfDir, {
-      val model = graft.streaming.StreamingLmBigram.modelFrom(spark, sfDir)
+      // the production deploy round-trip: train the frequency-cutoff
+      // HEAD, persist it through the store, serve from the LOADED copy
+      // (the in-closure model is bounded by construction — the full
+      // map the monitor used to carry is not 100-TB driver-sized)
+      val p = java.nio.file.Files
+        .createTempDirectory("graft-lm-head-bench-").toFile
+      val model =
+        try {
+          graft.streaming.StreamingLmBigram.saveHeadModel(
+            spark, sfDir, p.toString)
+          graft.streaming.StreamingLmBigram.loadHeadModel(spark, p.toString)
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(p)
+        }
       val feed = graft.streaming.StreamingLmBigram.docFeed(spark, sfDir)
       val (b1, b2) = feed.toIndexedSeq.splitAt(feed.length / 2)
       val expected =
@@ -1917,10 +1930,10 @@ object StreamingBench {
       (model, feed, expected)
     })
 
-  /** Live bigram-LM quality monitor (text_lm_bigram's serving side):
-    * the document corpus streams through the frozen-model scorer in
-    * two micro-batches — three longs of state per source, per-source
-    * sums bit-equal to the batch frame (StreamingLmBigramSpec). */
+  /** Live bigram-LM quality monitor (text_lm_bigram_head's serving
+    * side): the document corpus streams through the scorer frozen from
+    * the HEAD artifact — three longs of state per source, per-source
+    * sums bit-equal to the batch head frame (StreamingLmBigramSpec). */
   def lmBigramPipeline(spark: SparkSession, sfDir: String): Unit = {
     val s = spark
     import s.implicits._
@@ -1934,6 +1947,9 @@ object StreamingBench {
         requireCount("lm_bigram", expected)))
   }
 
+  /** Frozen quality model + doc feed + exact touched-source model for
+    * [[qualityPipeline]] (untimed prepare — the model is the
+    * deploy-time artifact). */
   private val qualityBenchMemo = scala.collection.mutable.Map.empty[
     String, (graft.functions.QualityModel.Model,
       Array[graft.streaming.StreamingQuality.QDoc], Long)]

@@ -124,15 +124,54 @@ object Artifacts {
     save(fc1.select("w1", "fc1"), "lm_bigram_fc1", s"$path/fc1")
   }
 
+  /** Hard driver-collect bound for [[loadLmBigram]]: the FULL model is
+    * vocab-sized — fine as a distributed scoring join (the batch gate's
+    * shape) but NOT driver-sized at a 100-TB corpus's bigram
+    * vocabulary. A monitor that needs an in-closure model deploys the
+    * frequency-cutoff head ([[saveLmBigramHead]]) instead; this cap
+    * turns a silently corpus-sized collect into a loud error. */
+  val LmFullLoadCap = 1 << 20
+
   def loadLmBigram(
       s: SparkSession, path: String)
       : (Map[(String, String), Long], Map[String, Long]) = {
     val f2 = load(s, "lm_bigram_fc2", s"$path/fc2")
+      .limit(LmFullLoadCap + 1)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val f1 = load(s, "lm_bigram_fc1", s"$path/fc1")
+      .limit(LmFullLoadCap + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(f2.nonEmpty && f1.nonEmpty, s"$path holds an empty bigram LM")
+    require(f2.size <= LmFullLoadCap && f1.size <= LmFullLoadCap,
+      s"$path bigram LM exceeds the $LmFullLoadCap-entry driver-load " +
+        "contract; serve from the lm_bigram_head artifact instead")
     (f2, f1)
+  }
+
+  // ---- bigram-LM serving head (part ∈ {bg, w1}, key, fc): the
+  // frequency-cutoff truncation the LIVE monitor deploys from — rows
+  // bounded at headK2 + headK1 BY CONSTRUCTION at save time, so the
+  // load-side collect stays driver-sized whatever the corpus bigram
+  // vocabulary. Out-of-head lookups take class 0 on both sides
+  // (count-1 smoothing) — the rule text_lm_bigram_head states in batch.
+
+  def saveLmBigramHead(s: SparkSession, h2: Array[(String, Long)],
+      h1: Array[(String, Long)], path: String): Unit = {
+    import s.implicits._
+    require(h2.nonEmpty && h1.nonEmpty, "empty bigram-LM head")
+    save((h2.map { case (bg, fc) => ("bg", bg, fc) } ++
+      h1.map { case (w1, fc) => ("w1", w1, fc) }).toSeq
+      .toDF("part", "key", "fc"), "lm_bigram_head", path)
+  }
+
+  def loadLmBigramHead(s: SparkSession, path: String)
+      : (Array[(String, Long)], Array[(String, Long)]) = {
+    val rows = load(s, "lm_bigram_head", path).select("part", "key", "fc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val h2 = rows.filter(_._1 == "bg").map(t => t._2 -> t._3).sortBy(_._1)
+    val h1 = rows.filter(_._1 == "w1").map(t => t._2 -> t._3).sortBy(_._1)
+    require(h2.nonEmpty && h1.nonEmpty, s"$path holds an empty bigram-LM head")
+    (h2, h1)
   }
 
   // ---- SQ8 bounds: (idx: int, mn: bigint, w: bigint) per dimension ----

@@ -919,7 +919,15 @@ object Dedup {
     * rule on the cluster label; singleton docs hash their own id.
     * Scale shape: the CC fixpoint's cost (banded-LSH candidates, never
     * all-pairs) + one scan-speed hash projection. */
-  def splitLeakageSafe(s: SparkSession, dir: String, evalPct: Int = 10): DataFrame = {
+  /** Eval fraction (percent of the md5 bucket space) shared by the
+    * whole hash-split family. The DuckDB oracles for
+    * `split_leakage_safe` and `report_split_contamination` derive
+    * their `% 100 < EvalPct` literal from THIS constant
+    * (ExtensionOracles), so gate and mirror can never desync — which
+    * is why the gate functions take no evalPct parameter. */
+  val EvalPct = 10
+
+  def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
     val comp = componentsStar(verifiedPairs(s, dir))
     corpusWithNearDupes(s, dir)
       .select("doc_id")
@@ -927,7 +935,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster"))
       .select(col("doc_id"), col("cluster"),
-        when(pmod(h32(col("cluster").cast("string")), lit(100L)) < evalPct,
+        when(pmod(h32(col("cluster").cast("string")), lit(100L)) < EvalPct,
           "eval").otherwise("train").as("split"))
       .orderBy("doc_id")
   }
@@ -948,8 +956,7 @@ object Dedup {
     * plus one corpus-side aggregate, joined as two ONE-ROW frames
     * (by-design broadcast attach; PlanGuard exclusion is for the CC
     * fixpoint that runs at construction, like dedup_canonical). */
-  def reportSplitContamination(
-      s: SparkSession, dir: String, evalPct: Int = 10): DataFrame = {
+  def reportSplitContamination(s: SparkSession, dir: String): DataFrame = {
     val pairs = verifiedPairs(s, dir)
     val clustered = corpusWithNearDupes(s, dir)
       .select("doc_id")
@@ -957,7 +964,7 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster"))
     def evalOf(key: Column): Column =
-      pmod(h32(key.cast("string")), lit(100L)) < evalPct
+      pmod(h32(key.cast("string")), lit(100L)) < EvalPct
     val assign = clustered.select(col("doc_id"),
       evalOf(col("doc_id")).as("ed"), evalOf(col("cluster")).as("ec"))
     val sym = pairs.select(col("doc_a").as("d"), col("doc_b").as("o"))

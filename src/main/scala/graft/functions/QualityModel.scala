@@ -138,11 +138,21 @@ object QualityModel {
     * label — one row per dimension, confusion repeated per row (the
     * PCA gain convention). */
   def qualityPerceptron(s: SparkSession, dir: String): DataFrame = {
-    val sp = s
-    import sp.implicits._
     val (lab, model) = train(s, dir)
-    val w = model.weights
-    val score = dot(w)
+    confusionOf(lab, model)
+  }
+
+  /** Confusion of `score > 0` under an EXPLICIT model against the
+    * rule-based label over a centered frame, one row per dimension
+    * (the gate's output shape) — the scoring half
+    * [[qualityPerceptron]] (which passes the memoized training frame)
+    * and the deploy gate (which re-centers live features with the
+    * LOADED model's means — the deployment contract: centering
+    * statistics travel inside the model) share. */
+  private def confusionOf(lab: DataFrame, model: Model): DataFrame = {
+    val sp = lab.sparkSession
+    import sp.implicits._
+    val score = dot(model.weights)
     val conf = lab.agg(
       sum(when(col("y") === 1L && score > 0L, 1L).otherwise(0L)).as("tp"),
       sum(when(col("y") === -1L && score > 0L, 1L).otherwise(0L)).as("fp"),
@@ -150,8 +160,37 @@ object QualityModel {
       sum(when(col("y") === 1L && score <= 0L, 1L).otherwise(0L)).as("fn")).head()
     val (tp, fp, tn, fn) =
       (conf.getLong(0), conf.getLong(1), conf.getLong(2), conf.getLong(3))
-    w.zipWithIndex.map { case (wj, j) => (j.toLong, wj, tp, fp, tn, fn) }
+    model.weights.zipWithIndex
+      .map { case (wj, j) => (j.toLong, wj, tp, fp, tn, fn) }
       .toSeq.toDF("j", "w", "tp", "fp", "tn", "fn")
       .orderBy("j")
+  }
+
+  /** GATE `quality_perceptron_deploy` — the train-once/deploy-many
+    * contract for the distilled quality filter (the ann_ivf_deploy
+    * discipline, VERDICT r17 item 5): train, persist weights + the
+    * training corpus's centering means through the artifact store,
+    * load, and score from the LOADED model. Oracle = quality_perceptron's
+    * SQL, so a store round-trip can never silently perturb a weight or
+    * a mean (either would flip confusion cells). The temp dir is
+    * deleted eagerly — loadQualityModel collects the (Dim+Dim−1)-long
+    * model before the scoring plan is built. */
+  def qualityPerceptronDeploy(s: SparkSession, dir: String): DataFrame = {
+    val (_, model) = train(s, dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-quality-deploy-").toFile
+    val loaded =
+      try {
+        graft.artifacts.Artifacts.saveQualityModel(s, model, path.toString)
+        graft.artifacts.Artifacts.loadQualityModel(s, path.toString)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(path)
+      }
+    confusionOf(
+      centered(rawLabeledOf(TextAnalysis.textStats(s, dir)), loaded.means),
+      loaded)
   }
 }

@@ -625,7 +625,25 @@ object Similarity {
     val path = java.nio.file.Files
       .createTempDirectory("graft-ivf-deploy-").toString
     saveIvfArtifact(s, dir, path)
-    annIvfFromArtifact(s, dir, path)
+    // localCheckpoint materializes the k-row codebook off the artifact
+    // files so the temp dir can be deleted eagerly — repeated gate and
+    // bench invocations must not accumulate artifact dirs (ADVICE r17)
+    val cb = graft.artifacts.Artifacts.loadIvfCodebook(s, path).localCheckpoint()
+    deleteRecursively(path)
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    ivfSearchWith(emb, cb, nprobe = 1)
+  }
+
+  /** Recursive best-effort temp-artifact cleanup for the deploy gates
+    * (a gate's store round-trip is per-invocation; the load side
+    * collects or checkpoints everything it needs before this runs). */
+  private def deleteRecursively(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    try rm(new java.io.File(path))
+    catch { case _: Throwable => () }
   }
 
   /** IVF with nprobe=2: each query searches its own cell AND its
@@ -811,7 +829,29 @@ object Similarity {
     * sum is an explicit dim-term codegen expression (integer adds are
     * order-exact; no HOF in the scoring path). Raw Σ level·level would
     * NOT work: dropping the per-dimension offset terms scrambles the
-    * ordering (measured: recall 0.23 vs 1.0 reconstructed). */
+    * ordering (measured: recall 0.23 vs 1.0 reconstructed).
+    *
+    * Long headroom (ADVICE r17): Spark's BIGINT multiply wraps
+    * silently on overflow where DuckDB raises, so the cross-engine
+    * hash equality rests on each reconstruction term staying within
+    * Long range. rec_j ≈ Levels·e_j and |e_j| ≤ PcaEScale·|emb_j| with
+    * unit-scale embeddings, so |rec_j| ≲ 255·PcaEScale·max|emb| ≈
+    * 2.6e5·max|emb| and a term |rec·rec| ≲ 6.5e10·max|emb|² — the
+    * 64-term sum stays ~4e12·max|emb|², eight orders under 2^63 for
+    * any |emb| the corpus contract allows (≲ 10). The loud require
+    * below turns a future corpus that breaks the |e| ≲ PcaEScale·10
+    * assumption into an error instead of a silent Spark/DuckDB
+    * divergence. */
+  private[graft] def sq8RequireHeadroom(mn: Array[Long], w: Array[Long]): Unit = {
+    // |rec_j| ≤ |mn_j|·Levels + Levels·w_j; keep each term's product
+    // under 2^62 / dim so the dim-term sum cannot reach Long overflow
+    val maxRec = mn.zip(w).map { case (m, wj) =>
+      math.abs(m) * Sq8Levels + Sq8Levels * wj }.max
+    require(maxRec < 3000000000L, // (3e9)² · 64 < 2^62: safe sum bound
+      s"sq8 reconstruction magnitude $maxRec breaks the integer-dot " +
+        "Long-headroom contract (|e| ≲ PcaEScale·10); re-scale PcaEScale")
+  }
+
   private def sq8Dot(a: String, b: String, mn: Array[Long], w: Array[Long],
       dim: Int): Column =
     (1 to dim).map { j =>
@@ -838,7 +878,12 @@ object Similarity {
     val path = java.nio.file.Files
       .createTempDirectory("graft-sq8-deploy-").toString
     graft.artifacts.Artifacts.saveSq8Bounds(s, mn, w, path)
-    annSq8FromArtifact(s, dir, path)
+    // loadSq8Bounds collects the bounds eagerly, so the temp dir can be
+    // deleted as soon as the search plan is built (ADVICE r17: repeated
+    // gate/bench runs must not leak artifact dirs)
+    val out = annSq8FromArtifact(s, dir, path)
+    deleteRecursively(path)
+    out
   }
 
   /** Search with bounds LOADED from the artifact store. */
@@ -849,6 +894,7 @@ object Similarity {
 
   private def annSq8With(
       s: SparkSession, dir: String, mn: Array[Long], w: Array[Long]): DataFrame = {
+    sq8RequireHeadroom(mn, w)
     val e = pcaFrame(s, dir).select(col("vec_id"), col("e"))
     val coded = e.select(col("vec_id"), sq8Code(mn, w, PcaDim).as("q8"))
     val queries = coded.filter(col("vec_id") < NQueryVectors)
@@ -886,6 +932,7 @@ object Similarity {
     val cents = ivfCodebook(emb)
     val e = pcaFrame(s, dir).select(col("vec_id"), col("e"))
     val (mn, w) = sq8Bounds(e, PcaDim)
+    sq8RequireHeadroom(mn, w)
     val coded = assignCells(emb, cents)
       .join(e, Seq("vec_id"))
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),

@@ -311,10 +311,17 @@ object TextAnalysis {
     * their vocabularies this equals [[lmBigram]] exactly (spec-pinned);
     * the truncated regime is gated against a full DuckDB mirror (the
     * truncation is plain SQL). */
-  def lmBigramHead(s: SparkSession, dir: String,
-      headK2: Int = LmHeadK2, headK1: Int = LmHeadK1): DataFrame = {
+  /** The trained model's frequency-cutoff HEAD — top-headK2 bigrams by
+    * count (ties to the bigram string) and top-headK1 heads by head
+    * count, as bounded driver-side arrays (headK2 + headK1 rows by
+    * construction, whatever the corpus bigram vocabulary). The ONE
+    * truncation shared by [[lmBigramHead]], the per-source pin frame,
+    * and the serving-head artifact the live monitor deploys from
+    * ([[graft.artifacts.Artifacts.saveLmBigramHead]]). */
+  private[graft] def lmHeadEntries(s: SparkSession, dir: String,
+      headK2: Int = LmHeadK2, headK1: Int = LmHeadK1)
+      : (Array[(String, Long)], Array[(String, Long)]) = {
     val (f2, f1) = lmModelFrames(s, dir)
-    // bounded driver-side collects: headK2 + headK1 rows (the heads)
     val h2 = f2.select(col("bg"), col("fc2"), col("cnt2"))
       .orderBy(col("cnt2").desc, col("bg").asc)
       .limit(headK2)
@@ -325,19 +332,43 @@ object TextAnalysis {
       .limit(headK1)
       .select("w1", "fc1")
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    (h2, h1)
+  }
+
+  /** Per-occurrence head-model score: map-literal lookups with the
+    * default class 0 on both sides for out-of-head misses — the live
+    * monitor's frozen-model rule, stated as ONE Column both head
+    * frames derive from. */
+  private def headLp(h2: Array[(String, Long)], h1: Array[(String, Long)]): Column = {
     def mapLit(kv: Array[(String, Long)]): Column =
       map(kv.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }
         .toIndexedSeq: _*)
-    val lp =
-      coalesce(element_at(mapLit(h2), col("bg")), lit(0L)) -
-        coalesce(element_at(mapLit(h1),
-          substring_index(col("bg"), " ", 1)), lit(0L))
+    coalesce(element_at(mapLit(h2), col("bg")), lit(0L)) -
+      coalesce(element_at(mapLit(h1),
+        substring_index(col("bg"), " ", 1)), lit(0L))
+  }
+
+  def lmBigramHead(s: SparkSession, dir: String,
+      headK2: Int = LmHeadK2, headK1: Int = LmHeadK1): DataFrame = {
+    val (h2, h1) = lmHeadEntries(s, dir, headK2, headK1)
     lmBigramOcc(s, dir)
-      .select(col("doc_id"), lp.as("lp"))
+      .select(col("doc_id"), headLp(h2, h1).as("lp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("lp_mean"))
       .orderBy("doc_id")
+  }
+
+  /** Per-source exact sums under the HEAD model — the live monitor's
+    * head-serving equality pin, the [[lmBigramBySource]] twin of
+    * [[lmBigramHead]] (integers, bit-exact before any rounding). */
+  private[graft] def lmBigramHeadBySource(s: SparkSession, dir: String,
+      headK2: Int = LmHeadK2, headK1: Int = LmHeadK1): DataFrame = {
+    val (h2, h1) = lmHeadEntries(s, dir, headK2, headK1)
+    lmBigramOcc(s, dir)
+      .select(col("source"), headLp(h2, h1).as("lp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("sum_lp"))
   }
 
   /** Per-source exact sums — the live monitor's equality pin
@@ -1029,6 +1060,58 @@ object TextAnalysis {
     withStats
       .select(col("doc_id"), col("len").as("n_tokens"),
         round(score, 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Dirichlet smoothing mass for [[qlmScore]] (the Zhai-Lafferty
+    * default neighborhood: ~2× a typical document length here). */
+  val QlmMu = 2000L
+
+  /** QUERY-LIKELIHOOD LM RETRIEVAL — the third classical lexical
+    * ranker beside BM25 and RRF's fused heads: score every document
+    * against the fixed [[Bm25Query]] under a Dirichlet-smoothed
+    * document language model, P(t|d) = (tf + μ·P(t|C)) / (len + μ).
+    * Ponte-Croft / Zhai-Lafferty, kept hash-gateable the way the
+    * whole LM family is — in INTEGER fixed point:
+    *
+    *   score = Σ_t [ tf_t·10⁹ div (len+μ)
+    *               + μ·cf_ppm_t·10³ div (len+μ) ]   (parts-per-billion)
+    *   cf_ppm_t = cf_t·10⁶ div Σlen                  (corpus constant)
+    *
+    * One documented deviation (the bm25 raw-ratio-idf precedent): the
+    * doc score sums the per-term smoothed probabilities instead of
+    * their logs — log differs between libm and the JVM in the last
+    * ulp, the integer sum is bit-exact cross-engine, and the ranking
+    * intuition (rare-in-corpus terms present in a short doc dominate)
+    * is preserved because each term's contribution is still its
+    * smoothed P(t|d). Truncating `div` is safe: every operand is
+    * non-negative, so Spark's truncation and DuckDB's floor agree.
+    *
+    * Scale shape: rides [[bm25DocStats]]'s one-pass tf-vector (a
+    * single projected column regardless of |query|); corpus stats are
+    * ONE tiny aggregate broadcast back via the 1-row cross join; the
+    * fixed-order integer fold has no float anywhere. Long headroom:
+    * tf·10⁹ ≤ len·10⁹ and μ·cf_ppm·10³ ≤ 2·10¹² stay far under 2⁶³;
+    * cf·10⁶ requires Σlen ≤ 9·10¹² tokens per scored shard — beyond
+    * that, pre-divide (cf div (Σlen div 10⁶)) at the stats stage. */
+  def qlmScore(s: SparkSession, dir: String): DataFrame =
+    qlmScoreOf(Tables.documents(s, dir), Bm25Query)
+
+  /** [[qlmScore]] for an arbitrary query-term list. */
+  def qlmScoreOf(docs: DataFrame, query: Seq[String]): DataFrame = {
+    val t = bm25DocStats(docs, query)
+    val statAggs =
+      sum(col("len")).as("c_total") +:
+        query.indices.map(i =>
+          sum(element_at(col("tf"), i + 1)).as(s"cf_$i"))
+    val stats = t.agg(statAggs.head, statAggs.tail: _*)
+    val score = query.indices.map { i =>
+      s"(element_at(tf, ${i + 1}) * 1000000000L) div (len + $QlmMu) + " +
+        s"($QlmMu * ((cf_$i * 1000000L) div c_total) * 1000L) div (len + $QlmMu)"
+    }.mkString(" + ")
+    t.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("len").as("n_tokens"),
+        expr(score).as("qlm_ppb"))
       .orderBy("doc_id")
   }
 

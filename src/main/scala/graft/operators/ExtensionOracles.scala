@@ -1174,6 +1174,30 @@ object ExtensionOracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // query-likelihood LM ranking: the bm25 chain's toks/len CTEs with
+    // the integer Dirichlet tail — every div is floor-vs-trunc-safe
+    // (all operands non-negative), so the ppb scores hash exactly
+    "retrieval_qlm" -> {
+      import graft.functions.TextAnalysis.{Bm25Query, QlmMu}
+      val cfCols = Bm25Query.zipWithIndex.map { case (term, i) =>
+        s"CAST(sum(len(list_filter(toks, x -> x = '$term'))) AS BIGINT) AS cf_$i"
+      }.mkString(",\n|              ")
+      val terms = Bm25Query.zipWithIndex.map { case (term, i) =>
+        val tf = s"CAST(len(list_filter(toks, x -> x = '$term')) AS BIGINT)"
+        s"($tf * 1000000000) // (len + $QlmMu) + " +
+          s"($QlmMu * ((cf_$i * 1000000) // c_total) * 1000) // (len + $QlmMu)"
+      }.mkString("\n|    + ")
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |l AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS len FROM t),
+         |st AS (SELECT CAST(sum(len) AS BIGINT) AS c_total,
+         |              $cfCols
+         |       FROM l)
+         |SELECT doc_id, len AS n_tokens,
+         |  CAST($terms AS BIGINT) AS qlm_ppb
+         |FROM l, st
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id, source, CAST(len($toks) AS BIGINT) AS n_tokens
          |           FROM documents),
@@ -2104,7 +2128,7 @@ object ExtensionOracles {
       comp.substring(0, cut) +
         s"""SELECT c.doc_id,
            |  coalesce(m.component, c.doc_id) AS cluster,
-           |  CASE WHEN ${h32("CAST(coalesce(m.component, c.doc_id) AS VARCHAR)")} % 100 < 10
+           |  CASE WHEN ${h32("CAST(coalesce(m.component, c.doc_id) AS VARCHAR)")} % 100 < ${graft.functions.Dedup.EvalPct}
            |    THEN 'eval' ELSE 'train' END AS split
            |FROM corpus c LEFT JOIN comp m ON c.doc_id = m.doc_id
            |ORDER BY c.doc_id""".stripMargin
@@ -2124,8 +2148,8 @@ object ExtensionOracles {
            |  FROM corpus c LEFT JOIN comp m ON c.doc_id = m.doc_id),
            |assign AS (
            |  SELECT doc_id,
-           |    ${h32("CAST(doc_id AS VARCHAR)")} % 100 < 10 AS ed,
-           |    ${h32("CAST(cluster AS VARCHAR)")} % 100 < 10 AS ec
+           |    ${h32("CAST(doc_id AS VARCHAR)")} % 100 < ${graft.functions.Dedup.EvalPct} AS ed,
+           |    ${h32("CAST(cluster AS VARCHAR)")} % 100 < ${graft.functions.Dedup.EvalPct} AS ec
            |  FROM clustered),
            |sym AS (
            |  SELECT doc_a AS d, doc_b AS o FROM verified
@@ -2546,5 +2570,6 @@ object ExtensionOracles {
     * adjudicates the loaded-codebook search too. */
   private def withAliases(m: Map[String, String]): Map[String, String] =
     m + ("ann_ivf_deploy" -> m("ann_ivf")) +
-      ("ann_sq8_deploy" -> m("ann_sq8"))
+      ("ann_sq8_deploy" -> m("ann_sq8")) +
+      ("quality_perceptron_deploy" -> m("quality_perceptron"))
 }

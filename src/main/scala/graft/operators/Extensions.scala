@@ -62,6 +62,10 @@ object Extensions {
     "mix_epochs" -> (TextAnalysis.mixEpochs _),
     "pack_sequences"   -> (TextAnalysis.packSequences _),
     "bm25_score"       -> (TextAnalysis.bm25Score _),
+    // query-likelihood LM ranking (Dirichlet-smoothed, integer ppb —
+    // the third classical lexical ranker; sum-of-probs deviation
+    // documented at TextAnalysis.qlmScore)
+    "retrieval_qlm"    -> (TextAnalysis.qlmScore _),
     "chunk_overlap"    -> (TextAnalysis.chunkOverlap _),
     "text_bpe_tokens"  -> (TextAnalysis.bpeTokenCount _),
     // TRAINED BPE: driver-trained merge table over the bounded
@@ -96,6 +100,11 @@ object Extensions {
     // reproduce the rule-based editorial gate — per round ONE scan
     // collapsing to a (dim+2)-sum all-reduce, weights hash-replayed
     "quality_perceptron" -> (graft.functions.QualityModel.qualityPerceptron _),
+    // train -> persist (weights + centering means) -> load -> score
+    // from the LOADED model; must hash-equal plain quality_perceptron
+    // (same oracle — the ann_ivf_deploy contract for the classifier)
+    "quality_perceptron_deploy" ->
+      (graft.functions.QualityModel.qualityPerceptronDeploy _),
     "ann_cosine_topk"  -> (Similarity.annBrute _),
     "ann_lsh_bucketed" -> (Similarity.annLsh _),
     "ann_lsh_multiprobe" -> (Similarity.annLshMultiProbe _),

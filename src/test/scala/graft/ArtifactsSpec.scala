@@ -131,4 +131,29 @@ class ArtifactsSpec extends SparkTestBase {
     val fromLoaded = run(ld, lp, "panel_loaded_refs")
     assert(fromTrained.nonEmpty && fromLoaded == fromTrained)
   }
+
+  test("quality model round-trips bit-equal; deploy gate == trained gate") {
+    val p = tmp("quality")
+    val model = graft.functions.QualityModel.train(spark, sf0001)._2
+    Artifacts.saveQualityModel(spark, model, p)
+    val loaded = Artifacts.loadQualityModel(spark, p)
+    assert(loaded.weights.toSeq == model.weights.toSeq &&
+      loaded.means.toSeq == model.means.toSeq,
+      "quality-model store round-trip perturbed weights or means")
+    val dep = graft.functions.QualityModel
+      .qualityPerceptronDeploy(spark, sf0001).collect().map(_.toSeq).toSeq
+    val base = graft.functions.QualityModel
+      .qualityPerceptron(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(dep.nonEmpty && dep == base,
+      "deploy-path confusion differs from the trained-in-session gate")
+  }
+
+  test("bigram-LM serving head round-trips bit-equal through the store") {
+    val p = tmp("lmhead")
+    val (h2, h1) = TextAnalysis.lmHeadEntries(spark, sf0001)
+    Artifacts.saveLmBigramHead(spark, h2, h1, p)
+    val (l2, l1) = Artifacts.loadLmBigramHead(spark, p)
+    assert(l2.sortBy(_._1).toSeq == h2.sortBy(_._1).toSeq &&
+      l1.sortBy(_._1).toSeq == h1.sortBy(_._1).toSeq)
+  }
 }

@@ -1063,6 +1063,45 @@ class ExtensionsSpec extends SparkTestBase {
     }
   }
 
+  test("retrieval_qlm == driver-side integer Dirichlet replay; smoothing floor exact") {
+    import graft.functions.TextAnalysis.{Bm25Query, QlmMu}
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Portable.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector)
+    val cTotal = docs.map(_._2.length.toLong).sum
+    val cfPpm = Bm25Query
+      .map(t => docs.map(_._2.count(_ == t).toLong).sum * 1000000L / cTotal)
+    val expected = docs.map { case (id, toks) =>
+      val len = toks.length.toLong
+      val score = Bm25Query.zip(cfPpm).map { case (term, cf) =>
+        val tf = toks.count(_ == term).toLong
+        tf * 1000000000L / (len + QlmMu) + QlmMu * cf * 1000L / (len + QlmMu)
+      }.sum
+      id -> score
+    }.toMap
+    val got = TextAnalysis.qlmScore(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"first diff: ${got.toSeq.sortBy(_._1).zip(expected.toSeq.sortBy(_._1)).find(p => p._1 != p._2)}")
+    // a doc with NO query term scores exactly the per-term smoothing
+    // floor Σ μ·cf_ppm·1000 div (len+μ) — the LM-retrieval property
+    // that separates it from bm25's hard zero
+    docs.foreach { case (id, toks) =>
+      if (!Bm25Query.exists(toks.contains)) {
+        val len = toks.length.toLong
+        val floor = cfPpm.map(cf => QlmMu * cf * 1000L / (len + QlmMu)).sum
+        assert(got(id) == floor, s"doc $id smoothing floor")
+      }
+    }
+    // and term presence strictly beats the floor (rarer ⇒ bigger lift)
+    assert(docs.exists { case (id, toks) =>
+      Bm25Query.exists(toks.contains) && {
+        val len = toks.length.toLong
+        got(id) > cfPpm.map(cf => QlmMu * cf * 1000L / (len + QlmMu)).sum
+      }
+    }, "no doc scored above its smoothing floor")
+  }
+
   test("embed_centroids matches driver-side means within fixed-point tolerance") {
     val rows = Tables.embeddings(spark, sf0001)
       .select("label", "embedding").collect()

@@ -61,7 +61,11 @@ class PlanGuardSpec extends SparkTestBase {
     // the deploy-path gate is ann_ivf with a store round-trip: same
     // K-bounded centroid-assignment cross join, by design
     "ann_ivf_deploy",
-    "bm25_score", "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_recall",
+    "bm25_score",
+    // retrieval_qlm rides bm25's chain: every document against the
+    // broadcast ONE-ROW corpus statistics row (Σlen + per-term cf)
+    "retrieval_qlm",
+    "q43_zorder", "q42_upsert", "ann_pq_recall", "ann_ivf_recall",
     "dedup_semantic", "mix_epochs", "q52_idle_capital", "q55_triangles",
     "approx_distinct_kmv", "dq_checks",
     "sample_temperature", "token_budget_temperature",
