@@ -726,6 +726,25 @@ object Similarity {
     annPqWith(s, dir, pqCodebook(
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))))
 
+  /** Deploy-path twin of [[annPq]] (the ann_ivf_deploy contract,
+    * completing the deploy family: IVF, SQ8, PQ, quality, LM head,
+    * ANN top-k, drift references): the codebook round-trips through
+    * the artifact store — float centroids this time, so the gate also
+    * proves the store preserves float32 arrays bit-exactly — and the
+    * encode/ADC/refine search runs from the LOADED copy. Same oracle
+    * as ann_pq; loadPqCodebook collects the K·M-row codebook eagerly,
+    * so the temp dir is deleted before the search plan executes. */
+  def annPqDeploy(s: SparkSession, dir: String): DataFrame = {
+    val cb = pqCodebook(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pq-deploy-").toString
+    graft.artifacts.Artifacts.savePqCodebook(s, cb, path)
+    val loaded = graft.artifacts.Artifacts.loadPqCodebook(s, path)
+    deleteRecursively(path)
+    annPqWith(s, dir, loaded)
+  }
+
   /** Trained-path codebook size: 256 centroids per sub-space — one-byte
     * codes, the standard production PQ geometry (FAISS default). The
     * hash-picked path keeps K=32 because its oracle SQL evaluates all

@@ -2571,5 +2571,6 @@ object ExtensionOracles {
   private def withAliases(m: Map[String, String]): Map[String, String] =
     m + ("ann_ivf_deploy" -> m("ann_ivf")) +
       ("ann_sq8_deploy" -> m("ann_sq8")) +
-      ("quality_perceptron_deploy" -> m("quality_perceptron"))
+      ("quality_perceptron_deploy" -> m("quality_perceptron")) +
+      ("ann_pq_deploy" -> m("ann_pq"))
 }

@@ -114,6 +114,9 @@ object Extensions {
     // must hash-equal plain ann_ivf (same oracle)
     "ann_ivf_deploy"   -> (Similarity.annIvfDeploy _),
     "ann_pq"           -> (Similarity.annPq _),
+    // codebook -> persist (float32 arrays) -> load -> encode/ADC/refine
+    // from the LOADED copy; must hash-equal plain ann_pq (same oracle)
+    "ann_pq_deploy"    -> (Similarity.annPqDeploy _),
     // recall-threshold gate for the TRAINED PQ codebook (k-means is not
     // oracle-reproducible in SQL; annBrute is value-hashed by its own
     // gate, so thresholded recall against it is the quality contract)

@@ -148,6 +148,20 @@ class ArtifactsSpec extends SparkTestBase {
       "deploy-path confusion differs from the trained-in-session gate")
   }
 
+  test("PQ codebook round-trips float-bit-equal; deploy search == plain ann_pq") {
+    val p = tmp("pq")
+    val cb = Similarity.pqCodebook(
+      Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding")))
+    Artifacts.savePqCodebook(spark, cb, p)
+    val loaded = Artifacts.loadPqCodebook(spark, p)
+    assert(loaded == cb, "PQ codebook store round-trip perturbed a float")
+    val dep = Similarity.annPqDeploy(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val base = Similarity.annPq(spark, sf0001).collect().map(_.toSeq).toSet
+    assert(dep.nonEmpty && dep == base,
+      "deploy-path PQ ranking differs from the trained-in-session gate")
+  }
+
   test("bigram-LM serving head round-trips bit-equal through the store") {
     val p = tmp("lmhead")
     val (h2, h1) = TextAnalysis.lmHeadEntries(spark, sf0001)

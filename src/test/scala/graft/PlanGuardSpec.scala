@@ -55,6 +55,8 @@ class PlanGuardSpec extends SparkTestBase {
     // the deploy-path gate is ann_sq8 with a store round-trip: same
     // broadcast-query compressed scan, by design
     "ann_sq8_deploy",
+    // ann_pq with a store round-trip: same ADC scan, by design
+    "ann_pq_deploy",
     // ann_ivf_sq8 composes ann_ivf's K-bounded centroid-assignment
     // cross join with the SQ8 scoring stage
     "ann_ivf_sq8",
