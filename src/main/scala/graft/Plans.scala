@@ -126,6 +126,7 @@ object Plans {
     "text_lm_bigram",      // self-trained bigram model join, integer log2 classes
     "report_split_contamination", // two-policy leak tail over the banded-LSH pair set
     "retrieval_qlm",       // r18: one tf-vector scan + 1-row corpus-stats broadcast, integer Dirichlet fold
+    "q85_small_qty_revenue", // r18: correlated-subquery DECORRELATION — one fact aggregate + join-back, not a re-scan per row
     "quality_perceptron_deploy") // r18: LOADED-model literal dot — plan must match quality_perceptron's scoring half
 
   def main(args: Array[String]): Unit = {

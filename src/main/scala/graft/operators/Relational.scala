@@ -2972,6 +2972,42 @@ object Relational {
   def q84MannWhitney(s: SparkSession, dir: String): DataFrame =
     aucOf(typeCentsSplitFold(s, dir))
 
+  /** Q85 — CORRELATED SCALAR SUBQUERY, DECORRELATED (the TPC-H Q17
+    * shape): revenue sitting in "small orders" — lineitems whose
+    * quantity is under 20% of their PART's average quantity, rolled up
+    * by brand. [[q52IdleCapital]] covered the UNCORRELATED scalar
+    * aggregate; this gate is the correlated one, and its point is the
+    * rewrite: the textbook formulation (the oracle's two correlated
+    * subqueries) re-evaluates a per-part aggregate for every outer
+    * row — a re-scan per row at 100 TB unless the planner decorrelates.
+    * Here the decorrelation is DECLARED: ONE aggregate over the fact
+    * on l_partkey, joined back on that same key. The threshold
+    * compares in cross-multiplied integer cents
+    * (qty_c·5·cnt < sum_c ⇔ qty < 0.2·avg), so no double division can
+    * flip a boundary row in either engine.
+    *
+    * Scale shape: two passes over the fact (the aggregate, the probe),
+    * one hash exchange each on l_partkey; the per-part frame is
+    * |parts| rows — AQE broadcasts it at test SF, and at a 1.5B-part
+    * 100 TB it degrades to the co-partitioned SMJ both sides already
+    * have the partitioning for (which is why it is NOT hard-broadcast
+    * here); the brand dim broadcasts. */
+  def q85SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+      round(col("l_quantity") * 100).cast("long").as("qty_c"),
+      round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+    val perPart = li.groupBy("l_partkey")
+      .agg(sum(col("qty_c")).as("sum_c"), count(lit(1)).as("cnt"))
+    val brands = Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(perPart, Seq("l_partkey"))
+      .filter(col("qty_c") * lit(5L) * col("cnt") < col("sum_c"))
+      .join(broadcast(brands), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        (sum(col("price_c")).cast("double") / 100.0).as("lost_revenue"))
+      .orderBy("p_brand")
+  }
+
   /** U/AUC over an already-folded (event_type, cents, c_ref, c_live)
     * frame. */
   private[graft] def aucOf(fold: DataFrame): DataFrame = {
@@ -3236,6 +3272,7 @@ object Relational {
     "q82_survival"          -> (q82Survival _),
     "q83_ks_test"           -> (q83KsTest _),
     "q84_mann_whitney"      -> (q84MannWhitney _),
+    "q85_small_qty_revenue" -> (q85SmallQtyRevenue _),
     "report_drift_panel"    -> (reportDriftPanel _),
     "dq_checks"             -> (dqChecks _),
   )

@@ -872,6 +872,24 @@ object RelationalOracles {
     // Mann-Whitney U / AUC over DOUBLED midranks: a tied group on
     // combined ranks [a, b] has 2*midrank = a + b = 2*cum_le - n_v + 1,
     // so ranks, U and the AUC ppm all stay in exact BIGINT algebra
+    // the TEXTBOOK correlated form on purpose: the oracle re-states the
+    // per-part aggregate as two correlated scalar subqueries per outer
+    // row — hash equality proves the Spark side's declared
+    // decorrelation (one aggregate + join-back) computes exactly it
+    "q85_small_qty_revenue" ->
+      """WITH li AS (SELECT l_partkey,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem)
+        |SELECT p.p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(l.price_c) AS DOUBLE) / 100.0 AS lost_revenue
+        |FROM li l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE l.qty_c * 5 *
+        |    (SELECT count(*) FROM li l2 WHERE l2.l_partkey = l.l_partkey)
+        |  < (SELECT sum(l2.qty_c) FROM li l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q84_mann_whitney" ->
       """WITH e AS (SELECT event_type,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
