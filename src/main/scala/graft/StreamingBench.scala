@@ -1910,18 +1910,10 @@ object StreamingBench {
       // HEAD, persist it through the store, serve from the LOADED copy
       // (the in-closure model is bounded by construction — the full
       // map the monitor used to carry is not 100-TB driver-sized)
-      val p = java.nio.file.Files
-        .createTempDirectory("graft-lm-head-bench-").toFile
       val model =
-        try {
-          graft.streaming.StreamingLmBigram.saveHeadModel(
-            spark, sfDir, p.toString)
-          graft.streaming.StreamingLmBigram.loadHeadModel(spark, p.toString)
-        } finally {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(p)
+        graft.util.TempArtifacts.withTempDir("graft-lm-head-bench-") { p =>
+          graft.streaming.StreamingLmBigram.saveHeadModel(spark, sfDir, p)
+          graft.streaming.StreamingLmBigram.loadHeadModel(spark, p)
         }
       val feed = graft.streaming.StreamingLmBigram.docFeed(spark, sfDir)
       val (b1, b2) = feed.toIndexedSeq.splitAt(feed.length / 2)

@@ -177,18 +177,10 @@ object QualityModel {
     * model before the scoring plan is built. */
   def qualityPerceptronDeploy(s: SparkSession, dir: String): DataFrame = {
     val (_, model) = train(s, dir)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-quality-deploy-").toFile
-    val loaded =
-      try {
-        graft.artifacts.Artifacts.saveQualityModel(s, model, path.toString)
-        graft.artifacts.Artifacts.loadQualityModel(s, path.toString)
-      } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(path)
-      }
+    val loaded = graft.util.TempArtifacts.withTempDir("graft-quality-deploy-") { p =>
+      graft.artifacts.Artifacts.saveQualityModel(s, model, p)
+      graft.artifacts.Artifacts.loadQualityModel(s, p)
+    }
     confusionOf(
       centered(rawLabeledOf(TextAnalysis.textStats(s, dir)), loaded.means),
       loaded)

@@ -621,30 +621,16 @@ object Similarity {
     * the ranking. The store path is a per-JVM temp dir — at scale it's
     * any shared filesystem URI; the measured cost IS the deploy
     * round-trip plus the search. */
-  def annIvfDeploy(s: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-ivf-deploy-").toString
-    saveIvfArtifact(s, dir, path)
-    // localCheckpoint materializes the k-row codebook off the artifact
-    // files so the temp dir can be deleted eagerly — repeated gate and
-    // bench invocations must not accumulate artifact dirs (ADVICE r17)
-    val cb = graft.artifacts.Artifacts.loadIvfCodebook(s, path).localCheckpoint()
-    deleteRecursively(path)
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
-    ivfSearchWith(emb, cb, nprobe = 1)
-  }
-
-  /** Recursive best-effort temp-artifact cleanup for the deploy gates
-    * (a gate's store round-trip is per-invocation; the load side
-    * collects or checkpoints everything it needs before this runs). */
-  private def deleteRecursively(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(): Unit
+  def annIvfDeploy(s: SparkSession, dir: String): DataFrame =
+    graft.util.TempArtifacts.withTempDir("graft-ivf-deploy-") { path =>
+      saveIvfArtifact(s, dir, path)
+      // localCheckpoint materializes the k-row codebook off the artifact
+      // files so the temp dir can be deleted eagerly — repeated gate and
+      // bench invocations must not accumulate artifact dirs (ADVICE r17)
+      val cb = graft.artifacts.Artifacts.loadIvfCodebook(s, path).localCheckpoint()
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      ivfSearchWith(emb, cb, nprobe = 1)
     }
-    try rm(new java.io.File(path))
-    catch { case _: Throwable => () }
-  }
 
   /** IVF with nprobe=2: each query searches its own cell AND its
     * second-nearest centroid's cell — the standard IVF recall repair
@@ -737,12 +723,10 @@ object Similarity {
   def annPqDeploy(s: SparkSession, dir: String): DataFrame = {
     val cb = pqCodebook(
       Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-pq-deploy-").toString
-    graft.artifacts.Artifacts.savePqCodebook(s, cb, path)
-    val loaded = graft.artifacts.Artifacts.loadPqCodebook(s, path)
-    deleteRecursively(path)
-    annPqWith(s, dir, loaded)
+    graft.util.TempArtifacts.withTempDir("graft-pq-deploy-") { path =>
+      graft.artifacts.Artifacts.savePqCodebook(s, cb, path)
+      annPqWith(s, dir, graft.artifacts.Artifacts.loadPqCodebook(s, path))
+    }
   }
 
   /** Trained-path codebook size: 256 centroids per sub-space — one-byte
@@ -894,15 +878,13 @@ object Similarity {
   def annSq8Deploy(s: SparkSession, dir: String): DataFrame = {
     val e = pcaFrame(s, dir).select(col("vec_id"), col("e"))
     val (mn, w) = sq8Bounds(e, PcaDim)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-sq8-deploy-").toString
-    graft.artifacts.Artifacts.saveSq8Bounds(s, mn, w, path)
     // loadSq8Bounds collects the bounds eagerly, so the temp dir can be
     // deleted as soon as the search plan is built (ADVICE r17: repeated
     // gate/bench runs must not leak artifact dirs)
-    val out = annSq8FromArtifact(s, dir, path)
-    deleteRecursively(path)
-    out
+    graft.util.TempArtifacts.withTempDir("graft-sq8-deploy-") { path =>
+      graft.artifacts.Artifacts.saveSq8Bounds(s, mn, w, path)
+      annSq8FromArtifact(s, dir, path)
+    }
   }
 
   /** Search with bounds LOADED from the artifact store. */
