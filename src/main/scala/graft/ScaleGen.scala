@@ -88,6 +88,18 @@ object ScaleGen {
       // vec_id 0..k-1 anchor rows stay unique to replica 0
       replicate(Tables.embeddings(spark, base), f, Seq("vec_id"))
         .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      // part rides along for the q85 join: its p_partkey offset base
+      // must equal lineitem's l_partkey base or replica joins silently
+      // miss — the testdata generator keys lineitem over the full part
+      // domain, which makes the two maxima equal; require it loudly
+      // rather than trust it
+      val lMax = Tables.lineitem(spark, base).agg(max(col("l_partkey"))).head().getLong(0)
+      val pMax = Tables.part(spark, base).agg(max(col("p_partkey"))).head().getLong(0)
+      require(lMax == pMax,
+        s"partkey offset bases diverge (lineitem $lMax vs part $pMax); " +
+          "replicate both with a shared explicit base before using x-corpora for part joins")
+      replicate(Tables.part(spark, base), f, Seq("p_partkey"))
+        .write.mode("overwrite").parquet(s"$dir/part.parquet")
       println(s"wrote $dir (x$f)")
     }
     spark.stop()
