@@ -27,6 +27,24 @@ class ScaleGenSpec extends SparkTestBase {
     assert(rep.select(expr(s"l_orderkey div ${maxO + 1}")).distinct().count() == 3)
   }
 
+  test("part replication joins lineitem replication without loss (q85 corpus invariant)") {
+    // the invariant ScaleGen's loud require protects: part and lineitem
+    // replicate with the SAME offset base, so every replicated lineitem
+    // row still finds its part — the per-replica join count is exactly
+    // the base join count, f times over
+    val li = Tables.lineitem(spark, sf0001).select("l_orderkey", "l_partkey")
+    val pt = Tables.part(spark, sf0001).select("p_partkey")
+    val lMax = li.agg(max(col("l_partkey"))).head().getLong(0)
+    val pMax = pt.agg(max(col("p_partkey"))).head().getLong(0)
+    assert(lMax == pMax, "offset bases diverge on the gate corpus itself")
+    val baseJoin = li.join(pt, li("l_partkey") === pt("p_partkey")).count()
+    val liR = ScaleGen.replicate(li, 3, Seq("l_orderkey", "l_partkey"))
+    val ptR = ScaleGen.replicate(pt, 3, Seq("p_partkey"))
+    val repJoin = liR.join(ptR, liR("l_partkey") === ptR("p_partkey")).count()
+    assert(repJoin == baseJoin * 3,
+      s"replica join lost rows: $repJoin != 3 * $baseJoin")
+  }
+
   test("documents replication: token space disjoint across replicas") {
     val base = Tables.documents(spark, sf0001)
     val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
