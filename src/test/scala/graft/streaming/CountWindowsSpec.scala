@@ -81,4 +81,56 @@ class CountWindowsSpec extends SparkTestBase {
         s"first diff: ${streaming.zip(batch).find(p => p._1 != p._2)}")
     } finally query.stop()
   }
+
+  test("keyedTws: transformWithState twin == GroupState form on the q13 corpus, cross-batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // differential pin (VERDICT r18 item 6, the MapWithStateTWSSpec
+    // pattern): identical outputs on identical two-batch feeds — the
+    // batch split lands mid-buffer for many keys, so the cross-batch
+    // buffered-prefix handoff is exercised, not just the happy path.
+    // transformWithState requires the RocksDB provider; both forms run
+    // under it so the comparison is provider-identical.
+    val evs = Tables.events(spark, sf0001)
+      .select(
+        col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[Ev].collect()
+      .sortBy(e => (TsUtil.micros(e.ts), e.event_id))
+
+    def run(tag: String, tws: Boolean): Seq[(Long, Long)] = {
+      val stream = MemoryStream[Ev]
+      val ds = stream.toDS()
+      val out =
+        if (tws) CountWindows.keyedTws(ds, size = 2)(
+          _.user_id, e => TsUtil.micros(e.ts), _.event_id)(
+          (k, items) => (k, items.map(_.cents).sum))
+        else CountWindows.keyed(ds, size = 2)(
+          _.user_id, e => TsUtil.micros(e.ts), _.event_id)(
+          (k, items) => (k, items.map(_.cents).sum))
+      val query = Sinks.toMemory(out, tag)
+      try {
+        val (first, second) = evs.splitAt(evs.length / 2)
+        stream.addData(first.toIndexedSeq); query.processAllAvailable()
+        stream.addData(second.toIndexedSeq); query.processAllAvailable()
+        Sinks.collected[(Long, Long)](spark, tag).sorted
+      } finally query.stop()
+    }
+
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val groupState = run("cw_diff_gs", tws = false)
+      val tws = run("cw_diff_tws", tws = true)
+      assert(tws.nonEmpty && tws == groupState,
+        s"TWS count windows diverged: ${tws.size} rows vs ${groupState.size}")
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

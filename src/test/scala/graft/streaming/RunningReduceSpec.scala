@@ -94,6 +94,46 @@ class RunningReduceSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("keyedWithTtlTws: transformWithState native-TTL twin reproduces the eviction script") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // differential pin (VERDICT r18 item 6): the SAME script the
+    // GroupState keyedWithTtl test plays, same expected trace — native
+    // TTLConfig eviction + data-path gap>ttl restart must be
+    // observationally identical to ProcessingTimeTimeout + remove().
+    // transformWithState requires the RocksDB provider.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ttl = 15.seconds
+      val stream = MemoryStream[KV]
+      val out = RunningReduce.keyedWithTtlTws(stream.toDS(), zero = 0, ttl)(
+        _.k, _.v.toLong)((acc, in) => acc + in.v)
+      val query = Sinks.toMemory(out, "rr_ttl_tws",
+        triggerInterval = Some("100 milliseconds"))
+      try {
+        SourceKit.Script.empty[KV]
+          .addElem(KV("a", 1)).addElem(KV("b", 2))
+          .addGap(100.millis)
+          .addElem(KV("a", 3))   // within ttl: a accumulates 1+3=4
+          .addGap(20.seconds)    // > ttl: both keys swept by native TTL
+          .addElem(KV("a", 5))   // fresh cycle: a restarts at 5
+          .playByCount(stream, spark, "rr_ttl_tws")
+        val got = Sinks.collected[(String, Int)](spark, "rr_ttl_tws")
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+        assert(got("a") == Seq(1, 4, 5), s"a trace was ${got("a")}")
+        assert(got("b") == Seq(2), s"b trace was ${got("b")}")
+      } finally query.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("hot key: 100k events for ONE key in a single micro-batch fold correctly") {
     val s = spark
     import s.implicits._
