@@ -14,6 +14,23 @@ import org.apache.spark.sql.SparkSession
   *  - fixed alphabetical order so per-round numbers are comparable;
   *  - AQE on, shuffle partitions = cores, matching the 100 TB posture of
   *    sizing partitions to parallelism rather than the 200 default.
+  *
+  * Timeout resilience (VERDICT r18 item 1 — BENCH_r18.json was rc=124 /
+  * parsed=null because this main buffered all results and printed one
+  * final line):
+  *  - every completed sample is flushed incrementally to a durable
+  *    partial file (BENCH_PARTIAL_LOCAL.json), so even SIGKILL leaves a
+  *    per-line record on disk;
+  *  - a JVM shutdown hook prints a complete compact JSON line (flagged
+  *    "partial":true) from whatever finished when the process is
+  *    terminated early — the driver's `timeout` sends SIGTERM, which
+  *    provably reaches this forked JVM (the r18 tail shows Spark's own
+  *    abort hooks running), so rc=124 still yields a parsed artifact;
+  *  - SPARK_GRAFT_TIME_BUDGET_S (default 1500): past 70% of the budget
+  *    the run sheds all optional work — anchor retries, conditional
+  *    second samples, the untimed cold-stage probe — and degrades to
+  *    min-of-1 so it finishes inside the driver's window instead of
+  *    dying mid-suite.
   */
 object Bench {
 
@@ -27,12 +44,29 @@ object Bench {
     * stable round-over-round, which is what adjudication needs. */
   val StreamControlBaselineSec = 1.66
 
-  /** Retry trigger threshold: a streaming line whose min-of-2 exceeds
-    * this factor × its healthy anchor gets extra in-process attempts.
+  /** Retry trigger threshold: a line whose min-of-2 exceeds this factor
+    * × its healthy anchor gets extra in-process attempts.
     * SPARK_GRAFT_RETRY_FACTOR overrides (diagnostics: 0 forces a retry
     * on every anchored line, huge disables). */
   def retryFactor: Double =
     sys.env.get("SPARK_GRAFT_RETRY_FACTOR").map(_.toDouble).getOrElse(1.5)
+
+  /** Soft deadline for the whole bench main, seconds (VERDICT r18
+    * item 1b). The driver's own timeout budget is not observable from
+    * here; 1500 s is comfortably under any plausible sweep window while
+    * a clean full suite (conditional second passes, see below) finishes
+    * in well under half of it. Past 70% of this budget the run sheds
+    * retries/second-samples/diagnostics and degrades to min-of-1. */
+  def timeBudgetSec: Double =
+    sys.env.get("SPARK_GRAFT_TIME_BUDGET_S").map(_.toDouble).getOrElse(1500.0)
+
+  /** Cap on total seconds spent in anchor-retry attempts per sweep
+    * (VERDICT r18 item 2) — the r18 closing spent 48 lines × 1-2
+    * retries under imperfect ambient; a hot window must not multiply
+    * the whole suite. Controls are exempt (they are the thermometers
+    * every other line is adjudicated against). */
+  def retryBudgetSec: Double =
+    sys.env.get("SPARK_GRAFT_RETRY_BUDGET_S").map(_.toDouble).getOrElse(30.0)
 
   /** Healthy full-suite anchors per streaming line — the round-16
     * grand-closing run (commit f6bac45: 228 lines, near-idle controls
@@ -85,23 +119,28 @@ object Bench {
     // r17 continuation record / 1.554 isolated), dedup_pipeline_cold
     // from the r17 grand closing (it rides the streaming segment's
     // retry loop, so an anchor here is all it needs)
-    "streaming_lm_bigram" -> 1.375, "dedup_pipeline_cold" -> 1.565)
+    "streaming_lm_bigram" -> 1.375, "dedup_pipeline_cold" -> 1.565,
+    // r19 anchor-by-default sweep (VERDICT r18 item 3): the last
+    // unanchored streaming-segment line, from the r18 grand closing
+    // (commit 6167a5c, controls 0.85×/0.97×/1.02×)
+    "bpe_encode_deep" -> 0.892)
 
-  /** Healthy full-suite anchors for the HEAVY BATCH lines (VERDICT r17
-    * item 1) — before r18, only streaming lines could retry, which is
-    * exactly how q55_triangles=65.8 s (12× its in-suite band) entered
-    * the official BENCH_r17.json when the driver's sweep ran under
-    * 4.47× batch-control ambient. Sources: the r17 grand closing
-    * (commit 3e4be90 — 236 lines, controls 0.59×/0.71×) for the lines
-    * it carried; the r17 continuation record (703ccb2, 0.79×/0.80×)
-    * for lines added after it, including the graph family at its
-    * round-18 re-pinned machine state (BASELINE.md r18 adjudication:
-    * isolated min-of-3 q55 5.34 / q61 4.33 / q70 4.66 / q76 4.67 at
-    * 1.09-1.31× controls — ambient-proportional, data+code unchanged);
-    * BASELINE.md isolated rows for the three newest gates. Anchors
-    * trigger retries ONLY — BASELINE.md first-green rows remain the 2×
-    * adjudication record. Lines under ~1.5 s clean are unanchored: an
-    * ambient spike there can't fake a meaningful regression. */
+  /** Healthy full-suite anchors for BATCH lines. Before r18, only
+    * streaming lines could retry, which is exactly how
+    * q55_triangles=65.8 s (12× its in-suite band) entered the official
+    * BENCH_r17.json when the driver's sweep ran under 4.47× ambient;
+    * r18 anchored the heavy batch lines but left "lines under ~1.5 s
+    * clean" unanchored, and q1_agg=28.48 s (21× clean) entered the
+    * working-tree record the same way one tier down (VERDICT r18
+    * item 3). r19 therefore anchors EVERY batch line whose clean
+    * closing value is ≥ 0.8 s — below that an ambient spike cannot
+    * fake a meaningful regression. Sources: the r17 grand closing
+    * (3e4be90) / r17 continuation record (703ccb2) / BASELINE.md
+    * isolated rows for the pre-r19 pins (kept verbatim), and the r18
+    * grand closing (6167a5c: 249 lines, controls 0.85×/0.97×/1.02×,
+    * post-reboot machine state per BASELINE.md r18 adjudication) for
+    * the r19 anchor-by-default block. Anchors trigger retries ONLY —
+    * BASELINE.md first-green rows remain the 2× adjudication record. */
   val BatchHealthyAnchorSec: Map[String, Double] = Map(
     // graph/iterative family (703ccb2 in-suite, r18 re-pin adjudicated)
     "q55_triangles" -> 5.47, "q61_pagerank" -> 4.896,
@@ -135,7 +174,55 @@ object Bench {
     "ann_ivf_sq8" -> 3.767, "ann_ivf_deploy" -> 1.717,
     "ann_pq_recall" -> 1.692, "sample_kcenter_ivf" -> 1.716,
     // text/lm
-    "text_lm_bigram" -> 1.493, "text_lm_bigram_head" -> 1.922)
+    "text_lm_bigram" -> 1.493, "text_lm_bigram_head" -> 1.922,
+    // r19 anchor-by-default block (VERDICT r18 item 3): every batch
+    // line ≥ 0.8 s in the r18 grand closing (6167a5c) not pinned above
+    "ann_cosine_topk" -> 2.155, "ann_ivf" -> 1.566, "ann_ivf_pq" -> 1.125,
+    "ann_ivf_recall" -> 1.636, "ann_lsh_bucketed" -> 0.948, "ann_pq" -> 1.424,
+    "ann_pq_deploy" -> 2.242, "ann_recall_at_k" -> 1.374, "approx_count_min" -> 1.527,
+    "approx_distinct_kmv" -> 3.359, "approx_ndv" -> 1.401, "approx_ndv_overlap" -> 1.516,
+    "approx_quantiles" -> 1.643, "bm25_score" -> 1.217, "chunk_overlap" -> 1.142,
+    "decontaminate" -> 1.283, "decontaminate_bloom" -> 2.009, "decontaminate_bloom_bitmap" -> 2.0,
+    "dedup_editdist" -> 1.463, "dedup_incremental" -> 1.697, "dedup_lines" -> 1.015,
+    "dedup_semantic" -> 1.565, "dq_checks" -> 1.237, "embed_pca_project_topm" -> 0.986,
+    "feature_hash" -> 0.897, "knn_join" -> 0.85, "mix_epochs" -> 1.029,
+    "pii_scrub" -> 1.014, "q10_rank_topn" -> 0.806, "q13_count_window" -> 0.922,
+    "q14_mapwithstate_ttl" -> 1.125, "q15_rollup" -> 1.27, "q1_agg" -> 1.354,
+    "q20_grouping_sets" -> 1.205, "q21_session_window" -> 1.178, "q26_cube" -> 1.453,
+    "q29_window_funcs" -> 0.912, "q33_salted_join" -> 0.854, "q37_asof_multikey" -> 1.152,
+    "q42_upsert" -> 2.025, "q43_zorder" -> 1.09, "q44_scd2" -> 1.169,
+    "q46_regional_revenue" -> 1.357, "q47_top_qty_customers" -> 2.006, "q48_small_qty_revenue" -> 1.389,
+    "q49_rollup" -> 1.082, "q50_funnel" -> 1.272, "q51_exclusive_fault" -> 1.934,
+    "q56_funnel_latency" -> 1.399, "q57_retention" -> 1.034, "q58_transitions" -> 0.947,
+    "q60_active_islands" -> 0.891, "q63_session_funnel" -> 1.894, "q64_rolling_wau" -> 0.844,
+    "q67_ltv_triangle" -> 1.208, "q69_path_topk" -> 0.935, "q72_stickiness" -> 1.048,
+    "q74_gap_fill" -> 1.058, "q75_ewma" -> 1.796, "q76_interarrival" -> 1.949,
+    "q77_target_encode" -> 1.076, "q78_quantile_bins" -> 2.31, "q83_ks_test" -> 1.945,
+    "q84_mann_whitney" -> 1.431, "q85_small_qty_revenue" -> 1.433, "q9_running_sum" -> 1.051,
+    "quality_perceptron_deploy" -> 1.224, "quality_repetition" -> 1.452, "retrieval_qlm" -> 1.421,
+    "retrieval_rrf" -> 1.87, "sample_kcenter" -> 1.325, "sample_reservoir" -> 1.254,
+    "sample_temperature" -> 1.38, "text_boilerplate" -> 1.099, "text_bpe_trained" -> 1.154,
+    "text_freq_class_head" -> 1.047, "text_stats" -> 0.886, "token_budget_temperature" -> 1.059,
+    "token_budget_trained" -> 1.614, "token_budget_waterfill" -> 0.948)
+
+  /** RocksDB/changelog bench twins demoted to the nightly tier
+    * (VERDICT r18 item 2): each is the same pipeline as its HDFS-state
+    * sibling with only the state-store provider swapped, so per-round
+    * per-line coverage loses nothing by sampling ONE of them per day —
+    * the provider either works for all or breaks for all, and the
+    * specs (RocksDBStateSpec + per-family streaming specs) pin
+    * correctness regardless of the bench tier. The default sweep runs
+    * the day-rotating keeper; SPARK_GRAFT_FULL=1 runs all ten; naming
+    * one explicitly as a dev arg always runs it. Correctness gates are
+    * untouched — these are bench-only lines. */
+  val RocksTwinRotation: Vector[String] = Vector(
+    "streaming_ttl_rocksdb", "streaming_tws_rocksdb",
+    "streaming_profile_rocksdb", "streaming_profile_warm_rocksdb",
+    "streaming_recent_rocksdb", "streaming_interval_join_rocksdb",
+    "streaming_kmv_rocksdb", "streaming_kmv_rocksdb_changelog",
+    "streaming_funnel_rocksdb", "streaming_semantic_dedup_rocksdb")
+  def rotatingRocksKeeper: String =
+    RocksTwinRotation(java.time.LocalDate.now().getDayOfYear % RocksTwinRotation.size)
 
   /** sfDir-independent SHUFFLE thermometer (the round-18 re-pin
     * lesson): the scan-shaped q2 control read 1.09× of its pin while
@@ -168,6 +255,25 @@ object Bench {
   val ShuffleControlBaselineSec = 1.019
 
   def main(args: Array[String]): Unit = {
+    val benchStartNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchStartNanos) / 1e9
+    def budgetFrac: Double =
+      if (timeBudgetSec <= 0) 0.0 else elapsedSec / timeBudgetSec
+    // Past 70% of the soft deadline: shed anchor retries, conditional
+    // second samples and untimed diagnostics (keep min-of-1) so the run
+    // finishes inside the driver's window instead of dying mid-suite.
+    @volatile var shedLogged = false
+    def shedExtras: Boolean = {
+      val shed = budgetFrac > 0.70
+      if (shed && !shedLogged) {
+        shedLogged = true
+        System.err.println(
+          f"[bench] time budget ${timeBudgetSec}%.0f s is ${budgetFrac * 100}%.0f%% " +
+            "spent - shedding retries/second-passes/diagnostics (min-of-1 from here)")
+      }
+      shed
+    }
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -178,7 +284,12 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver's artifact keeps a merged
+    // stdout+stderr 2000-char tail, and BENCH_r18's tail was 100%
+    // ResolveWriteToStream/DAGScheduler WARN spam — exactly the noise
+    // that evicted every parseable line from the capture window. The
+    // heartbeat lines below only help if they stay IN the tail.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warmup: codegen/classloading/parquet-reader init, so per-query
     // timings measure steady-state work, not first-query infra costs
@@ -186,25 +297,10 @@ object Bench {
     try SparkEntry.entry(spark).write.mode("overwrite").format("noop").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
-    // min of two timed runs per query: single-run totals were observed to
-    // jitter 40%+ under varying container load; the min is the standard
-    // low-noise estimator of a query's actual cost. A failed run records
-    // -1 (never elapsed-until-crash) and lands in the errors map, so a
-    // query that regresses to throwing shrinks nothing silently.
-    // The two runs are INTERLEAVED as full passes (A..Z, A..Z), not
-    // back-to-back (A,A,B,B): BENCH_r02's false regression came from one
-    // load spike hitting both adjacent samples of the same queries;
-    // spacing a query's two samples a whole pass apart decorrelates them.
-    // dev filter: `runMain graft.Bench name1 name2` times only those
-    // line items (batch or streaming); no args = the full suite. Unknown
-    // names fail fast — a typo must not exit 0 with an empty run.
-    // Streaming/cold line items run through the SAME min-of-2
-    // interleaved discipline as the batch queries (two full passes,
-    // A..Z A..Z) — r6/r7 showed single-run streaming numbers are
-    // unadjudicable under container load spikes. Feeds AND the
-    // driver-side expected-count models are memoized and pre-populated
-    // (StreamingBench.prepare) before the first timed pass, so both
-    // samples of every line measure engine cost only.
+    // Streaming/cold line items (same timing discipline as batch; feeds
+    // AND driver-side expected-count models are memoized and
+    // pre-populated via StreamingBench.prepare before the first timed
+    // pass, so every sample measures engine cost only).
     val streamingThunks: Seq[(String, () => Unit)] = Seq(
       "streaming_control" -> (() => StreamingBench.controlPipeline(spark)),
       "shuffle_control" -> (() => Bench.shuffleControl(spark)),
@@ -219,6 +315,10 @@ object Bench {
       "streaming_topk" -> (() => StreamingBench.topKPipeline(spark, sfDir)),
       "streaming_ttl_rocksdb" -> (() => StreamingBench.ttlPipelineRocksDB(spark, sfDir)),
       "streaming_tws_rocksdb" -> (() => StreamingBench.twsPipelineRocksDB(spark, sfDir)),
+      "streaming_count_windows_tws" ->
+        (() => StreamingBench.countWindowsTwsPipeline(spark, sfDir)),
+      "streaming_running_reduce_ttl_tws" ->
+        (() => StreamingBench.runningReduceTtlTwsPipeline(spark, sfDir)),
       "streaming_profile_rocksdb" ->
         (() => StreamingBench.profilePipelineRocksDB(spark, sfDir)),
       "streaming_profile_warm_rocksdb" ->
@@ -341,54 +441,171 @@ object Bench {
     val StreamControl = "streaming_control"
     val StreamControlBaselineSec = Bench.StreamControlBaselineSec
     val ShuffleControl = "shuffle_control"
+    val fullTier = sys.env.get("SPARK_GRAFT_FULL").contains("1")
+    val keeper = rotatingRocksKeeper
+    val demotedToday = RocksTwinRotation.filterNot(_ == keeper)
     def wanted(name: String): Boolean =
       name == ControlQuery || name == StreamControl ||
-        name == ShuffleControl || only.forall(_.contains(name))
+        name == ShuffleControl || (only match {
+          case Some(names) => names.contains(name) // dev args override demotion
+          case None => fullTier || !demotedToday.contains(name)
+        })
 
+    // ---- incremental evidence state (shared with the shutdown hook) ----
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    def timeOnce(name: String, thunk: () => Unit): Double = {
-      if (!wanted(name)) return -2.0 // filtered out by dev args
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // best successful sample per line, across passes AND retries — the
+    // single source the final JSON, the partial file, and the shutdown
+    // hook all read. Concurrent because the hook thread reads it while
+    // the main thread may be mid-update.
+    val bestSample = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+    @volatile var finishedNormally = false
+    var retrySpentSec = 0.0
+    var secondPassRan = 0
+    var secondPassSkipped = 0
+
+    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
+    // full JSON string escaping — Spark exception messages embed plan
+    // fragments with newlines/tabs; a raw control char would corrupt the
+    // one-line output exactly in the failure-reporting path
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def writeFile(path: String, content: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] file write failed ($path): ${e.getMessage}") }
+
+    val repoDir = if (new java.io.File("/root/repo").isDirectory) "/root/repo/" else ""
+    val partialPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PARTIAL",
+      s"${repoDir}BENCH_PARTIAL_LOCAL.json")
+
+    // Snapshot of everything completed so far, in a stable order, as the
+    // same shape as the final "queries" map: errored lines -1, in-flight
+    // lines absent. Used by the per-sample flush and the shutdown hook.
+    def snapshot(): (Seq[(String, Double)], Map[String, String]) = {
+      import scala.jdk.CollectionConverters._
+      // errors is mutated on the main thread while the shutdown hook
+      // snapshots — copy under the same lock the writers hold
+      val errSnap = errors.synchronized { errors.toMap }
+      val best = bestSample.asScala.map { case (k, v) => k -> v.doubleValue }.toMap
+      val names = (SparkEntry.queries.keys.toSeq.sorted ++ streamingThunks.map(_._1))
+        .filter(n => best.contains(n) || errSnap.contains(n))
+      (names.map(n => n -> (if (errSnap.contains(n)) -1.0 else best(n))), errSnap)
+    }
+    def partialLine(reason: String): String = {
+      val (snap, errSnap) = snapshot()
+      val qs = snap.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      val errJson = errSnap.map { case (k, v) =>
+        "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
+      val total = snap.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":true,"reason":"${esc(reason)}","elapsed_s":${r3(elapsedSec)},"n_lines":${snap.size},"n_failed":${errSnap.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Tiny always-parseable progress line: totals + the 3 slowest lines
+    // so far + a pointer at the per-line partial file. Printed to stdout
+    // after EVERY completed sample — empirically (r19 SIGTERM dry run)
+    // the shutdown hook's own println does NOT survive the driver
+    // killing the sbt parent (the output pump dies with sbt), so the
+    // only line guaranteed to be in a killed run's tail is one printed
+    // BEFORE the kill. ~300 chars × ~500 samples is noise-free for
+    // whole-log consumers ("partial":true distinguishes them) and keeps
+    // the driver's 2000-char tail holding a complete parseable record
+    // at every instant of the run.
+    def heartbeatLine(): String = {
+      val (snap, errSnap) = snapshot()
+      val total = snap.map(_._2).filter(_ >= 0).sum
+      val top = snap.filter(_._2 >= 0).sortBy(-_._2).take(3)
+        .map { case (n, v) => "\"" + n + "\":" + r3(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":true,"reason":"in-progress","elapsed_s":${r3(elapsedSec)},"n_lines":${snap.size},"n_failed":${errSnap.size},"slowest":$top,"full":"$partialPath","sf":"$sfDir"}"""
+    }
+    def recordSample(name: String, sec: Double): Unit = {
+      val prev = Option(bestSample.get(name)).map(_.doubleValue)
+      bestSample.put(name, prev.fold(sec)(math.min(_, sec)))
+      // durable per-sample flush: even SIGKILL mid-line leaves every
+      // prior line's best sample on disk
+      writeFile(partialPath, partialLine("in-progress") + "\n")
+      println(heartbeatLine())
+      System.out.flush()
+    }
+    // The driver's sweep timeout sends SIGTERM (rc=124); this hook turns
+    // that from "parsed: null" into a complete compact JSON line built
+    // from whatever finished, printed LAST on stdout for the tail capture.
+    val shutdownHook = new Thread(() => {
+      if (!finishedNormally) {
+        try {
+          val line = partialLine("terminated-early")
+          writeFile(partialPath, line + "\n")
+          // compact guard: the partial queries map can exceed the tail
+          // budget late in a run — if so, fall back to totals-only
+          val out = if (line.length <= 1900) line else {
+            val (snap, errSnap) = snapshot()
+            val total = snap.map(_._2).filter(_ >= 0).sum
+            s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":true,"reason":"terminated-early","elapsed_s":${r3(elapsedSec)},"n_lines":${snap.size},"n_failed":${errSnap.size},"full":"$partialPath","sf":"$sfDir"}"""
+          }
+          println(out)
+          System.out.flush()
+        } catch { case _: Throwable => () }
+      }
+    }, "bench-partial-emitter")
+    Runtime.getRuntime.addShutdownHook(shutdownHook)
+
+    // One timed sample. recordError=false is the retry path: a line that
+    // already produced a good sample must not become `failed` because an
+    // optional extra attempt threw. Returns elapsed even on failure via
+    // the second tuple slot so retry spend is charged for failed attempts.
+    def sampleOnce(name: String, thunk: () => Unit,
+        recordError: Boolean): (Double, Double) = {
       val t0 = System.nanoTime()
-      try { thunk(); (System.nanoTime() - t0) / 1e9 }
-      catch {
+      try {
+        thunk()
+        val t = (System.nanoTime() - t0) / 1e9
+        recordSample(name, t)
+        (t, t)
+      } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          -1.0
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (recordError) {
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            errors.synchronized {
+              errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            }
+          } else
+            System.err.println(s"[bench] $name retry failed (ignored): ${e.getMessage}")
+          (-1.0, dt)
       }
     }
+    def timeOnce(name: String, thunk: () => Unit): Double =
+      if (!wanted(name)) -2.0 // filtered out by dev args / demotion
+      else sampleOnce(name, thunk, recordError = true)._1
     def runQ(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): () => Unit =
       () => fn(spark, sfDir).write.mode("overwrite").format("noop").save()
 
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => wanted(name) }
-    def pass(): Map[String, Double] =
-      ordered.map { case (name, fn) => name -> timeOnce(name, runQ(fn)) }.toMap
     // Ambient-variance guard, both segments (VERDICT r16 item 1 for
-    // streaming, r17 item 1 for batch): a line whose min-of-2 still
+    // streaming, r17 item 1 for batch): a line whose best sample still
     // exceeds RetryFactor × its healthy-run anchor gets up to two extra
     // in-process attempts, and the min over ALL attempts is reported —
     // so one container load spike in the driver's single sweep can no
     // longer fake a 2×-of-baseline regression (BENCH_r17 shipped
     // q55=65.8 s exactly that way). Retried lines are listed in the
-    // JSON for the reader. A failed RETRY is ignored (timed directly,
-    // not via timeOnce): a line that already produced two good samples
-    // must not become `failed` because its third, optional one threw.
-    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // JSON. r19: total retry spend is capped (retryBudgetSec) and
+    // retries are shed entirely past 70% of the time budget.
     def retryAboveAnchor(name: String, firstBest: Double, thunk: () => Unit,
         anchors: Map[String, Double]): Double = {
       var best = firstBest
       var extra = 0
-      while (extra < 2 &&
+      while (extra < 2 && !shedExtras && retrySpentSec < retryBudgetSec &&
           anchors.get(name).exists(anchor => best > Bench.retryFactor * anchor)) {
         extra += 1
-        val t0 = System.nanoTime()
-        val t =
-          try { thunk(); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name retry failed (ignored): ${e.getMessage}")
-            -1.0
-          }
+        val (t, dt) = sampleOnce(name, thunk, recordError = false)
+        retrySpentSec += dt
         if (t >= 0) best = math.min(best, t)
         else extra = 2
       }
@@ -399,18 +616,47 @@ object Bench {
       }
       best
     }
-    val (pass1, pass2) = (pass(), pass())
-    val results = ordered.map { case (name, fn) =>
-      val (a, b) = (pass1(name), pass2(name))
-      name -> (if (a < 0 || b < 0) -1.0
-        else retryAboveAnchor(name, math.min(a, b), runQ(fn),
-          Bench.BatchHealthyAnchorSec))
+
+    // Segment runner: one full pass in fixed order, then a SECOND pass
+    // only over lines whose first sample exceeded their healthy anchor
+    // (VERDICT r18 item 2 — a first sample at-or-under its clean-run
+    // anchor IS the healthy number; re-timing it buys nothing). Lines
+    // without an anchor always get the second sample so a NEW line's
+    // first-round pin stays a min-of-2. The passes stay spaced (full
+    // pass 1 completes before pass 2 starts) so a load spike cannot hit
+    // both samples of the same line (the BENCH_r02 lesson). Anchor
+    // retries then run per line on the min.
+    def runSegment(lines: Seq[(String, () => Unit)],
+        anchors: Map[String, Double]): Seq[(String, Double)] = {
+      val active = lines.filter { case (n, _) => wanted(n) }
+      val pass1 = active.map { case (n, f) => n -> timeOnce(n, f) }.toMap
+      val second = scala.collection.mutable.Map.empty[String, Double]
+      active.foreach { case (n, f) =>
+        val v = pass1(n)
+        if (v >= 0) {
+          val needs = anchors.get(n).forall(a => v > a)
+          if (needs && !shedExtras) {
+            secondPassRan += 1
+            second(n) = sampleOnce(n, f, recordError = true)._1
+          } else if (needs) secondPassSkipped += 1
+        }
+      }
+      active.map { case (n, f) =>
+        val a = pass1(n)
+        val b = second.getOrElse(n, a)
+        n -> (if (a < 0 || b < 0) -1.0
+          else retryAboveAnchor(n, math.min(a, b), f, anchors))
+      }
     }
-    // Streaming + cold-build segment, same two-interleaved-passes
-    // min-of-2 as the batch queries. `dedup_pipeline_cold` evicts the
-    // shared LSH cache inside each timed run, so both samples are fully
-    // cold builds; every other pipeline's feed/model work was hoisted
-    // into the untimed prepare below.
+
+    val results = runSegment(
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) => n -> runQ(fn) },
+      Bench.BatchHealthyAnchorSec)
+
+    // Streaming + cold-build segment. `dedup_pipeline_cold` evicts the
+    // shared LSH cache inside each timed run, so every sample is a fully
+    // cold build; every other pipeline's feed/model work is hoisted into
+    // the untimed prepare below.
     val streamingOrdered = streamingThunks.filter { case (n, _) => wanted(n) }
     // prepare memoizes the sfDir-fed event feeds + expected-count models;
     // streaming_control (synthetic, self-contained) and dedup_pipeline_cold
@@ -423,25 +669,16 @@ object Bench {
         n => streamingOrdered.exists(_._1 == n))
       catch { case e: Throwable =>
         System.err.println(s"[bench] streaming prepare failed: ${e.getMessage}") }
-    def streamingPass(): Map[String, Double] =
-      streamingOrdered.map { case (n, f) => n -> timeOnce(n, f) }.toMap
-    val (sp1, sp2) = (streamingPass(), streamingPass())
-    // Streaming lines ride the container's load far harder than batch
-    // scans — three code-untouched lines moved 1.4-1.8× between two
-    // same-code r16 runs — and a streaming re-run is cheap: feeds and
-    // models are memoized in prepare.
-    val streamingResults = streamingOrdered.map { case (n, f) =>
-      val (a, b) = (sp1(n), sp2(n))
-      if (a < 0 || b < 0) n -> -1.0
-      else n -> retryAboveAnchor(n, math.min(a, b), f,
-        Bench.StreamHealthyAnchorSec)
-    }
+    val streamingResults =
+      runSegment(streamingOrdered, Bench.StreamHealthyAnchorSec)
+
     // Untimed diagnostic AFTER the timed runs: stage-by-stage wall
     // times of the cold LSH build (bands, candidate join, bounded
     // intersections, verify+materialize), so a slow driver-round
     // dedup_pipeline_cold is attributable from the round artifact.
+    // Shed near the deadline — it's evidence, not a measurement.
     val stagesJson =
-      if (!wanted("dedup_pipeline_cold")) "{}"
+      if (!wanted("dedup_pipeline_cold") || shedExtras) "{}"
       else try {
         val st = graft.functions.Dedup.coldStageProbe(spark, sfDir)
         st.foreach { case (n, t) =>
@@ -461,23 +698,23 @@ object Bench {
     // mis-reads the whole run (BENCH_r17's 4.47× control made healthy
     // lines look 4× regressed). When a control's min-of-2 exceeds 2×
     // its near-idle pin, re-measure up to twice and keep the min — a
-    // best-effort clean control, with the retry visible in `retried`.
-    // The 2× trigger is looser than the line guard's 1.5× on purpose:
-    // the control baselines are ISOLATED-run minima that in-suite runs
-    // normally undershoot, so 2× is already an unambiguous hot signal.
+    // best-effort clean control, with the retry visible in `retried`
+    // AND the pre-retry in-suite reading kept in the JSON (sec_in_suite)
+    // so a reader sees both the ambient that prevailed during the sweep
+    // and the best-effort re-measurement (ADVICE r18). Controls are
+    // exempt from the retry-spend cap but respect the hard deadline
+    // (they're cheap; the budget check here is only against a pathological
+    // hang). The 2× trigger is looser than the line guard's 1.5× on
+    // purpose: the control baselines are ISOLATED-run minima that
+    // in-suite runs normally undershoot, so 2× is already an unambiguous
+    // hot signal.
     def retryControl(name: String, baseline: Double, cur: Double,
         thunk: () => Unit): Double = {
       var best = cur
       var extra = 0
-      while (extra < 2 && best > 2.0 * baseline) {
+      while (extra < 2 && best > 2.0 * baseline && budgetFrac < 0.9) {
         extra += 1
-        val t0 = System.nanoTime()
-        val t =
-          try { thunk(); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name control retry failed (ignored): ${e.getMessage}")
-            -1.0
-          }
+        val (t, _) = sampleOnce(name, thunk, recordError = false)
         if (t >= 0) best = math.min(best, t)
         else extra = 2
       }
@@ -488,24 +725,21 @@ object Bench {
       }
       best
     }
-    val batchControlSec = {
-      val cur = results.toMap.getOrElse(ControlQuery, -1.0)
-      if (cur < 0) cur
-      else retryControl(ControlQuery, ControlBaselineSec, cur,
+    val batchControlPreRetry = results.toMap.getOrElse(ControlQuery, -1.0)
+    val batchControlSec =
+      if (batchControlPreRetry < 0) batchControlPreRetry
+      else retryControl(ControlQuery, ControlBaselineSec, batchControlPreRetry,
         runQ(SparkEntry.queries(ControlQuery)))
-    }
-    val streamControlSec = {
-      val cur = streamingResults.toMap.getOrElse(StreamControl, -1.0)
-      if (cur < 0) cur
-      else retryControl(StreamControl, StreamControlBaselineSec, cur,
+    val streamControlPreRetry = streamingResults.toMap.getOrElse(StreamControl, -1.0)
+    val streamControlSec =
+      if (streamControlPreRetry < 0) streamControlPreRetry
+      else retryControl(StreamControl, StreamControlBaselineSec, streamControlPreRetry,
         () => StreamingBench.controlPipeline(spark))
-    }
-    val shuffleControlSec = {
-      val cur = streamingResults.toMap.getOrElse(ShuffleControl, -1.0)
-      if (cur < 0) cur
-      else retryControl(ShuffleControl, Bench.ShuffleControlBaselineSec, cur,
-        () => Bench.shuffleControl(spark))
-    }
+    val shuffleControlPreRetry = streamingResults.toMap.getOrElse(ShuffleControl, -1.0)
+    val shuffleControlSec =
+      if (shuffleControlPreRetry < 0) shuffleControlPreRetry
+      else retryControl(ShuffleControl, Bench.ShuffleControlBaselineSec,
+        shuffleControlPreRetry, () => Bench.shuffleControl(spark))
     def patchControls(rs: Seq[(String, Double)]): Seq[(String, Double)] =
       rs.map {
         case (ControlQuery, _) => ControlQuery -> batchControlSec
@@ -517,20 +751,7 @@ object Bench {
     // 3-decimal rounding everywhere: BASELINE.md records are 2-3 decimals,
     // and the shorter doubles keep both JSON lines as small as possible
     // (the driver's artifact capture keeps only a 2000-char stdout tail).
-    def r3(d: Double): Double = math.round(d * 1000) / 1000.0
     val qs = all.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    // full JSON string escaping — Spark exception messages embed plan
-    // fragments with newlines/tabs; a raw control char would corrupt the
-    // one-line output exactly in the failure-reporting path
-    def esc(s: String): String = s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
     val errJson = errors.map { case (k, v) =>
       "\"" + esc(k) + "\":\"" + esc(v) + "\""
     }.mkString("{", ",", "}")
@@ -544,12 +765,16 @@ object Bench {
       if (shuffleControlSec > 0) shuffleControlSec / Bench.ShuffleControlBaselineSec
       else -1.0
     val controlJson =
-      s""""control":{"name":"$ControlQuery","sec":${r3(controlSec)},"baseline_sec":$ControlBaselineSec,"load_factor":${r3(loadFactor)}},"stream_control":{"name":"$StreamControl","sec":${r3(scSec)},"baseline_sec":$StreamControlBaselineSec,"load_factor":${r3(scLoad)}},"shuffle_control":{"name":"$ShuffleControl","sec":${r3(shuffleControlSec)},"baseline_sec":${Bench.ShuffleControlBaselineSec},"load_factor":${r3(shLoad)}}"""
+      s""""control":{"name":"$ControlQuery","sec":${r3(controlSec)},"sec_in_suite":${r3(batchControlPreRetry)},"baseline_sec":$ControlBaselineSec,"load_factor":${r3(loadFactor)}},"stream_control":{"name":"$StreamControl","sec":${r3(scSec)},"sec_in_suite":${r3(streamControlPreRetry)},"baseline_sec":$StreamControlBaselineSec,"load_factor":${r3(scLoad)}},"shuffle_control":{"name":"$ShuffleControl","sec":${r3(shuffleControlSec)},"sec_in_suite":${r3(shuffleControlPreRetry)},"baseline_sec":${Bench.ShuffleControlBaselineSec},"load_factor":${r3(shLoad)}}"""
     val retriedJson = retried
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // run-shape evidence: what the budget/conditional machinery actually
+    // did this sweep, so a reader can tell min-of-1 lines from min-of-2
+    val shapeJson =
+      s""""run_shape":{"elapsed_s":${r3(elapsedSec)},"budget_s":${r3(timeBudgetSec)},"shed":${budgetFrac > 0.70},"second_pass_ran":$secondPassRan,"second_pass_skipped":$secondPassSkipped,"retry_spend_s":${r3(retrySpentSec)},"retry_budget_s":${r3(retryBudgetSec)},"demoted_twins":${if (fullTier || only.nonEmpty) 0 else demotedToday.size},"rocks_keeper":"$keeper"}"""
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"retried":$retriedJson,$controlJson,"stages":$stagesJson,"progress":$progressJson,"sf":"$sfDir"}"""
-    // The full line (121+ query timings plus per-batch streaming progress)
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"retried":$retriedJson,$controlJson,$shapeJson,"stages":$stagesJson,"progress":$progressJson,"sf":"$sfDir"}"""
+    // The full line (200+ query timings plus per-batch streaming progress)
     // is ~6 KB — far beyond the driver's 2000-char stdout tail, which is
     // why BENCH_r09/r10 both landed `parsed: null` despite healthy runs.
     // Three-layer evidence plan:
@@ -558,38 +783,56 @@ object Bench {
     //      tail-truncated);
     //   2. a COMPACT summary line goes LAST and is size-guarded under
     //      1900 chars, so the tail always contains one complete parseable
-    //      JSON line: totals, failures, both load controls, and the
-    //      slowest lines — enough to adjudicate the round;
-    //   3. stage/progress detail also mirrors to stderr at the probe sites.
+    //      JSON line: totals, failures, load controls, and the slowest
+    //      lines — enough to adjudicate the round;
+    //   3. stage/progress detail also mirrors to stderr at the probe sites;
+    //   4. (r19) every sample also flushed incrementally to the partial
+    //      file, and a shutdown hook emits a parsed partial line on early
+    //      termination — see object scaladoc.
     println(line)
     // Filtered/dev invocations (any name args) must NOT clobber the
     // canonical full-suite record: a 7-line spot-check once silently
     // replaced the driver's official 149-line round record. Dev runs go
     // to a side path unless SPARK_GRAFT_BENCH_FULL overrides explicitly.
+    // r19 (VERDICT r18 item 5): a full-suite sweep that ran HOT — batch
+    // control above 1.5× its pin — is an ambient artifact, not a record;
+    // it goes to BENCH_FULL_LOCAL_ambient.json so the clean record the
+    // anchors cite survives driver-window overwrites (the r18 driver
+    // sweep shipped q1_agg=28.48 s into the working tree exactly this
+    // way).
+    val ambientHot = only.isEmpty && loadFactor > 1.5
     val defaultFullName =
-      if (only.isEmpty) "BENCH_FULL_LOCAL.json" else "BENCH_FULL_DEV.json"
+      if (only.nonEmpty) "BENCH_FULL_DEV.json"
+      else if (ambientHot) "BENCH_FULL_LOCAL_ambient.json"
+      else "BENCH_FULL_LOCAL.json"
+    if (ambientHot)
+      System.err.println(f"[bench] batch control ${loadFactor}%.2fx its pin - " +
+        "writing to BENCH_FULL_LOCAL_ambient.json, keeping the clean record")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      if (new java.io.File("/root/repo").isDirectory) s"/root/repo/$defaultFullName"
-      else defaultFullName)
-    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] full-line file write failed: ${e.getMessage}") }
+      s"$repoDir$defaultFullName")
+    writeFile(fullPath, line + "\n")
+    // the run completed: the partial file's "in-progress" snapshot is
+    // superseded by the full record — rewrite it as a completed marker
+    // pointing at the authoritative file
+    writeFile(partialPath,
+      s"""{"partial":false,"completed":true,"full":"$fullPath"}""" + "\n")
     // Compact line: cap the error map (3 entries, 80-char messages) and
     // include only the top-K slowest lines, shrinking K until the line
     // fits the 1900-char budget with guaranteed room to spare.
     val errCompact = errors.take(3).map { case (k, v) =>
       "\"" + esc(k) + "\":\"" + esc(v.take(80)) + "\""
     }.mkString("{", ",", "}")
-    val bySlowest = all.toSeq.filter(_._2 >= 0).sortBy(-_._2)
+    val bySlowest = all.filter(_._2 >= 0).sortBy(-_._2)
     def compactLine(k: Int): String = {
       val top = bySlowest.take(k)
         .map { case (n, v) => "\"" + n + "\":" + r3(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_lines":${all.size},"n_failed":${errors.size},"errors":$errCompact,$controlJson,"queries":$top,"full":"$fullPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_lines":${all.size},"n_failed":${errors.size},"errors":$errCompact,$controlJson,$shapeJson,"queries":$top,"full":"$fullPath","sf":"$sfDir"}"""
     }
     val compact = (12 to 0 by -1).iterator.map(compactLine).find(_.length <= 1900)
       .getOrElse(compactLine(0))
+    finishedNormally = true
     println(compact)
+    System.out.flush()
     spark.stop()
     // ALWAYS exit 0: per-line failures are already reported in
     // `errors`/`n_failed` above, and the driver's correctness gate is the

@@ -135,16 +135,21 @@ object Artifacts {
   def loadLmBigram(
       s: SparkSession, path: String)
       : (Map[(String, String), Long], Map[String, Long]) = {
-    val f2 = load(s, "lm_bigram_fc2", s"$path/fc2")
-      .limit(LmFullLoadCap + 1)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    val f1 = load(s, "lm_bigram_fc1", s"$path/fc1")
-      .limit(LmFullLoadCap + 1)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(f2.nonEmpty && f1.nonEmpty, s"$path holds an empty bigram LM")
-    require(f2.size <= LmFullLoadCap && f1.size <= LmFullLoadCap,
+    // cap check on the collected ROW count, before toMap: an
+    // (out-of-contract) artifact with duplicate keys would dedup in
+    // toMap and let map-size slip under the cap while rows beyond the
+    // limit were silently dropped — the exact silent truncation this
+    // cap exists to turn into a loud error (ADVICE r18)
+    val rows2 = load(s, "lm_bigram_fc2", s"$path/fc2")
+      .limit(LmFullLoadCap + 1).collect()
+    val rows1 = load(s, "lm_bigram_fc1", s"$path/fc1")
+      .limit(LmFullLoadCap + 1).collect()
+    require(rows2.nonEmpty && rows1.nonEmpty, s"$path holds an empty bigram LM")
+    require(rows2.length <= LmFullLoadCap && rows1.length <= LmFullLoadCap,
       s"$path bigram LM exceeds the $LmFullLoadCap-entry driver-load " +
         "contract; serve from the lm_bigram_head artifact instead")
+    val f2 = rows2.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val f1 = rows1.map(r => r.getString(0) -> r.getLong(1)).toMap
     (f2, f1)
   }
 

@@ -2975,10 +2975,15 @@ object Relational {
   /** Q85 — CORRELATED SCALAR SUBQUERY, DECORRELATED (the TPC-H Q17
     * shape): revenue sitting in "small orders" — lineitems whose
     * quantity is under 20% of their PART's average quantity, rolled up
-    * by brand. [[q52IdleCapital]] covered the UNCORRELATED scalar
-    * aggregate; this gate is the correlated one, and its point is the
-    * rewrite: the textbook formulation (the oracle's two correlated
-    * subqueries) re-evaluates a per-part aggregate for every outer
+    * by brand. [[q48SmallQtyRevenue]] computes the SAME Q17 algebra
+    * (qty·5·cnt < sum threshold, per-brand rollup) against a
+    * pre-decorrelated oracle, and [[q52IdleCapital]] covered the
+    * UNCORRELATED scalar aggregate; this gate's delta over q48 is the
+    * ORACLE FORM — its DuckDB SQL is the textbook CORRELATED
+    * subquery, so the gate pins that the declared decorrelation below
+    * is row-identical to the correlated formulation an engine must
+    * decorrelate itself. The textbook form re-evaluates a per-part
+    * aggregate for every outer
     * row — a re-scan per row at 100 TB unless the planner decorrelates.
     * Here the decorrelation is DECLARED: ONE aggregate over the fact
     * on l_partkey, joined back on that same key. The threshold

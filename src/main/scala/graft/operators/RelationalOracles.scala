@@ -869,9 +869,6 @@ object RelationalOracles {
         |    - (cum_live * 1000000) // greatest(n_live, 1))) AS BIGINT) AS ks_ppm
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // Mann-Whitney U / AUC over DOUBLED midranks: a tied group on
-    // combined ranks [a, b] has 2*midrank = a + b = 2*cum_le - n_v + 1,
-    // so ranks, U and the AUC ppm all stay in exact BIGINT algebra
     // the TEXTBOOK correlated form on purpose: the oracle re-states the
     // per-part aggregate as two correlated scalar subqueries per outer
     // row — hash equality proves the Spark side's declared
@@ -890,6 +887,9 @@ object RelationalOracles {
         |  < (SELECT sum(l2.qty_c) FROM li l2 WHERE l2.l_partkey = l.l_partkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Mann-Whitney U / AUC over DOUBLED midranks: a tied group on
+    // combined ranks [a, b] has 2*midrank = a + b = 2*cum_le - n_v + 1,
+    // so ranks, U and the AUC ppm all stay in exact BIGINT algebra
     "q84_mann_whitney" ->
       """WITH e AS (SELECT event_type,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,

@@ -12,8 +12,10 @@ object TempArtifacts {
       Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
+    // NonFatal only (ADVICE r18): cleanup must not swallow OOM/fatal
+    // errors or a thread interrupt
     try rm(new java.io.File(path))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Create a temp dir, run `body` with its path, delete it after —
