@@ -794,13 +794,17 @@ object Bench {
     // canonical full-suite record: a 7-line spot-check once silently
     // replaced the driver's official 149-line round record. Dev runs go
     // to a side path unless SPARK_GRAFT_BENCH_FULL overrides explicitly.
-    // r19 (VERDICT r18 item 5): a full-suite sweep that ran HOT — batch
-    // control above 1.5× its pin — is an ambient artifact, not a record;
-    // it goes to BENCH_FULL_LOCAL_ambient.json so the clean record the
-    // anchors cite survives driver-window overwrites (the r18 driver
-    // sweep shipped q1_agg=28.48 s into the working tree exactly this
-    // way).
-    val ambientHot = only.isEmpty && loadFactor > 1.5
+    // r19 (VERDICT r18 item 5): a full-suite sweep that ran HOT — ANY of
+    // the three thermometers above 1.5× its pin — or that SHED its
+    // second passes/retries (degraded to min-of-1) is an ambient
+    // artifact, not a record; it goes to BENCH_FULL_LOCAL_ambient.json
+    // so the clean record the anchors cite survives driver-window
+    // overwrites. All three controls, not just batch: the r19 dress
+    // rehearsal ran at q2 1.18× while the shuffle path read 4.03× and
+    // every heavy line ballooned — a batch-only guard re-admits the r18
+    // q1_agg=28.48 incident through the other two load paths.
+    val ambientHot = only.isEmpty &&
+      (loadFactor > 1.5 || scLoad > 1.5 || shLoad > 1.5 || shedLogged)
     val defaultFullName =
       if (only.nonEmpty) "BENCH_FULL_DEV.json"
       else if (ambientHot) "BENCH_FULL_LOCAL_ambient.json"

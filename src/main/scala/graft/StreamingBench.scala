@@ -615,20 +615,40 @@ object StreamingBench {
       batches: (IndexedSeq[T], IndexedSeq[T]),
       tag: String): Unit = {
     val sinkName = s"bench_${tag}_${System.nanoTime()}"
+    // The wait reads a listener-accumulated output-row counter, NOT
+    // spark.table(sink).count(): each count() scans the whole in-memory
+    // sink AND runs a job competing with the engine's own batches, so
+    // count-polling turned a 3M-row ×30 scale run super-linear (88 s vs
+    // the ~linear trend) before this. recentProgress can't be summed
+    // instead — the 50 ms TTL-sweep trigger floods past its 100-entry
+    // retention. The listener callback is O(1) per batch.
+    val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        // numOutputRows is -1 when a sink can't report; only fold real
+        // counts so an unknown batch can't walk the counter backwards
+        val n = e.progress.sink.numOutputRows
+        if (e.progress.name == sinkName && n > 0) emitted.addAndGet(n): Unit
+      }
+    }
+    spark.streams.addListener(listener)
     val query = out.writeStream.format("memory").queryName(sinkName)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
       .start()
-    def waitRows(n: Long, timeoutMs: Long = 120000): Unit = {
-      val deadline = System.currentTimeMillis + timeoutMs
-      var rows = spark.table(sinkName).count()
-      while (rows < n && System.currentTimeMillis < deadline) {
+    // timeout still scales with the feed (×30 pushes 3M per-event rows)
+    def waitRows(n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 120000 + n / 2
+      while (emitted.get() < n && System.currentTimeMillis < deadline) {
         query.exception.foreach(e => throw new IllegalStateException(
           s"$tag query failed while bench waited", e))
         Thread.sleep(20)
-        rows = spark.table(sinkName).count()
       }
-      require(rows == n, s"$tag sink at $rows rows, expected $n")
+      val got = emitted.get()
+      require(got == n, s"$tag sink at $got rows, expected $n")
     }
     try {
       var sent = 0L
@@ -640,6 +660,7 @@ object StreamingBench {
       recordProgress(tag, query)
     } finally {
       query.stop()
+      spark.streams.removeListener(listener)
       spark.catalog.dropTempView(sinkName)
     }
   }
