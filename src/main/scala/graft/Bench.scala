@@ -254,8 +254,81 @@ object Bench {
     * below 1, like the other isolated-minimum pins. */
   val ShuffleControlBaselineSec = 1.019
 
+  /** Direct HOST-contention probe, recorded in `run_shape.host_probe`
+    * at sweep start and end. The round-19 evening investigation found
+    * the stream control at a persistent 2.1-2.4× while loadavg, PSI and
+    * at-rest steal all read idle — the contention was HOST-side
+    * (overcommitted hypervisor CPUs), visible only as (a) elevated
+    * thread-wakeup latency and (b) steal% accrued while RUNNABLE:
+    * measured 69-688 µs per cross-thread wakeup (healthy: single-digit
+    * µs) and 5% steal under an 8-thread spin on the same machine whose
+    * at-rest steal was 0.01%. Latency-bound paths (streaming
+    * micro-batch dispatch: hundreds of futex wakeups per batch) degrade
+    * ~2-3× under this while throughput-bound scans/shuffles barely
+    * move — exactly the batch≈1.1×/stream≈2.2× thermometer split that
+    * window showed. Embedding the two readings makes every bench
+    * artifact self-adjudicating: a reader can separate "host was
+    * overcommitted" from "operator regressed" without trusting pins.
+    *
+    *  - `wakeup_us`: one cross-thread SynchronousQueue handoff round
+    *    trip / 2 — the futex wake+schedule latency streaming dispatch
+    *    pays per task. Healthy ≤10 µs; >30 µs = contended host.
+    *  - `steal_pct`: steal share of /proc/stat delta over a 400 ms
+    *    4-thread spin (steal only accrues while runnable, so an at-rest
+    *    reading is blind). Healthy ≈0; >2% = overcommitted host.
+    *
+    * Cost ≤ ~1 s even under heavy contention (iterations are capped by
+    * a 300 ms deadline). Returns (-1,-1) on any failure — never fails
+    * the sweep. */
+  def hostProbe(): (Double, Double) = {
+    val wakeupUs =
+      try {
+        val q1 = new java.util.concurrent.SynchronousQueue[Integer]()
+        val q2 = new java.util.concurrent.SynchronousQueue[Integer]()
+        val n = 3000
+        val echo = new Thread(() => {
+          var i = 0
+          try { while (i < n) { q1.take(); q2.put(0); i += 1 } }
+          catch { case _: InterruptedException => () }
+        })
+        echo.setDaemon(true)
+        echo.start()
+        val deadline = System.nanoTime() + 300000000L // 300 ms cap
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < n && System.nanoTime() < deadline) { q1.put(0); q2.take(); i += 1 }
+        val perSwitch = (System.nanoTime() - t0) / 1000.0 / math.max(i, 1) / 2
+        echo.interrupt()
+        perSwitch
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    val stealPct =
+      try {
+        def stat(): Array[Long] =
+          scala.io.Source.fromFile("/proc/stat").getLines().next()
+            .trim.split("\\s+").drop(1).map(_.toLong)
+        val before = stat()
+        val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val spinners = (1 to 4).map { _ =>
+          val th = new Thread(() => while (!stop.get()) ())
+          th.setDaemon(true); th.start(); th
+        }
+        Thread.sleep(400)
+        val after = stat()
+        stop.set(true)
+        spinners.foreach(_.join(200))
+        if (before.length >= 8 && after.length >= 8) {
+          val d = after.zip(before).map { case (x, y) => (x - y).toDouble }
+          val tot = d.sum
+          if (tot > 0) 100.0 * d(7) / tot else -1.0
+        } else -1.0
+      } catch { case scala.util.control.NonFatal(_) => -1.0 }
+    (wakeupUs, stealPct)
+  }
+
   def main(args: Array[String]): Unit = {
     val benchStartNanos = System.nanoTime()
+    // host-contention reading BEFORE any Spark work warms the machine
+    val (startWakeupUs, startStealPct) = hostProbe()
     def elapsedSec: Double = (System.nanoTime() - benchStartNanos) / 1e9
     def budgetFrac: Double =
       if (timeBudgetSec <= 0) 0.0 else elapsedSec / timeBudgetSec
@@ -507,7 +580,7 @@ object Bench {
       val errJson = errSnap.map { case (k, v) =>
         "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
       val total = snap.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":true,"reason":"${esc(reason)}","elapsed_s":${r3(elapsedSec)},"n_lines":${snap.size},"n_failed":${errSnap.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":true,"reason":"${esc(reason)}","elapsed_s":${r3(elapsedSec)},"n_lines":${snap.size},"n_failed":${errSnap.size},"start_wakeup_us":${r3(startWakeupUs)},"start_steal_pct":${r3(startStealPct)},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     }
     // Tiny always-parseable progress line: totals + the 3 slowest lines
     // so far + a pointer at the per-line partial file. Printed to stdout
@@ -770,8 +843,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // run-shape evidence: what the budget/conditional machinery actually
     // did this sweep, so a reader can tell min-of-1 lines from min-of-2
+    val (endWakeupUs, endStealPct) = hostProbe()
+    val hostJson =
+      s""""host_probe":{"start_wakeup_us":${r3(startWakeupUs)},"start_steal_pct":${r3(startStealPct)},"end_wakeup_us":${r3(endWakeupUs)},"end_steal_pct":${r3(endStealPct)}}"""
     val shapeJson =
-      s""""run_shape":{"elapsed_s":${r3(elapsedSec)},"budget_s":${r3(timeBudgetSec)},"shed":${budgetFrac > 0.70},"second_pass_ran":$secondPassRan,"second_pass_skipped":$secondPassSkipped,"retry_spend_s":${r3(retrySpentSec)},"retry_budget_s":${r3(retryBudgetSec)},"demoted_twins":${if (fullTier || only.nonEmpty) 0 else demotedToday.size},"rocks_keeper":"$keeper"}"""
+      s""""run_shape":{"elapsed_s":${r3(elapsedSec)},"budget_s":${r3(timeBudgetSec)},"shed":${budgetFrac > 0.70},"second_pass_ran":$secondPassRan,"second_pass_skipped":$secondPassSkipped,"retry_spend_s":${r3(retrySpentSec)},"retry_budget_s":${r3(retryBudgetSec)},"demoted_twins":${if (fullTier || only.nonEmpty) 0 else demotedToday.size},"rocks_keeper":"$keeper",$hostJson}"""
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"retried":$retriedJson,$controlJson,$shapeJson,"stages":$stagesJson,"progress":$progressJson,"sf":"$sfDir"}"""
     // The full line (200+ query timings plus per-batch streaming progress)
