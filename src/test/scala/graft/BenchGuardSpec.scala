@@ -43,4 +43,19 @@ class BenchGuardSpec extends AnyFunSuite {
       "retry spend cap must be a small fraction of the suite")
     assert(Bench.retryFactor > 1.0)
   }
+
+  test("host probe: bounded cost, sane readings, never throws") {
+    // the probe adjudicates every artifact, so its own contract needs a
+    // pin: finishes well inside its documented ~1 s ceiling, wakeup
+    // latency is a positive sub-10ms number (688 us was the worst
+    // contended reading observed; 10 ms would mean the probe itself is
+    // broken), and steal% is a percentage or the -1 unavailable marker
+    val t0 = System.nanoTime()
+    val (wakeupUs, stealPct) = Bench.hostProbe()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(elapsed < 5.0, s"probe took $elapsed s — cap broken")
+    assert(wakeupUs > 0 && wakeupUs < 10000, s"wakeup_us out of range: $wakeupUs")
+    assert(stealPct == -1.0 || (stealPct >= 0 && stealPct <= 100),
+      s"steal_pct out of range: $stealPct")
+  }
 }
