@@ -597,7 +597,7 @@ object Bench {
       val total = snap.map(_._2).filter(_ >= 0).sum
       val top = snap.filter(_._2 >= 0).sortBy(-_._2).take(3)
         .map { case (n, v) => "\"" + n + "\":" + r3(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":true,"reason":"in-progress","elapsed_s":${r3(elapsedSec)},"n_lines":${snap.size},"n_failed":${errSnap.size},"slowest":$top,"full":"$partialPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","partial":true,"reason":"in-progress","elapsed_s":${r3(elapsedSec)},"n_lines":${snap.size},"n_failed":${errSnap.size},"start_wakeup_us":${r3(startWakeupUs)},"slowest":$top,"full":"$partialPath","sf":"$sfDir"}"""
     }
     def recordSample(name: String, sec: Double): Unit = {
       val prev = Option(bestSample.get(name)).map(_.doubleValue)
