@@ -335,9 +335,28 @@ object Bench {
     // Past 70% of the soft deadline: shed anchor retries, conditional
     // second samples and untimed diagnostics (keep min-of-1) so the run
     // finishes inside the driver's window instead of dying mid-suite.
-    @volatile var shedLogged = false
+    // Hot-window economy mode (r19): when the START host probe already
+    // shows a contended hypervisor (wakeup latency above the threshold;
+    // healthy is single-digit µs, the contended evening read 35-48 µs),
+    // second passes and anchor retries only burn the driver's window
+    // polishing numbers the guard will divert as ambient anyway — so the
+    // sweep goes min-of-1 from the first line, finishing well inside any
+    // driver timeout and leaving the probe readings as the explanation.
+    // Controls are unaffected (retryControl has its own 2× trigger and
+    // its re-measurements are adjudication evidence, not polish). The
+    // record auto-diverts to the ambient file via the existing
+    // shed ⇒ ambient rule. 0 disables.
+    val hotWakeupThresholdUs =
+      sys.env.get("SPARK_GRAFT_HOT_WAKEUP_US").map(_.toDouble).getOrElse(30.0)
+    val hotWindow = hotWakeupThresholdUs > 0 && startWakeupUs > hotWakeupThresholdUs
+    if (hotWindow)
+      System.err.println(
+        f"[bench] start wakeup latency $startWakeupUs%.1f us > " +
+          f"$hotWakeupThresholdUs%.0f us - contended host window: min-of-1 " +
+          "economy mode, record will divert to the ambient file")
+    @volatile var shedLogged = hotWindow
     def shedExtras: Boolean = {
-      val shed = budgetFrac > 0.70
+      val shed = hotWindow || budgetFrac > 0.70
       if (shed && !shedLogged) {
         shedLogged = true
         System.err.println(
@@ -847,7 +866,7 @@ object Bench {
     val hostJson =
       s""""host_probe":{"start_wakeup_us":${r3(startWakeupUs)},"start_steal_pct":${r3(startStealPct)},"end_wakeup_us":${r3(endWakeupUs)},"end_steal_pct":${r3(endStealPct)}}"""
     val shapeJson =
-      s""""run_shape":{"elapsed_s":${r3(elapsedSec)},"budget_s":${r3(timeBudgetSec)},"shed":${budgetFrac > 0.70},"second_pass_ran":$secondPassRan,"second_pass_skipped":$secondPassSkipped,"retry_spend_s":${r3(retrySpentSec)},"retry_budget_s":${r3(retryBudgetSec)},"demoted_twins":${if (fullTier || only.nonEmpty) 0 else demotedToday.size},"rocks_keeper":"$keeper",$hostJson}"""
+      s""""run_shape":{"elapsed_s":${r3(elapsedSec)},"budget_s":${r3(timeBudgetSec)},"shed":$shedLogged,"hot_window":$hotWindow,"second_pass_ran":$secondPassRan,"second_pass_skipped":$secondPassSkipped,"retry_spend_s":${r3(retrySpentSec)},"retry_budget_s":${r3(retryBudgetSec)},"demoted_twins":${if (fullTier || only.nonEmpty) 0 else demotedToday.size},"rocks_keeper":"$keeper",$hostJson}"""
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"retried":$retriedJson,$controlJson,$shapeJson,"stages":$stagesJson,"progress":$progressJson,"sf":"$sfDir"}"""
     // The full line (200+ query timings plus per-batch streaming progress)
@@ -886,7 +905,8 @@ object Bench {
       else if (ambientHot) "BENCH_FULL_LOCAL_ambient.json"
       else "BENCH_FULL_LOCAL.json"
     if (ambientHot)
-      System.err.println(f"[bench] batch control ${loadFactor}%.2fx its pin - " +
+      System.err.println(f"[bench] hot run (controls ${loadFactor}%.2fx/" +
+        f"${scLoad}%.2fx/${shLoad}%.2fx, shed=$shedLogged) - " +
         "writing to BENCH_FULL_LOCAL_ambient.json, keeping the clean record")
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       s"$repoDir$defaultFullName")
