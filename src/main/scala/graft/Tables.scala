@@ -54,6 +54,31 @@ object Tables {
     df.withColumn("ts", normalizeEventTime(df, "ts"))
   }
 
+  /** Scale-adaptive scan spreader (r19, guide §2 "make partitioning
+    * scale-adaptive — derive from input size — rather than a constant
+    * tuned for either local mode or the cluster"): when a scan plans
+    * FEWER partitions than the session's parallelism, redistribute it
+    * before CPU-heavy per-row work (stack/explode/encode pipelines).
+    *
+    * Why it exists: the bench corpus ships one parquet file with ONE row
+    * group per table, so every scan is a single task no matter the core
+    * count — split-size tuning cannot help (parquet splits at row-group
+    * boundaries), and a 600k-row stack/explode then runs 1-of-32 cores
+    * (measured: the column-profile family spent ~0.9 s single-task in the
+    * scan stage at sf0.1/32 cores). At 100 TB the condition is false —
+    * scans plan thousands of splits ≥ cores — so this is a no-op there
+    * and never adds an exchange to an already-parallel corpus scan.
+    *
+    * The exchange is round-robin (no key): every downstream consumer in
+    * this repo is an exact aggregate/distinct/join whose result is
+    * partition-layout-independent (the cross-engine determinism
+    * discipline), and Spark's sort-before-repartition default keeps the
+    * assignment retry-deterministic. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val cores = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+  }
+
   /** Loud schema guard for the relational tables' temporal columns
     * (VERDICT r9 stretch: the events break would reproduce in the
     * relational family on a date→string or date→integer drift). Every

@@ -59,7 +59,9 @@ object Profiling {
   def columnProfile(s: SparkSession, dir: String): DataFrame = {
     val stackArgs = ProfileColumns
       .map(c => s"'$c', CAST($c AS DOUBLE)").mkString(", ")
-    Tables.lineitem(s, dir)
+    // spread BEFORE the stack (r19): the stack ×4 row expansion and the
+    // countDistinct expand otherwise run inside the single scan task
+    Tables.spread(s, Tables.lineitem(s, dir).select(ProfileColumns.map(col): _*))
       .select(expr(s"stack(${ProfileColumns.size}, $stackArgs) AS (column_name, v)"))
       .groupBy("column_name")
       .agg(
@@ -98,7 +100,8 @@ object Profiling {
     val B = HistogramBuckets
     val stackArgs = ProfileColumns
       .map(c => s"'$c', CAST(round($c * 100) AS BIGINT)").mkString(", ")
-    val vals = Tables.lineitem(s, dir)
+    val vals = Tables.spread(s,
+      Tables.lineitem(s, dir).select(ProfileColumns.map(col): _*))
       .select(expr(s"stack(${ProfileColumns.size}, $stackArgs) AS (column_name, vi)"))
       .filter(col("vi").isNotNull)
     val stats = vals.groupBy("column_name")
@@ -142,14 +145,22 @@ object Profiling {
   private def stackedCents(s: SparkSession, dir: String): DataFrame = {
     val stackArgs = ProfileColumns
       .map(c => s"'$c', CAST(round($c * 100) AS BIGINT)").mkString(", ")
-    Tables.lineitem(s, dir)
+    Tables.spread(s, Tables.lineitem(s, dir).select(ProfileColumns.map(col): _*))
       .select(expr(s"stack(${ProfileColumns.size}, $stackArgs) AS (column_name, vi)"))
       .filter(col("vi").isNotNull)
   }
 
   /** Exact-sort equi-depth core over (column_name, vi) rows — the
     * per-column window sort of [[columnHistogramDepth]], factored so the
-    * band form's differential spec can drive both on the same input. */
+    * band form's differential spec can drive both on the same input.
+    *
+    * r19 note: a `count(*) OVER (PARTITION BY column_name)` riding the
+    * row_number's exchange was tried to drop the count subtree — slower
+    * (unbounded-following frame buffers the whole partition; measured
+    * +0.8 s of task time at sf0.1). The groupBy+join form keeps the
+    * STREAMING row_number window; with the spread exchange in the input
+    * ([[graft.Tables.spread]]) the count subtree reuses that exchange
+    * instead of re-running the scan. */
   private[graft] def depthHistogramExact(vals: DataFrame, B: Int): DataFrame = {
     val counts = vals.groupBy("column_name").agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -304,7 +315,7 @@ object Profiling {
     val w = shiftrightunsigned(col("h52"), HllP)
     val rank = when(w === 0L, lit(HllMaxRank.toLong))
       .otherwise(lit(HllMaxRank.toLong) - length(bin(w)).cast("long"))
-    Tables.lineitem(s, dir)
+    Tables.spread(s, Tables.lineitem(s, dir).select(ProfileColumns.map(col): _*))
       .select(expr(s"stack(${ProfileColumns.size}, $stackArgs) AS (column_name, v)"))
       .groupBy("column_name", "v")
       .agg(count(lit(1)).as("n"))

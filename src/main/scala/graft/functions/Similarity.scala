@@ -855,13 +855,15 @@ object Similarity {
         "Long-headroom contract (|e| ≲ PcaEScale·10); re-scale PcaEScale")
   }
 
+  /** r19: the former 64-term `(off + a_j·w_j)(off + b_j·w_j)` reduce tree
+    * codegen'd into one >8 KB method HotSpot never JIT-compiled — the SQ8
+    * pre-rank ran interpreted (measured 1.06 s/16k rows). The native loop
+    * expression is bit-identical (same fold order, same element_at NULL
+    * semantics — pinned in CustomExpressionsSpec) and JIT-compiled. */
   private def sq8Dot(a: String, b: String, mn: Array[Long], w: Array[Long],
       dim: Int): Column =
-    (1 to dim).map { j =>
-      val off = lit(mn(j - 1) * Sq8Levels)
-      val wj = lit(w(j - 1))
-      (off + element_at(col(a), j) * wj) * (off + element_at(col(b), j) * wj)
-    }.reduce(_ + _)
+    expressions.Sq8ReconDot(col(a), col(b),
+      mn.take(dim).map(_ * Sq8Levels).toSeq, w.take(dim).toSeq)
 
   /** SQ8-compressed ANN: integer-exact train/encode/score, bounded
     * exact re-rank. Output schema matches the other ann gates. */
@@ -1248,11 +1250,12 @@ object Similarity {
   private val pcaFrameMemo =
     new graft.util.BoundedMemo[(String, String), DataFrame](8)
 
-  /** Σ_j e_j·x_j as an explicit dim-term codegen expression (no HOF in
-    * the per-iteration hot path). */
+  /** Σ_j e_j·x_j as a native loop expression (no HOF in the
+    * per-iteration hot path; r19: the former dim-term reduce tree
+    * generated a >8 KB method HotSpot never JIT-compiled — see
+    * [[expressions.LitDotLong]]). */
   private def pcaDot(x: Array[BigInt], dim: Int = PcaDim): Column =
-    (1 to dim).map(j => element_at(col("e"), j) * lit(x(j - 1).toLong))
-      .reduce(_ + _)
+    expressions.LitDotLong(col("e"), x.take(dim).map(_.toLong).toSeq)
 
   /** One power-iteration train over an ARBITRARY quantized frame
     * (column `e`: array<bigint> of length `dim`) — the dim/iteration-

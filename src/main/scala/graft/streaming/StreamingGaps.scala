@@ -239,7 +239,16 @@ object StreamingGaps {
         s.catalog.dropTempView(sink)
         s.conf.set(partKey, prevParts)
       }
-    got.toDF("event_type", "gap_us").orderBy("event_type", "gap_us")
+    // r19: `got.toDF.orderBy` planned a 32-way LocalTableScan (leaf
+    // parallelism) — 32 tasks each deserializing a slice of the 23k-row
+    // collected relation plus a range exchange (measured ~8 s of task
+    // time, ~0.4 s wall, for a sort the driver does in ~2 ms). Pre-sort
+    // driver-side and hand Spark ONE slice; the plan-level orderBy stays
+    // as the output-contract total order (now a single cheap task over
+    // already-sorted rows).
+    val sorted = got.sortBy(identity)
+    s.sparkContext.parallelize(sorted, 1)
+      .toDF("event_type", "gap_us").orderBy("event_type", "gap_us")
   }
 
   /** Memoized scrambled feed for [[watermarkGate]] — the gate runs

@@ -271,4 +271,96 @@ class CustomExpressionsSpec extends SparkTestBase {
         |WHERE a.vec_id < 3""".stripMargin).count()
     assert(n > 0)
   }
+
+  // ---- r19 loop expressions (Sq8ReconDot / LitDotLong) ------------------
+  // These replaced flat 64-term reduce trees whose generated methods
+  // exceeded HotSpot's JIT size ceiling (the SQ8 pre-rank ran interpreted,
+  // ~66 µs per 64-term dot). The contract is bit-equality with the old
+  // element_at formulation, including its NULL semantics.
+
+  private def quantFrame = Tables.embeddings(spark, sf0001)
+    .select(col("vec_id"),
+      expr("transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))").as("e"))
+
+  test("Sq8ReconDot == unrolled (off + a*w)(off + b*w) reduce tree, bit for bit") {
+    import graft.functions.expressions.Sq8ReconDot
+    val dim = 64
+    val off = Array.tabulate(dim)(j => (j * 37L - 900L) * 255L)
+    val w = Array.tabulate(dim)(j => j % 13L + 1L)
+    val e = quantFrame
+    val pairs = e.as("a").join(broadcast(e.as("b").limit(8)),
+      col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.e").as("ae"), col("b.e").as("be"))
+    val unrolled = (1 to dim).map { j =>
+      (lit(off(j - 1)) + element_at(col("ae"), j) * lit(w(j - 1))) *
+        (lit(off(j - 1)) + element_at(col("be"), j) * lit(w(j - 1)))
+    }.reduce(_ + _)
+    val diff = pairs.select(unrolled.as("u"),
+      Sq8ReconDot(col("ae"), col("be"), off.toSeq, w.toSeq).as("n"))
+      .filter(col("u") =!= col("n")).count()
+    assert(diff == 0, s"$diff pairs differ between native loop and reduce tree")
+  }
+
+  test("Sq8ReconDot / LitDotLong NULL/error semantics match ANSI element_at") {
+    import graft.functions.expressions.{LitDotLong, Sq8ReconDot}
+    val dim = 4
+    val off = Seq(255L, 510L, -255L, 0L)
+    val w = Seq(1L, 2L, 3L, 4L)
+    val rows = Seq(
+      ("full", Seq[java.lang.Long](1L, 2L, 3L, 4L)),
+      ("nullelem", Seq[java.lang.Long](1L, null, 3L, 4L)),
+      ("nullarr", null))
+    val df = spark.createDataFrame(rows).toDF("tag", "arr")
+      .select(col("tag"), col("arr").cast("array<bigint>").as("arr"))
+    val unrolledSq8 = (1 to dim).map { j =>
+      (lit(off(j - 1)) + element_at(col("arr"), j) * lit(w(j - 1))) *
+        (lit(off(j - 1)) + element_at(col("arr"), j) * lit(w(j - 1)))
+    }.reduce(_ + _)
+    val unrolledDot = (1 to dim).map(j =>
+      element_at(col("arr"), j) * lit(w(j - 1))).reduce(_ + _)
+    val got = df.select(col("tag"),
+      unrolledSq8.as("us"), Sq8ReconDot(col("arr"), col("arr"), off, w).as("ns"),
+      unrolledDot.as("ud"), LitDotLong(col("arr"), w).as("nd"))
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    got.foreach { case (tag, (us, ns, ud, nd)) =>
+      assert(us == ns, s"$tag: Sq8ReconDot $ns != element_at form $us")
+      assert(ud == nd, s"$tag: LitDotLong $nd != element_at form $ud")
+    }
+    assert(got("full")._2.isDefined &&
+      got("nullelem")._2.isEmpty && got("nullarr")._2.isEmpty)
+    // ANSI element_at THROWS on a short array; the loop expressions match
+    // that loud contract (never a silent NULL for contract-breaking data)
+    val short = spark.createDataFrame(Seq(("short", Seq(1L, 2L, 3L))))
+      .toDF("tag", "arr")
+    val exS = intercept[Exception](
+      short.select(Sq8ReconDot(col("arr"), col("arr"), off, w)).collect())
+    val exD = intercept[Exception](
+      short.select(LitDotLong(col("arr"), w)).collect())
+    Seq(exS, exD).foreach { ex =>
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("< dim"), s"unexpected short-array failure: $msgs")
+    }
+  }
+
+  test("LitDotLong == unrolled element_at dot on the quantized corpus, and stays in codegen") {
+    import graft.functions.expressions.LitDotLong
+    val dim = 64
+    val x = Array.tabulate(dim)(j => math.round(math.sin(j * 0.37) * 1000000.0))
+    val e = quantFrame
+    val unrolled = (1 to dim).map(j =>
+      element_at(col("e"), j) * lit(x(j - 1))).reduce(_ + _)
+    val df = e.select(unrolled.as("u"), LitDotLong(col("e"), x.toSeq).as("n"))
+    val diff = df.filter(col("u") =!= col("n")).count()
+    assert(diff == 0, s"$diff rows differ between native loop and reduce tree")
+    // production callers (pcaFrame) materialize the quantized frame before
+    // the dot; an inline transform() is a HOF and would block codegen
+    val probe = e.localCheckpoint().select(LitDotLong(col("e"), x.toSeq).as("n"))
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("litdotlong") && l.trim.matches("""^:?\+?-?\s*\*\(\d+\) Project.*""")),
+      s"litdotlong not inside a codegen stage:\n$plan")
+  }
 }
