@@ -510,7 +510,15 @@ object Profiling {
       .select(
         when(year(col("o_orderdate")) === 1996, "a").otherwise("b").as("set_id"),
         col("o_custkey").cast("string").as("ck"))
-    val hashed = base.select(col("set_id"), h52Of(col("ck")).as("h")).distinct()
+    // r19 (guide §2.4 "do fewer shuffles"): ONE fact-wide distinct feeds
+    // the sketch AND all three exact-NDV fidelity columns — previously
+    // the fact was distinct-shuffled three times (hashed distinct +
+    // grouped countDistinct + global countDistinct, each its own expand
+    // over the scan). localCheckpoint: d has four consumers.
+    val d = base.distinct().localCheckpoint(eager = false)
+    // (set_id, h) re-distincts AFTER hashing: two ck values colliding in
+    // h52 within a set must collapse exactly as before
+    val hashed = d.select(col("set_id"), h52Of(col("ck")).as("h")).distinct()
     val w = Window.partitionBy("set_id").orderBy("h")
     val kmins = hashed
       .withColumn("rn", row_number().over(w))
@@ -529,11 +537,12 @@ object Profiling {
       .select(col("ha").as("h"))
     val shared = unionK.join(inBoth, Seq("h"), "left_semi")
       .agg(count(lit(1)).as("n_shared"))
-    val exact = base
+    val exact = d
       .groupBy("set_id")
-      .agg(countDistinct(col("ck")).as("n_exact"))
-      .unionByName(base
-        .agg(countDistinct(col("ck")).as("n_exact"))
+      .agg(count(lit(1)).as("n_exact"))
+      .unionByName(d
+        .select("ck").distinct()
+        .agg(count(lit(1)).as("n_exact"))
         .select(lit("union").as("set_id"), col("n_exact")))
     kmins.unionByName(unionK)
       .groupBy("set_id")

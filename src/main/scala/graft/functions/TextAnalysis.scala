@@ -765,7 +765,12 @@ object TextAnalysis {
       (col("doc_id") % 97).cast("string"),
       lit(" tel +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
       lit(" "), col("text"))
-    Tables.documents(s, dir)
+    // spread (r19): 4 regexp_replace passes per doc are CPU-heavy and
+    // per-row — the single-row-group corpus scan otherwise runs them in
+    // one task (measured 0.97 -> 0.60 s at sf0.1/32 cores; a GLOBAL
+    // documents spread was tried and rejected — composite report/curation
+    // queries pay one AQE stage barrier per instance and regressed)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), contact.as("contact"))
       .select(
         col("doc_id"),
