@@ -132,11 +132,12 @@ object Profiling {
     * relying on cross-engine `ntile` edge semantics. All outputs are
     * integer cents/counts.
     *
-    * Scale shape: ONE hash exchange on column_name feeds a per-column
-    * sort (the q28 window family); per column this is the exact
-    * equi-depth cost. A column too large for one task's sort escapes via
-    * [[columnHistogramDepthBand]] — boundary values via the q41
-    * band-refinement quantile path, then bucket by range, sort-free. */
+    * Scale shape (r19): a distinct-collapse + cumulative counts over the
+    * distinct table replay the rank formula exactly without ever sorting
+    * raw rows — see [[depthHistogramExact]]. [[columnHistogramDepthBand]]
+    * remains the fully sort-free sibling whose boundaries are
+    * VALUE-determined (tie groups kept whole) via the q41
+    * band-refinement quantile path. */
   def columnHistogramDepth(s: SparkSession, dir: String): DataFrame =
     depthHistogramExact(stackedCents(s, dir), HistogramBuckets)
 
@@ -150,28 +151,65 @@ object Profiling {
       .filter(col("vi").isNotNull)
   }
 
-  /** Exact-sort equi-depth core over (column_name, vi) rows — the
-    * per-column window sort of [[columnHistogramDepth]], factored so the
+  /** Exact equi-depth core over (column_name, vi) rows — rank semantics
+    * of a per-column sort + `bucket = (rn−1)·B div n`, factored so the
     * band form's differential spec can drive both on the same input.
     *
-    * r19 note: a `count(*) OVER (PARTITION BY column_name)` riding the
-    * row_number's exchange was tried to drop the count subtree — slower
-    * (unbounded-following frame buffers the whole partition; measured
-    * +0.8 s of task time at sf0.1). The groupBy+join form keeps the
-    * STREAMING row_number window; with the spread exchange in the input
-    * ([[graft.Tables.spread]]) the count subtree reuses that exchange
-    * instead of re-running the scan. */
+    * r19 rewrite (guide §2.5 giant-group trap): the previous form
+    * row_number'd EVERY raw row over a window partitioned by
+    * column_name — a per-column single-task sort of the whole column
+    * (2.4M rows in 4 tasks at sf0.1; at 100 TB, one task sorts one
+    * column — the scale-killer its own scaladoc used to apologize for).
+    * Buckets are RANK intervals, and every per-bucket output is a
+    * multiset property, so the same output derives from the DISTINCT
+    * value table alone:
+    *  1. collapse to (column, vi, cnt) — map-side combine, the only
+    *     pass over data volume; per-column totals come from the RAW
+    *     rows (reusing the input's exchange, full parallelism) rather
+    *     than the key-capped per-column exchange;
+    *  2. cumulative counts over the distinct table (the window now
+    *     sorts per-column DISTINCT values, ~10× fewer rows here and
+    *     NDV-bounded in general — and tie-heavy columns, the ones that
+    *     make raw sorts degenerate, collapse hardest); everything after
+    *     the key-capped window is row-wise, so it is repartitioned back
+    *     to session parallelism;
+    *  3. each value's rank interval [cum−cnt+1, cum] is intersected
+    *     with the bucket rank intervals [⌈bn/B⌉+1, ⌈(b+1)n/B⌉] —
+    *     integer algebra identical to the rank formula, tie groups
+    *     still SPLIT across bucket boundaries by rank exactly as a
+    *     row_number would (bucket counts stay max−min ≤ 1; pinned by
+    *     HistogramSpec's balance test and the band differential).
+    * Tried earlier and rejected: count(*) OVER an unbounded frame to
+    * share the row_number exchange (buffers whole partitions, +0.8 s
+    * task time at sf0.1). */
   private[graft] def depthHistogramExact(vals: DataFrame, B: Int): DataFrame = {
+    val d = vals.groupBy("column_name", "vi").agg(count(lit(1)).as("cnt"))
+    // counts from the RAW rows (reuses the input's exchange, 32-way) —
+    // hanging it off `d` would re-read the per-column exchange, whose
+    // parallelism is capped by the 4-value key space
     val counts = vals.groupBy("column_name").agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy("column_name").orderBy("vi")
-    vals
-      .withColumn("rn", row_number().over(w))
+    d.withColumn("cum", sum("cnt").over(wCum))
+      // the cum window is per-column sequential by nature (key-capped
+      // parallelism); everything AFTER it is row-wise — repartition so
+      // the bucket-intersection explode and the final aggregate run at
+      // session parallelism instead of inside the key-capped stage
+      .repartition(d.sparkSession.sparkContext.defaultParallelism)
       .join(broadcast(counts), Seq("column_name"))
-      .withColumn("bucket", expr(s"((rn - 1) * CAST($B AS BIGINT)) div n"))
+      // bucket span of this value's rank interval [cum−cnt+1, cum]
+      .withColumn("b_lo", expr(s"((cum - cnt) * CAST($B AS BIGINT)) div n"))
+      .withColumn("b_hi", expr(s"((cum - 1) * CAST($B AS BIGINT)) div n"))
+      .select(col("column_name"), col("vi"), col("cnt"), col("cum"), col("n"),
+        explode(expr("sequence(b_lo, b_hi)")).as("bucket"))
+      // rows of this value landing in `bucket` = |[cum−cnt+1, cum] ∩
+      // [⌈bucket·n/B⌉+1, ⌈(bucket+1)·n/B⌉]| (non-empty by construction)
+      .withColumn("k", expr(
+        s"least(cum, ((bucket + 1) * n + ${B - 1}) div $B) - " +
+          s"greatest(cum - cnt + 1, (bucket * n + ${B - 1}) div $B + 1) + 1"))
       .groupBy("column_name", "bucket")
       .agg(min(col("vi")).as("lo_cents"), max(col("vi")).as("hi_cents"),
-        count(lit(1)).as("n"))
+        sum(col("k")).as("n"))
       .orderBy("column_name", "bucket")
   }
 

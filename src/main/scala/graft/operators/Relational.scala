@@ -350,6 +350,9 @@ object Relational {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
       .agg(guardedBasket(sort_array(collect_set(col("l_partkey")))).as("parts"))
+      // pre-expansion rebalance — the q55 recipe (AQE folds the basket
+      // exchange to ~4 read partitions, serializing the comprehension)
+      .repartition(s.sparkContext.defaultParallelism)
     baskets
       .select(explode(expr(
         "flatten(transform(parts, (x, i) -> " +
@@ -421,6 +424,14 @@ object Relational {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
       .agg(guardedBasket(sort_array(collect_set(col("l_partkey")))).as("parts"))
+      // r19: rebalance BEFORE the quadratic pair expansion — AQE's
+      // byte-targeted coalesce folds the 5 MB basket exchange to ~4
+      // read partitions, serializing the C(b,2) comprehension + the
+      // distinct's partial aggregate; REPARTITION_BY_NUM is the one
+      // exchange AQE never coalesces (the dedup_editdist recipe). At
+      // scale the basket frame is wide anyway and the pre-expansion
+      // rebalance is the standard explode-fan-out posture.
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(expr(
         "flatten(transform(parts, (x, i) -> " +
           "transform(slice(parts, i + 2, size(parts)), " +
@@ -2152,6 +2163,8 @@ object Relational {
       .select(col("l_orderkey"), col("l_partkey"))
       .groupBy("l_orderkey")
       .agg(guardedBasket(sort_array(collect_set(col("l_partkey")))).as("parts"))
+      // pre-expansion rebalance — the q55 recipe (cubic comprehension)
+      .repartition(s.sparkContext.defaultParallelism)
     baskets
       .select(explode(expr(
         "flatten(transform(parts, (x, i) -> " +
