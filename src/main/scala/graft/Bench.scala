@@ -150,7 +150,8 @@ object Bench {
     // column-profile family — spread/rank-interval lines re-pinned to
     // the r19 optimization closing; depth keeps its r18 pin (local
     // cost unchanged — the rewrite's win is the scale shape)
-    "column_histogram_depth" -> 3.587, "column_histogram_depth_band" -> 3.38,
+    "column_histogram_depth" -> 3.342, // r19 valuesAtRanks rewrite
+    "column_histogram_depth_band" -> 3.11,
     "column_profile" -> 1.945, "column_histogram" -> 1.945,
     "column_profile_approx" -> 1.948, "column_winsorize" -> 1.722,
     // dedup family (grand closing; spans/split from 703ccb2)

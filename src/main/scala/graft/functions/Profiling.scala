@@ -160,57 +160,91 @@ object Profiling {
     * column_name — a per-column single-task sort of the whole column
     * (2.4M rows in 4 tasks at sf0.1; at 100 TB, one task sorts one
     * column — the scale-killer its own scaladoc used to apologize for).
-    * Buckets are RANK intervals, and every per-bucket output is a
-    * multiset property, so the same output derives from the DISTINCT
-    * value table alone:
-    *  1. collapse to (column, vi, cnt) — map-side combine, the only
-    *     pass over data volume; per-column totals come from the RAW
-    *     rows (reusing the input's exchange, full parallelism) rather
-    *     than the key-capped per-column exchange;
-    *  2. cumulative counts over the distinct table (the window now
-    *     sorts per-column DISTINCT values, ~10× fewer rows here and
-    *     NDV-bounded in general — and tie-heavy columns, the ones that
-    *     make raw sorts degenerate, collapse hardest); everything after
-    *     the key-capped window is row-wise, so it is repartitioned back
-    *     to session parallelism;
-    *  3. each value's rank interval [cum−cnt+1, cum] is intersected
-    *     with the bucket rank intervals [⌈bn/B⌉+1, ⌈(b+1)n/B⌉] —
-    *     integer algebra identical to the rank formula, tie groups
-    *     still SPLIT across bucket boundaries by rank exactly as a
-    *     row_number would (bucket counts stay max−min ≤ 1; pinned by
-    *     HistogramSpec's balance test and the band differential).
-    * Tried earlier and rejected: count(*) OVER an unbounded frame to
-    * share the row_number exchange (buffers whole partitions, +0.8 s
-    * task time at sf0.1). */
-  private[graft] def depthHistogramExact(vals: DataFrame, B: Int): DataFrame = {
+    * Every per-bucket output is a multiset property of rank intervals:
+    * bucket b holds ranks [⌈bn/B⌉+1, ⌈(b+1)n/B⌉] (proof: (rn−1)·B div n
+    * = b ⟺ rn−1 ∈ [⌈bn/B⌉, ⌈(b+1)n/B⌉−1]), so
+    *   n_b  = ⌈(b+1)n/B⌉ − ⌈bn/B⌉           (pure arithmetic),
+    *   lo_b = value at rank ⌈bn/B⌉+1, hi_b = value at rank ⌈(b+1)n/B⌉,
+    * and the 2B boundary values come from the SAME cell-refinement
+    * machinery the band form uses ([[valuesAtRanks]]) — distinct
+    * collapse, per-cell running totals, tiny per-(column, target)
+    * windows over single cells. No full sort of anything, anywhere;
+    * the heaviest pass is the distinct collapse (map-side combined).
+    * Tie groups still SPLIT across bucket boundaries by rank exactly
+    * as a row_number would (bucket counts stay max−min ≤ 1 — pinned by
+    * HistogramSpec's balance test and the band differential; the gate
+    * output is hash-identical to the sort form's).
+    *
+    * Tried and rejected on the way here (r19): count(*) OVER an
+    * unbounded frame (buffers whole partitions, +0.8 s task time);
+    * cumulative counts over the whole distinct table (l_extendedprice
+    * is 97% unique at sf0.1 — 583k of 600k — so the per-column
+    * key-capped window stayed a ~1.4 s single task). */
+  private[graft] def depthHistogramExact(
+      vals: DataFrame, B: Int, refineCells: Int = 1024): DataFrame = {
+    val W = refineCells
     val d = vals.groupBy("column_name", "vi").agg(count(lit(1)).as("cnt"))
-    // counts from the RAW rows (reuses the input's exchange, 32-way) —
-    // hanging it off `d` would re-read the per-column exchange, whose
-    // parallelism is capped by the 4-value key space
-    val counts = vals.groupBy("column_name").agg(count(lit(1)).as("n"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy("column_name").orderBy("vi")
-    d.withColumn("cum", sum("cnt").over(wCum))
-      // the cum window is per-column sequential by nature (key-capped
-      // parallelism); everything AFTER it is row-wise — repartition so
-      // the bucket-intersection explode and the final aggregate run at
-      // session parallelism instead of inside the key-capped stage
-      .repartition(d.sparkSession.sparkContext.defaultParallelism)
-      .join(broadcast(counts), Seq("column_name"))
-      // bucket span of this value's rank interval [cum−cnt+1, cum]
-      .withColumn("b_lo", expr(s"((cum - cnt) * CAST($B AS BIGINT)) div n"))
-      .withColumn("b_hi", expr(s"((cum - 1) * CAST($B AS BIGINT)) div n"))
-      .select(col("column_name"), col("vi"), col("cnt"), col("cum"), col("n"),
-        explode(expr("sequence(b_lo, b_hi)")).as("bucket"))
-      // rows of this value landing in `bucket` = |[cum−cnt+1, cum] ∩
-      // [⌈bucket·n/B⌉+1, ⌈(bucket+1)·n/B⌉]| (non-empty by construction)
-      .withColumn("k", expr(
-        s"least(cum, ((bucket + 1) * n + ${B - 1}) div $B) - " +
-          s"greatest(cum - cnt + 1, (bucket * n + ${B - 1}) div $B + 1) + 1"))
-      .groupBy("column_name", "bucket")
-      .agg(min(col("vi")).as("lo_cents"), max(col("vi")).as("hi_cents"),
-        sum(col("k")).as("n"))
+      .localCheckpoint(eager = false)
+    val stats = d.groupBy("column_name").agg(
+      min("vi").as("mini"), max("vi").as("maxi"), sum("cnt").as("n"))
+    val dc = d.join(broadcast(stats), Seq("column_name"))
+      .withColumn("cell",
+        expr(s"((vi - mini) * CAST($W AS BIGINT)) div (maxi - mini + 1)"))
+    // 2 rank targets per bucket: j = 2b locates lo_b, j = 2b+1 hi_b;
+    // buckets whose rank interval is empty (n < B) drop out here and
+    // emit no row, exactly like the rank formula
+    val buckets = stats.select(col("column_name"), col("n"),
+        explode(expr(s"sequence(CAST(0 AS BIGINT), CAST(${B - 1} AS BIGINT))"))
+          .as("bucket"))
+      .withColumn("r_lo", expr(s"(bucket * n + ${B - 1}) div $B + 1"))
+      .withColumn("r_hi", expr(s"((bucket + 1) * n + ${B - 1}) div $B"))
+      .filter(col("r_hi") >= col("r_lo"))
+    val jtab = buckets.select(col("column_name"),
+        (col("bucket") * 2).as("j"), col("r_lo").as("rj"))
+      .unionByName(buckets.select(col("column_name"),
+        (col("bucket") * 2 + 1).as("j"), col("r_hi").as("rj")))
+    val tvals = valuesAtRanks(dc, jtab)
+    val lo = tvals.filter(pmod(col("j"), lit(2L)) === 0L)
+      .select(col("column_name"), expr("j div 2").as("bucket"),
+        col("t").as("lo_cents"))
+    val hi = tvals.filter(pmod(col("j"), lit(2L)) === 1L)
+      .select(col("column_name"), expr("(j - 1) div 2").as("bucket"),
+        col("t").as("hi_cents"))
+    buckets
+      .select(col("column_name"), col("bucket"),
+        (col("r_hi") - col("r_lo") + 1L).as("n"))
+      .join(lo, Seq("column_name", "bucket"))
+      .join(hi, Seq("column_name", "bucket"))
+      .select("column_name", "bucket", "lo_cents", "hi_cents", "n")
       .orderBy("column_name", "bucket")
+  }
+
+  /** Value at sorted position rj per (column_name, j) target — the band
+    * refinement core, factored (r19) so [[depthHistogramExact]] can
+    * locate its 2B bucket-boundary ranks through the same machinery.
+    * `dc` = (column_name, vi, cnt, cell) distinct rows with their
+    * equi-width refinement cell; `jtab` = (column_name, j, rj) targets,
+    * 1 ≤ rj ≤ n. Per-cell count sums + a running total over the
+    * ≤ #columns·W cell rows locate each target's covering cell; only
+    * that cell's distinct values rank (tiny per-(column, j) windows).
+    * Returns (column_name, j, t) — exactly one row per target. */
+  private def valuesAtRanks(dc: DataFrame, jtab: DataFrame): DataFrame = {
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("column_name").orderBy("cell")
+    val cells = dc.groupBy("column_name", "cell").agg(sum("cnt").as("cnt_c"))
+      .withColumn("cum_hi", sum("cnt_c").over(wCum))
+    val located = cells.join(jtab, Seq("column_name"))
+      .filter(col("cum_hi") >= col("rj") &&
+        col("cum_hi") - col("cnt_c") < col("rj"))
+      .select(col("column_name"), col("j"), col("cell"),
+        (col("cum_hi") - col("cnt_c")).as("below"), col("rj"))
+    val wBand = org.apache.spark.sql.expressions.Window
+      .partitionBy("column_name", "j").orderBy("vi")
+    dc.join(broadcast(located), Seq("column_name", "cell"))
+      .withColumn("cum", sum("cnt").over(wBand))
+      .filter(col("below") + col("cum") >= col("rj") &&
+        col("below") + col("cum") - col("cnt") < col("rj"))
+      .select(col("column_name"), col("j"), col("vi").as("t"))
   }
 
   /** SORT-FREE equi-depth histogram — the giant-column escape the
@@ -272,29 +306,16 @@ object Profiling {
     val dc = d.join(broadcast(stats), Seq("column_name"))
       .withColumn("cell",
         expr(s"((vi - mini) * CAST($W AS BIGINT)) div (maxi - mini + 1)"))
-    val wCum = org.apache.spark.sql.expressions.Window
-      .partitionBy("column_name").orderBy("cell")
-    val cells = dc.groupBy("column_name", "cell").agg(sum("cnt").as("cnt_c"))
-      .withColumn("cum_hi", sum("cnt_c").over(wCum))
-    // per-column boundary ranks r_j = ceil(n*j/B), j = 1..B-1
+    // per-column boundary ranks r_j = ceil(n*j/B), j = 1..B-1; the
+    // covering-cell location + single-cell ranking is the shared
+    // [[valuesAtRanks]] core (r19 factoring — the exact form locates
+    // its bucket-boundary ranks through the same machinery)
     val jtab = stats.select(col("column_name"), col("n"),
         explode(expr(s"sequence(1, ${B - 1})")).as("j"))
       .withColumn("rj", expr(s"(n * j + ${B - 1}) div $B"))
-    // the cell whose cumulative range covers r_j, and the count below it
-    val located = cells.join(jtab, Seq("column_name"))
-      .filter(col("cum_hi") >= col("rj") &&
-        col("cum_hi") - col("cnt_c") < col("rj"))
-      .select(col("column_name"), col("j"), col("cell"),
-        (col("cum_hi") - col("cnt_c")).as("below"), col("rj"))
-    // rank ONLY the located cells' distinct values; t_j = the value whose
-    // cumulative count first reaches r_j (exactly one row matches)
-    val wBand = org.apache.spark.sql.expressions.Window
-      .partitionBy("column_name", "j").orderBy("vi")
-    val bounds = dc.join(broadcast(located), Seq("column_name", "cell"))
-      .withColumn("cum", sum("cnt").over(wBand))
-      .filter(col("below") + col("cum") >= col("rj") &&
-        col("below") + col("cum") - col("cnt") < col("rj"))
-      .select(col("column_name"), col("vi").as("t"))
+      .select("column_name", "j", "rj")
+    val bounds = valuesAtRanks(dc, jtab)
+      .select(col("column_name"), col("t"))
     val bmap = bounds.groupBy("column_name")
       .agg(sort_array(collect_list(col("t"))).as("ts"))
     d.join(broadcast(bmap), Seq("column_name"))
