@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1708,32 +1708,48 @@ object Relational {
       .filter(col("pb").isNotNull && col("l_partkey") =!= col("pb"))
       .select(col("l_partkey").as("pa"), col("pb"))
       .distinct()
-    val nodes = li.select(col("l_partkey").as("part")).distinct()
-      .localCheckpoint()
     val odeg = edges.groupBy("pa").agg(count(lit(1)).as("deg"))
     // source-side degree attached once, outside the loop — saves a
-    // join per round
-    val edgesDeg = edges.join(odeg, "pa").localCheckpoint()
-    // the dangling-node set is FIXED across rounds (degrees never
-    // change) — materialize it once instead of re-running the
-    // source-distinct + anti join every round (was 5 extra shuffles)
-    val danglingNodes = nodes
-      .join(edgesDeg.select("pa").distinct(),
-        col("part") === col("pa"), "left_anti")
-      .select(col("part").as("dpart"))
+    // join per round. Lazy: the node-frame materialization right below
+    // is the first consumer, so one action builds both (the CC-family
+    // lazy-checkpoint discipline).
+    val edgesDeg = edges.join(odeg, "pa").localCheckpoint(eager = false)
+    // r20 (VERDICT r19 item 4 — fuse per-round probe work into the
+    // round's one materialization): the node frame carries its dangling
+    // flag (dangling ⟺ never a source position; the set is FIXED across
+    // rounds), and the node/dangling counts ride the checkpoint job as a
+    // CollectMetrics observation instead of separate count actions.
+    val nObs = Observation()
+    val nodesF = li.select(col("l_partkey").as("part")).distinct()
+      .join(edgesDeg.select("pa").distinct(), col("part") === col("pa"), "left")
+      .select(col("part"), col("pa").isNull.as("dang"))
+      .observe(nObs, count(lit(1)).as("n"),
+        coalesce(sum(when(col("dang"), lit(1L))), lit(0L)).as("ndang"))
       .localCheckpoint()
-    val n = nodes.count()
+    val n = nObs.get("n").asInstanceOf[Long]
+    val nDang = nObs.get("ndang").asInstanceOf[Long]
     val r0 = PagerankScale / n
     val base = (r0 * 15L) / 100L
     // the node count is already on the driver — gate the per-round
     // broadcast on it so a node set that outgrows broadcast memory
     // DEGRADES to the shuffled both-sides join instead of OOMing
     // (plan-pinned both ways in PagerankSpec). Default threshold is
-    // byte-aware: the rank frame is (part: long, r: long), so the
-    // budget is derived from that width, not a fixed row count.
+    // byte-aware: the rank frame is (part: long, dang: bool, r: long),
+    // so the budget is derived from that width, not a fixed row count.
+    var ranks = nodesF.withColumn("r", lit(r0))
     val bcastRanks = n <= (if (broadcastMaxNodes >= 0L) broadcastMaxNodes
-      else graphBroadcastRowBudget(nodes.withColumn("r", lit(r0))))
-    var ranks = nodes.withColumn("r", lit(r0)).localCheckpoint()
+      else graphBroadcastRowBudget(ranks))
+    // r20: the dangling mass is ONE BIGINT per round. It used to be an
+    // in-plan 1-row aggregate (ranks ⋈ dangling semi → agg → broadcast →
+    // crossJoin): ~4 extra AQE stage jobs per round on top of the round's
+    // single real exchange. Each round's rank frame is materialized by
+    // its localCheckpoint anyway, so the NEXT round's mass rides that job
+    // as a CollectMetrics observation and enters the plan as a literal —
+    // the sum of the SAME BIGINT ranks over the SAME node set, so the
+    // integers are identical (PagerankSpec + the CTE-replay oracle pin
+    // it). Driver traffic: one scalar per round — the q70/q73
+    // convergence-probe posture.
+    var dang = r0 * nDang
     for (_ <- 1 to iters) {
       // ranks is catalog-sized (one row per product) — BROADCAST it so
       // the edge frame never shuffles; the per-round exchange is only
@@ -1745,19 +1761,20 @@ object Relational {
           col("pa") === col("part"))
         .select(col("pb"), expr("r div deg").as("c"))
         .groupBy("pb").agg(sum(col("c")).as("s"))
-      val dangling = ranks
-        .join(danglingNodes, col("part") === col("dpart"), "left_semi")
-        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
-      ranks = nodes
-        .crossJoin(broadcast(dangling))
+      val share = dang / n // nonneg BIGINTs: Scala / == SQL div
+      val obs = Observation()
+      ranks = nodesF
         .join(contrib, col("part") === col("pb"), "left")
-        .select(col("part"),
+        .select(col("part"), col("dang"),
           (lit(base) + expr(
-            s"(85 * (coalesce(s, CAST(0 AS BIGINT)) + (dang div $n))) div 100"))
+            s"(85 * (coalesce(s, CAST(0 AS BIGINT)) + ${share}L)) div 100"))
             .as("r"))
+        .observe(obs,
+          coalesce(sum(when(col("dang"), col("r"))), lit(0L)).as("dm"))
         .localCheckpoint()
+      dang = obs.get("dm").asInstanceOf[Long]
     }
-    ranks
+    ranks.select(col("part"), col("r"))
   }
 
   /** Attribution lookback for [[q62Attribution]]: 7 days in µs. */
@@ -2263,11 +2280,17 @@ object Relational {
       val deg = edges.select(col("pa").as("v"))
         .unionAll(edges.select(col("pb").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
-      val keep = deg.filter(col("d") >= KcoreK).select("v").localCheckpoint()
+      // r20: LAZY checkpoints — the convergence count below is the
+      // round's ONE materializing action (keep computes once into cache
+      // on the first of the two semi-join builds), instead of three
+      // actions (keep job, edges job, count job) each with its own
+      // planning pass. The dedup-components lazy-checkpoint discipline.
+      val keep = deg.filter(col("d") >= KcoreK).select("v")
+        .localCheckpoint(eager = false)
       edges = edges
         .join(keep.withColumnRenamed("v", "pa"), Seq("pa"), "left_semi")
         .join(keep.withColumnRenamed("v", "pb"), Seq("pb"), "left_semi")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nn = edges.count()
       converged = nn == n
       n = nn
@@ -2438,13 +2461,17 @@ object Relational {
     * spec can drive it against a brute-force BFS model. */
   private[graft] def bfsReach(edges: DataFrame): DataFrame = {
     val s = edges.sparkSession
+    // r20: LAZY checkpoints throughout — each hop's stats() aggregate is
+    // its ONE materializing action (next + whatever it references compute
+    // once into cache), instead of hop-wise eager-checkpoint jobs plus a
+    // separate stats job, each with its own planning pass.
     val half = edges.select(col("pa").as("u"), col("pb").as("v"))
       .unionAll(edges.select(col("pb").as("u"), col("pa").as("v")))
-      .localCheckpoint() // probed once per hop
+      .localCheckpoint(eager = false) // probed once per hop
     val seed = half.groupBy("u").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("u").asc).limit(1)
       .select(col("u").as("v"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val out = Seq.newBuilder[(Long, Long, Long)]
     def stats(dist: Long, frontier: DataFrame): Long = {
       val r = frontier.agg(count(lit(1)).as("n"),
@@ -2462,11 +2489,14 @@ object Relational {
         .join(frontier.withColumnRenamed("v", "u"), Seq("u"), "left_semi")
         .select(col("v")).distinct()
         .join(reached, Seq("v"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       live = stats(dist, next) > 0
       if (live) {
         frontier = next
-        reached = reached.unionAll(next).localCheckpoint()
+        // plain union of already-cached hop frames: the anti join reads
+        // each cached leg; re-checkpointing the union was one more job +
+        // planning pass per hop for a frame only ever consumed once
+        reached = reached.unionAll(next)
         dist += 1
       }
     }
