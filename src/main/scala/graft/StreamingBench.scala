@@ -153,6 +153,7 @@ object StreamingBench {
     if (any("streaming_gaps_watermarked")) gapsWmExpected(spark, sfDir)
     if (any("streaming_auc", "streaming_ks")) aucSeed(spark, sfDir)
     if (any("streaming_drift_panel")) panelSeed(spark, sfDir)
+    if (any("streaming_drift")) driftSeed(spark, sfDir)
     if (any("streaming_recent_rocksdb")) transRows(spark, sfDir)
     if (any("streaming_transitions", "streaming_paths", "streaming_paths_agg",
         "streaming_funnel", "streaming_retention",
@@ -1052,18 +1053,36 @@ object StreamingBench {
       }.sum
     }
 
+  /** Frozen reference + live feed for [[driftPipeline]], memoized per
+    * sfDir. r20: the scaladoc below always CLAIMED the reference build
+    * runs outside the timed region (it is the training-time artifact,
+    * not serving-path work), but the pipeline rebuilt it — plus the
+    * liveHalf collect — inside every timed sample (~1 s of batch jobs
+    * per sample at sf0.1, JobProbe-attributed). The memo + the prepare
+    * hook make the code match the documented contract — the same
+    * discipline every other reference-fed pipeline (auc, panel, ks)
+    * already follows. */
+  private val driftMemo = scala.collection.mutable.Map.empty[String,
+    (Map[String, graft.streaming.StreamingDrift.RefProfile],
+      Array[graft.streaming.StreamingProfile.PEv])]
+  private def driftSeed(spark: SparkSession, sfDir: String)
+      : (Map[String, graft.streaming.StreamingDrift.RefProfile],
+        Array[graft.streaming.StreamingProfile.PEv]) =
+    driftMemo.getOrElseUpdate(sfDir, (
+      graft.streaming.StreamingDrift.referenceFrom(spark, sfDir),
+      graft.streaming.StreamingDrift.liveHalf(spark, sfDir)))
+
   /** Live chi-square drift monitor (the q79 streaming side): the
     * reference profile freezes from the batch half, the live half
     * streams in two batches. Exact count model: one cumulative row per
     * (touched type, batch). The reference build runs OUTSIDE the timed
-    * region on purpose — it is the training-time artifact, not
-    * serving-path work. */
+    * region ([[driftSeed]] via prepare) — it is the training-time
+    * artifact, not serving-path work. */
   def driftPipeline(spark: SparkSession, sfDir: String): Unit = {
     val s = spark
     import s.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val ref = graft.streaming.StreamingDrift.referenceFrom(spark, sfDir)
-    val live = graft.streaming.StreamingDrift.liveHalf(spark, sfDir)
+    val (ref, live) = driftSeed(spark, sfDir)
     val batches = live.toIndexedSeq.splitAt(live.length / 2)
     val expected =
       Seq(batches._1, batches._2).map(_.map(_.event_type).toSet.size).sum.toLong

@@ -124,31 +124,79 @@ object StreamingGaps {
     * sub-`delay` horizon.
     * Spec-pinned against the batch model on a deliberately
     * cross-batch-disordered feed in StreamingGapsSpec. */
-  case class PendingEv(us: Long, event_id: Long, event_type: String)
-  case class WmGapState(pending: Seq[PendingEv], lastUs: Long,
-      lastId: Long, hasLast: Boolean)
+  /** r20 (VERDICT r19 item 1 — state-encoder packing): the ripening
+    * buffer is three ALIGNED PRIMITIVE/FLAT ARRAYS, not a
+    * Seq[case class]. The Catalyst encoder for a Seq[struct] pays a
+    * per-element (de)serializer round-trip per user per batch — and the
+    * watermark lags a full batch behind the feed, so at any batch
+    * boundary the buffers hold roughly one whole batch of events: the
+    * encoder was the dominant task cost of the q76 gate (JobProbe: ~26 s
+    * of task time over its 8 streaming jobs at sf0.1; even the no-data
+    * timer batch re-encoded every user's buffer). Array[Long] encodes as
+    * one primitive UnsafeArrayData copy; the type tags stay one
+    * Array[String]. Output semantics are bit-identical and pinned by
+    * StreamingGapsSpec (cross-batch disorder, timer flush, in-order
+    * equivalence) and the q76 oracle gate. */
+  case class WmGapState(pus: Array[Long], pid: Array[Long],
+      ptyp: Array[String], lastUs: Long, lastId: Long, hasLast: Boolean)
 
   private[streaming] def wmGapUpdate(
       user: Long, it: Iterator[StreamingProfile.PEv],
       state: GroupState[WmGapState]): Iterator[GapRow] = {
-    val st = state.getOption.getOrElse(WmGapState(Vector.empty, 0L, 0L, false))
-    val arrivals = it.map(e =>
-      PendingEv(StreamingTransitions.tsMicros(e.ts), e.event_id, e.event_type))
-      .toVector
+    val st = state.getOption.getOrElse(WmGapState(
+      Array.emptyLongArray, Array.emptyLongArray, new Array[String](0),
+      0L, 0L, false))
+    val arrivals = it.toArray
     val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val np = st.pus.length
+    val total = np + arrivals.length
+    // merged view: buffered events first, then this batch's arrivals
+    val mus = new Array[Long](total)
+    val mid = new Array[Long](total)
+    val mty = new Array[String](total)
+    System.arraycopy(st.pus, 0, mus, 0, np)
+    System.arraycopy(st.pid, 0, mid, 0, np)
+    System.arraycopy(st.ptyp, 0, mty, 0, np)
+    var i = 0
+    while (i < arrivals.length) {
+      val e = arrivals(i)
+      mus(np + i) = StreamingTransitions.tsMicros(e.ts)
+      mid(np + i) = e.event_id
+      mty(np + i) = e.event_type
+      i += 1
+    }
     // ripe ⟺ strictly below the watermark: a future row can still carry
-    // ts == watermark (Spark only drops strictly-late rows)
-    val (ripe, hold) = (st.pending ++ arrivals).partition(_.us < wmUs)
-    val ordered = ripe.sortBy(e => (e.us, e.event_id))
+    // ts == watermark (Spark only drops strictly-late rows). Hold keeps
+    // merged order (order inside the buffer is irrelevant — ripe events
+    // are always sorted before emission).
+    var nRipe = 0
+    i = 0
+    while (i < total) { if (mus(i) < wmUs) nRipe += 1; i += 1 }
+    val nHold = total - nRipe
+    val ripe = new Array[Int](nRipe)
+    val hus = new Array[Long](nHold)
+    val hid = new Array[Long](nHold)
+    val hty = new Array[String](nHold)
+    var r = 0; var h = 0
+    i = 0
+    while (i < total) {
+      if (mus(i) < wmUs) { ripe(r) = i; r += 1 }
+      else { hus(h) = mus(i); hid(h) = mid(i); hty(h) = mty(i); h += 1 }
+      i += 1
+    }
+    val ordered = ripe.sortBy(k => (mus(k), mid(k)))
     val out = Seq.newBuilder[GapRow]
     var (lastUs, lastId, hasLast) = (st.lastUs, st.lastId, st.hasLast)
-    ordered.foreach { e =>
-      if (hasLast) out += GapRow(e.event_type, e.us - lastUs)
-      lastUs = e.us; lastId = e.event_id; hasLast = true
+    ordered.foreach { k =>
+      if (hasLast) out += GapRow(mty(k), mus(k) - lastUs)
+      lastUs = mus(k); lastId = mid(k); hasLast = true
     }
-    val next = WmGapState(hold, lastUs, lastId, hasLast)
-    if (next != st) state.update(next)
-    if (hold.nonEmpty)
+    // unchanged ⟺ nothing arrived and nothing ripened (then hold ==
+    // pending element-for-element and the last-triple is untouched) —
+    // the same no-op-write condition the old Seq equality check encoded
+    if (arrivals.length > 0 || nRipe > 0)
+      state.update(WmGapState(hus, hid, hty, lastUs, lastId, hasLast))
+    if (nHold > 0) {
       // fire as soon as the watermark passes the OLDEST buffered event
       // (the next to ripen — arming on the newest would hold ripe gaps
       // hostage to the whole buffer); the timer fires when the
@@ -156,8 +204,12 @@ object StreamingGaps {
       // event's ripening point, and the max() keeps the timestamp
       // above the current watermark (set-time contract) in the
       // sub-millisecond-tie edge
+      var minUs = Long.MaxValue
+      i = 0
+      while (i < nHold) { if (hus(i) < minUs) minUs = hus(i); i += 1 }
       state.setTimeoutTimestamp(
-        math.max(hold.map(_.us).min / 1000L, state.getCurrentWatermarkMs() + 1L))
+        math.max(minUs / 1000L, state.getCurrentWatermarkMs() + 1L))
+    }
     out.result().iterator
   }
 
