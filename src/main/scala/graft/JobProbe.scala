@@ -30,8 +30,11 @@ object JobProbe {
       .config("spark.ui.enabled", "false")
     // A/B experiment confs: SPARK_GRAFT_EXTRA_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      builder.config(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => builder.config(k, v)
+        case _ => sys.error(
+          s"SPARK_GRAFT_EXTRA_CONF token without '=': '$kv' (want k=v;k=v)")
+      }
     })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,11 +43,16 @@ object JobProbe {
         var stages: Int = 0, var tasks: Int = 0, var taskMs: Long = 0L,
         var shuffleReadMb: Double = 0, var shuffleWriteMb: Double = 0)
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, Job]
+    // stage → owning job, registered at job start (ADVICE r19: AQE
+    // stage-materialization jobs overlap even in a sequential probe, so
+    // "most recently started job" mis-attributed stage metrics)
+    val stageOwner = new scala.collection.mutable.HashMap[Int, Int]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val desc = Option(e.properties.getProperty("spark.job.description"))
           .orElse(Option(e.properties.getProperty("callSite.short"))).getOrElse("")
         jobs(e.jobId) = Job(e.jobId, desc, e.time)
+        e.stageInfos.foreach(si => stageOwner(si.stageId) = e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(e.jobId).foreach(_.end = e.time)
@@ -52,15 +60,14 @@ object JobProbe {
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
           val si = e.stageInfo
-          // attribute to the most recent unfinished or latest job — good
-          // enough for a sequential probe
-          jobs.values.lastOption.foreach { j =>
-            j.stages += 1
-            j.tasks += si.numTasks
-            j.taskMs += si.taskMetrics.executorRunTime
-            j.shuffleReadMb += si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6
-            j.shuffleWriteMb += si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6
-          }
+          stageOwner.get(si.stageId).flatMap(jobs.get)
+            .orElse(jobs.values.lastOption).foreach { j =>
+              j.stages += 1
+              j.tasks += si.numTasks
+              j.taskMs += si.taskMetrics.executorRunTime
+              j.shuffleReadMb += si.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6
+              j.shuffleWriteMb += si.taskMetrics.shuffleWriteMetrics.bytesWritten / 1e6
+            }
         }
     }
     spark.sparkContext.addSparkListener(listener)

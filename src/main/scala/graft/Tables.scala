@@ -76,7 +76,39 @@ object Tables {
     * assignment retry-deterministic. */
   def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val cores = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= cores) df else df.repartition(cores)
+    if (plannedScanPartitions(s, df) >= cores) df else df.repartition(cores)
+  }
+
+  /** Planned partition count of `df`'s scan, memoized per (session,
+    * leaf files, parallelism). r20 (ADVICE r19): `df.rdd` at plan-build
+    * time forces a throwaway analysis + optimization + physical-planning
+    * pass (plus file listing) for every query CONSTRUCTION that calls
+    * [[spread]] — the count it yields is a pure function of the leaf
+    * file set and the session's split config, so one probe per
+    * (session, table) serves every later construction. Frames without a
+    * file scan leaf (none of the current call sites) fall back to the
+    * direct probe, unmemoized. */
+  private val spreadMemo =
+    new graft.util.BoundedMemo[(String, String, Int), Int](64)
+  private def plannedScanPartitions(s: SparkSession, df: DataFrame): Int = {
+    val allLeaves = df.queryExecution.analyzed.collectLeaves()
+    val leaves = allLeaves.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if r.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        r.relation
+          .asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.mkString(",")
+    }
+    // only memoize when EVERY leaf is a file scan — for anything else
+    // the planned count is not a pure function of the file set
+    if (leaves.isEmpty || leaves.size != allLeaves.size)
+      df.rdd.getNumPartitions
+    else
+      spreadMemo.getOrElseUpdate(
+        (org.apache.spark.sql.graft.ColumnShim.sessionUuid(s),
+          leaves.mkString(";"), s.sparkContext.defaultParallelism))(
+        df.rdd.getNumPartitions)
   }
 
   /** Loud schema guard for the relational tables' temporal columns

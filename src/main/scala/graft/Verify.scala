@@ -14,6 +14,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // VERDICT r19 item 8: the documented tiny-frame GLOBAL windows (q82
+    // survival tail, rrf head ranks, waterfill prefix — each ≤ |keys|
+    // rows by construction, see their scaladocs) flooded this main's
+    // tail with WindowExec's single-partition WARN, burying real
+    // signals. partitionBy(lit(1)) does not survive Spark 4's
+    // EliminateWindowPartitions rule, so the benign-by-design sites are
+    // whitelisted STRUCTURALLY (PlanGuardSpec "global windows" guard —
+    // a new unpartitioned window on an unbounded frame fails the suite)
+    // and the logger is silenced here.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated query names); the driver
     // sets no filter and always dumps the full registry.

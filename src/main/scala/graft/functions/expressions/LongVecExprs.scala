@@ -40,6 +40,12 @@ case class Sq8ReconDot(left: Expression, right: Expression,
 
   require(off.length == w.length, s"off/w length ${off.length} != ${w.length}")
   private def dim = off.length
+  // ADVICE r19: positional Seq access would make the interpreted path
+  // O(dim^2) per row for a List-backed Seq — index primitive copies
+  // instead (constructor params stay Seq: Array fields would break the
+  // case class's canonicalized plan equality)
+  @transient private lazy val offA: Array[Long] = off.toArray
+  @transient private lazy val wA: Array[Long] = w.toArray
 
   override def dataType: DataType = LongType
 
@@ -66,7 +72,7 @@ case class Sq8ReconDot(left: Expression, right: Expression,
     var j = 0
     while (j < dim) {
       if (x.isNullAt(j) || y.isNullAt(j)) return null
-      s += (off(j) + x.getLong(j) * w(j)) * (off(j) + y.getLong(j) * w(j))
+      s += (offA(j) + x.getLong(j) * wA(j)) * (offA(j) + y.getLong(j) * wA(j))
       j += 1
     }
     s
@@ -116,6 +122,9 @@ object Sq8ReconDot {
 case class LitDotLong(child: Expression, x: Seq[Long]) extends UnaryExpression {
 
   private def dim = x.length
+  // ADVICE r19: see Sq8ReconDot — O(dim) interpreted eval regardless of
+  // the Seq implementation behind the constructor param
+  @transient private lazy val xA: Array[Long] = x.toArray
 
   override def dataType: DataType = LongType
 
@@ -136,7 +145,7 @@ case class LitDotLong(child: Expression, x: Seq[Long]) extends UnaryExpression {
     var j = 0
     while (j < dim) {
       if (v.isNullAt(j)) return null
-      s += v.getLong(j) * x(j)
+      s += v.getLong(j) * xA(j)
       j += 1
     }
     s

@@ -2919,7 +2919,9 @@ object Relational {
       .agg((max(col("day")) - min(col("day"))).as("lifetime"))
     val hist = life.groupBy("lifetime").agg(count(lit(1)).as("n_end"))
     // tiny frame: the unpartitioned windows run over ≤ |distinct
-    // lifetimes| rows, never the fact
+    // lifetimes| rows, never the fact (structurally whitelisted in
+    // PlanGuardSpec's global-window guard; partitionBy(lit(1)) would
+    // not survive Spark 4's EliminateWindowPartitions)
     val wRisk = Window.orderBy(col("lifetime").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTotal = Window.partitionBy(lit(1))

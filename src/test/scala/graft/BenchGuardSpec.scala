@@ -44,6 +44,19 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.retryFactor > 1.0)
   }
 
+  test("retry-sample transparency (r20): every sample renders, min-bias auditable") {
+    // the artifact must carry the FULL sample list of a retried line —
+    // the pre-retry min first, then each retry attempt, failed attempts
+    // as -1 — so a reader can recompute the min and see what the
+    // keep-the-min estimator discarded
+    val json = Bench.renderRetrySamples(Seq(
+      "q55_triangles" -> Seq(5.1234, 3.4, -1.0),
+      "q61_pagerank" -> Seq(6.0, 4.25)))
+    assert(json ==
+      """{"q55_triangles":[5.123,3.4,-1.0],"q61_pagerank":[6.0,4.25]}""")
+    assert(Bench.renderRetrySamples(Seq.empty) == "{}")
+  }
+
   test("host probe: bounded cost, sane readings, never throws") {
     // the probe adjudicates every artifact, so its own contract needs a
     // pin: finishes well inside its documented ~1 s ceiling, wakeup

@@ -126,6 +126,32 @@ class PlanGuardSpec extends SparkTestBase {
     assert(offenders.isEmpty, s"scale-hostile joins crept in:\n${offenders.mkString("\n")}")
   }
 
+  test("global (single-partition) windows appear only at the documented tiny-frame sites") {
+    // r20 (VERDICT r19 item 8): WindowExec's single-partition WARN is
+    // silenced in Verify, so THIS guard is what catches a real
+    // unbounded-window regression — any gate whose optimized plan
+    // carries a Window with an EMPTY partitionSpec must be one of the
+    // documented ≤|keys|-row frames (rationale in each scaladoc).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val globalWindowByDesign = Set(
+      // survival tail: ≤ |distinct lifetimes| rows
+      "q82_survival",
+      // rrf lexical head: the TopK survivors only
+      "retrieval_rrf",
+      // waterfill prefix scan: |sources| rows
+      "token_budget_waterfill")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => iterative(name) }
+      .flatMap { case (name, fn) =>
+        val global = fn(spark, sf0001).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty && !globalWindowByDesign(name)) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"undocumented single-partition window in: ${offenders.mkString(", ")}")
+  }
+
   test("scan-speed encode family: the fact itself never hash-shuffles") {
     // q77's documented scale claim: encoding is a map stage — the only
     // hashpartitioning exchange carries the |categories|-row stats
