@@ -1277,11 +1277,17 @@ object Similarity {
         .select(col("e"), expr(
           s"CASE WHEN dot < 0 THEN -((-dot) DIV $PcaDotShift) ELSE dot DIV $PcaDotShift END")
           .as("sdot"))
+      // r20 (VERDICT r19 item 5): ONE array-summing native aggregate —
+      // the dim independent sum(element_at·sdot) accumulators fused into
+      // a HashAggregate update method past HotSpot's JIT ceiling, so
+      // every training row accumulated interpreted (the Sq8ReconDot
+      // pathology in the aggregate path). Bit-equal totals
+      // (CustomExpressionsSpec differential pin).
       val row = withDot.agg(
-        sum(element_at(col("e"), 1) * col("sdot")).as("y1"),
-        (2 to dim).map(j =>
-          sum(element_at(col("e"), j) * col("sdot")).as(s"y$j")): _*).head()
-      val y = (0 until dim).map(i => BigInt(row.getLong(i))).toArray
+        graft.functions.expressions.VecSumAgg(col("e"), col("sdot"), dim)
+          .as("y")).head()
+      val ys = row.getSeq[Long](0)
+      val y = (0 until dim).map(i => BigInt(ys(i))).toArray
       gain = y.map(_.abs).max.max(BigInt(1))
       x = y.map(v => BigInt(v.signum) * (v.abs * PcaXScale / gain))
     }
@@ -1462,9 +1468,12 @@ object Similarity {
     for (_ <- 1 to iters) {
       val assigned = e.select(col("e"),
         (kmeansPacked(cents) % 16L).cast("int").as("cluster"))
+      // r20: one array-summing aggregate per cluster instead of dim
+      // independent sum(element_at) columns — see VecSumAgg (bit-equal
+      // totals, JIT-able update loop)
       val rows = assigned.groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"),
-          (1 to dim).map(j => sum(element_at(col("e"), j)).as(s"s$j")): _*)
+          graft.functions.expressions.VecSumAgg(col("e"), lit(1L), dim).as("s"))
         .collect()
       sizes = Array.fill(k)(0L)
       val next = cents.map(_.clone())
@@ -1472,9 +1481,10 @@ object Similarity {
         val c = r.getInt(0)
         val n = r.getLong(1)
         sizes(c) = n
+        val ss = r.getSeq[Long](2)
         var j = 0
         while (j < dim) {
-          val sum = r.getLong(2 + j)
+          val sum = ss(j)
           next(c)(j) = if (sum < 0) -((-sum) / n) else sum / n
           j += 1
         }

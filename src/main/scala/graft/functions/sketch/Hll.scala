@@ -18,12 +18,20 @@ object Hll {
   val M: Int = Profiling.HllM
   val MaxRank: Int = Profiling.HllMaxRank
 
+  /** Per-thread MD5 instance (r20): `MessageDigest.getInstance` does a
+    * provider lookup + allocation PER CALL, and [[h52]] runs once per
+    * token/hit in the streaming sketch kernels (paths_agg, kmv, ndv) —
+    * `digest()` resets the instance, so reuse is value-identical. */
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** 52-bit md5-derived hash, equal to the relational
     * `h32(tok)·2^20 + (h32b(tok) mod 2^20)` (md5 hex chars 1-8 and 9-16
     * are the digest's first and second 4 bytes). */
   def h52(token: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(token.getBytes(StandardCharsets.UTF_8))
+    val d = md5.get().digest(token.getBytes(StandardCharsets.UTF_8))
     def be32(off: Int): Long =
       ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
         ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)

@@ -438,11 +438,14 @@ object Relational {
           "y -> struct(x AS pa, y AS pb))))")).as("p"))
       .select(col("p.pa"), col("p.pb"))
       .distinct()
-      .localCheckpoint()
+      // r20: lazy — triangleStats' gating count() is the materializing
+      // action for BOTH edge frames (one action + planning pass instead
+      // of three; the CC lazy-checkpoint discipline)
+      .localCheckpoint(eager = false)
     val edges = allEdges
       .filter(pmod(Portable.h32(
         concat_ws("|", col("pa"), col("pb"))), lit(TriangleSampleMod)) === 0L)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     allEdges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(triangleStats(edges)))
       .select("n_edges", "n_edges_sampled", "n_wedges_sampled",
@@ -1915,6 +1918,13 @@ object Relational {
     * band path reads it four times (count, sketch, band scan,
     * assignment). */
   private[graft] def rfmPerCustomer(s: SparkSession, dir: String): DataFrame =
+    // r20: Tables.spread on the orders scan was TRIED here (the scan +
+    // custkey partial-agg is single-task on the one-row-group corpus)
+    // and REVERTED: matched-controls fresh-JVM A/B read +0.2-0.3 s at 32
+    // cores (the round-robin exchange costs more than the light partial
+    // aggregate saves), an 8-core probe was a wash — and spread is a
+    // no-op at real file layouts, so the change had no 100 TB upside to
+    // justify the local loss.
     Tables.orders(s, dir)
       .select(col("o_custkey"),
         expr("datediff(to_date(o_orderdate), DATE '1970-01-01')")

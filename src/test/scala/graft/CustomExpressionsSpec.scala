@@ -363,4 +363,35 @@ class CustomExpressionsSpec extends SparkTestBase {
       l.contains("litdotlong") && l.trim.matches("""^:?\+?-?\s*\*\(\d+\) Project.*""")),
       s"litdotlong not inside a codegen stage:\n$plan")
   }
+
+  test("VecSumAgg == dim independent sum(element_at·w) columns, bit for bit") {
+    import graft.functions.expressions.VecSumAgg
+    val dim = 64
+    val e = quantFrame
+      .withColumn("w", (xxhash64(col("e")) % 1000L).cast("long"))
+    // old formulation: one sum column per dimension
+    val perCol = e.agg(
+      sum(element_at(col("e"), 1) * col("w")).as("y1"),
+      (2 to dim).map(j =>
+        sum(element_at(col("e"), j) * col("w")).as(s"y$j")): _*).head()
+    val packed = e.agg(VecSumAgg(col("e"), col("w"), dim).as("y"))
+      .head().getSeq[Long](0)
+    (0 until dim).foreach { i =>
+      assert(packed(i) == perCol.getLong(i),
+        s"dim ${i + 1}: packed ${packed(i)} != per-column ${perCol.getLong(i)}")
+    }
+    // NULL rows contribute to no dimension (sum-ignores-null parity);
+    // an unweighted call is the kmeans centroid form
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(
+      (Some(Seq(1L, 2L)), 10L), (None, 7L), (Some(Seq(3L, 5L)), -2L))
+      .toDF("e", "w")
+    val got = withNull
+      .agg(VecSumAgg(col("e"), col("w"), 2).as("y")).head().getSeq[Long](0)
+    assert(got == Seq(1L * 10 + 3L * -2, 2L * 10 + 5L * -2))
+    val unweighted = withNull
+      .agg(VecSumAgg(col("e"), lit(1L), 2).as("y")).head().getSeq[Long](0)
+    assert(unweighted == Seq(4L, 7L))
+  }
 }
