@@ -2290,13 +2290,16 @@ object Relational {
       val deg = edges.select(col("pa").as("v"))
         .unionAll(edges.select(col("pb").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
-      // r20: LAZY checkpoints — the convergence count below is the
-      // round's ONE materializing action (keep computes once into cache
-      // on the first of the two semi-join builds), instead of three
-      // actions (keep job, edges job, count job) each with its own
-      // planning pass. The dedup-components lazy-checkpoint discipline.
+      // r20: the convergence count below is the round's ONE
+      // materializing action, instead of three (keep job, edges job,
+      // count job) each with its own planning pass — the
+      // dedup-components lazy-checkpoint discipline. `keep` is not even
+      // checkpointed: both semi-join builds reference the same deg
+      // subtree and ReuseExchange dedupes its exchange within the
+      // action (A/B at matched controls: ~0.4 s better than a lazy
+      // keep checkpoint, which paid a cache round-trip for a frame
+      // consumed twice in the same job).
       val keep = deg.filter(col("d") >= KcoreK).select("v")
-        .localCheckpoint(eager = false)
       edges = edges
         .join(keep.withColumnRenamed("v", "pa"), Seq("pa"), "left_semi")
         .join(keep.withColumnRenamed("v", "pb"), Seq("pb"), "left_semi")
