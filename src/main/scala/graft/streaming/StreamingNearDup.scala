@@ -92,30 +92,55 @@ object StreamingNearDup {
     * through MemoryStream). A timed-out bucket is removed outright: its
     * payload IS the value (no version chain to preserve), so one idle
     * period frees both payload and key. */
+  /** r20 (state-encoder packing, the q76 discipline): the bucket's held
+    * signatures are (ids: Array[Long], sigs: Array[Long] flattened
+    * n×[[Perms]]) instead of Seq[(Long, Array[Long])] — the Seq-of-struct
+    * wrapper paid a per-entry Catalyst round-trip per bucket per batch;
+    * both arrays encode as primitive UnsafeArrayData copies. Held order,
+    * cap semantics (first-seen kept; an overflowing bucket stops
+    * accumulating but keeps matching) and emitted pairs are identical —
+    * StreamingNearDupSpec's cross-batch/cap/overflow pins are unchanged. */
   private[streaming] def bucketUpdate(
       maxBucket: Int,
       idleTimeout: Option[scala.concurrent.duration.FiniteDuration])(
       key: (Int, Long), it: Iterator[((Int, Long), Long, Array[Long])],
-      state: GroupState[Seq[(Long, Array[Long])]]): Iterator[CandidatePair] =
+      state: GroupState[(Array[Long], Array[Long])]): Iterator[CandidatePair] =
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val held = state.getOption.getOrElse(Seq.empty)
+      val (heldIds0, heldSigs0) = state.getOption
+        .getOrElse((Array.emptyLongArray, Array.emptyLongArray))
       // deterministic intra-batch order; skip ids already held
       // (an exact replay must not pair a doc with itself)
-      val heldIds = held.iterator.map(_._1).toSet
+      val heldIds = heldIds0.toSet
       val arrivals = it.map(t => (t._2, t._3)).toSeq
         .filterNot(a => heldIds(a._1))
         .distinctBy(_._1).sortBy(_._1)
-      var acc = held
+      val n0 = heldIds0.length
+      val appended = math.min(arrivals.length, math.max(0, maxBucket - n0))
+      val ids = java.util.Arrays.copyOf(heldIds0, n0 + appended)
+      val sigs = java.util.Arrays.copyOf(heldSigs0, (n0 + appended) * Perms)
+      var nHeld = n0
       val out = Seq.newBuilder[CandidatePair]
       arrivals.foreach { case (id, sig) =>
-        acc.foreach { case (oid, osig) =>
-          out += CandidatePair(math.min(id, oid), math.max(id, oid),
-            estJaccard(sig, osig))
+        var i = 0
+        while (i < nHeld) {
+          var eq = 0
+          var j = 0
+          while (j < Perms) {
+            if (sigs(i * Perms + j) == sig(j)) eq += 1
+            j += 1
+          }
+          out += CandidatePair(math.min(id, ids(i)), math.max(id, ids(i)),
+            eq.toDouble / Perms)
+          i += 1
         }
-        if (acc.size < maxBucket) acc = acc :+ ((id, sig))
+        if (nHeld < maxBucket) {
+          ids(nHeld) = id
+          System.arraycopy(sig, 0, sigs, nHeld * Perms, Perms)
+          nHeld += 1
+        }
       }
-      state.update(acc)
+      state.update((ids, sigs))
       idleTimeout.foreach(t => state.setTimeoutDuration(t.toMillis))
       out.result().iterator
     }

@@ -127,25 +127,29 @@ class StreamingNearDupSpec extends SparkTestBase {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     val timeout = Some(500.millis)
     val sigA = StreamingNearDup.signature("alpha beta gamma delta epsilon zeta")
-    def mkState(s: Option[Seq[(Long, Array[Long])]], timedOut: Boolean) =
-      TestGroupState.create[Seq[(Long, Array[Long])]](
-        s.map(Optional.of[Seq[(Long, Array[Long])]]).getOrElse(Optional.empty()),
+    // r20 packed bucket state: (ids, flattened signatures)
+    type Bucket = (Array[Long], Array[Long])
+    def held(ids: Long*): Bucket =
+      (ids.toArray, ids.toArray.flatMap(_ => sigA))
+    def mkState(s: Option[Bucket], timedOut: Boolean) =
+      TestGroupState.create[Bucket](
+        s.map(Optional.of[Bucket]).getOrElse(Optional.empty()),
         GroupStateTimeout.ProcessingTimeTimeout,
         1000L, Optional.empty[Long], timedOut)
 
     // a cold bucket is removed in one idle period — the payload IS the
     // value (no version chain), so nothing is tombstoned
-    val cold = mkState(Some(Seq(1L -> sigA, 2L -> sigA)), timedOut = true)
+    val cold = mkState(Some(held(1L, 2L)), timedOut = true)
     val out = StreamingNearDup.bucketUpdate(64, timeout)((0, 7L), Iterator.empty, cold)
     assert(out.isEmpty && cold.isRemoved, "cold bucket not removed on idle timeout")
 
     // live updates re-arm the idle timer and pair against held docs;
     // eviction then means later arrivals simply re-index fresh
-    val live = mkState(Some(Seq(1L -> sigA, 2L -> sigA)), timedOut = false)
+    val live = mkState(Some(held(1L, 2L)), timedOut = false)
     val emitted = StreamingNearDup.bucketUpdate(2, timeout)(
       (0, 7L), Iterator(((0, 7L), 3L, sigA)), live).toSeq
     assert(emitted.map(p => (p.doc_a, p.doc_b)).toSet == Set((1L, 3L), (2L, 3L)))
-    assert(live.get.size == 2, "full bucket must not grow past maxBucket")
+    assert(live.get._1.length == 2, "full bucket must not grow past maxBucket")
     assert(live.getTimeoutTimestampMs.get() == 1500L, "live bucket timer not re-armed")
   }
 }
